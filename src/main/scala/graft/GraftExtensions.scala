@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.Quack
+
+/** Session extension wiring, the Spark analogue of the reference's
+  * DuckDB extension-load step (`LOAD 'hadoopfs.duckdb_extension'`;
+  * /root/reference/src/hadoopfs_extension.cpp:1-31).
+  *
+  * Two entry points:
+  *  - cluster-config path: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *  - programmatic path: `GraftExtensions.install(spark)` on a live session
+  *    (used by Verify/Bench whose sessions the driver builds).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[Quack].getName, null, name, usage, "")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("quack", info("quack", "quack(name) - returns the reference extension's demo greeting"),
+      (exprs: Seq[Expression]) => Quack(exprs.head))
+  )
+
+  /** Idempotently register all graft functions on an existing session. */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * On a real cluster the same code reads `hdfs://nn/path/table.parquet` —
+  * Spark routes any Hadoop-FileSystem scheme transparently (the capability
+  * the reference extension adds to DuckDB; see /root/reference/src/include/
+  * hadoopfs.hpp:143 `HadoopFileSystem : FileSystem`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    // raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in
+    // Verify/Bench/test sessions). Convert losslessly to a µs timestamp
+    // (`div` keeps the arithmetic integral).
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+
+  /** Register every table as a temp view (for spark.sql-based queries). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

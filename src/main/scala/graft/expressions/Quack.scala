@@ -1,0 +1,31 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen re-expression of the reference's demo scalar function
+  * `quack(name)` → "Quack <name> 🐥"
+  * (reference: /root/reference/test/sql/hadoopfs.test:15-18, registered in
+  * src/hadoopfs_extension.cpp). Implemented as a Catalyst `UnaryExpression`
+  * with `doGenCode` so it participates in whole-stage codegen — no UDF
+  * boxing on the hot path.
+  */
+case class Quack(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "quack"
+
+  private val duck = "🐥" // 🐥
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString("Quack " + input.asInstanceOf[UTF8String].toString + " " + duck)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""UTF8String.fromString("Quack " + $c.toString() + " \\uD83D\\uDC25")""")
+
+  override protected def withNewChildInternal(newChild: Expression): Quack =
+    copy(child = newChild)
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Events / time-series block (SURVEY.md §2 C, batch half).
+  * Streaming equivalents (s1-s3) live in graft.streaming and are
+  * spec-verified — same logical transforms, readStream entry point.
+  */
+object Events {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Gap threshold for sessionization, seconds. */
+  val SessionGapSec = 1800L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q30: gap-based sessionization. One shuffle on user_id; the
+    // lag + running-sum windows share the same partitioning/ordering so
+    // Spark evaluates them in a single Window operator.
+    "q30_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapSec = col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double")
+      T(s, dir, "events")
+        .withColumn("is_new",
+          when(gapSec.isNull || gapSec > SessionGapSec.toDouble, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // ---- q31: tumbling-window aggregation via the window() operator
+    // (the batch twin of the Structured Streaming windowed agg).
+    "q31_tumbling" -> { (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("win.start").cast("date").as("day"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("day", "event_type")
+    },
+
+    // ---- q32: funnel — users whose first 'view' precedes their last
+    // 'purchase'. Two partial aggs co-partitioned on user_id.
+    "q32_funnel" -> { (s, dir) =>
+      val e = T(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user_id")).agg(max(col("ts")).as("last_purchase"))
+      v.join(p, col("user_id") === col("p_user_id"))
+        .filter(col("last_purchase") > col("first_view"))
+        .agg(count(lit(1)).as("n_converted"))
+    },
+
+    // ---- q33: DAU + next-day retention via self-join on (user, day+1).
+    "q33_retention" -> { (s, dir) =>
+      val daily = T(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val next = daily.select(col("user_id").as("b_user_id"), col("day").as("b_day"))
+      daily.join(next,
+          col("user_id") === col("b_user_id") && col("b_day") === date_add(col("day"), 1),
+          "left")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"),
+          countDistinct(col("b_user_id")).as("retained"))
+        .orderBy("day")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+             round(sum(value), 2) AS session_value
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+
+    "q31_tumbling" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type""",
+
+    "q32_funnel" -> """
+      SELECT count(*) AS n_converted FROM (
+        SELECT v.user_id
+        FROM (SELECT user_id, min(ts) AS first_view FROM events
+              WHERE event_type = 'view' GROUP BY user_id) v
+        JOIN (SELECT user_id, max(ts) AS last_purchase FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id) p
+          ON v.user_id = p.user_id
+        WHERE p.last_purchase > v.first_view)""",
+
+    "q33_retention" -> """
+      WITH daily AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events)
+      SELECT a.day AS day,
+             count(DISTINCT a.user_id) AS dau,
+             count(DISTINCT b.user_id) AS retained
+      FROM daily a LEFT JOIN daily b
+        ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+      GROUP BY a.day
+      ORDER BY day"""
+  )
+}

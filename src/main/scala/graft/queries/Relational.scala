@@ -1,0 +1,599 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GraftExtensions, Tables}
+
+/** Relational OLAP block (SURVEY.md §2 B): the DuckDB-SQL surface a user
+  * of the reference extension has over hdfs:// files, re-expressed with
+  * the declarative DataFrame API so Catalyst owns pushdown, pruning,
+  * join planning and whole-stage codegen.
+  *
+  * Parity rules (SURVEY.md §3): identical column aliases on both sides,
+  * floating aggregates rounded on both sides, deterministic ORDER BY with
+  * explicit NULLS FIRST where group keys can be null.
+  */
+object Relational {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def ts(d: String) = lit(d).cast("timestamp")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q1: TPC-H Q1-style pricing summary: single shuffle, map-side
+    // partial agg; at 100 TB this is scan-bound with full codegen.
+    "q1_agg" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- q2: filter + projection — verify PushedFilters/ReadSchema reach
+    // the parquet scan (only 4 of 11 columns read).
+    "q2_filter_proj" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- q3: TPC-H Q3-style shipping priority. customer side reduced
+    // pre-join by segment filter; AQE broadcasts it when small.
+    "q3_join_agg" -> { (s, dir) =>
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01"))
+      val l = T(s, dir, "lineitem").filter(col("l_shipdate") > ts("1996-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- q4: EXISTS → left-semi join (no row multiplication, no distinct).
+    "q4_exists" -> { (s, dir) =>
+      val o = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1996-04-01"))
+      val l = T(s, dir, "lineitem")
+      o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- q5: TPC-H Q5-style 6-way star join. nation/region are
+    // fixed-cardinality → explicit broadcast; fact-side joins shuffle on
+    // their keys, AQE handles the rest.
+    "q5_star_join" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders").filter(
+          col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- q6: TPC-H Q6-style selective scan-agg; fully pushed filters.
+    "q6_cond_agg" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+
+    // ---- q7: NOT EXISTS → left-anti join.
+    "q7_anti" -> { (s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- q8: DISTINCT + COUNT(DISTINCT) (partial-agg then exchange).
+    "q8_distinct" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // ---- q9: global top-k → TakeOrderedAndProject, no full sort at scale.
+    "q9_sort_limit" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    // ---- q10: ranking window family, deterministic tie-break.
+    "q10_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"), row_number().over(w).as("rn"))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+
+    // ---- q11: running + sliding frames.
+    "q11_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_spend"),
+          round(avg(col("o_totalprice")).over(w.rowsBetween(-2, Window.currentRow)), 2).as("moving_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- q12: lag/lead offsets over event streams.
+    "q12_lag_lead" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- q13: ROLLUP hierarchy (region → nation).
+    "q13_rollup" -> { (s, dir) =>
+      T(s, dir, "customer")
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(col("c_acctbal")), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    // ---- q14: CUBE over two independent dims.
+    "q14_grouping_sets" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total_price"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // ---- q15: HAVING.
+    "q15_having" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
+        .filter(col("n_orders") >= 5)
+        .orderBy(col("o_custkey"))
+    },
+
+    // ---- q16: CASE bucketing.
+    "q16_case_bucket" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .select(when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large").as("bucket"), col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- q17: TPC-H Q17-style correlated scalar subquery, decorrelated
+    // into a per-key aggregate + join (what Catalyst does for EXISTS/IN;
+    // here done explicitly so the plan is one shuffle on l_partkey).
+    "q17_scalar_subq" -> { (s, dir) =>
+      val l = T(s, dir, "lineitem")
+      val p = T(s, dir, "part").filter(col("p_brand") === "Brand#13")
+      val halfAvg = l.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(halfAvg, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+
+    // ---- q18: IN subquery → semi join.
+    "q18_in_subq" -> { (s, dir) =>
+      val bld = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      T(s, dir, "orders")
+        .join(bld, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ---- q19: UNION ALL + dedup-by-group.
+    "q19_union" -> { (s, dir) =>
+      T(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        .unionAll(T(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"))
+    },
+
+    // ---- q20: multi-CTE via SQL entry point.
+    "q20_cte" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH cust_orders AS (
+          SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS spend
+          FROM orders GROUP BY o_custkey)
+        SELECT c_mktsegment,
+               count(*) AS n_cust,
+               round(avg(n), 4) AS avg_orders,
+               round(avg(spend), 2) AS avg_spend
+        FROM customer JOIN cust_orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    },
+
+    // ---- q21: pivot (null cells → 0 to match FILTER-agg semantics).
+    "q21_pivot" -> { (s, dir) =>
+      val pri = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val alias = Map("1-URGENT" -> "p_urgent", "2-HIGH" -> "p_high",
+        "3-MEDIUM" -> "p_medium", "4-NOT SPECIFIED" -> "p_notspec", "5-LOW" -> "p_low")
+      val piv = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", pri)
+        .count()
+      piv.select(col("o_orderstatus") +:
+          pri.map(p => coalesce(col(s"`$p`"), lit(0L)).as(alias(p))): _*)
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // ---- q22: deterministic systematic sample (key-mod predicate) —
+    // reproducible across engines, unlike TABLESAMPLE.
+    "q22_det_sample" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 3)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- q23: top-N per group (QUALIFY-style).
+    "q23_topn_group" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_orderstatus"), col("rn"))
+    },
+
+    // ---- q24: string function suite.
+    "q24_string_funcs" -> { (s, dir) =>
+      T(s, dir, "customer")
+        .filter(col("c_name").like("%1%"))
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("prefix8"),
+          length(col("c_name")).cast("int").as("name_len"),
+          concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"),
+          regexp_extract(col("c_name"), "[0-9]+", 0).as("digits"),
+          regexp_replace(col("c_name"), "#", "-").as("dashed"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- q25: date function suite.
+    "q25_date_funcs" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(
+          min(col("o_orderdate")).cast("date").as("first_day"),
+          max(col("o_orderdate")).cast("date").as("last_day"),
+          count(lit(1)).as("n"),
+          max(year(col("o_orderdate"))).cast("int").as("yr"),
+          max(quarter(col("o_orderdate"))).cast("int").as("qtr"))
+        .orderBy(col("month"))
+    },
+
+    // ---- q26: HLL approx distinct (no oracle — approximate by design;
+    // spec checks error bound vs exact).
+    "q26_approx_distinct" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+    },
+
+    // ---- q27: statistical aggregates.
+    "q27_stats" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qe"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qe"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- q28: exact linear-interpolation percentiles.
+    "q28_percentile" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // ---- q29: the reference's demo scalar function as a native codegen
+    // Catalyst expression (graft.expressions.Quack), SQL-registered.
+    "q29_quack" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      T(s, dir, "customer")
+        .selectExpr("c_custkey", "quack(c_name) AS quacked")
+        .orderBy(col("c_custkey"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q2_filter_proj" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_quantity >= 45 AND l_discount > 0.05
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q3_join_agg" -> """
+      SELECT l_orderkey,
+             CAST(o_orderdate AS DATE) AS o_orderdate,
+             o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""",
+
+    "q4_exists" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q5_star_join" -> """
+      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+
+    "q6_cond_agg" -> """
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 24""",
+
+    "q7_anti" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "q8_distinct" -> """
+      SELECT o_orderstatus,
+             count(DISTINCT o_custkey) AS n_cust,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "q9_sort_limit" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 25""",
+
+    "q10_window_rank" -> """
+      SELECT * FROM (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk,
+               CAST(row_number() OVER w AS INT) AS rn
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+      WHERE rnk <= 10
+      ORDER BY c_mktsegment, rn""",
+
+    "q11_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+             round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q12_lag_lead" -> """
+      SELECT user_id, event_id, event_type,
+             lag(event_type) OVER w AS prev_type,
+             lead(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
+    "q13_rollup" -> """
+      SELECT r_name, n_name,
+             round(sum(c_acctbal), 2) AS total_bal,
+             count(*) AS n_cust
+      FROM customer, nation, region
+      WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q14_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             round(sum(o_totalprice), 2) AS total_price,
+             count(*) AS n
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "q15_having" -> """
+      SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(*) >= 5
+      ORDER BY o_custkey""",
+
+    "q16_case_bucket" -> """
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                  WHEN o_totalprice < 150000 THEN 'medium'
+                  ELSE 'large' END AS bucket,
+             count(*) AS n,
+             round(avg(o_totalprice), 2) AS avg_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY bucket""",
+
+    "q17_scalar_subq" -> """
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+        AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = part.p_partkey)""",
+
+    "q18_in_subq" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      ORDER BY o_orderkey""",
+
+    "q19_union" -> """
+      SELECT nationkey, count(*) AS n
+      FROM (SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+            UNION ALL
+            SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+      GROUP BY nationkey
+      ORDER BY nationkey""",
+
+    "q20_cte" -> """
+      WITH cust_orders AS (
+        SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey)
+      SELECT c_mktsegment,
+             count(*) AS n_cust,
+             round(avg(n), 4) AS avg_orders,
+             round(avg(spend), 2) AS avg_spend
+      FROM customer JOIN cust_orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q21_pivot" -> """
+      SELECT o_orderstatus,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+             count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+             count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+             count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+             count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "q22_det_sample" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      WHERE l_orderkey % 20 = 3
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q23_topn_group" -> """
+      SELECT * FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_orderstatus, rn""",
+
+    "q24_string_funcs" -> """
+      SELECT c_custkey,
+             upper(c_name) AS uname,
+             substr(c_name, 1, 8) AS prefix8,
+             CAST(length(c_name) AS INT) AS name_len,
+             concat(c_mktsegment, ':', c_name) AS tagged,
+             regexp_extract(c_name, '[0-9]+') AS digits,
+             replace(c_name, '#', '-') AS dashed
+      FROM customer
+      WHERE c_name LIKE '%1%'
+      ORDER BY c_custkey""",
+
+    "q25_date_funcs" -> """
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(min(o_orderdate) AS DATE) AS first_day,
+             CAST(max(o_orderdate) AS DATE) AS last_day,
+             count(*) AS n,
+             CAST(max(date_part('year', o_orderdate)) AS INT) AS yr,
+             CAST(max(date_part('quarter', o_orderdate)) AS INT) AS qtr
+      FROM orders
+      GROUP BY 1
+      ORDER BY month""",
+
+    "q27_stats" -> """
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(var_samp(l_quantity), 4) AS var_qty,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qe
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q28_percentile" -> """
+      SELECT l_linestatus,
+             round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+             round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""",
+
+    "q29_quack" -> """
+      SELECT c_custkey, 'Quack ' || c_name || ' 🐥' AS quacked
+      FROM customer
+      ORDER BY c_custkey"""
+  )
+}

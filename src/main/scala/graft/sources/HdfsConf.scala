@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** HDFS connection configuration surface, mirroring the reference's
+  * `HDFSParams` settings (hdfs_default_namenode / hdfs_ha_namenodes /
+  * hdfs_shortcircuit / hdfs_domain_socket_path; /root/reference/src/
+  * include/hadoopfs.hpp:13-118, env-var provider included) onto the
+  * Hadoop configuration Spark's FileSystem layer reads.
+  */
+object HdfsConf {
+
+  val DefaultNamenode = "GRAFT_HDFS_DEFAULT_NAMENODE"
+  val HaNamenodes = "GRAFT_HDFS_HA_NAMENODES"
+  val Shortcircuit = "GRAFT_HDFS_SHORTCIRCUIT"
+  val DomainSocketPath = "GRAFT_HDFS_DOMAIN_SOCKET_PATH"
+
+  /** Apply explicit settings; analogue of `SET hdfs_default_namenode=...`. */
+  def configure(
+      spark: SparkSession,
+      defaultNamenode: Option[String] = None,
+      haNameservice: Option[(String, Seq[String])] = None,
+      shortcircuit: Boolean = false,
+      domainSocketPath: Option[String] = None): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    defaultNamenode.foreach(nn => conf.set("fs.defaultFS", normalizeNamenode(nn)))
+    haNameservice.foreach { case (service, namenodes) =>
+      // Standard HDFS-HA client config (public hadoop-hdfs keys).
+      conf.set("dfs.nameservices", service)
+      val ids = namenodes.indices.map(i => s"nn$i")
+      conf.set(s"dfs.ha.namenodes.$service", ids.mkString(","))
+      namenodes.zip(ids).foreach { case (addr, id) =>
+        conf.set(s"dfs.namenode.rpc-address.$service.$id", addr)
+      }
+      conf.set(s"dfs.client.failover.proxy.provider.$service",
+        "org.apache.hadoop.hdfs.server.namenode.ha.ConfiguredFailoverProxyProvider")
+    }
+    if (shortcircuit) {
+      conf.setBoolean("dfs.client.read.shortcircuit", true)
+      domainSocketPath.foreach(p => conf.set("dfs.domain.socket.path", p))
+    }
+  }
+
+  /** Env-var provider, analogue of HDFSEnvironmentSettingsProvider
+    * (hadoopfs.hpp:80-118): picks settings up from the environment. */
+  def configureFromEnv(spark: SparkSession, env: Map[String, String] = sys.env): Unit = {
+    val ha = env.get(HaNamenodes)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .map(nns => ("graftha", nns))
+    configure(spark,
+      defaultNamenode = env.get(DefaultNamenode),
+      haNameservice = ha,
+      shortcircuit = env.get(Shortcircuit).exists(_.equalsIgnoreCase("true")),
+      domainSocketPath = env.get(DomainSocketPath))
+  }
+
+  /** `hdfs://host:port` normalization as the reference does on the
+    * namenode setting (hadoopfs.hpp:35-50). */
+  def normalizeNamenode(nn: String): String = {
+    val trimmed = nn.trim
+    if (trimmed.startsWith("hdfs://") || trimmed.startsWith("file:")) trimmed
+    else s"hdfs://$trimmed"
+  }
+}

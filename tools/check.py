@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local parity harness: mimic the driver's t2 check.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark result), runs the
+corresponding oracle SQL from oracle_sql.json in DuckDB over the sfDir
+tables, and compares values order-insensitively (rows sorted, columns
+sorted by name). Prints per-query PASS/FAIL with a diff sample.
+"""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [cols[i] for i in order], out
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = n_rowsonly = 0
+    for d in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, d)
+        if not os.path.isdir(path):
+            continue
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        tbl = pq.read_table(files[0]) if files else None
+        spark_cols = tbl.column_names if tbl is not None else []
+        spark_rows = [tuple(r[c] for c in spark_cols) for r in tbl.to_pylist()] if tbl is not None else []
+        if d not in oracles:
+            n_rowsonly += 1
+            status = "ROWS-ONLY" if spark_rows else "ROWS-ONLY(EMPTY!)"
+            print(f"{d:24s} {status} rows={len(spark_rows)}")
+            continue
+        try:
+            res = con.sql(oracles[d])
+            ora_cols = res.columns
+            ora_rows = res.fetchall()
+        except Exception as e:
+            print(f"{d:24s} ORACLE-ERROR {str(e)[:120]}")
+            n_fail += 1
+            continue
+        sc, sr = canon(spark_rows, list(spark_cols))
+        oc, orr = canon(ora_rows, list(ora_cols))
+        if sc != oc:
+            print(f"{d:24s} FAIL cols spark={sc} oracle={oc}")
+            n_fail += 1
+        elif sr != orr:
+            n_fail += 1
+            print(f"{d:24s} FAIL rows spark={len(sr)} oracle={len(orr)}")
+            for i, (a, b) in enumerate(zip(sr, orr)):
+                if a != b:
+                    print(f"   first diff @{i}:\n   spark : {a}\n   oracle: {b}")
+                    break
+            else:
+                if len(sr) != len(orr):
+                    print(f"   extra rows: spark {sr[len(orr):len(orr)+2] if len(sr)>len(orr) else orr[len(sr):len(sr)+2]}")
+        else:
+            n_pass += 1
+            print(f"{d:24s} PASS rows={len(sr)}")
+    print(f"\n=== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ===")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
