@@ -1,6 +1,24 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
+/** Benchmark main: runs every SparkEntry.queries entry against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout.
+  *
+  * Hang-proofing: each query is timeboxed (job-group cancel on expiry) and
+  * there is a global wall budget — a single runaway query can no longer
+  * destroy the whole bench output (round-1 failure mode). Per-query
+  * progress goes to stderr; stdout carries only the final JSON line.
+  */
 object Bench {
+
+  val PerQueryTimeoutSec: Long =
+    sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "90").toLong
+  val GlobalBudgetSec: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "450").toLong
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,15 +30,47 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val pool = Executors.newCachedThreadPool()
+    val start = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - start) / 1e9
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val remaining = GlobalBudgetSec - elapsedSec
+      if (remaining < 2) {
+        System.err.println(s"[bench] $name SKIPPED (global budget exhausted)")
+        name -> -1.0
+      } else {
+        val budget = math.min(PerQueryTimeoutSec, remaining.toLong + 1)
+        val t0 = System.nanoTime()
+        val fut = pool.submit(new Runnable {
+          override def run(): Unit = {
+            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+            try fn(spark, sfDir).count()
+            finally spark.sparkContext.clearJobGroup()
+          }
+        })
+        val sec =
+          try { fut.get(budget, TimeUnit.SECONDS); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case _: TimeoutException =>
+              spark.sparkContext.cancelJobGroup(name)
+              fut.cancel(true)
+              System.err.println(s"[bench] $name TIMED OUT after ${budget}s")
+              -1.0
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
+              -1.0
+          }
+        if (sec >= 0) System.err.println(f"[bench] $name%-24s $sec%8.2fs")
+        name -> sec
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    pool.shutdownNow()
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.Quack
+import graft.expressions._
 
 /** Session extension wiring, the Spark analogue of the reference's
   * DuckDB extension-load step (`LOAD 'hadoopfs.duckdb_extension'`;
@@ -13,6 +13,10 @@ import graft.expressions.Quack
   *  - cluster-config path: `--conf spark.sql.extensions=graft.GraftExtensions`
   *  - programmatic path: `GraftExtensions.install(spark)` on a live session
   *    (used by Verify/Bench whose sessions the driver builds).
+  *
+  * Registers the reference's two demo scalar functions (quack /
+  * quack_spark_version, the openssl-version analogue) plus the engine's
+  * native similarity/dedup kernels so they are usable from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -26,8 +30,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Quack].getName, null, name, usage, "")
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    ("quack", info("quack", "quack(name) - returns the reference extension's demo greeting"),
-      (exprs: Seq[Expression]) => Quack(exprs.head))
+    ("quack", info("quack", "quack(name) - the reference extension's demo greeting"),
+      (e: Seq[Expression]) => Quack(e.head)),
+    ("quack_spark_version",
+      info("quack_spark_version", "quack_spark_version(name) - greeting + linked engine version"),
+      (e: Seq[Expression]) => QuackVersion(e.head)),
+    ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
+      (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
+    ("jaccard_sim", info("jaccard_sim", "jaccard_sim(a, b) - Jaccard similarity of two string-token sets"),
+      (e: Seq[Expression]) => JaccardSim(e(0), e(1))),
+    ("minhash_bands", info("minhash_bands", "minhash_bands(shingles) - MinHash LSH band keys"),
+      (e: Seq[Expression]) => MinHashBands(e.head)),
+    ("simhash64", info("simhash64", "simhash64(words) - 64-bit SimHash signature"),
+      (e: Seq[Expression]) => SimHash64(e.head)),
+    ("hyperplane_buckets",
+      info("hyperplane_buckets", "hyperplane_buckets(vec) - multi-table sign-LSH bucket keys"),
+      (e: Seq[Expression]) => HyperplaneBuckets(e.head))
   )
 
   /** Idempotently register all graft functions on an existing session. */

@@ -1,9 +1,27 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Hang-proofing (a single runaway query must never zero the round):
+  *  - oracle_sql.json is written BEFORE the query loop, so already-dumped
+  *    results stay scoreable even if the process is killed mid-loop;
+  *  - every query runs in its own thread under a Spark job group with a
+  *    hard timeout — on expiry the job group is cancelled and the loop
+  *    moves on;
+  *  - repartition(1) (a shuffle into one output file), NOT coalesce(1)
+  *    (which would collapse the whole upstream computation to one task).
+  */
 object Verify {
+
+  val PerQueryTimeoutSec: Long =
+    sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,13 +34,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,6 +50,31 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val pool = Executors.newCachedThreadPool()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val fut = pool.submit(new Runnable {
+        override def run(): Unit = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).repartition(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try {
+        fut.get(PerQueryTimeoutSec, TimeUnit.SECONDS)
+        System.err.println(f"[verify] $name done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch {
+        case _: TimeoutException =>
+          System.err.println(s"[verify] $name TIMED OUT after ${PerQueryTimeoutSec}s — cancelling")
+          spark.sparkContext.cancelJobGroup(name)
+          fut.cancel(true)
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
+      }
+    }
+    pool.shutdownNow()
     spark.stop()
   }
 }

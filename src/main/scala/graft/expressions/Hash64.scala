@@ -1,0 +1,37 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared 64-bit hashing kernels for the dedup/similarity expressions.
+  * FNV-1a over UTF-8 bytes for string bases, splitmix64 finalizer for
+  * mixing/derived hash families. All deterministic (no RNG state) so
+  * signatures are reproducible across executors and runs.
+  */
+object Hash64 {
+
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64-bit over the string's UTF-8 bytes. */
+  def fnv1a(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 step — strong avalanche mixer, used both as a finalizer
+    * and to derive independent hash-family members h_i(x) = mix(x ^ seed_i).
+    */
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.expressions
+
+import org.apache.spark.SPARK_VERSION
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native re-expression of the reference's second demo scalar function
+  * `quack_openssl_version(name)` → "Quack <name>, my linked OpenSSL
+  * version is <ver>" (/root/reference/test/sql/hadoopfs.test:21). The
+  * engine-version analogue here reports the linked Spark version; codegen
+  * like Quack.
+  */
+case class QuackVersion(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "quack_spark_version"
+
+  private def suffix: String = s", my linked Spark version is $SPARK_VERSION"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString("Quack " + input.asInstanceOf[UTF8String].toString + suffix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val suf = ctx.addReferenceObj("suffix", UTF8String.fromString(suffix))
+    defineCodeGen(ctx, ev, c =>
+      s"""UTF8String.fromString("Quack " + $c.toString() + $suf.toString())""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuackVersion =
+    copy(child = newChild)
+}

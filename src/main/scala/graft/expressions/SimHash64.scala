@@ -1,0 +1,47 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** simhash64(words) → 64-bit SimHash signature (bit-majority vote over
+  * per-token hashes). One pass per row: O(|words| × 64) adds, compiled —
+  * replaces the round-1 interpreted nested-aggregate formulation.
+  * Near-dup docs land within a small hamming distance; pairing is done
+  * by 16-bit chunk banding in the d3 query (pigeonhole: hamming ≤ 3 ⇒
+  * at least one of 4 chunks identical).
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Hash64.mix(Hash64.fnv1a(arr.getUTF8String(i)))
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

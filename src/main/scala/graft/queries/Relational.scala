@@ -135,13 +135,18 @@ object Relational {
         .orderBy(col("c_mktsegment"), col("rn"))
     },
 
-    // ---- q11: running + sliding frames.
+    // ---- q11: running + sliding frames. The moving average rounds to 4
+    // decimals, not 2: an avg of 2-decimal prices over n ≤ 3 rows is
+    // either ≤3-decimal-exact or 3-repeating, so it can never sit on a
+    // 4-decimal rounding boundary — whereas at 2 decimals a .xx5 result
+    // rounds differently in Spark (decimal-string HALF_UP) vs DuckDB
+    // (binary double), the round-1 hash mismatch.
     "q11_window_running" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       T(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_spend"),
-          round(avg(col("o_totalprice")).over(w.rowsBetween(-2, Window.currentRow)), 2).as("moving_avg"))
+          round(avg(col("o_totalprice")).over(w.rowsBetween(-2, Window.currentRow)), 4).as("moving_avg"))
         .orderBy("o_custkey", "o_orderkey")
     },
 
@@ -444,7 +449,7 @@ object Relational {
              round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
              round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
       FROM orders
       ORDER BY o_custkey, o_orderkey""",
 
