@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: `runMain graft.Explain <sfDir> <queryName>...` prints
+  * each query's formatted physical plan plus the files an actual scan
+  * touches — used to audit pushdown / pruning / broadcast / codegen
+  * decisions (SURVEY §4) without modifying queries.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"\n========== $name ==========")
+      df.explain("formatted")
+      val files = df.inputFiles
+      println(s"-- inputFiles (${files.length}):")
+      files.sorted.take(20).foreach(f => println(s"   $f"))
+    }
+    spark.stop()
+  }
+}

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, Pipeline, Relational}
+import graft.queries.{Events, Pipeline, Relational, Sources}
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -12,12 +13,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Events.queries ++ Pipeline.queries
+    Relational.queries ++ Events.queries ++ Pipeline.queries ++
+      Sources.queries ++ StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for approximate / hash-dependent /
     * non-SQL-expressible ops (q26, d2, d3, d6, d11) → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ Pipeline.oracles
+    Relational.oracles ++ Events.oracles ++ Pipeline.oracles ++
+      Sources.oracles ++ StreamingOps.oracles
 }

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-side surface, the Spark-first re-expression of the reference's
+  * FileSystem mutations: `Write` / `CreateDirectory` / `RemoveDirectory` /
+  * `MoveFile` / `RemoveFile` (/root/reference/src/include/hadoopfs.hpp:
+  * 158-165, 218-231). Data writes go through Spark's distributed
+  * DataFrameWriter (format inferred from the extension like the read
+  * path); the directory/file mutations go through the same Hadoop
+  * FileSystem API the reference wraps, so they work unchanged against
+  * hdfs:// on a real cluster.
+  */
+object GraftWriter {
+
+  /** `COPY <df> TO '<url>'` equivalent: format inferred from extension;
+    * partitionBy gives hive-style layout (partition discovery on re-read).
+    */
+  def write(
+      df: DataFrame,
+      url: String,
+      format: Option[String] = None,
+      mode: String = "overwrite",
+      partitionBy: Seq[String] = Seq.empty,
+      options: Map[String, String] = Map.empty): Unit = {
+    val fmt = format.getOrElse(GraftReader.inferFormat(url))
+    val w0 = df.write.mode(mode).options(options)
+    val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    fmt match {
+      case "csv" =>
+        val withHeader = if (options.contains("header")) w1 else w1.option("header", "true")
+        withHeader.csv(url)
+      case "json" => w1.json(url)
+      case "orc" => w1.orc(url)
+      case "text" => w1.text(url)
+      case _ => w1.parquet(url)
+    }
+  }
+
+  private def fs(spark: SparkSession, url: String): (FileSystem, Path) = {
+    val p = new Path(url)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** CreateDirectory (hadoopfs.hpp:218). */
+  def createDirectory(spark: SparkSession, url: String): Boolean = {
+    val (f, p) = fs(spark, url); f.mkdirs(p)
+  }
+
+  /** RemoveDirectory, recursive (hadoopfs.hpp:221). */
+  def removeDirectory(spark: SparkSession, url: String): Boolean = {
+    val (f, p) = fs(spark, url); !f.exists(p) || f.delete(p, true)
+  }
+
+  /** MoveFile / rename (hadoopfs.hpp:228). */
+  def moveFile(spark: SparkSession, src: String, dst: String): Boolean = {
+    val (f, p) = fs(spark, src); f.rename(p, new Path(dst))
+  }
+
+  /** RemoveFile (hadoopfs.hpp:231). */
+  def removeFile(spark: SparkSession, url: String): Boolean = {
+    val (f, p) = fs(spark, url); !f.exists(p) || f.delete(p, false)
+  }
+}

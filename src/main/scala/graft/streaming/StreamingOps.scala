@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
+
+/** Structured Streaming block (SURVEY.md §2 C, streaming half).
+  *
+  * The official query entries (s1-s3) replay the events table through the
+  * FILE streaming source (readStream over the same parquet the batch
+  * queries scan) into a memory sink — a real incremental execution with
+  * real state stores, checked against the same DuckDB oracles as the
+  * batch twins (q31/q30). On a cluster the identical plan runs unbounded
+  * from a directory being appended to (or Kafka), with watermarks
+  * bounding state; MemoryStream-driven multi-batch/watermark behavior is
+  * spec-verified (StreamingSpec).
+  */
+object StreamingOps {
+
+  /** Streaming twin of Tables.load(_, _, "events"): file-source stream
+    * with the same nanos→timestamp normalization. The file streaming
+    * source requires a DIRECTORY (it tails it for new files), so the
+    * single events.parquet is staged into a scratch dir once — on a real
+    * deployment the directory is the landing zone being appended to.
+    */
+  def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val src = new Path(s"$dir/events.parquet")
+    val stageDir = new Path(graft.queries.Sources.scratchDir,
+      s"stream_events_${Integer.toHexString(dir.hashCode)}")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = stageDir.getFileSystem(conf)
+    val staged = new Path(stageDir, "events.parquet")
+    val srcLen = fs.getFileStatus(src).getLen
+    if (!fs.exists(staged) || fs.getFileStatus(staged).getLen != srcLen) {
+      fs.mkdirs(stageDir)
+      FileUtil.copy(fs, src, fs, staged, false, true, conf)
+    }
+    val path = stageDir.toString
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema).parquet(path)
+    schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None => raw
+    }
+  }
+
+  /** Run a (bounded) streaming DataFrame to completion into a memory
+    * sink and return the sink table. */
+  def runToTable(s: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** Per-event row for stateful sessionization. */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  case class SessionRow(user_id: Long, session_id: Long, n_events: Long, session_value: Double)
+
+  /** Gap-based sessionizer for one user's events within a batch —
+    * bounded-replay twin of q30 (same 1800 s gap, same numbering). For an
+    * unbounded deployment the open tail session is carried in GroupState
+    * with an event-time timeout; the multi-batch path is spec-verified.
+    */
+  def sessionize(userId: Long, events: Iterator[Ev],
+      state: GroupState[Long]): Iterator[SessionRow] = {
+    val sorted = events.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val base = state.getOption.getOrElse(0L)
+      var sessionId = base
+      var lastTs = Long.MinValue
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      sorted.foreach { e =>
+        if (lastTs == Long.MinValue || (e.ts.getTime - lastTs) > 1800L * 1000) {
+          sessionId += 1
+          out += ((sessionId, 0L, 0.0))
+        }
+        val (sid, n, v) = out.last
+        out(out.length - 1) = (sid, n + 1, v + e.value)
+        lastTs = e.ts.getTime
+      }
+      state.update(sessionId)
+      out.iterator.map { case (sid, n, v) =>
+        SessionRow(userId, sid, n, math.rint(v * 100) / 100)
+      }
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- s1: streaming tumbling-window count+sum with a watermark —
+    // the streaming twin of q31. Complete mode so the bounded replay
+    // yields the full aggregate (append mode + window close is the
+    // unbounded deployment; watermark semantics spec-verified).
+    "s1_stream_window" -> { (s, dir) =>
+      val agg = streamEvents(s, dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      runToTable(s, agg, "graft_s1", OutputMode.Complete())
+        .select(col("win.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("day", "event_type")
+    },
+
+    // ---- s2: streaming dedup — dropDuplicates keyed (user_id,
+    // event_type) emits each first-seen pair once (append mode, real
+    // dedup state store); aggregated post-sink for a deterministic,
+    // oracle-checkable shape.
+    "s2_stream_dedup" -> { (s, dir) =>
+      val dedup = streamEvents(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      runToTable(s, dedup, "graft_s2", OutputMode.Append())
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    },
+
+    // ---- s3: stateful sessionization via flatMapGroupsWithState —
+    // the streaming twin of q30 (same gap, same session numbering),
+    // with the per-user session counter held in GroupState.
+    "s3_stream_session" -> { (s, dir) =>
+      import s.implicits._
+      val evs: Dataset[Ev] = streamEvents(s, dir)
+        .selectExpr("cast(user_id as long) user_id", "ts",
+          "cast(event_id as long) event_id", "cast(value as double) value")
+        .as[Ev]
+      val sessions = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+      runToTable(s, sessions.toDF(), "graft_s3", OutputMode.Append())
+        .orderBy("user_id", "session_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_stream_window" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type""",
+
+    "s2_stream_dedup" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "s3_stream_session" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+             round(sum(value), 2) AS session_value
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""
+  )
+}
