@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.Pipeline
+import graft.sources.GraftWriter
+
+/** SURVEY §2 D specs: planted-duplicate detection for the dedup family
+  * (d2 minhash-LSH, d3 simhash, d4 jaccard) and ANN recall vs the exact
+  * baseline (d6 vs d5), plus the q26 approx-distinct error bound. */
+class DedupSpec extends SparkSpecBase {
+
+  /** Synthetic documents table: 20 distinct docs; ids 100+i are near-dups
+    * of doc i (i < 5) with ONE same-length token changed; ids 200+i are
+    * EXACT dups of doc i (i < 3). Deterministic content. */
+  private lazy val plantedDir: String = {
+    val dir = scratch("planted")
+    import spark.implicits._
+    def text(i: Int): String =
+      (0 until 80).map { j =>
+        // hash-random tokens: distinct docs share ~0 vocabulary (an
+        // arithmetic-progression scheme makes docs genuinely overlap)
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"$i:$j")
+        f"tok${math.abs(h) % 100000}%05d"
+      }.mkString(" ")
+    def nearDup(i: Int): String = {
+      val w = text(i).split(" "); w(40) = "zzz99999"; w.mkString(" ")
+    }
+    val rows =
+      (0 until 20).map(i => (i.toLong, text(i))) ++
+        (0 until 5).map(i => (100L + i, nearDup(i))) ++
+        (0 until 3).map(i => (200L + i, text(i)))
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    dir
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("d2: minhash-LSH finds planted near-dups and exact dups") {
+    val got = pairs(Pipeline.queries("d2_minhash_lsh")(spark, plantedDir))
+    val wantNear = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    val wantExact = (0 until 3).map(i => (i.toLong, 200L + i)).toSet
+    assert((wantNear ++ wantExact).subsetOf(got),
+      s"missing: ${(wantNear ++ wantExact) -- got}")
+    // no false positives among unrelated distinct docs
+    assert(!got.exists { case (a, b) => a < 20 && b < 20 })
+  }
+
+  test("d3: simhash chunk banding finds planted dups within hamming 3") {
+    val out = Pipeline.queries("d3_simhash")(spark, plantedDir)
+    val got = pairs(out)
+    val wantExact = (0 until 3).map(i => (i.toLong, 200L + i)).toSet
+    assert(wantExact.subsetOf(got), s"missing exact: ${wantExact -- got}")
+    val wantNear = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(wantNear.subsetOf(got), s"missing near: ${wantNear -- got}")
+    assert(out.filter(col("hamming") > 3).count() == 0)
+  }
+
+  test("d4: blocked jaccard finds planted near-dups with J >= 0.5") {
+    val out = Pipeline.queries("d4_ngram_jaccard")(spark, plantedDir)
+    val got = pairs(out)
+    val wantNear = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(wantNear.subsetOf(got), s"missing: ${wantNear -- got}")
+    val j = out.filter(col("doc_a") === 0 && col("doc_b") === 100)
+      .select("jaccard").head().getDouble(0)
+    assert(j > 0.9 && j < 1.0) // 79 shared of 81 distinct tokens
+  }
+
+  test("d1: exact dedup groups exact copies only") {
+    val out = Pipeline.queries("d1_exact_dedup")(spark, plantedDir)
+    assert(out.count() == 25) // 28 docs, 3 exact dup pairs collapse
+    assert(out.filter(col("n_copies") === 2).count() == 3)
+  }
+
+  test("d6: LSH ANN recall >= 0.8 vs exact d5 baseline (sf0.01)") {
+    def resultPairs(name: String) =
+      Pipeline.queries(name)(spark, sfSmall).select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultPairs("d5_knn_cosine")
+    val ann = resultPairs("d6_lsh_ann")
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("q26: approx_count_distinct within 10% of exact") {
+    val r = queries_q26(sfSmall).head()
+    val approx = r.getLong(0); val exact = r.getLong(1)
+    assert(math.abs(approx - exact).toDouble / exact < 0.10,
+      s"approx $approx vs exact $exact")
+  }
+
+  private def queries_q26(dir: String) =
+    graft.queries.Relational.queries("q26_approx_distinct")(spark, dir)
+}

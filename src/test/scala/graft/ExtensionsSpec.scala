@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import graft.expressions._
+
+/** SURVEY §2 E-block specs: SQL registration (e1) and native-codegen
+  * expressions (e2). */
+class ExtensionsSpec extends SparkSpecBase {
+
+  test("e1: graft functions callable from plain SQL after install") {
+    GraftExtensions.install(spark)
+    assert(spark.sql("SELECT quack('Anna')").head().getString(0) == "Quack Anna 🐥")
+    val v = spark.sql("SELECT quack_spark_version('Anna')").head().getString(0)
+    assert(v.startsWith("Quack Anna, my linked Spark version is "))
+    assert(v.contains(org.apache.spark.SPARK_VERSION))
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d))").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val jac = spark.sql(
+      "SELECT jaccard_sim(array('a','b','c'), array('b','c','d'))").head().getDouble(0)
+    assert(math.abs(jac - 0.5) < 1e-12)
+    assert(spark.sql("SELECT size(minhash_bands(array('x','y')))").head().getInt(0) == 32)
+    assert(spark.sql("SELECT size(hyperplane_buckets(array(1.0d, -2.0d)))").head().getInt(0) == 48)
+    spark.sql("SELECT simhash64(array('x','y'))").head().getLong(0) // total
+  }
+
+  test("e1: spark.sql.extensions config path registers functions at session build") {
+    // TestSpark's context was built with
+    // spark.sql.extensions=graft.GraftExtensions (a STATIC conf); a fresh
+    // session derived from it must resolve quack with no install() call.
+    val fresh = spark.newSession()
+    assert(fresh.sql("SELECT quack('q')").head().getString(0).startsWith("Quack q"))
+  }
+
+  test("e2: hot-path expressions are native codegen, not CodegenFallback") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val q = Quack(Literal("x"))
+    val c = CosineSimilarity(
+      Literal.create(Array(1.0), ArrayType(DoubleType)),
+      Literal.create(Array(1.0), ArrayType(DoubleType)))
+    assert(!q.isInstanceOf[CodegenFallback])
+    assert(!c.isInstanceOf[CodegenFallback])
+    assert(!QuackVersion(q).isInstanceOf[CodegenFallback])
+  }
+
+  test("e2: cosine_sim codegen path evaluates inside whole-stage codegen") {
+    // parquet-backed input (a local relation would be constant-folded at
+    // optimization time, bypassing codegen entirely)
+    GraftExtensions.install(spark)
+    val df = Tables.load(spark, sfTiny, "embeddings")
+      .selectExpr("cast(embedding as array<double>) AS v")
+      .selectExpr("cosine_sim(v, v) AS c")
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_sim"), plan)
+    val vals = df.collect().map(_.getDouble(0))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-9)) // cos(v, v) = 1
+  }
+}

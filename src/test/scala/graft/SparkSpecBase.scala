@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole suite (Test / fork := true →
+  * single JVM). Mirrors the Verify/Bench session config. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      // static conf — must be set when the SparkContext is created; this
+      // is the `--conf spark.sql.extensions=...` cluster path under test
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  /** Smallest driver-generated scale factor — specs stay sub-second. */
+  val sfTiny = "/root/testdata/sf0.001"
+  val sfSmall = "/root/testdata/sf0.01"
+
+  def scratch(name: String): String = {
+    val d = new java.io.File(s"target/test-scratch/$name").getAbsoluteFile
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.mkdirs()
+    d.toString
+  }
+}

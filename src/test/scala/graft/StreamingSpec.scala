@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import graft.streaming.StreamingOps
+
+/** SURVEY §2 s1-s3 specs: incremental multi-batch behavior driven by
+  * MemoryStream — watermarked window close (append mode), cross-batch
+  * dedup state, and cross-batch session-counter state — the unbounded
+  * semantics the bounded file-replay query entries can't show. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600_000L * 24 * 100 + min * 60_000L)
+
+  test("s1: watermarked tumbling window emits closed windows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("spec_s1")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), "a"), (ts(10), "a"), (ts(20), "b"))
+      q.processAllAvailable()
+      // nothing emitted yet — watermark hasn't passed the window end
+      assert(spark.table("spec_s1").count() == 0)
+      // event 90 min later pushes watermark past the first window's end
+      in.addData((ts(90), "a"))
+      q.processAllAvailable()
+      in.addData((ts(200), "a")) // close the second window too
+      q.processAllAvailable()
+      val rows = spark.table("spec_s1")
+        .select(col("k"), col("n"), col("win.start").cast("long").as("w"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.contains(("a", 2L)) && rows.contains(("b", 1L)))
+    } finally q.stop()
+  }
+
+  test("s2: streaming dropDuplicates holds dedup state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val dedup = in.toDF().toDF("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    val q = dedup.writeStream.format("memory").queryName("spec_s2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, "view"), (1L, "view"), (2L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("spec_s2").count() == 2)
+      // same keys again in a LATER batch — still deduped (state store)
+      in.addData((1L, "view"), (2L, "view"), (2L, "buy"))
+      q.processAllAvailable()
+      assert(spark.table("spec_s2").count() == 3)
+    } finally q.stop()
+  }
+
+  test("s3: session counter carries across batches via GroupState") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[StreamingOps.Ev]
+    val sessions = in.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        StreamingOps.sessionize)
+    val q = sessions.toDF().writeStream.format("memory").queryName("spec_s3")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two sessions for user 1 (40 min gap > 30 min threshold)
+      in.addData(
+        StreamingOps.Ev(1L, ts(0), 1L, 1.0),
+        StreamingOps.Ev(1L, ts(5), 2L, 2.0),
+        StreamingOps.Ev(1L, ts(45), 3L, 3.0))
+      q.processAllAvailable()
+      // batch 2: a much later burst — numbering continues from state (3rd session)
+      in.addData(StreamingOps.Ev(1L, ts(500), 4L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("spec_s3")
+        .select("session_id", "n_events", "session_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 2L, 3.0), (2L, 1L, 3.0), (3L, 1L, 4.0)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("s1-s3 bounded replay matches batch semantics (file source)") {
+    val s1 = StreamingOps.queries("s1_stream_window")(spark, sfTiny)
+    val q31 = graft.queries.Events.queries("q31_tumbling")(spark, sfTiny)
+    assert(s1.collect().toSeq == q31.collect().toSeq)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftReader, GraftWriter}
+
+/** SURVEY §2 a7: writer roundtrips, partitioned layout, save modes, and
+  * the reference's FS mutations (CreateDirectory / MoveFile / RemoveFile /
+  * RemoveDirectory — hadoopfs.hpp:158-165, 218-231). */
+class WritersSpec extends SparkSpecBase {
+
+  private def nation = Tables.load(spark, sfTiny, "nation")
+    .select("n_nationkey", "n_name", "n_regionkey")
+
+  test("a7: parquet/csv/json roundtrips preserve content") {
+    val dir = scratch("wrt")
+    for (fmt <- Seq("parquet", "csv", "json")) {
+      GraftWriter.write(nation, s"$dir/n.$fmt")
+      val back = GraftReader.read(spark, s"$dir/n.$fmt")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .orderBy("n_nationkey").collect()
+      val exp = nation.select(col("n_nationkey").cast("long"), col("n_name"))
+        .orderBy("n_nationkey").collect()
+      assert(back.toSeq == exp.toSeq, s"fmt=$fmt")
+    }
+  }
+
+  test("a7: partitionBy writes hive layout") {
+    val dir = scratch("wrtpart")
+    GraftWriter.write(nation, s"$dir/n", format = Some("parquet"),
+      partitionBy = Seq("n_regionkey"))
+    val subdirs = new java.io.File(s"$dir/n").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs == (0 to 4).map(i => s"n_regionkey=$i").toSet)
+  }
+
+  test("a7: save modes — errorifexists throws, overwrite replaces, append doubles") {
+    val dir = scratch("wrtmode")
+    val url = s"$dir/n.parquet"
+    GraftWriter.write(nation, url)
+    intercept[Exception] { GraftWriter.write(nation, url, mode = "errorifexists") }
+    GraftWriter.write(nation, url, mode = "overwrite")
+    assert(GraftReader.read(spark, url).count() == 25)
+    GraftWriter.write(nation, url, mode = "append")
+    assert(GraftReader.read(spark, url).count() == 50)
+  }
+
+  test("a7: createDirectory / moveFile / removeFile / removeDirectory") {
+    val dir = scratch("fsops")
+    assert(GraftWriter.createDirectory(spark, s"$dir/sub/deep"))
+    assert(GraftReader.exists(spark, s"$dir/sub/deep"))
+    // create a real file via a single-row text write, then move + remove it
+    import spark.implicits._
+    GraftWriter.write(Seq("marker").toDF("value"), s"$dir/f.txt", format = Some("text"))
+    assert(GraftReader.exists(spark, s"$dir/f.txt"))
+    assert(GraftWriter.moveFile(spark, s"$dir/f.txt", s"$dir/sub/moved.txt"))
+    assert(!GraftReader.exists(spark, s"$dir/f.txt"))
+    assert(GraftReader.exists(spark, s"$dir/sub/moved.txt"))
+    assert(GraftWriter.removeDirectory(spark, s"$dir/sub"))
+    assert(!GraftReader.exists(spark, s"$dir/sub"))
+    assert(GraftWriter.removeFile(spark, s"$dir/never-existed.txt")) // idempotent
+  }
+}
