@@ -109,12 +109,17 @@ object Pipeline {
         col("wset").as("set_a"), col("wn").as("wn_a"))
       val b = w.select(col("doc_id").as("doc_b"), col("lang").as("lang2"),
         col("len_bucket").as("len_bucket2"), col("wset").as("set_b"), col("wn").as("wn_b"))
+      // The jaccard threshold lives INSIDE the join condition, explicitly
+      // LAST: a post-join filter gets pushed into the condition ahead of
+      // the cheap predicates (observed via Explain), making the kernel
+      // run for every hash-matched pair; conjunct order is preserved, so
+      // doc_a<doc_b and the size-ratio test short-circuit first.
       a.join(b, col("lang") === col("lang2") && col("len_bucket") === col("len_bucket2") &&
           col("doc_a") < col("doc_b") &&
-          col("wn_a") * 2 >= col("wn_b") && col("wn_b") * 2 >= col("wn_a"))
-        .withColumn("jaccard", round(expr("jaccard_sim(set_a, set_b)"), 4))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
+          col("wn_a") * 2 >= col("wn_b") && col("wn_b") * 2 >= col("wn_a") &&
+          round(expr("jaccard_sim(set_a, set_b)"), 4) >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(expr("jaccard_sim(set_a, set_b)"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
