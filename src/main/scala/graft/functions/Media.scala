@@ -1,0 +1,47 @@
+package graft.functions
+
+/** Deterministic media kernels for the multimodal pipeline (SURVEY §2
+  * d11/d14). The container has no image/audio codecs, so decode /
+  * feature-extract / resize / frame-sample are STUBS with deterministic
+  * byte-level semantics — the Spark-side contracts they sit behind
+  * (binary columns, typed metadata, fixed-size per-partition batches,
+  * exploded frame rows) are the real, tested parts; a production build
+  * swaps these bodies for e.g. a JNI codec without touching any plan.
+  */
+object Media {
+
+  /** Frame sampling: fixed-length slices of the payload (a real video
+    * sampler returns one decoded frame per time step). Covers every byte;
+    * last frame may be short. */
+  def frameSample(bytes: Array[Byte], frameLen: Int): Seq[Array[Byte]] = {
+    require(frameLen > 0)
+    if (bytes.isEmpty) Seq.empty
+    else bytes.grouped(frameLen).toSeq
+  }
+
+  /** Rolling checksum standing in for a perceptual hash. */
+  def checksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L)
+
+  /** Feature extraction stub: dim deterministic floats from strided
+    * rolling hashes (a real extractor returns an embedding). */
+  def featureStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      val d = i % dim
+      out(d) = (out(d) * 31 + (bytes(i) & 0xff)) % 997
+      i += 1
+    }
+    out.map(_ / 997.0f)
+  }
+
+  /** Resize stub: deterministic down/up-sample of the payload to
+    * targetLen bytes (nearest-neighbor over byte positions — the byte
+    * analogue of image nearest-neighbor resize). */
+  def resizeStub(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
+    require(targetLen >= 0)
+    if (targetLen == 0 || bytes.isEmpty) Array.emptyByteArray
+    else Array.tabulate(targetLen)(i => bytes(((i.toLong * bytes.length) / targetLen).toInt))
+  }
+}

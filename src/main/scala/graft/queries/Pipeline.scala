@@ -292,6 +292,36 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- d14: multimodal frame pipeline — binary payload → per-frame
+    // rows (frame-sample stub) → per-frame features → per-doc
+    // re-aggregation. The mapPartitions stage sees fixed-size batches
+    // (the vectorized-decoder contract); frames multiply rows like video
+    // frames would, then a single shuffle re-aggregates per doc. Byte
+    // accounting is exact, so this one has a REAL oracle despite the
+    // stub decode (frame count/bytes are pure functions of payload size).
+    "d14_multimodal_frames" -> { (s, dir) =>
+      import s.implicits._
+      val frameLen = 100
+      val frames = T(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.grouped(32).flatMap { batch =>
+            batch.flatMap { case (id, bytes) =>
+              graft.functions.Media.frameSample(bytes, frameLen).zipWithIndex.map {
+                case (fr, idx) =>
+                  val feat = graft.functions.Media.featureStub(fr)
+                  (id, idx, fr.length, feat.sum.toDouble)
+              }
+            }
+          }
+        }.toDF("doc_id", "frame_idx", "frame_bytes", "feat_sum")
+      frames.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("frame_bytes")).as("total_bytes"))
+        .orderBy("doc_id")
+    },
+
     // ---- d12: embedding norms + per-label stats via higher-order fns.
     "d12_vector_norm" -> { (s, dir) =>
       T(s, dir, "embeddings")
@@ -396,6 +426,13 @@ object Pipeline {
                  list_transform(string_split_regex(trim(text), '\s+'),
                    w -> CAST(ascii(w) * 7 + length(w) AS BIGINT))),
                (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fingerprint
+      FROM documents
+      ORDER BY doc_id""",
+
+    "d14_multimodal_frames" -> """
+      SELECT doc_id,
+             CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames,
+             CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
       FROM documents
       ORDER BY doc_id""",
 

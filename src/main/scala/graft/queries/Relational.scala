@@ -344,6 +344,40 @@ object Relational {
       T(s, dir, "customer")
         .selectExpr("c_custkey", "quack(c_name) AS quacked")
         .orderBy(col("c_custkey"))
+    },
+
+    // ---- q34: list aggregation (DuckDB's list()/list_sort surface) —
+    // nested array column built by a one-shuffle groupBy.
+    "q34_list_agg" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- q35: unnest roundtrip — array build then explode (DuckDB
+    // UNNEST); generators run inside codegen, no shuffle added beyond
+    // the q34 agg.
+    "q35_unnest" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("ks"))
+        .select(col("o_custkey"), explode(col("ks")).as("k"))
+        .orderBy("o_custkey", "k")
+    },
+
+    // ---- q36: set operations INTERSECT / EXCEPT (semi/anti-join
+    // under the hood, distinct semantics).
+    "q36_setops" -> { (s, dir) =>
+      val big = T(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("k"))
+      val bld = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      big.intersect(bld).withColumn("tag", lit("both"))
+        .unionAll(bld.except(big).withColumn("tag", lit("only_building")))
+        .select("tag", "k")
+        .orderBy("tag", "k")
     }
   )
 
@@ -599,6 +633,32 @@ object Relational {
     "q29_quack" -> """
       SELECT c_custkey, 'Quack ' || c_name || ' 🐥' AS quacked
       FROM customer
-      ORDER BY c_custkey"""
+      ORDER BY c_custkey""",
+
+    "q34_list_agg" -> """
+      SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys, count(*) AS n
+      FROM orders
+      GROUP BY o_custkey
+      ORDER BY o_custkey""",
+
+    "q35_unnest" -> """
+      WITH l AS (
+        SELECT o_custkey, list_sort(list(o_orderkey)) AS ks
+        FROM orders GROUP BY o_custkey)
+      SELECT o_custkey, unnest(ks) AS k
+      FROM l
+      ORDER BY o_custkey, k""",
+
+    "q36_setops" -> """
+      SELECT 'both' AS tag, k FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+        INTERSECT
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+      UNION ALL
+      SELECT 'only_building' AS tag, k FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000)
+      ORDER BY tag, k"""
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.Media
+
+/** SURVEY §2 d11/d14: multimodal kernel contracts — frame coverage,
+  * deterministic features, resize length semantics — plus the d14
+  * pipeline shape on real data. */
+class MultimodalSpec extends SparkSpecBase {
+
+  test("frameSample covers every byte, last frame short") {
+    val bytes = Array.tabulate(257)(_.toByte)
+    val frames = Media.frameSample(bytes, 100)
+    assert(frames.map(_.length) == Seq(100, 100, 57))
+    assert(frames.flatten.toSeq == bytes.toSeq)
+    assert(Media.frameSample(Array.emptyByteArray, 100).isEmpty)
+  }
+
+  test("featureStub is deterministic and sized") {
+    val b = "hello multimodal".getBytes
+    val f1 = Media.featureStub(b); val f2 = Media.featureStub(b)
+    assert(f1.toSeq == f2.toSeq && f1.length == 8)
+    assert(f1.toSeq != Media.featureStub("other".getBytes).toSeq)
+  }
+
+  test("resizeStub hits target length and is deterministic") {
+    val b = Array.tabulate(1000)(_.toByte)
+    assert(Media.resizeStub(b, 64).length == 64)
+    assert(Media.resizeStub(b, 2000).length == 2000)
+    assert(Media.resizeStub(b, 0).isEmpty)
+    assert(Media.resizeStub(b, 64).toSeq == Media.resizeStub(b, 64).toSeq)
+  }
+
+  test("d14 frame pipeline: per-doc byte accounting is exact") {
+    val out = graft.queries.Pipeline.queries("d14_multimodal_frames")(spark, sfTiny)
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfTiny, "documents")
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+    val joined = out.join(docs, "doc_id")
+      .filter(col("total_bytes") =!= col("nb") ||
+        col("n_frames") =!= ceil(col("nb") / 100.0).cast("long"))
+    assert(joined.count() == 0)
+  }
+
+  test("d11 multimodal plumbing emits one decoded row per doc") {
+    val out = graft.queries.Pipeline.queries("d11_multimodal")(spark, sfTiny)
+    val n = Tables.load(spark, sfTiny, "documents").count()
+    assert(out.count() == n)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang", "n_bytes", "head_byte", "checksum"))
+  }
+}
