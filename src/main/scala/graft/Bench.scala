@@ -31,6 +31,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm up the JVM/codegen/parquet paths once so the alphabetically
+    // first query doesn't absorb ~5 s of session startup in its timing.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+
     val pool = Executors.newCachedThreadPool()
     val start = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - start) / 1e9

@@ -53,9 +53,13 @@ object Pipeline {
     // pair source, and the shuffle is keyed by the band hash → uniform.
     "d2_minhash_lsh" -> { (s, dir) =>
       GraftExtensions.install(s)
+      // persist: both self-join sides read the banded signatures, so the
+      // shingle+minhash pass runs once, not twice (at 100 TB this is a
+      // checkpoint of the signature table — the standard LSH build step)
       val banded = withShingles(T(s, dir, "documents"))
         .select(col("doc_id"),
           posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "band_key")))
+        .persist()
       val a = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
       val b = banded.select(col("band").as("band2"), col("band_key").as("band_key2"),
         col("doc_id").as("doc_b"))
@@ -77,6 +81,7 @@ object Pipeline {
           posexplode(expr(
             "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
             .as(Seq("chunk", "chunk_val")))
+        .persist() // both self-join sides; one simhash pass
       val a = chunks.select(col("chunk"), col("chunk_val"),
         col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
       val b = chunks.select(col("chunk").as("chunk2"), col("chunk_val").as("chunk_val2"),
@@ -186,6 +191,7 @@ object Pipeline {
         .withColumn("vec", col("embedding").cast("array<double>"))
       val banded = emb.select(col("vec_id"),
         explode(expr("hyperplane_buckets(vec)")).as("bkt"))
+        .persist() // both self-join sides; one bucket-build pass
       val a = banded.select(col("bkt"), col("vec_id").as("id_a"))
       val b = banded.select(col("bkt").as("bkt2"), col("vec_id").as("id_b"))
       val cand = a.join(b, col("bkt") === col("bkt2") && col("id_a") < col("id_b"))

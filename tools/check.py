@@ -39,8 +39,12 @@ def main():
         path = os.path.join(out_dir, d)
         if not os.path.isdir(path):
             continue
-        files = glob.glob(os.path.join(path, "*.parquet"))
-        tbl = pq.read_table(files[0]) if files else None
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if files:
+            import pyarrow as pa
+            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        else:
+            tbl = None
         spark_cols = tbl.column_names if tbl is not None else []
         spark_rows = [tuple(r[c] for c in spark_cols) for r in tbl.to_pylist()] if tbl is not None else []
         if d not in oracles:
