@@ -19,10 +19,14 @@ import graft.expressions._
   * native similarity/dedup kernels so they are usable from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // plan-rewrite level: auto-derive cheap size bounds for jaccard
+    // threshold predicates (graft.plans.JaccardPrefilter)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilter)
+  }
 }
 
 object GraftExtensions {
@@ -39,8 +43,14 @@ object GraftExtensions {
       (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
     ("jaccard_sim", info("jaccard_sim", "jaccard_sim(a, b) - Jaccard similarity of two string-token sets"),
       (e: Seq[Expression]) => JaccardSim(e(0), e(1))),
-    ("minhash_bands", info("minhash_bands", "minhash_bands(shingles) - MinHash LSH band keys"),
-      (e: Seq[Expression]) => MinHashBands(e.head)),
+    ("minhash_bands", info("minhash_bands",
+      "minhash_bands(tokens[, bands]) - MinHash LSH band keys (128 hashes; bands controls the J threshold: 32 -> ~0.5, 16 -> ~0.8)"),
+      (e: Seq[Expression]) => e match {
+        case Seq(c) => MinHashBands(c)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _)) =>
+          MinHashBands(c, bands = b)
+        case _ => throw new IllegalArgumentException("minhash_bands(tokens[, bands])")
+      }),
     ("simhash64", info("simhash64", "simhash64(words) - 64-bit SimHash signature"),
       (e: Seq[Expression]) => SimHash64(e.head)),
     ("hyperplane_buckets",
@@ -48,10 +58,17 @@ object GraftExtensions {
       (e: Seq[Expression]) => HyperplaneBuckets(e.head))
   )
 
-  /** Idempotently register all graft functions on an existing session. */
-  def install(spark: SparkSession): Unit =
+  /** Idempotently register all graft functions AND the optimizer rule on
+    * an existing session (the programmatic twin of the
+    * spark.sql.extensions config path, which must be set at SparkContext
+    * creation and can't be added to a live session). */
+  def install(spark: SparkSession): Unit = {
     functions.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.JaccardPrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JaccardPrefilter
+  }
 }

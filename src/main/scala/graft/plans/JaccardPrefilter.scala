@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import graft.expressions.JaccardSim
+
+/** Optimizer rule: any `jaccard_sim(a, b) >= τ` conjunct (bare or inside
+  * `round(..., n)`) implies the cheap size-ratio bound
+  * `min(|a|,|b|) >= τ·max(|a|,|b|)` (since J ≤ min/max), so the rule
+  * prepends `|a| >= τ·|b| AND |b| >= τ·|a|` to the predicate. The two
+  * `size()` probes cost O(1) each vs the kernel's O(|a|+|b|) hash-set
+  * pass — on a near-dup workload this prunes most candidate pairs before
+  * the kernel runs, automatically, for any user query.
+  *
+  * This is the SURVEY §2 e1 mechanism at the Rule[LogicalPlan] level
+  * (SparkSessionExtensions.injectOptimizerRule), not just injectFunction:
+  * the engine rewrites user plans, the way the reference's host engine
+  * optimizes around its extension functions.
+  *
+  * Idempotent by construction: the derived conjunct is only added when
+  * no semantically-equal conjunct is already present, so the optimizer
+  * reaches a fixpoint on the second visit.
+  */
+object JaccardPrefilter extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def bound(j: JaccardSim, t: Double): Expression = {
+    def sz(e: Expression) = Cast(Size(e), DoubleType)
+    And(
+      GreaterThanOrEqual(sz(j.left), Multiply(Literal(t), sz(j.right))),
+      GreaterThanOrEqual(sz(j.right), Multiply(Literal(t), sz(j.left))))
+  }
+
+  private def threshold(e: Expression): Option[(JaccardSim, Double)] = e match {
+    case GreaterThanOrEqual(j: JaccardSim, Literal(t: Double, DoubleType)) => Some((j, t))
+    case GreaterThanOrEqual(Round(j: JaccardSim, Literal(_, IntegerType), _), Literal(t: Double, DoubleType)) =>
+      // round(J, n) >= t with J ∈ [0,1]: J >= t - 0.5·10⁻ⁿ ≥ t - 0.05;
+      // use the slightly relaxed bound so rounding can't lose a pair
+      Some((j, math.max(0.0, t - 0.05)))
+    case _ => None
+  }
+
+  /** True when some conjunct already probes size() of either jaccard
+    * input — the structural idempotency guard (semanticEquals on the
+    * freshly built bound proved unreliable across optimizer iterations,
+    * looping the batch to max iterations). */
+  private def hasSizeBound(conjuncts: Seq[Expression], j: JaccardSim): Boolean =
+    conjuncts.exists(_.exists {
+      case s: Size => s.child.semanticEquals(j.left) || s.child.semanticEquals(j.right)
+      case _ => false
+    })
+
+  /** Derived bounds for thresholds not already size-guarded in cond. */
+  private def derive(cond: Expression): Option[Expression] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val derived = conjuncts.flatMap(threshold).collect {
+      case (j, t) if t > 0 && !hasSizeBound(conjuncts, j) => bound(j, t)
+    }
+    derived.reduceOption(And)
+  }
+
+  // This rule runs in the user-provided batch AFTER predicate pushdown,
+  // so a jaccard threshold the user wrote as a post-join filter has
+  // usually been pushed into the Join condition by now — cover both.
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      derive(cond).map(d => Filter(And(d, cond), child)).getOrElse(f)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      derive(cond).map(d => j.copy(condition = Some(And(d, cond)))).getOrElse(j)
+  }
+}

@@ -88,6 +88,17 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("d15: minhash-candidate jaccard finds planted dups without blocking keys") {
+    val d15 = pairs(Pipeline.queries("d15_jaccard_lsh")(spark, plantedDir))
+    // planted near/exact dups all have J >= 0.9 — band recall there is ~1
+    val want = (0 until 5).map(i => (i.toLong, 100L + i)).toSet ++
+      (0 until 3).map(i => (i.toLong, 200L + i)).toSet
+    assert(want.subsetOf(d15), s"missing: ${want -- d15}")
+    // and nothing below the J=0.8 operating threshold sneaks in
+    assert(Pipeline.queries("d15_jaccard_lsh")(spark, plantedDir)
+      .filter(org.apache.spark.sql.functions.col("jaccard") < 0.8).count() == 0)
+  }
+
   test("d13: embedding near-dup finds planted high-cosine pairs") {
     val dir = scratch("planted-emb")
     import spark.implicits._

@@ -32,6 +32,24 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(fresh.sql("SELECT quack('q')").head().getString(0).startsWith("Quack q"))
   }
 
+  test("e1: JaccardPrefilter rule derives size bounds for threshold predicates") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    // parquet-backed (a local relation is fully evaluated at optimize time)
+    val dir = scratch("jacrule")
+    Seq(
+      (Seq("a", "b", "c", "d"), Seq("a", "b", "c", "e")), // J = 0.6
+      (Seq("a"), Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")) // size-ratio prunable
+    ).toDF("x", "y").write.parquet(s"$dir/t.parquet")
+    val df = spark.read.parquet(s"$dir/t.parquet")
+    val filtered = df.filter(org.apache.spark.sql.functions.expr("jaccard_sim(x, y) >= 0.5"))
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(opt.contains("size("), opt) // the derived cheap bound is in the plan
+    assert(filtered.count() == 1) // semantics unchanged
+    // idempotency: the optimizer reached a fixpoint (exactly one bound pair)
+    assert("size\\(x".r.findAllIn(opt).length <= 2, opt)
+  }
+
   test("e2: hot-path expressions are native codegen, not CodegenFallback") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
