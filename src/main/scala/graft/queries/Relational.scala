@@ -367,6 +367,19 @@ object Relational {
         .orderBy("o_custkey", "k")
     },
 
+    // ---- q37: JSON column surface — parse the events props JSON with
+    // get_json_object (DuckDB json_extract analogue) and aggregate the
+    // extracted field. Codegen path, no UDF.
+    "q37_json" -> { (s, dir) =>
+      T(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("bigint").as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"))
+        .orderBy("event_type")
+    },
+
     // ---- q36: set operations INTERSECT / EXCEPT (semi/anti-join
     // under the hood, distinct semantics).
     "q36_setops" -> { (s, dir) =>
@@ -648,6 +661,14 @@ object Relational {
       SELECT o_custkey, unnest(ks) AS k
       FROM l
       ORDER BY o_custkey, k""",
+
+    "q37_json" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     "q36_setops" -> """
       SELECT 'both' AS tag, k FROM (

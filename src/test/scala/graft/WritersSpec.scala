@@ -24,6 +24,16 @@ class WritersSpec extends SparkSpecBase {
     }
   }
 
+  test("a7: orc and text formats roundtrip") {
+    val dir = scratch("wrtorc")
+    GraftWriter.write(nation, s"$dir/n.orc")
+    assert(GraftReader.read(spark, s"$dir/n.orc").count() == 25)
+    import spark.implicits._
+    GraftWriter.write(nation.select(col("n_name")), s"$dir/n.txt", format = Some("text"))
+    val lines = GraftReader.read(spark, s"$dir/n.txt").as[String].collect().toSet
+    assert(lines == nation.select("n_name").as[String].collect().toSet)
+  }
+
   test("a7: partitionBy writes hive layout") {
     val dir = scratch("wrtpart")
     GraftWriter.write(nation, s"$dir/n", format = Some("parquet"),
