@@ -222,6 +222,11 @@ object Pipeline {
       GraftExtensions.install(s)
       val emb = T(s, dir, "embeddings")
         .withColumn("vec", col("embedding").cast("array<double>"))
+      // Id-only candidates + distinct BEFORE the kernel: with 48 tables
+      // a true pair collides in many buckets, so deduping first cuts
+      // kernel invocations ~5× — the opposite trade from d15, where the
+      // dedup input was the dominant cost (both shapes were measured;
+      // see BENCH_NOTES.md).
       val banded = emb.select(col("vec_id"),
         explode(expr("hyperplane_buckets(vec)")).as("bkt"))
         .persist() // both self-join sides; one bucket-build pass

@@ -230,9 +230,11 @@ object Relational {
         .orderBy(col("nationkey"))
     },
 
-    // ---- q20: multi-CTE via SQL entry point.
+    // ---- q20: multi-CTE via SQL entry point (register only the two
+    // tables the SQL touches — registerAll re-reads every schema).
     "q20_cte" -> { (s, dir) =>
-      Tables.registerAll(s, dir)
+      Seq("customer", "orders").foreach(n =>
+        Tables.load(s, dir, n).createOrReplaceTempView(n))
       s.sql("""
         WITH cust_orders AS (
           SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS spend
