@@ -57,6 +57,34 @@ object Events {
         .agg(count(lit(1)).as("n_converted"))
     },
 
+    // ---- q38: AS-OF join (point-in-time attribution): each purchase
+    // matched to the user's most recent view at-or-before it. Spark has
+    // no ASOF JOIN operator; the scalable re-expression is union + one
+    // window — ONE shuffle on the key, sort within partition, last()
+    // carry-forward — instead of the inequality range join, whose
+    // candidate set explodes quadratically per key at scale. Rows sort
+    // (ts, tag) with views first so an equal-timestamp view counts
+    // (ASOF's >= semantics); views are pre-deduped to one per (user, ts)
+    // with max(event_id) for a deterministic tie-break.
+    "q38_asof" -> { (s, dir) =>
+      val e = T(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("view_id"), lit(null).cast("long").as("purchase_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("long").as("view_id"), col("event_id").as("purchase_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("matched_view", last(col("view_id"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("purchase_id"), col("user_id"), col("matched_view").as("view_id"))
+        .orderBy("purchase_id")
+    },
+
     // ---- q33: DAU + next-day retention via self-join on (user, day+1).
     "q33_retention" -> { (s, dir) =>
       val daily = T(s, dir, "events")
@@ -109,6 +137,18 @@ object Events {
               WHERE event_type = 'purchase' GROUP BY user_id) p
           ON v.user_id = p.user_id
         WHERE p.last_purchase > v.first_view)""",
+
+    "q38_asof" -> """
+      WITH v AS (
+        SELECT user_id, ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      p AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id, v.view_id
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY purchase_id""",
 
     "q33_retention" -> """
       WITH daily AS (
