@@ -85,6 +85,28 @@ object Events {
         .orderBy("purchase_id")
     },
 
+    // ---- q39: RANGE join — pairs of a user's events within 5 minutes.
+    // Spark-first re-expression: time-bucket blocking (probe side
+    // explodes into its own and the next 300 s bucket) turns the
+    // inequality join into an equi-join on (user, bucket) + a residual
+    // |Δt| filter — candidates bounded by bucket population instead of
+    // the per-key quadratic blowup a raw theta-join gives the planner.
+    // Seconds are floor-truncated identically on both engines.
+    "q39_range_join" -> { (s, dir) =>
+      val e = T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+        .withColumn("bkt", floor(col("sec") / 300))
+      val probe = e.select(col("user_id"), col("event_id").as("id_a"), col("sec").as("sec_a"),
+        explode(array(col("bkt"), col("bkt") + 1)).as("jb"))
+      val build = e.select(col("user_id").as("user2"), col("event_id").as("id_b"),
+        col("sec").as("sec_b"), col("bkt").as("jb2"))
+      probe.join(build, col("user_id") === col("user2") && col("jb") === col("jb2") &&
+          col("id_a") < col("id_b") && abs(col("sec_a") - col("sec_b")) <= 300)
+        .select(col("id_a"), col("id_b"), (col("sec_b") - col("sec_a")).as("dt_sec"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- q33: DAU + next-day retention via self-join on (user, day+1).
     "q33_retention" -> { (s, dir) =>
       val daily = T(s, dir, "events")
@@ -149,6 +171,16 @@ object Events {
       FROM p ASOF LEFT JOIN v
         ON p.user_id = v.user_id AND p.ts >= v.ts
       ORDER BY purchase_id""",
+
+    "q39_range_join" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events)
+      SELECT a.event_id AS id_a, b.event_id AS id_b, b.sec - a.sec AS dt_sec
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND abs(a.sec - b.sec) <= 300
+      ORDER BY id_a, id_b""",
 
     "q33_retention" -> """
       WITH daily AS (
