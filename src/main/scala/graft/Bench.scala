@@ -68,13 +68,17 @@ object Bench {
               -1.0
           }
         if (sec >= 0) System.err.println(f"[bench] $name%-24s $sec%8.2fs")
+        spark.catalog.clearCache() // release any per-query persist()s
         name -> sec
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the stdout contract is JSON — a comma-decimal default
+    // locale must not corrupt the numbers.
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     pool.shutdownNow()
     spark.stop()
   }

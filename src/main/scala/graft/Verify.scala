@@ -73,6 +73,7 @@ object Verify {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
       }
+      spark.catalog.clearCache() // release any per-query persist()s
     }
     pool.shutdownNow()
     spark.stop()

@@ -19,10 +19,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // analysis-time type gate: wrong-typed input (e.g. a raw array<float>
+  // column) must fail resolution, not silently misread 8-byte strides
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireArrayOf(prettyName, DoubleType, left, right)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // mismatched dimensions are a data bug — error like DuckDB's
+    // list_cosine_similarity rather than truncating to the shorter side
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: array length mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -43,7 +53,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = $a.getDouble($i);

@@ -38,6 +38,9 @@ case class HyperplaneBuckets(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireArrayOf(prettyName, org.apache.spark.sql.types.DoubleType, child)
+
   // ±1 plane matrix, built lazily once the vector dimension is known.
   // Deterministic and idempotent, so the benign init race is harmless.
   @transient private var planeCache: Array[Float] = _

@@ -32,6 +32,9 @@ case class MinHashBands(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_bands"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireArrayOf(prettyName, org.apache.spark.sql.types.StringType, child)
+
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(numHashes)(i => Hash64.mix(0x5eed5eedL + i))
 

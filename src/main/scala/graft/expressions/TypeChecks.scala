@@ -1,0 +1,23 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types.{ArrayType, DataType}
+
+/** Shared analysis-time input validation for the graft expressions
+  * (ExpectsInputTypes is private[sql] in Spark 4, so the check is
+  * hand-rolled): wrong-typed SQL input fails analysis with a named
+  * error instead of producing executor-side ClassCastExceptions or —
+  * worse — silently misread values.
+  */
+object TypeChecks {
+
+  def requireArrayOf(fn: String, elem: DataType, children: Expression*): TypeCheckResult = {
+    val bad = children.zipWithIndex.collectFirst {
+      case (c, i) if !c.dataType.isInstanceOf[ArrayType] ||
+        c.dataType.asInstanceOf[ArrayType].elementType != elem =>
+        s"$fn: argument ${i + 1} must be array<${elem.simpleString}>, got ${c.dataType.simpleString}"
+    }
+    bad.map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+}

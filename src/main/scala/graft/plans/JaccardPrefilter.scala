@@ -1,35 +1,67 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 import graft.expressions.JaccardSim
 
-/** Optimizer rule: any `jaccard_sim(a, b) >= τ` conjunct (bare or inside
+/** Optimizer rule: a `jaccard_sim(a, b) >= τ` conjunct (bare or inside
   * `round(..., n)`) implies the cheap size-ratio bound
   * `min(|a|,|b|) >= τ·max(|a|,|b|)` (since J ≤ min/max), so the rule
-  * prepends `|a| >= τ·|b| AND |b| >= τ·|a|` to the predicate. The two
-  * `size()` probes cost O(1) each vs the kernel's O(|a|+|b|) hash-set
-  * pass — on a near-dup workload this prunes most candidate pairs before
-  * the kernel runs, automatically, for any user query.
+  * prepends two O(1) `size()` probes ahead of the O(|a|+|b|) kernel.
+  *
+  * Soundness: `jaccard_sim` has SET semantics (duplicates collapse,
+  * nulls are skipped) while `size()` counts raw elements, so the bound
+  * is only valid when each input is PROVABLY already deduplicated — a
+  * direct `array_distinct(...)` call, or an attribute whose producing
+  * Project aliases one (one level deep; anything else is left alone).
+  * A possibly-null element (array_distinct keeps at most one) is
+  * absorbed by relaxing the opposing side to `τ·(size-1)` — the bound
+  * can then never reject a qualifying pair.
   *
   * This is the SURVEY §2 e1 mechanism at the Rule[LogicalPlan] level
   * (SparkSessionExtensions.injectOptimizerRule), not just injectFunction:
   * the engine rewrites user plans, the way the reference's host engine
   * optimizes around its extension functions.
   *
-  * Idempotent by construction: the derived conjunct is only added when
-  * no semantically-equal conjunct is already present, so the optimizer
-  * reaches a fixpoint on the second visit.
+  * Idempotent by construction: the rule skips any threshold whose
+  * predicate already probes size() of either kernel input (structural
+  * guard — semanticEquals-based dedup of the rebuilt bound proved
+  * unreliable across optimizer iterations and looped the batch).
   */
 object JaccardPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Alias map (exprId → producing expression) from one Project level of
+    * each child subtree. */
+  private def aliasDefs(scope: Seq[LogicalPlan]): Map[ExprId, Expression] =
+    scope.flatMap(_.collect {
+      case p: Project => p.projectList.collect { case al: Alias => al.exprId -> al.child }
+    }.flatten).toMap
+
+  /** Provably set-like: a direct array_distinct or an attribute aliased
+    * to one. */
+  private def distinctProducer(e: Expression, defs: Map[ExprId, Expression]): Option[Expression] =
+    e match {
+      case ad: ArrayDistinct => Some(ad)
+      case a: Attribute => defs.get(a.exprId).collect { case ad: ArrayDistinct => ad }
+      case _ => None
+    }
+
+  private def mayHaveNullElem(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   private def bound(j: JaccardSim, t: Double): Expression = {
     def sz(e: Expression) = Cast(Size(e), DoubleType)
+    // relax the opposing (max) side by 1 when it may carry a null element
+    def rhs(e: Expression) =
+      if (mayHaveNullElem(e)) Multiply(Literal(t), Subtract(sz(e), Literal(1.0)))
+      else Multiply(Literal(t), sz(e))
     And(
-      GreaterThanOrEqual(sz(j.left), Multiply(Literal(t), sz(j.right))),
-      GreaterThanOrEqual(sz(j.right), Multiply(Literal(t), sz(j.left))))
+      GreaterThanOrEqual(sz(j.left), rhs(j.right)),
+      GreaterThanOrEqual(sz(j.right), rhs(j.left)))
   }
 
   private def threshold(e: Expression): Option[(JaccardSim, Double)] = e match {
@@ -42,20 +74,23 @@ object JaccardPrefilter extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** True when some conjunct already probes size() of either jaccard
-    * input — the structural idempotency guard (semanticEquals on the
-    * freshly built bound proved unreliable across optimizer iterations,
-    * looping the batch to max iterations). */
+    * input — the structural idempotency guard. */
   private def hasSizeBound(conjuncts: Seq[Expression], j: JaccardSim): Boolean =
     conjuncts.exists(_.exists {
       case s: Size => s.child.semanticEquals(j.left) || s.child.semanticEquals(j.right)
       case _ => false
     })
 
-  /** Derived bounds for thresholds not already size-guarded in cond. */
-  private def derive(cond: Expression): Option[Expression] = {
+  /** Derived bounds for provably-sound thresholds in cond. */
+  private def derive(cond: Expression, scope: Seq[LogicalPlan]): Option[Expression] = {
+    lazy val defs = aliasDefs(scope)
     val conjuncts = splitConjunctivePredicates(cond)
     val derived = conjuncts.flatMap(threshold).collect {
-      case (j, t) if t > 0 && !hasSizeBound(conjuncts, j) => bound(j, t)
+      case (j, t)
+        if t > 0 && !hasSizeBound(conjuncts, j) &&
+          distinctProducer(j.left, defs).isDefined &&
+          distinctProducer(j.right, defs).isDefined =>
+        bound(j, t)
     }
     derived.reduceOption(And)
   }
@@ -65,8 +100,8 @@ object JaccardPrefilter extends Rule[LogicalPlan] with PredicateHelper {
   // usually been pushed into the Join condition by now — cover both.
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      derive(cond).map(d => Filter(And(d, cond), child)).getOrElse(f)
-    case j @ Join(_, _, _, Some(cond), _) =>
-      derive(cond).map(d => j.copy(condition = Some(And(d, cond)))).getOrElse(j)
+      derive(cond, Seq(child)).map(d => Filter(And(d, cond), child)).getOrElse(f)
+    case j @ Join(left, right, _, Some(cond), _) =>
+      derive(cond, Seq(left, right)).map(d => j.copy(condition = Some(And(d, cond)))).getOrElse(j)
   }
 }

@@ -96,13 +96,21 @@ object Events {
       val e = T(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
         .withColumn("bkt", floor(col("sec") / 300))
-      val probe = e.select(col("user_id"), col("event_id").as("id_a"), col("sec").as("sec_a"),
+      // Blocking must NOT assume id order correlates with time order: a
+      // pair is joined in either direction (id_x != id_y) and
+      // canonicalized afterwards with least/greatest — ordering inside
+      // the blocking key would lose pairs whose lower-id event sits in
+      // the later bucket. distinct() collapses the two directions.
+      val probe = e.select(col("user_id"), col("event_id").as("id_x"), col("sec").as("sec_x"),
         explode(array(col("bkt"), col("bkt") + 1)).as("jb"))
-      val build = e.select(col("user_id").as("user2"), col("event_id").as("id_b"),
-        col("sec").as("sec_b"), col("bkt").as("jb2"))
+      val build = e.select(col("user_id").as("user2"), col("event_id").as("id_y"),
+        col("sec").as("sec_y"), col("bkt").as("jb2"))
       probe.join(build, col("user_id") === col("user2") && col("jb") === col("jb2") &&
-          col("id_a") < col("id_b") && abs(col("sec_a") - col("sec_b")) <= 300)
-        .select(col("id_a"), col("id_b"), (col("sec_b") - col("sec_a")).as("dt_sec"))
+          col("id_x") =!= col("id_y") && abs(col("sec_x") - col("sec_y")) <= 300)
+        .select(least(col("id_x"), col("id_y")).as("id_a"),
+          greatest(col("id_x"), col("id_y")).as("id_b"),
+          when(col("id_x") < col("id_y"), col("sec_y") - col("sec_x"))
+            .otherwise(col("sec_x") - col("sec_y")).as("dt_sec"))
         .distinct()
         .orderBy("id_a", "id_b")
     },

@@ -181,7 +181,7 @@ object Pipeline {
     },
 
     // ---- d6: multi-table random-hyperplane LSH ANN (the 100 TB scale
-    // path for d5). hyperplane_buckets emits 16 tables × 8-bit signatures
+    // path for d5). hyperplane_buckets emits 48 tables × 6-bit signatures
     // per row (compiled, one pass); exploding them and equi-joining on the
     // packed (table, signature) key OR-amplifies recall across tables
     // (round 1's single 16-bit table had recall ≈ 0). Candidates are
@@ -360,9 +360,16 @@ object Pipeline {
             }
           }
         }.toDF("doc_id", "frame_idx", "frame_bytes", "feat_sum")
-      frames.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_frames"),
-          sum(col("frame_bytes")).as("total_bytes"))
+      // left join back to the doc set: a zero-byte payload yields no
+      // frames, but must still produce an (n_frames=0, total_bytes=0)
+      // row — matching the oracle's per-document accounting.
+      val perDoc = frames.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nf"), sum(col("frame_bytes")).as("tb"))
+      T(s, dir, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nf"), lit(0L)).as("n_frames"),
+          coalesce(col("tb"), lit(0L)).as("total_bytes"))
         .orderBy("doc_id")
     },
 

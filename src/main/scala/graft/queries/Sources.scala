@@ -91,8 +91,11 @@ object Sources {
     // partition and the whole table).
     "a6_partition_discovery" -> { (s, dir) =>
       val url = s"$scratchDir/a6/orders_by_status"
+      // repartition on the partition column first: without it every task
+      // writes a file per status (tasks × partitions small files)
       GraftWriter.write(
-        T(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"),
+        T(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus")
+          .repartition(col("o_orderstatus")),
         url, format = Some("parquet"), partitionBy = Seq("o_orderstatus"))
       GraftReader.read(s, url, "parquet")
         .filter(col("o_orderstatus") === "F")

@@ -58,30 +58,34 @@ object StreamingOps {
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class SessionRow(user_id: Long, session_id: Long, n_events: Long, session_value: Double)
 
-  /** Gap-based sessionizer for one user's events within a batch —
-    * bounded-replay twin of q30 (same 1800 s gap, same numbering). For an
-    * unbounded deployment the open tail session is carried in GroupState
-    * with an event-time timeout; the multi-batch path is spec-verified.
+  /** Gap-based sessionizer for one user's events — bounded-replay twin
+    * of q30 (same 1800 s gap, same numbering). GroupState carries
+    * (session counter, last event time): a batch whose first event falls
+    * within the gap of the previous batch's tail CONTINUES that session
+    * (emitting a further fragment with the same session_id — downstream
+    * consumers aggregate fragments by (user, session)); otherwise a new
+    * session number starts. Multi-batch behavior is spec-verified.
     */
   def sessionize(userId: Long, events: Iterator[Ev],
-      state: GroupState[Long]): Iterator[SessionRow] = {
+      state: GroupState[(Long, Long)]): Iterator[SessionRow] = {
     val sorted = events.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
     if (sorted.isEmpty) Iterator.empty
     else {
-      val base = state.getOption.getOrElse(0L)
-      var sessionId = base
-      var lastTs = Long.MinValue
+      var (sessionId, lastTs) = state.getOption.getOrElse((0L, Long.MinValue))
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       sorted.foreach { e =>
         if (lastTs == Long.MinValue || (e.ts.getTime - lastTs) > 1800L * 1000) {
           sessionId += 1
+          out += ((sessionId, 0L, 0.0))
+        } else if (out.isEmpty) {
+          // continuation of the previous batch's open tail session
           out += ((sessionId, 0L, 0.0))
         }
         val (sid, n, v) = out.last
         out(out.length - 1) = (sid, n + 1, v + e.value)
         lastTs = e.ts.getTime
       }
-      state.update(sessionId)
+      state.update((sessionId, lastTs))
       out.iterator.map { case (sid, n, v) =>
         SessionRow(userId, sid, n, math.rint(v * 100) / 100)
       }

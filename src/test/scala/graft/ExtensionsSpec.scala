@@ -39,15 +39,23 @@ class ExtensionsSpec extends SparkSpecBase {
     val dir = scratch("jacrule")
     Seq(
       (Seq("a", "b", "c", "d"), Seq("a", "b", "c", "e")), // J = 0.6
-      (Seq("a"), Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")) // size-ratio prunable
+      (Seq("a"), Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")), // size-ratio prunable
+      (Seq("x", "x", "x", "x"), Seq("x")) // set-J = 1.0 but raw sizes 4 vs 1
     ).toDF("x", "y").write.parquet(s"$dir/t.parquet")
     val df = spark.read.parquet(s"$dir/t.parquet")
-    val filtered = df.filter(org.apache.spark.sql.functions.expr("jaccard_sim(x, y) >= 0.5"))
-    val opt = filtered.queryExecution.optimizedPlan.toString
-    assert(opt.contains("size("), opt) // the derived cheap bound is in the plan
-    assert(filtered.count() == 1) // semantics unchanged
-    // idempotency: the optimizer reached a fixpoint (exactly one bound pair)
-    assert("size\\(x".r.findAllIn(opt).length <= 2, opt)
+    // provably-distinct inputs: bound derived, results unchanged
+    val fired = df.filter(org.apache.spark.sql.functions
+      .expr("jaccard_sim(array_distinct(x), array_distinct(y)) >= 0.5"))
+    val opt = fired.queryExecution.optimizedPlan.toString
+    assert(opt.contains("size("), opt)
+    assert(fired.count() == 2)
+    // idempotency: fixpoint reached with exactly one bound pair
+    assert("size\\(array_distinct\\(x".r.findAllIn(opt).length <= 2, opt)
+    // raw (possibly-duplicated) inputs: the bound would be UNSOUND
+    // (dup-heavy row has set-J 1.0 but raw sizes 4 vs 1) — must not fire
+    val raw = df.filter(org.apache.spark.sql.functions.expr("jaccard_sim(x, y) >= 0.5"))
+    assert(!raw.queryExecution.optimizedPlan.toString.contains("size("))
+    assert(raw.count() == 2)
   }
 
   test("e2: hot-path expressions are native codegen, not CodegenFallback") {

@@ -79,10 +79,15 @@ class StreamingSpec extends SparkSpecBase {
       // batch 2: a much later burst — numbering continues from state (3rd session)
       in.addData(StreamingOps.Ev(1L, ts(500), 4L, 4.0))
       q.processAllAvailable()
+      // batch 3: within the 30 min gap of batch 2's tail — CONTINUES
+      // session 3 (a further fragment with the same session_id)
+      in.addData(StreamingOps.Ev(1L, ts(505), 5L, 5.0))
+      q.processAllAvailable()
       val rows = spark.table("spec_s3")
         .select("session_id", "n_events", "session_value")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(rows == Set((1L, 2L, 3.0), (2L, 1L, 3.0), (3L, 1L, 4.0)), rows.toString)
+      assert(rows == Set((1L, 2L, 3.0), (2L, 1L, 3.0), (3L, 1L, 4.0), (3L, 1L, 5.0)),
+        rows.toString)
     } finally q.stop()
   }
 
