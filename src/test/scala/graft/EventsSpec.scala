@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.queries.Events
+import graft.sources.GraftWriter
+
+/** Edge-case regression specs for the temporal join operators (q38/q39)
+  * on planted events where id order does NOT follow time order — the
+  * driver testdata is time-ordered, which masked a q39 pair-loss bug. */
+class EventsSpec extends SparkSpecBase {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  private lazy val plantedDir: String = {
+    val dir = scratch("planted-events")
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: LOWER id occurs LATER (id 5 @301 vs id 10 @299), 2 s apart
+      (10L, ts(299), 1L, "view", 1.0, """{"k": 1}"""),
+      (5L, ts(301), 1L, "view", 1.0, """{"k": 2}"""),
+      (20L, ts(2000), 1L, "view", 1.0, """{"k": 3}"""), // isolated
+      // user 2: in-order pair exactly at the 290 s boundary
+      (1L, ts(0), 2L, "view", 1.0, """{"k": 4}"""),
+      (2L, ts(290), 2L, "view", 1.0, """{"k": 5}"""),
+      // user 3: purchase with NO prior view, then view + two purchases
+      (100L, ts(50), 3L, "purchase", 1.0, """{"k": 6}"""),
+      (30L, ts(100), 3L, "view", 1.0, """{"k": 7}"""),
+      (101L, ts(100), 3L, "purchase", 1.0, """{"k": 8}"""), // same-ts view counts
+      (102L, ts(200), 3L, "purchase", 1.0, """{"k": 9}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    GraftWriter.write(rows, s"$dir/events.parquet")
+    dir
+  }
+
+  test("q39: range join finds pairs whose lower-id event is later in time") {
+    val got = Events.queries("q39_range_join")(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set(
+      (5L, 10L, -2L), // the id/time-inverted pair the old blocking lost
+      (1L, 2L, 290L),
+      // user 3's events are all within 300 s of each other
+      (30L, 100L, -50L), (30L, 101L, 0L), (30L, 102L, 100L),
+      (100L, 101L, 50L), (100L, 102L, 150L), (101L, 102L, 100L))
+    assert(got == expected, got.toString)
+  }
+
+  test("q38: as-of join yields null for purchases with no prior view") {
+    val got = Events.queries("q38_asof")(spark, plantedDir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set((100L, None), (101L, Some(30L)), (102L, Some(30L))), got.toString)
+  }
+}
