@@ -13,6 +13,10 @@ Test / fork := true
 // Suites share one SparkSession/SparkContext — run them sequentially.
 Test / parallelExecution := false
 run / fork := true
+// The driver parses ONE bare JSON line from `runMain graft.Bench` stdout.
+// sbt's default forked-run logger prefixes child stdout with "[info] ",
+// which broke the contract two rounds running — route it through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

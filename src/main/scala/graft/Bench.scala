@@ -14,8 +14,10 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   */
 object Bench {
 
+  // 45 s default (was 90): every healthy query runs in ≤7 s at sf0.1, so
+  // a single DNF burns at most a tenth of the 450 s driver budget.
   val PerQueryTimeoutSec: Long =
-    sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "90").toLong
+    sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "45").toLong
   val GlobalBudgetSec: Long =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "450").toLong
 
@@ -40,7 +42,11 @@ object Bench {
     val start = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - start) / 1e9
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter, for timing single queries while
+    // iterating (the driver invokes with no args → full suite)
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val results = wanted.map { case (name, fn) =>
       val remaining = GlobalBudgetSec - elapsedSec
       if (remaining < 2) {
         System.err.println(s"[bench] $name SKIPPED (global budget exhausted)")
@@ -78,8 +84,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Quiesce BEFORE printing: round-2's JSON line was followed by
+    // executor-pool shutdown noise (RejectedExecutionException spam from
+    // spark.stop()) that corrupted the stream mid-parse. The bare JSON
+    // line must be the final bytes stdout ever carries.
     pool.shutdownNow()
+    pool.awaitTermination(10, TimeUnit.SECONDS)
     spark.stop()
+    // Belt-and-braces: persist the line to a file too, so a logger-
+    // mangled stdout can never erase the round's perf signal again.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
+    println(json)
+    System.out.flush()
   }
 }

@@ -14,8 +14,8 @@ import graft.expressions.JaccardSim
   * Soundness: `jaccard_sim` has SET semantics (duplicates collapse,
   * nulls are skipped) while `size()` counts raw elements, so the bound
   * is only valid when each input is PROVABLY already deduplicated — a
-  * direct `array_distinct(...)` call, or an attribute whose producing
-  * Project aliases one (one level deep; anything else is left alone).
+  * direct `array_distinct(...)` call, or an attribute that resolves to
+  * one through a chain of pure renames (anything else is left alone).
   * A possibly-null element (array_distinct keeps at most one) is
   * absorbed by relaxing the opposing side to `τ·(size-1)` — the bound
   * can then never reject a qualifying pair.
@@ -39,12 +39,26 @@ object JaccardPrefilter extends Rule[LogicalPlan] with PredicateHelper {
       case p: Project => p.projectList.collect { case al: Alias => al.exprId -> al.child }
     }.flatten).toMap
 
-  /** Provably set-like: a direct array_distinct or an attribute aliased
-    * to one. */
-  private def distinctProducer(e: Expression, defs: Map[ExprId, Expression]): Option[Expression] =
+  /** Provably set-like: a direct array_distinct, or an attribute that
+    * resolves to one through a chain of pure renames. Each followed link
+    * is an Alias whose child is an Attribute (exact value equality) or
+    * the terminal ArrayDistinct — any computation in between yields None,
+    * which keeps the bound sound (round-2 lesson: raw size() bounds are
+    * unsound unless the input provably has set semantics). Transitive
+    * chase because real plans alias in layers (set_a ← wset ←
+    * array_distinct(words)); depth-bounded as a defensive fixpoint guard.
+    */
+  @annotation.tailrec
+  private def distinctProducer(e: Expression, defs: Map[ExprId, Expression],
+      depth: Int = 8): Option[Expression] =
     e match {
       case ad: ArrayDistinct => Some(ad)
-      case a: Attribute => defs.get(a.exprId).collect { case ad: ArrayDistinct => ad }
+      case a: Attribute if depth > 0 =>
+        defs.get(a.exprId) match {
+          case Some(next @ (_: Attribute | _: ArrayDistinct)) =>
+            distinctProducer(next, defs, depth - 1)
+          case _ => None
+        }
       case _ => None
     }
 
@@ -66,10 +80,11 @@ object JaccardPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
   private def threshold(e: Expression): Option[(JaccardSim, Double)] = e match {
     case GreaterThanOrEqual(j: JaccardSim, Literal(t: Double, DoubleType)) => Some((j, t))
-    case GreaterThanOrEqual(Round(j: JaccardSim, Literal(_, IntegerType), _), Literal(t: Double, DoubleType)) =>
-      // round(J, n) >= t with J ∈ [0,1]: J >= t - 0.5·10⁻ⁿ ≥ t - 0.05;
-      // use the slightly relaxed bound so rounding can't lose a pair
-      Some((j, math.max(0.0, t - 0.05)))
+    case GreaterThanOrEqual(Round(j: JaccardSim, Literal(n: Int, IntegerType), _), Literal(t: Double, DoubleType)) =>
+      // round(J, n) >= t with J ∈ [0,1] implies J >= t - 0.5·10⁻ⁿ; relax
+      // by exactly the half-ulp of the literal scale so rounding can't
+      // lose a pair while the prune stays as tight as the scale allows
+      Some((j, math.max(0.0, t - 0.5 * math.pow(10.0, -n))))
     case _ => None
   }
 

@@ -129,36 +129,63 @@ object Pipeline {
     },
 
     // ---- d15: scale-path Jaccard near-dup (J ≥ 0.8) — MinHash-LSH
-    // candidate generation instead of d4's attribute blocking. Band
-    // buckets are hash-uniform, so there is NO mega-bucket risk on
-    // homogeneous corpora (d4's residual weakness). 16 bands × 8 rows:
-    // collision prob 6% at J=0.5 but ≥95% at J≥0.8 — candidates stay
-    // near-linear even on this dup-heavy corpus (32×4 banding admitted
-    // nearly all pairs here: 76 s at sf0.1), and every emitted pair is
-    // exact-verified. Recall on planted dups is spec-verified (DedupSpec).
+    // candidate generation instead of d4's attribute blocking. 16 bands
+    // × 8 rows: collision prob 6% at J=0.5 but ≥95% at J≥0.8, so every
+    // emitted pair is exact-verified over a near-linear candidate set.
+    // Recall on planted dups is spec-verified (DedupSpec).
+    //
+    // Shape (re-measured at sf0.1 where a giant ~1800-doc near-dup
+    // clique dominates): EXACT-COLLAPSE identical word-sets first (one
+    // 248-doc group alone), run LSH over the ~3900 group reps, verify
+    // rep pairs, then expand group membership back out — identical sets
+    // collide in every band, so the expansion provably emits the same
+    // pairs the per-doc banding would (within-group pairs are J = 1.0 by
+    // definition). This cut collision rows 23M → 6.5M and kernel evals
+    // 5.8M → 2.6M vs per-doc banding. All joins shuffle ids only; the
+    // rep dim / membership sides are broadcast here (3.9k / 5k rows) —
+    // at 100 TB they exceed the broadcast threshold and become shuffle
+    // joins on rep_id, still id-keyed. The verify-before-distinct
+    // variant (arrays riding through the band join) was 185 s at sf0.1:
+    // redundant kernel runs per colliding band × hot-bucket compute skew
+    // that byte-based AQE skew split never fires on.
+    // The size-ratio prefilter is NOT written here — the
+    // JaccardPrefilter optimizer rule derives it from the threshold.
     "d15_jaccard_lsh" -> { (s, dir) =>
       GraftExtensions.install(s)
-      // Token sets ride THROUGH the band join (16 × corpus rows in the
-      // shuffle) and pairs dedupe AFTER verification: the distinct runs
-      // on the small verified set instead of millions of candidate id
-      // pairs that then re-join two array columns (the id-join variant
-      // measured 24 s at sf0.1; this shape is ~4 s). At 100 TB with very
-      // wide documents, flip back to id-only candidates + array re-join.
-      // The size-ratio prefilter is NOT written here — the
-      // JaccardPrefilter optimizer rule derives it from the threshold.
+      // words contain no whitespace (split on \s+), so the space-joined
+      // sorted set is an injective group key
       val w = withWords(T(s, dir, "documents"))
-        .select(col("doc_id"), array_distinct(col("words")).as("wset"))
-      val banded = w.select(col("doc_id"), col("wset"),
-        explode(expr("minhash_bands(wset, 16)")).as("key")) // band idx is mixed into the key
-      val a = banded.select(col("key"), col("doc_id").as("doc_a"), col("wset").as("set_a"))
-      val b = banded.select(col("key").as("key2"), col("doc_id").as("doc_b"),
-        col("wset").as("set_b"))
-      a.join(b, col("key") === col("key2") && col("doc_a") < col("doc_b") &&
-          round(expr("jaccard_sim(set_a, set_b)"), 4) >= 0.8)
-        .select(col("doc_a"), col("doc_b"),
+        .select(col("doc_id"), array_sort(array_distinct(col("words"))).as("wset"))
+        .withColumn("gid", md5(concat_ws(" ", col("wset"))))
+      val reps = w.groupBy(col("gid"))
+        .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
+        .persist() // banding + kernel dim + membership all read it
+      val banded = reps.select(col("rep_id"),
+        explode(expr("minhash_bands(wset, 16)")).as("key")) // band idx mixed into key
+      val a = banded.select(col("key"), col("rep_id").as("r_a"))
+      val b = banded.select(col("key").as("key2"), col("rep_id").as("r_b"))
+      val candRep = a.join(b, col("key") === col("key2") && col("r_a") < col("r_b"))
+        .select("r_a", "r_b").distinct()
+      val dim = broadcast(reps.select(col("rep_id"), col("wset")))
+      val repPairs = candRep
+        .join(dim.select(col("rep_id").as("r_a"), col("wset").as("set_a")), "r_a")
+        .join(dim.select(col("rep_id").as("r_b"), col("wset").as("set_b")), "r_b")
+        .select(col("r_a"), col("r_b"),
           round(expr("jaccard_sim(set_a, set_b)"), 4).as("jaccard"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+        .filter(col("jaccard") >= 0.8)
+      val m = broadcast(w.select(col("gid"), col("doc_id"))
+        .join(reps.select(col("gid"), col("rep_id")), "gid")
+        .select(col("doc_id"), col("rep_id")))
+      val cross = repPairs
+        .join(m.select(col("rep_id").as("r_a"), col("doc_id").as("da")), "r_a")
+        .join(m.select(col("rep_id").as("r_b"), col("doc_id").as("db")), "r_b")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+      val within = m.select(col("rep_id"), col("doc_id").as("doc_a"))
+        .join(m.select(col("rep_id").as("rep_id2"), col("doc_id").as("doc_b")),
+          col("rep_id") === col("rep_id2") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      cross.union(within).orderBy("doc_a", "doc_b")
     },
 
     // ---- d5: brute-force cosine top-k: small query set broadcast against

@@ -349,12 +349,17 @@ object Relational {
     },
 
     // ---- q34: list aggregation (DuckDB's list()/list_sort surface) —
-    // nested array column built by a one-shuffle groupBy.
+    // nested array column built by a one-shuffle groupBy. The array is
+    // projected to a scalar CSV encoding for the gate: the driver's
+    // pandas-based checker cannot sort/hash array-typed columns
+    // (unhashable numpy.ndarray — CORRECTNESS_r02 q34), so every output
+    // column must be hashable. The list op itself is unchanged.
     "q34_list_agg" -> { (s, dir) =>
       T(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("keys_arr"),
           count(lit(1)).as("n"))
+        .select(col("o_custkey"), concat_ws(",", col("keys_arr")).as("order_keys"), col("n"))
         .orderBy("o_custkey")
     },
 
@@ -651,7 +656,9 @@ object Relational {
       ORDER BY c_custkey""",
 
     "q34_list_agg" -> """
-      SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys, count(*) AS n
+      SELECT o_custkey,
+             array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+             count(*) AS n
       FROM orders
       GROUP BY o_custkey
       ORDER BY o_custkey""",

@@ -58,6 +58,36 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(raw.count() == 2)
   }
 
+  test("e1: JaccardPrefilter chases rename chains and scales round() relaxation") {
+    GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = scratch("jacrule2")
+    Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),
+      (3L, Seq("z"))
+    ).toDF("id", "words").write.parquet(s"$dir/t.parquet")
+    // the d15 shape: set_a ← wset ← array_distinct(words) — two alias
+    // levels deep plus a rename through the join projection. The prune
+    // regressed to not-firing here in round 2; must fire again.
+    val w = spark.read.parquet(s"$dir/t.parquet")
+      .select(col("id"), array_distinct(col("words")).as("wset"))
+    val a = w.select(col("id").as("id_a"), col("wset").as("set_a"))
+    val b = w.select(col("id").as("id_b"), col("wset").as("set_b"))
+    val joined = a.join(b, col("id_a") < col("id_b") &&
+      round(expr("jaccard_sim(set_a, set_b)"), 4) >= 0.5)
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(opt.contains("size("), opt)
+    // round(J, 4) >= 0.5 relaxes by the half-ulp of scale 4 (5e-5), not
+    // the old blanket 0.05 — the literal 0.4999[5] must appear, 0.45 not
+    assert(opt.contains("0.49995"), opt)
+    assert(!opt.contains("0.45"), opt)
+    // and the relaxed bound still loses no qualifying pair
+    assert(joined.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+  }
+
   test("e2: hot-path expressions are native codegen, not CodegenFallback") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
