@@ -100,27 +100,43 @@ object Pipeline {
     // size-ratio prefilter (J ≥ 0.5 ⇒ 2·min(|A|,|B|) ≥ max(|A|,|B|), so
     // it never drops a qualifying pair) prunes before the exact kernel;
     // jaccard_sim is one compiled hash-set pass per surviving pair.
-    // At 100 TB the residual risk is a mega-bucket on a homogeneous
-    // corpus — cap it by salting the block key with a minhash band
-    // (d2's machinery) before the self-join.
+    //
+    // Mega-bucket guard: on a homogeneous corpus one block can hold most
+    // of the corpus, collapsing the self-join into a single quadratic
+    // task. Blocks over SaltCap docs are chunk-salted — side A carries
+    // salt = doc_id mod nsalt, side B explodes every salt value — so
+    // each pair is still met EXACTLY once (results unchanged, oracle
+    // stays exact, unlike minhash-band salting which drops pairs) while
+    // the block's pair scan splits across nsalt tasks. nsalt is derived
+    // per-block from a broadcast block-size aggregate; normal blocks get
+    // nsalt = 1 and zero explosion overhead. Homogeneous-corpus bounded
+    // completion is spec-verified (DedupSpec).
     "d4_ngram_jaccard" -> { (s, dir) =>
       GraftExtensions.install(s)
+      val saltCap = 2000 // docs per block chunk before the scan splits
       val w = withWords(T(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           floor(col("n_chars") / 100.0).cast("int").as("len_bucket"),
           array_distinct(col("words")).as("wset"))
         .withColumn("wn", size(col("wset")))
-      val a = w.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
+      val sizes = w.groupBy(col("lang"), col("len_bucket"))
+        .agg(count(lit(1)).as("block_n"))
+      val sized = w.join(broadcast(sizes), Seq("lang", "len_bucket"))
+        .withColumn("nsalt", ceil(col("block_n") / lit(saltCap.toDouble)).cast("int"))
+      val a = sized.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
+        pmod(col("doc_id"), col("nsalt")).cast("int").as("salt"),
         col("wset").as("set_a"), col("wn").as("wn_a"))
-      val b = w.select(col("doc_id").as("doc_b"), col("lang").as("lang2"),
-        col("len_bucket").as("len_bucket2"), col("wset").as("set_b"), col("wn").as("wn_b"))
+      val b = sized.select(col("doc_id").as("doc_b"), col("lang").as("lang2"),
+        col("len_bucket").as("len_bucket2"),
+        explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
+        col("wset").as("set_b"), col("wn").as("wn_b"))
       // The jaccard threshold lives INSIDE the join condition, explicitly
       // LAST: a post-join filter gets pushed into the condition ahead of
       // the cheap predicates (observed via Explain), making the kernel
       // run for every hash-matched pair; conjunct order is preserved, so
       // doc_a<doc_b and the size-ratio test short-circuit first.
       a.join(b, col("lang") === col("lang2") && col("len_bucket") === col("len_bucket2") &&
-          col("doc_a") < col("doc_b") &&
+          col("salt") === col("salt2") && col("doc_a") < col("doc_b") &&
           col("wn_a") * 2 >= col("wn_b") && col("wn_b") * 2 >= col("wn_a") &&
           round(expr("jaccard_sim(set_a, set_b)"), 4) >= 0.5)
         .select(col("doc_a"), col("doc_b"),

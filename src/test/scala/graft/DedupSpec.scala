@@ -72,6 +72,37 @@ class DedupSpec extends SparkSpecBase {
     assert(j > 0.9 && j < 1.0) // 79 shared of 81 distinct tokens
   }
 
+  test("d4: mega-bucket salting keeps exact results on a single-block corpus") {
+    // Every doc lands in ONE block (same lang, same len bucket): with
+    // saltCap = 2000 a 2400-doc corpus forces nsalt = 2, exercising the
+    // chunk-salted scan. Each pair must still be met exactly once: the
+    // salted output must equal the unsalted brute-force answer.
+    val dir = scratch("megabucket")
+    import spark.implicits._
+    def text(i: Int): String = {
+      // 30 clusters of 80 near-identical docs: cluster vocabulary plus
+      // a couple of per-doc tokens, all docs the same length
+      val c = i % 30
+      val base = (0 until 18).map(j => f"clu$c%03d_tok$j%04d")
+      val own = (0 until 2).map(j => f"own$i%05d_$j%04d")
+      (base ++ own).mkString(" ")
+    }
+    val df = (0 until 2400).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    val out = Pipeline.queries("d4_ngram_jaccard")(spark, dir)
+    // same-cluster pairs share 18 of 22 distinct tokens: J = 18/22 ≈ 0.82;
+    // cross-cluster pairs share nothing. Expect exactly the within-cluster
+    // pair count, each exactly once (salting must not drop or duplicate).
+    val rows = out.collect()
+    val expected = 30 * (80 * 79 / 2)
+    assert(rows.length == expected, s"got ${rows.length}, want $expected")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == expected)
+    assert(rows.forall(_.getDouble(2) > 0.8))
+  }
+
   test("d1: exact dedup groups exact copies only") {
     val out = Pipeline.queries("d1_exact_dedup")(spark, plantedDir)
     assert(out.count() == 25) // 28 docs, 3 exact dup pairs collapse
