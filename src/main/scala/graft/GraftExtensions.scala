@@ -43,6 +43,9 @@ object GraftExtensions {
       (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
     ("jaccard_sim", info("jaccard_sim", "jaccard_sim(a, b) - Jaccard similarity of two string-token sets"),
       (e: Seq[Expression]) => JaccardSim(e(0), e(1))),
+    ("jaccard_sim_sorted", info("jaccard_sim_sorted",
+      "jaccard_sim_sorted(a, b) - Jaccard over ALREADY sorted+deduplicated token arrays (merge kernel, no per-pair allocation)"),
+      (e: Seq[Expression]) => JaccardSim(e(0), e(1), assumeSorted = true)),
     ("minhash_bands", info("minhash_bands",
       "minhash_bands(tokens[, bands]) - MinHash LSH band keys (128 hashes; bands controls the J threshold: 32 -> ~0.5, 16 -> ~0.8)"),
       (e: Seq[Expression]) => e match {

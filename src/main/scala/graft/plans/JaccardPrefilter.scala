@@ -40,22 +40,27 @@ object JaccardPrefilter extends Rule[LogicalPlan] with PredicateHelper {
     }.flatten).toMap
 
   /** Provably set-like: a direct array_distinct, or an attribute that
-    * resolves to one through a chain of pure renames. Each followed link
-    * is an Alias whose child is an Attribute (exact value equality) or
-    * the terminal ArrayDistinct — any computation in between yields None,
-    * which keeps the bound sound (round-2 lesson: raw size() bounds are
+    * resolves to one through a chain of pure renames and
+    * element-preserving sorts (array_sort / sort_array reorder but never
+    * add or drop elements). Each followed link is an Alias whose child is
+    * an Attribute (exact value equality), a sort wrapper, or the terminal
+    * ArrayDistinct — any other computation in between yields None, which
+    * keeps the bound sound (round-2 lesson: raw size() bounds are
     * unsound unless the input provably has set semantics). Transitive
     * chase because real plans alias in layers (set_a ← wset ←
-    * array_distinct(words)); depth-bounded as a defensive fixpoint guard.
+    * array_sort(array_distinct(words))); depth-bounded as a defensive
+    * fixpoint guard.
     */
   @annotation.tailrec
   private def distinctProducer(e: Expression, defs: Map[ExprId, Expression],
       depth: Int = 8): Option[Expression] =
     e match {
       case ad: ArrayDistinct => Some(ad)
+      case s: ArraySort if depth > 0 => distinctProducer(s.argument, defs, depth - 1)
+      case s: SortArray if depth > 0 => distinctProducer(s.base, defs, depth - 1)
       case a: Attribute if depth > 0 =>
         defs.get(a.exprId) match {
-          case Some(next @ (_: Attribute | _: ArrayDistinct)) =>
+          case Some(next @ (_: Attribute | _: ArrayDistinct | _: ArraySort | _: SortArray)) =>
             distinctProducer(next, defs, depth - 1)
           case _ => None
         }

