@@ -109,6 +109,28 @@ object StreamingOps {
         .orderBy("day", "event_type")
     },
 
+    // ---- s4: the append-mode deployment shape of s1 — the unbounded
+    // pipeline form: each window row is emitted EXACTLY ONCE, when the
+    // watermark passes its end (state for closed windows is evicted, so
+    // state size is bounded by the windows inside the watermark horizon —
+    // the property that lets this run forever on a cluster, where s1's
+    // Complete mode would accumulate every window ever seen). The bounded
+    // replay therefore yields only the watermark-closed windows; the
+    // oracle mirrors that closure rule exactly (window_end ≤ max(ts) −
+    // delay), so this entry is gate-checked, not rows-only. Late rows
+    // behind the watermark are dropped, never re-emitted — spec-verified
+    // with MemoryStream (StreamingSpec).
+    "s4_stream_window_append" -> { (s, dir) =>
+      val agg = streamEvents(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      runToTable(s, agg, "graft_s4", OutputMode.Append())
+        .select(col("win.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("day", "event_type")
+    },
+
     // ---- s2: streaming dedup — dropDuplicates keyed (user_id,
     // event_type) emits each first-seen pair once (append mode, real
     // dedup state store); aggregated post-sink for a deterministic,
@@ -144,6 +166,15 @@ object StreamingOps {
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value
       FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type""",
+
+    "s4_stream_window_append" -> """
+      WITH mx AS (SELECT max(ts) AS m FROM events)
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events, mx
+      WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
       GROUP BY 1, 2
       ORDER BY day, event_type""",
 

@@ -41,6 +41,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s4: late data behind the watermark is dropped, closed windows never re-emit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("spec_s4")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), "a"), (ts(10), "a"))
+      q.processAllAvailable()
+      // watermark → 80 min: window [0,60) closes and emits n=2
+      in.addData((ts(90), "a"))
+      q.processAllAvailable()
+      // LATE event inside the closed window, behind the watermark: must
+      // be dropped — if it were kept it would re-create window [0,60)
+      // state and re-emit it with n=1 on the next close below
+      in.addData((ts(5), "a"))
+      q.processAllAvailable()
+      in.addData((ts(200), "a")) // close window [60,120) (holds ts(90))
+      q.processAllAvailable()
+      val rows = spark.table("spec_s4")
+        .select(col("win.start").cast("long").as("w"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w0 = ts(0).getTime / 1000
+      assert(rows == Set((w0, 2L), (w0 + 3600, 1L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("s2: streaming dropDuplicates holds dedup state across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
