@@ -90,14 +90,31 @@ class ExtensionsSpec extends SparkSpecBase {
 
   test("e2: hot-path expressions are native codegen, not CodegenFallback") {
     import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
     val q = Quack(Literal("x"))
     val c = CosineSimilarity(
       Literal.create(Array(1.0), ArrayType(DoubleType)),
       Literal.create(Array(1.0), ArrayType(DoubleType)))
+    val j = JaccardSim(
+      Literal.create(Array("a"), ArrayType(StringType)),
+      Literal.create(Array("a"), ArrayType(StringType)))
     assert(!q.isInstanceOf[CodegenFallback])
     assert(!c.isInstanceOf[CodegenFallback])
+    assert(!j.isInstanceOf[CodegenFallback])
     assert(!QuackVersion(q).isInstanceOf[CodegenFallback])
+  }
+
+  test("e2: jaccard kernels fuse into whole-stage codegen and agree") {
+    GraftExtensions.install(spark)
+    val df = Tables.load(spark, sfTiny, "documents")
+      .selectExpr("array_sort(array_distinct(split(trim(text), '\\\\s+'))) AS w")
+      .selectExpr("jaccard_sim(w, w) AS h", "jaccard_sim_sorted(w, w) AS m")
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefix = fused into WholeStageCodegen stage n (the stage
+    // number varies with how the upstream lambda project splits stages)
+    assert("""\*\(\d+\) Project \[jaccard_sim""".r.findFirstIn(plan).isDefined, plan)
+    // both kernels on identical sorted-distinct input: J = 1.0, equal
+    assert(df.collect().forall(r => r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0))
   }
 
   test("e2: cosine_sim codegen path evaluates inside whole-stage codegen") {
