@@ -356,6 +356,50 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- d16: TF-IDF top-3 terms per document — the canonical
+    // distributed shape: explode → (doc, word) partial-agg → per-doc
+    // totals → document-frequency agg → join back → per-doc window
+    // top-k. Every shuffle is keyed (doc_id or word); the corpus-size
+    // scalar joins in as a broadcast 1-row aggregate, never a driver
+    // collect. Scores are rounded BEFORE the rank ordering so both
+    // engines rank identical values (word is the deterministic
+    // tie-break); ln() ulp skew across libm implementations sits 10+
+    // digits below the 4-decimal rounding.
+    "d16_tfidf" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val words = withWords(docs).select(col("doc_id"), explode(col("words")).as("word"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      val totals = words.groupBy("doc_id").agg(count(lit(1)).as("total"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
+      val n = docs.agg(count(lit(1)).as("n_docs")).withColumn("one", lit(1))
+      val scored = tf.join(totals, "doc_id").join(dfreq, "word")
+        .withColumn("one", lit(1)).join(broadcast(n), "one")
+        .withColumn("tfidf", round(
+          (col("cnt").cast("double") / col("total")) *
+            log(col("n_docs").cast("double") / col("dfreq")), 4))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+      scored.select(col("doc_id"), col("word"), col("tfidf"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("doc_id", "rn")
+    },
+
+    // ---- d17: PII scrub — regex redaction of emails / phone numbers /
+    // long digit runs, plus a per-doc redaction count. Pure column
+    // expressions (codegen regex, no UDF); patterns restricted to
+    // syntax Java regex and RE2 interpret identically. The driver
+    // corpus contains no PII (all counts 0 — the oracle checks exact
+    // text passthrough parity); actual redaction is spec-verified on a
+    // planted corpus (TextSpec).
+    "d17_pii_scrub" -> { (s, dir) =>
+      val pat = "([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})" +
+        "|(\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b)|(\\b\\d{9,}\\b)"
+      T(s, dir, "documents").select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("int").as("n_pii"),
+          regexp_replace(col("text"), pat, "[REDACTED]").as("scrubbed"))
+        .orderBy("doc_id")
+    },
+
     // ---- d10: rolling polynomial hash fingerprint (order-sensitive,
     // modulo-bounded so Spark and the oracle agree on arithmetic).
     "d10_fingerprint" -> { (s, dir) =>
@@ -526,6 +570,38 @@ object Pipeline {
              CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens,
              round(CAST(length(text) AS DOUBLE) /
                    len(string_split_regex(trim(text), '\s+')), 4) AS chars_per_token
+      FROM documents
+      ORDER BY doc_id""",
+
+    "d16_tfidf" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+      dt AS (SELECT doc_id, count(*) AS total FROM w GROUP BY 1),
+      df AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (
+        SELECT tf.doc_id, tf.word,
+               round((CAST(cnt AS DOUBLE) / total) *
+                     ln(CAST(n_docs AS DOUBLE) / dfreq), 4) AS tfidf
+        FROM tf JOIN dt USING (doc_id) JOIN df USING (word) CROSS JOIN n),
+      r AS (
+        SELECT doc_id, word, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, word) AS INT) AS rn
+        FROM sc)
+      SELECT doc_id, word, tfidf, rn FROM r WHERE rn <= 3
+      ORDER BY doc_id, rn""",
+
+    "d17_pii_scrub" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)|(\b\d{9,}\b)',
+               0)) AS INT) AS n_pii,
+             regexp_replace(text,
+               '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)|(\b\d{9,}\b)',
+               '[REDACTED]', 'g') AS scrubbed
       FROM documents
       ORDER BY doc_id""",
 

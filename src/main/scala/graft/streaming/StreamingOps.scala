@@ -145,6 +145,50 @@ object StreamingOps {
         .orderBy("event_type")
     },
 
+    // ---- s5: stream-stream interval join — each purchase joined to the
+    // user's views in the preceding hour. BOTH sides carry watermarks and
+    // the join condition bounds event-time distance, which is what lets
+    // Spark evict join state (a view older than watermark − 1 h can never
+    // match a future purchase, so its state is dropped — bounded state on
+    // an unbounded stream; an unconstrained stream-stream join would hold
+    // every row forever). Inner join emits matches as both sides arrive,
+    // so the bounded replay yields exactly the batch join → exact oracle
+    // (µs-truncated comparisons mirrored on the DuckDB side, which reads
+    // the same parquet at ns precision). Cross-batch matching is
+    // spec-verified with MemoryStream (StreamingSpec).
+    "s5_stream_join" -> { (s, dir) =>
+      // one streaming source filtered twice (stream self-join) — Spark
+      // re-reads the source per side within the micro-batch, but shares
+      // the file-source tracking; measured faster than two sources here
+      val ev = streamEvents(s, dir)
+      val views = ev
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      // a stream-stream join materializes per-partition state stores on
+      // BOTH sides; on this bounded replay the store setup dominates, so
+      // run the join at fewer partitions (state volume is tiny), then
+      // restore the session default
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      val sunk = try runToTable(s, joined, "graft_s5", OutputMode.Append())
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      sunk
+        .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+          (col("p_ts").cast("long") - col("v_ts").cast("long")).as("lag_sec"))
+        .orderBy("purchase_id", "view_id")
+    },
+
     // ---- s3: stateful sessionization via flatMapGroupsWithState —
     // the streaming twin of q30 (same gap, same session numbering),
     // with the per-user session counter held in GroupState.
@@ -183,6 +227,20 @@ object StreamingOps {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+
+    "s5_stream_join" -> """
+      WITH p AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+        FROM events WHERE event_type = 'view')
+      SELECT p.purchase_id, v.view_id, p.user_id,
+             (p.p_us // 1000000) - (v.v_us // 1000000) AS lag_sec
+      FROM p JOIN v
+        ON v.user_id = p.user_id
+       AND v.v_us >= p.p_us - 3600000000 AND v.v_us <= p.p_us
+      ORDER BY purchase_id, view_id""",
 
     "s3_stream_session" -> """
       WITH flagged AS (

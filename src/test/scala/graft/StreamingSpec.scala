@@ -91,6 +91,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s5: stream-stream interval join matches across batches, respects the range") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp, Long)] // user, ts, view_id
+    val pIn = MemoryStream[(Long, Timestamp, Long)] // user, ts, purchase_id
+    val views = vIn.toDF().toDF("v_user", "v_ts", "view_id")
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = pIn.toDF().toDF("p_user", "p_ts", "purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+    val q = joined.writeStream.format("memory").queryName("spec_s5")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: views only — nothing to join yet
+      vIn.addData((1L, ts(0), 100L), (1L, ts(30), 101L), (2L, ts(0), 102L))
+      q.processAllAvailable()
+      assert(spark.table("spec_s5").count() == 0)
+      // batch 2 (purchase side): joins against view STATE from batch 1 —
+      // user 1 at min 50 matches both earlier views (within the hour);
+      // the wrong-user and out-of-range cases must not match
+      pIn.addData((1L, ts(50), 200L), (3L, ts(50), 201L))
+      q.processAllAvailable()
+      // batch 3: purchase 90 min after view 100 — outside the interval,
+      // only view 101 (60 min before) qualifies
+      pIn.addData((1L, ts(90), 202L))
+      q.processAllAvailable()
+      val rows = spark.table("spec_s5")
+        .select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((200L, 100L), (200L, 101L), (202L, 101L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("s3: session counter carries across batches via GroupState") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

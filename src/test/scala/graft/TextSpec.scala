@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Pipeline
+import graft.sources.GraftWriter
+
+/** SURVEY §2 d16/d17 specs: TF-IDF ranking on a corpus with a known
+  * rarest term, and PII redaction on a planted corpus (the driver
+  * corpus contains no PII, so the oracle there only checks passthrough
+  * parity — the actual redaction behavior is asserted here). */
+class TextSpec extends SparkSpecBase {
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df, s"$dir/documents.parquet")
+  }
+
+  test("d16: rarest term ranks first, common term scores zero") {
+    val dir = scratch("tfidf")
+    // 'everywhere' appears in all 4 docs → idf = ln(1) = 0, never top.
+    // 'unicorn' appears only in doc 0 → highest idf, top term there.
+    writeDocs(dir, Seq(
+      (0L, "everywhere unicorn alpha alpha"),
+      (1L, "everywhere alpha beta beta"),
+      (2L, "everywhere beta gamma gamma"),
+      (3L, "everywhere gamma alpha beta")))
+    val out = Pipeline.queries("d16_tfidf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val doc0 = out.filter(_._1 == 0L).sortBy(_._4)
+    assert(doc0.head._2 == "unicorn", doc0.mkString(", "))
+    // tfidf(unicorn, doc0) = (1/4) * ln(4/1)
+    assert(math.abs(doc0.head._3 - math.rint(0.25 * math.log(4.0) * 1e4) / 1e4) < 1e-9)
+    // the all-docs word can never outrank a selective one (idf = 0)
+    assert(out.filter(_._2 == "everywhere").forall(_._3 == 0.0))
+    // exactly 3 ranked terms per doc, ranks 1..3
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == Seq(1, 2, 3))
+    }
+  }
+
+  test("d17: emails, phone numbers and long digit runs are redacted") {
+    val dir = scratch("pii")
+    writeDocs(dir, Seq(
+      (0L, "contact alice@example.com or bob.smith+tag@mail.co today"),
+      (1L, "call 555-123-4567 or 555.987.6543 now"),
+      (2L, "ssn-ish 123456789 and order 98765432101 ok"),
+      (3L, "clean text with no pii at all"),
+      (4L, "short digits 1234 5678 stay intact")))
+    val out = Pipeline.queries("d17_pii_scrub")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(0L)._2 == 2 &&
+      byId(0L)._3 == "contact [REDACTED] or [REDACTED] today")
+    assert(byId(1L)._2 == 2 &&
+      byId(1L)._3 == "call [REDACTED] or [REDACTED] now")
+    assert(byId(2L)._2 == 2 &&
+      byId(2L)._3 == "ssn-ish [REDACTED] and order [REDACTED] ok")
+    assert(byId(3L)._2 == 0 && byId(3L)._3.contains("no pii"))
+    assert(byId(4L)._2 == 0 && byId(4L)._3.endsWith("stay intact"))
+  }
+}
