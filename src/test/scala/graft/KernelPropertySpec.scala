@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.{JaccardSim, MinHashBands, SimHash64}
+
+/** Randomized property tests for the similarity kernels — pure
+  * expression-level invariants the dedup plans depend on, checked over
+  * seeded random inputs without spinning Spark jobs (kernels invoked
+  * directly / via Literal.eval).
+  *
+  *  - hash and merge jaccard kernels agree wherever the merge kernel's
+  *    precondition (sorted, distinct) holds — d4/d15 rely on swapping
+  *    one for the other being invisible;
+  *  - the hash kernel matches a reference set computation on ARBITRARY
+  *    (unsorted, duplicate-carrying) input;
+  *  - minhash band keys are ORDER- and DUPLICATE-invariant — d15's
+  *    collapse of identical word-SETS to one rep assumes banding sees
+  *    the set, not the sequence;
+  *  - simhash is order-invariant (d3's chunk banding assumes it).
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val Rounds = 300
+  private def rng(testSeed: Long) = new scala.util.Random(0x9e3779b97f4a7c15L ^ testSeed)
+
+  private def randTokens(r: scala.util.Random): List[String] = {
+    val n = r.nextInt(40)
+    List.fill(n) {
+      val len = 1 + r.nextInt(8)
+      // small alphabet → frequent collisions/overlaps between the lists
+      List.fill(len)(('a' + r.nextInt(6)).toChar).mkString
+    }
+  }
+
+  private def arr(xs: Seq[String]): ArrayData =
+    new GenericArrayData(xs.map(s => UTF8String.fromString(s)).toArray[Any])
+
+  private def lit(xs: Seq[String]): Literal =
+    Literal.create(xs, ArrayType(StringType))
+
+  private def refJaccard(a: Seq[String], b: Seq[String]): Double = {
+    val (sa, sb) = (a.toSet, b.toSet)
+    val union = (sa ++ sb).size
+    if (union == 0) 0.0 else (sa & sb).size.toDouble / union
+  }
+
+  test("jaccard: hash kernel matches reference sets on arbitrary input") {
+    val r = rng(1)
+    (1 to Rounds).foreach { _ =>
+      val (a, b) = (randTokens(r), randTokens(r))
+      assert(JaccardSim.hashJaccard(arr(a), arr(b)) == refJaccard(a, b),
+        s"a=$a b=$b")
+    }
+  }
+
+  test("jaccard: merge kernel agrees with hash kernel on sorted-distinct input") {
+    val r = rng(2)
+    (1 to Rounds).foreach { _ =>
+      // UTF8String (byte-wise) ordering, the order array_sort produces —
+      // sorting with JVM String ordering here would silently break the
+      // merge precondition for non-ASCII
+      val sa = randTokens(r).distinct.map(UTF8String.fromString).sorted.map(_.toString)
+      val sb = randTokens(r).distinct.map(UTF8String.fromString).sorted.map(_.toString)
+      val m = JaccardSim.mergeJaccard(arr(sa), arr(sb))
+      val h = JaccardSim.hashJaccard(arr(sa), arr(sb))
+      assert(m == h, s"merge=$m hash=$h a=$sa b=$sb")
+    }
+  }
+
+  test("minhash bands: keys are order- and duplicate-invariant") {
+    val r = rng(3)
+    def keys(xs: Seq[String]): Seq[Long] =
+      MinHashBands(lit(xs), numHashes = 128, bands = 16)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    (1 to Rounds).foreach { _ =>
+      val a = randTokens(r)
+      val mutated = r.shuffle(a ++ r.shuffle(a).take(r.nextInt(a.length + 1)))
+      assert(keys(a) == keys(mutated), s"a=$a mutated=$mutated")
+    }
+  }
+
+  test("simhash: signature is order-invariant") {
+    val r = rng(4)
+    def sig(xs: Seq[String]): Long =
+      SimHash64(lit(xs)).eval(null).asInstanceOf[Long]
+    (1 to Rounds).foreach { _ =>
+      val a = randTokens(r)
+      assert(sig(a) == sig(r.shuffle(a)), s"a=$a")
+    }
+  }
+}

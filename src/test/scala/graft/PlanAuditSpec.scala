@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.{Pipeline, Relational}
+
+/** SURVEY §4 regression guards: the scale-critical plan properties the
+  * bench notes claim (broadcast dimensions, pushdown, partial
+  * aggregation, no quadratic join fallbacks) asserted on the actual
+  * physical plans, so a refactor that silently degrades a plan — e.g. a
+  * join condition Catalyst can no longer recognize as equi-join — fails
+  * the suite instead of only showing up as a 100× regression at scale.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def plan(name: String): String = {
+    val qs = SparkEntry.queries
+    qs(name)(spark, sfTiny).queryExecution.executedPlan.toString
+  }
+
+  /** Formatted explain — the only mode whose scan nodes print
+    * PushedFilters/ReadSchema in full. */
+  private def formatted(name: String): String = {
+    val qs = SparkEntry.queries
+    qs(name)(spark, sfTiny).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q5 star join: every dimension side broadcasts, fact scan is pruned") {
+    val p = plan("q5_star_join")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 5, s"want >=5 broadcast joins, got $nBroadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the lineitem scan must not read all 16 columns
+    val f = formatted("q5_star_join")
+    val lineitemSchema = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(f)
+      .map(_.group(1)).find(_.contains("l_orderkey"))
+    assert(lineitemSchema.exists(_.split(",").length <= 6),
+      s"lineitem scan reads too many columns: $lineitemSchema")
+  }
+
+  test("q2 selective scan: predicates reach the parquet reader") {
+    val f = formatted("q2_filter_proj")
+    val pushed = "PushedFilters: \\[([^\\]]+)\\]".r.findAllMatchIn(f).map(_.group(1)).toSeq
+    assert(pushed.exists(_.contains("GreaterThan")), s"no pushed filters in:\n$f")
+  }
+
+  test("q1 aggregation: map-side partial aggregate, one hash shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p) // map-side combine before shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    // the only other exchange is the deterministic output sort
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("dedup joins stay equi-joins — no quadratic fallback") {
+    for (name <- Seq("d4_ngram_jaccard", "d15_jaccard_lsh", "d13_embed_neardup")) {
+      val p = Pipeline.queries(name)(spark, sfTiny).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name fell back to cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name fell back to BNLJ:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$name has no hash-based join:\n$p")
+    }
+  }
+
+  test("d5 knn: query side broadcasts, corpus side streams") {
+    val p = Pipeline.queries("d5_knn_cosine")(spark, sfTiny).queryExecution.executedPlan.toString
+    // the deliberate shape: broadcast the tiny query set against the
+    // corpus scan — a nested-loop join here is CORRECT (non-equi
+    // vec_id != qid condition) but must be broadcast, never cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q23 top-n per group: single window, no global sort before limit") {
+    val p = plan("q23_topn_group")
+    assert("Window".r.findAllIn(plan("q23_topn_group")).nonEmpty, p)
+  }
+}
