@@ -476,6 +476,41 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- d18: stratified sampling for training-data mixing — per-lang
+    // admission rates applied with a deterministic key-mod predicate
+    // (the q22 convention: `xxhash64(key) % 100` is the production form
+    // for arbitrary keys, but the two engines' hash functions differ, so
+    // the oracle-portable form keys on the id directly). Pure filter:
+    // no shuffle at all — the sampler a 100 TB mixing job wants, since
+    // it composes with the scan and prunes rows before anything else.
+    "d18_stratified_sample" -> { (s, dir) =>
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "zh", 20)
+        .when(col("lang") === "de", 40)
+        .when(col("lang") === "fr", 25)
+        .when(col("lang") === "es", 30)
+        .otherwise(10)
+      T(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(100)) < rate)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // ---- d19: per-label embedding centroids — posexplode to
+    // (label, pos, value) and aggregate; the shuffle is keyed
+    // (label, pos) so a 100 TB corpus spreads over labels × dims
+    // reducers with map-side partial sums. Emitting (label, pos,
+    // centroid) rows instead of re-assembled arrays keeps the result
+    // checker-hashable and join-ready for d5/d6-style scoring.
+    "d19_label_centroid" -> { (s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("v")), 4).as("centroid"))
+        .orderBy("label", "pos")
+    },
+
     // ---- d12: embedding norms + per-label stats via higher-order fns.
     "d12_vector_norm" -> { (s, dir) =>
       T(s, dir, "embeddings")
@@ -621,6 +656,25 @@ object Pipeline {
              CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
       FROM documents
       ORDER BY doc_id""",
+
+    "d18_stratified_sample" -> """
+      SELECT doc_id, lang, source
+      FROM documents
+      WHERE doc_id % 100 < CASE lang
+        WHEN 'en' THEN 50 WHEN 'zh' THEN 20 WHEN 'de' THEN 40
+        WHEN 'fr' THEN 25 WHEN 'es' THEN 30 ELSE 10 END
+      ORDER BY doc_id""",
+
+    "d19_label_centroid" -> """
+      WITH ex AS (
+        SELECT label,
+               CAST(unnest(range(len(embedding))) AS INT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings)
+      SELECT label, pos, round(avg(v), 4) AS centroid
+      FROM ex
+      GROUP BY 1, 2
+      ORDER BY label, pos""",
 
     "d12_vector_norm" -> """
       WITH n AS (
