@@ -147,6 +147,69 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- d20: connected-components dedup clustering — the step a real
+    // training pipeline runs AFTER pair generation: group near-dup pairs
+    // (d4's oracle-checked J ≥ 0.5 pair set) into clusters and keep one
+    // canonical doc per cluster (min doc_id). d4's edges are BLOCK-LOCAL
+    // by construction (both endpoints share the lang + len-bucket
+    // blocking key), so global CC decomposes exactly into per-block CC:
+    // one cogroup shuffle keyed by block, then a streaming union-find
+    // per block (memory O(docs in block) — edges stream through; the
+    // legitimate mapGroups case: per-group imperative logic Spark's
+    // operators can't express). No driver-side iteration at all. The
+    // earlier iterative min-label-propagation + pointer-jumping variant
+    // (the shape cross-block graphs need) converged in 9 rounds but paid
+    // ~1 s/round of scheduling floor — 16 s at sf0.1 where this shape
+    // costs ~3 s on top of the d4 pair generation it consumes.
+    // The DuckDB oracle is an exact recursive-CTE transitive closure, so
+    // the block-local = global equivalence is itself oracle-verified.
+    "d20_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      GraftExtensions.install(s)
+      val blocked = T(s, dir, "documents")
+        .select(col("doc_id"), concat_ws(" ", col("lang"),
+          floor(col("n_chars") / 100.0).cast("int")).as("blk"))
+      val docsK = blocked.as[(Long, String)]
+        .groupByKey(_._2).mapValues(_._1)
+      val edgesK = queries("d4_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+        .join(blocked.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(col("blk"), col("doc_a"), col("doc_b"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      val labeled = docsK.cogroup(edgesK) { (_, docs, edges) =>
+        // union-find with path compression; root canonicalized to the
+        // component's min doc_id afterwards
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val members = docs.toArray
+        members.foreach(d => parent.getOrElseUpdate(d, d))
+        edges.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+        }
+        val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+        members.foreach { d =>
+          val r = find(d)
+          minOfRoot.update(r, math.min(minOfRoot.getOrElse(r, Long.MaxValue), d))
+        }
+        members.iterator.map(d => (d, minOfRoot(find(d))))
+      }.toDF("doc_id", "root")
+      val sizes = labeled.groupBy(col("root"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "root")
+        .select(col("doc_id"), col("root"), col("cluster_size"),
+          (col("doc_id") === col("root")).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // ---- d15: scale-path Jaccard near-dup (J ≥ 0.8) — MinHash-LSH
     // candidate generation instead of d4's attribute blocking. 16 bands
     // × 8 rows: collision prob 6% at J=0.5 but ≥95% at J≥0.8, so every
@@ -606,6 +669,35 @@ object Pipeline {
              round(CAST(length(text) AS DOUBLE) /
                    len(string_split_regex(trim(text), '\s+')), 4) AS chars_per_token
       FROM documents
+      ORDER BY doc_id""",
+
+    "d20_dedup_clusters" -> """
+      WITH RECURSIVE
+      w AS (
+        SELECT doc_id, lang,
+               CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS wset
+        FROM documents),
+      e AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM w a JOIN w b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
+                    len(list_distinct(a.wset || b.wset)), 4) >= 0.5),
+      und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM e
+        UNION ALL
+        SELECT doc_b, doc_a FROM e),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+        WHERE r.lbl < u.dst),
+      comp AS (SELECT node AS doc_id, min(lbl) AS root FROM reach GROUP BY node)
+      SELECT c.doc_id, c.root, CAST(n.sz AS BIGINT) AS cluster_size,
+             (c.doc_id = c.root) AS keep
+      FROM comp c JOIN (SELECT root, count(*) AS sz FROM comp GROUP BY root) n
+        USING (root)
       ORDER BY doc_id""",
 
     "d16_tfidf" -> """
