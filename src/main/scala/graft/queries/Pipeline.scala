@@ -574,6 +574,36 @@ object Pipeline {
         .orderBy("label", "pos")
     },
 
+    // ---- d21: multimodal resize — nearest-neighbor byte resample of
+    // every payload to a fixed 64-byte thumbnail (Media.resizeStub, the
+    // byte analogue of image nearest-neighbor resize; a production build
+    // swaps the stub for a codec without touching the plan). Same
+    // batched mapPartitions contract as d11/d14. The oracle re-derives
+    // the sampled positions arithmetically (floor(i·len/64), zipped
+    // unnest) and checks the SUM of sampled byte values — all-integer
+    // accounting, so the check is exact, not rounded (corpus is ASCII;
+    // octet = char there, asserted against octet_length).
+    "d21_multimodal_resize" -> { (s, dir) =>
+      import s.implicits._
+      val target = 64
+      T(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            batch.map { case (id, bytes) =>
+              val r = graft.functions.Media.resizeStub(
+                bytes, if (bytes.isEmpty) 0 else target)
+              (id, bytes.length.toLong, r.length,
+                r.foldLeft(0L)((a, b) => a + (b & 0xff)))
+            }
+          }
+        }.toDF("doc_id", "n_in", "n_out", "sampled_sum")
+        .select(col("doc_id"), col("n_in"), col("n_out").cast("int").as("n_out"),
+          col("sampled_sum"))
+        .orderBy("doc_id")
+    },
+
     // ---- d12: embedding norms + per-label stats via higher-order fns.
     "d12_vector_norm" -> { (s, dir) =>
       T(s, dir, "embeddings")
@@ -767,6 +797,23 @@ object Pipeline {
       FROM ex
       GROUP BY 1, 2
       ORDER BY label, pos""",
+
+    "d21_multimodal_resize" -> """
+      WITH ex AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_in,
+               CAST(unnest(range(64)) AS BIGINT) AS i, text
+        FROM documents WHERE length(text) > 0),
+      agg AS (
+        SELECT doc_id,
+               CAST(sum(ascii(substr(text, CAST((i * n_in) // 64 AS INT) + 1, 1))) AS BIGINT)
+                 AS sampled_sum
+        FROM ex GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(octet_length(encode(d.text)) AS BIGINT) AS n_in,
+             CAST(CASE WHEN length(d.text) = 0 THEN 0 ELSE 64 END AS INT) AS n_out,
+             CAST(coalesce(a.sampled_sum, 0) AS BIGINT) AS sampled_sum
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id""",
 
     "d12_vector_norm" -> """
       WITH n AS (
