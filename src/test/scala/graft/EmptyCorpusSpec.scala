@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.queries.Pipeline
+import graft.sources.GraftWriter
+
+/** Degenerate-input hardening: every pipeline operator must run — not
+  * throw — on an EMPTY corpus with the production schema (at 100 TB an
+  * empty partition/day/source split is routine, and an operator that
+  * NPEs on it kills the whole job). Each query must yield a readable,
+  * zero-row (or d16-style empty top-k) result.
+  */
+class EmptyCorpusSpec extends SparkSpecBase {
+
+  private lazy val emptyDir: String = {
+    val dir = scratch("empty-corpus")
+    val docs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    GraftWriter.write(docs, s"$dir/documents.parquet")
+    val emb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    GraftWriter.write(emb, s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("every pipeline operator runs on an empty corpus") {
+    for ((name, fn) <- Pipeline.queries.toSeq.sortBy(_._1)) {
+      val n = withClue(s"$name on empty corpus: ") {
+        fn(spark, emptyDir).count()
+      }
+      assert(n == 0, s"$name returned $n rows on an empty corpus")
+    }
+  }
+}
