@@ -463,6 +463,27 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- d22: unigram log-probability scoring — the classic LM-style
+    // quality filter: score each doc by the mean log-probability of its
+    // tokens under the corpus unigram distribution (low score = atypical
+    // /noisy text, the cheap proxy for perplexity filtering when no real
+    // LM is available). Same distributed shape as d16: explode → corpus
+    // frequency agg → join back on word → per-doc mean. The corpus
+    // token total joins as a broadcast 1-row aggregate.
+    "d22_unigram_logprob" -> { (s, dir) =>
+      val words = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), explode(col("words")).as("word"))
+      val freq = words.groupBy("word").agg(count(lit(1)).as("wfreq"))
+      val total = freq.agg(sum(col("wfreq")).as("n_total")).withColumn("one", lit(1))
+      words.join(freq, "word")
+        .withColumn("one", lit(1)).join(broadcast(total), "one")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("wfreq").cast("double") / col("n_total"))), 4)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
     // ---- d10: rolling polynomial hash fingerprint (order-sensitive,
     // modulo-bounded so Spark and the oracle agree on arithmetic).
     "d10_fingerprint" -> { (s, dir) =>
@@ -761,6 +782,18 @@ object Pipeline {
                '[REDACTED]', 'g') AS scrubbed
       FROM documents
       ORDER BY doc_id""",
+
+    "d22_unigram_logprob" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      f AS (SELECT word, count(*) AS wfreq FROM w GROUP BY 1),
+      n AS (SELECT sum(wfreq) AS n_total FROM f)
+      SELECT w.doc_id, count(*) AS n_tokens,
+             round(avg(ln(CAST(wfreq AS DOUBLE) / n_total)), 4) AS avg_logprob
+      FROM w JOIN f USING (word) CROSS JOIN n
+      GROUP BY w.doc_id
+      ORDER BY w.doc_id""",
 
     "d10_fingerprint" -> """
       SELECT doc_id,

@@ -248,6 +248,29 @@ object Relational {
         ORDER BY c_mktsegment""")
     },
 
+    // ---- q40: LATERAL correlated subquery join — per-customer top-3
+    // most recent orders, the "for each row, run this parameterized
+    // subquery" surface DuckDB users lean on. Catalyst decorrelates the
+    // LIMIT-per-group into a window + filter under the hood, so the
+    // physical plan is one join + one window, not N subquery executions
+    // — the decorrelation IS the scale story.
+    "q40_lateral" -> { (s, dir) =>
+      Seq("customer", "orders").foreach(n =>
+        Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_orderdate, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC
+          LIMIT 3
+        ) o
+        WHERE c.c_custkey < 20
+        ORDER BY c.c_custkey, o.o_orderdate DESC, o.o_orderkey DESC""")
+    },
+
     // ---- q21: pivot (null cells → 0 to match FILTER-agg semantics).
     "q21_pivot" -> { (s, dir) =>
       val pri = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -581,6 +604,19 @@ object Relational {
       FROM customer JOIN cust_orders ON c_custkey = o_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
+
+    "q40_lateral" -> """
+      SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      FROM customer c,
+      LATERAL (
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 3
+      ) o
+      WHERE c.c_custkey < 20
+      ORDER BY c.c_custkey, o.o_orderdate DESC, o.o_orderkey DESC""",
 
     "q21_pivot" -> """
       SELECT o_orderstatus,
