@@ -115,6 +115,22 @@ object Events {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- q41: time-RANGE window frame — trailing-1-hour running sum
+    // per user (RANGE frames bound by the ORDER-BY VALUE, not row
+    // count: all peers within 3600 s enter the frame, unlike q11's
+    // ROWS frames). Seconds are floor-truncated identically on both
+    // engines (q39 convention); true sums have exactly 2 decimals, so
+    // round(2) is boundary-safe.
+    "q41_range_frame" -> { (s, dir) =>
+      val e = T(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("sec"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+      e.select(col("user_id"), col("event_id"), col("sec"),
+          round(sum(col("value")).over(w), 2).as("trailing_1h"))
+        .orderBy("user_id", "sec", "event_id")
+    },
+
     // ---- q33: DAU + next-day retention via self-join on (user, day+1).
     "q33_retention" -> { (s, dir) =>
       val daily = T(s, dir, "events")
@@ -189,6 +205,16 @@ object Events {
         ON a.user_id = b.user_id AND a.event_id < b.event_id
        AND abs(a.sec - b.sec) <= 300
       ORDER BY id_a, id_b""",
+
+    "q41_range_frame" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+        FROM events)
+      SELECT user_id, event_id, sec,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trailing_1h
+      FROM e
+      ORDER BY user_id, sec, event_id""",
 
     "q33_retention" -> """
       WITH daily AS (

@@ -145,6 +145,25 @@ object StreamingOps {
         .orderBy("event_type")
     },
 
+    // ---- s6: bounded-state streaming dedup — the production form of
+    // s2: dropDuplicatesWithinWatermark only guarantees dedup for
+    // duplicates arriving within the watermark horizon, which is what
+    // lets Spark EXPIRE key state (s2's plain dropDuplicates holds every
+    // key ever seen — unbounded state on an unbounded stream). On the
+    // bounded replay all rows share one batch, so the result equals the
+    // exact distinct and the s2 oracle applies; the state-expiry
+    // re-emission trade-off is spec-verified (StreamingSpec).
+    "s6_stream_dedup_watermark" -> { (s, dir) =>
+      val dedup = streamEvents(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      runToTable(s, dedup, "graft_s6", OutputMode.Append())
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    },
+
     // ---- s5: stream-stream interval join — each purchase joined to the
     // user's views in the preceding hour. BOTH sides carry watermarks and
     // the join condition bounds event-time distance, which is what lets
@@ -223,6 +242,12 @@ object StreamingOps {
       ORDER BY day, event_type""",
 
     "s2_stream_dedup" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "s6_stream_dedup_watermark" -> """
       SELECT event_type, count(DISTINCT user_id) AS n_users
       FROM events
       GROUP BY event_type

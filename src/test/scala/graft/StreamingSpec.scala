@@ -158,6 +158,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s6: dedup state expires past the watermark — bounded state, re-emission") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val dedup = in.toDF().toDF("user_id", "event_type", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = dedup.writeStream.format("memory").queryName("spec_s6")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, "view", ts(0)), (1L, "view", ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("spec_s6").count() == 1) // in-horizon dup dropped
+      // same key well past the watermark horizon: its dedup state has
+      // been EVICTED (that is the bounded-state contract), so the key
+      // legitimately re-emits — the trade s2's unbounded dropDuplicates
+      // does not make
+      in.addData((1L, "view", ts(500)))
+      q.processAllAvailable()
+      in.addData((1L, "view", ts(505))) // within horizon of the re-emit → dropped
+      q.processAllAvailable()
+      assert(spark.table("spec_s6").count() == 2)
+    } finally q.stop()
+  }
+
   test("s1-s3 bounded replay matches batch semantics (file source)") {
     val s1 = StreamingOps.queries("s1_stream_window")(spark, sfTiny)
     val q31 = graft.queries.Events.queries("q31_tumbling")(spark, sfTiny)
