@@ -431,8 +431,13 @@ object Pipeline {
     "d16_tfidf" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val words = withWords(docs).select(col("doc_id"), explode(col("words")).as("word"))
-      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      val totals = words.groupBy("doc_id").agg(count(lit(1)).as("total"))
+      // ONE explode + one (doc, word) shuffle; per-doc totals and
+      // document frequencies both derive from tf (persisted — at 100 TB
+      // this is the checkpointed term-frequency table), instead of
+      // re-exploding the token stream three times (audited via Explain:
+      // the naive shape scanned + shuffled the heaviest intermediate 3×)
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt")).persist()
+      val totals = tf.groupBy("doc_id").agg(sum(col("cnt")).as("total"))
       val dfreq = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
       val n = docs.agg(count(lit(1)).as("n_docs")).withColumn("one", lit(1))
       val scored = tf.join(totals, "doc_id").join(dfreq, "word")
@@ -473,14 +478,19 @@ object Pipeline {
     "d22_unigram_logprob" -> { (s, dir) =>
       val words = withWords(T(s, dir, "documents"))
         .select(col("doc_id"), explode(col("words")).as("word"))
-      val freq = words.groupBy("word").agg(count(lit(1)).as("wfreq"))
+      // one explode; frequencies and the instance-weighted mean both
+      // come from the (doc, word, cnt) aggregate, so the word join moves
+      // distinct pairs, not token instances (d16's audit finding)
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt")).persist()
+      val freq = tf.groupBy("word").agg(sum(col("cnt")).as("wfreq"))
       val total = freq.agg(sum(col("wfreq")).as("n_total")).withColumn("one", lit(1))
-      words.join(freq, "word")
+      tf.join(freq, "word")
         .withColumn("one", lit(1)).join(broadcast(total), "one")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          round(avg(log(col("wfreq").cast("double") / col("n_total"))), 4)
-            .as("avg_logprob"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          round(
+            sum(col("cnt") * log(col("wfreq").cast("double") / col("n_total"))) /
+              sum(col("cnt")), 4).as("avg_logprob"))
         .orderBy("doc_id")
     },
 
