@@ -202,6 +202,10 @@ object Pipeline {
         }
         members.iterator.map(d => (d, minOfRoot(find(d))))
       }.toDF("doc_id", "root")
+        // both the size aggregate and the final join read the labeling;
+        // without this the cogroup AND the d4 pair generation upstream
+        // execute twice (caught by Explain audit: duplicated subtree)
+        .persist()
       val sizes = labeled.groupBy(col("root"))
         .agg(count(lit(1)).as("cluster_size"))
       labeled.join(sizes, "root")
