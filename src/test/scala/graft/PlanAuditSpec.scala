@@ -70,6 +70,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d20: cogroup labeling is computed once, not per consumer") {
+    // the labeling feeds both the size aggregate and the final join; an
+    // unpersisted frame re-executes the whole cogroup + d4 subtree per
+    // consumer (caught once by Explain audit — pin it). With the persist
+    // in place, BOTH consumers must read the cache (the CoGroup text
+    // still appears inside each InMemoryRelation's cached-plan
+    // description, so count cache scans, not CoGroup nodes).
+    val p = Pipeline.queries("d20_dedup_clusters")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"labeling consumers do not share the cache:\n$p")
+  }
+
   test("q23 top-n per group: single window, no global sort before limit") {
     val p = plan("q23_topn_group")
     assert("Window".r.findAllIn(plan("q23_topn_group")).nonEmpty, p)
