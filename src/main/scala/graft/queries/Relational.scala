@@ -271,6 +271,21 @@ object Relational {
         ORDER BY c.c_custkey, o.o_orderdate DESC, o.o_orderkey DESC""")
     },
 
+    // ---- q42: CORRELATED scalar subquery in WHERE (q17 is the
+    // uncorrelated form) — customers above their own nation's average
+    // balance. Catalyst decorrelates the per-row subquery into one
+    // aggregate + one join, so it runs as two scans, not N subqueries.
+    "q42_corr_subq" -> { (s, dir) =>
+      Seq("customer").foreach(n =>
+        Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    },
+
     // ---- q21: pivot (null cells → 0 to match FILTER-agg semantics).
     "q21_pivot" -> { (s, dir) =>
       val pri = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -617,6 +632,13 @@ object Relational {
       ) o
       WHERE c.c_custkey < 20
       ORDER BY c.c_custkey, o.o_orderdate DESC, o.o_orderkey DESC""",
+
+    "q42_corr_subq" -> """
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey""",
 
     "q21_pivot" -> """
       SELECT o_orderstatus,

@@ -116,6 +116,29 @@ object Sources {
       GraftReader.read(s, url).orderBy("c_custkey")
     },
 
+    // ---- a9: schema evolution on read — an ingest landing zone where
+    // newer files carry added columns. Two generations are written with
+    // different schemas; mergeSchema stitches the union schema and
+    // back-fills the missing column with NULL (the standard Spark answer
+    // to schema drift — at 100 TB this is how a years-old directory with
+    // evolving producers stays queryable as ONE table).
+    "a9_schema_evolution" -> { (s, dir) =>
+      val base = T(s, dir, "documents")
+      val gen1 = s"$scratchDir/a9/gen=1"
+      val gen2 = s"$scratchDir/a9/gen=2"
+      GraftWriter.write(
+        base.filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id", "lang"),
+        gen1, format = Some("parquet"))
+      GraftWriter.write(
+        base.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select("doc_id", "lang", "n_chars"),
+        gen2, format = Some("parquet"))
+      GraftReader.read(s, s"$scratchDir/a9", "parquet",
+          Map("mergeSchema" -> "true", "recursiveFileLookup" -> "true"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // ---- a8: listing/metadata relation (ListFiles/GetFileSize/
     // GetLastModifiedTime, hadoopfs.hpp:166-204): the file names are
     // deterministic (sizes/mtimes are environment data, validated as
@@ -159,6 +182,14 @@ object Sources {
       FROM customer
       WHERE c_custkey <= 100
       ORDER BY c_custkey""",
+    "a9_schema_evolution" -> """
+      SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars
+      FROM documents WHERE doc_id % 2 = 1
+      ORDER BY doc_id""",
+
     "a8_file_metadata" -> """
       SELECT * FROM (VALUES ('customer.parquet'), ('documents.parquet'),
         ('embeddings.parquet'), ('events.parquet'), ('lineitem.parquet'),
