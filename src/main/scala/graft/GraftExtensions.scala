@@ -31,7 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[Quack].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[Quack].getName, null, name, usage,
+      "", "", "", "misc_funcs", "1.0.0", "", "built-in")
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("quack", info("quack", "quack(name) - the reference extension's demo greeting"),
@@ -54,6 +55,12 @@ object GraftExtensions {
           MinHashBands(c, bands = b)
         case _ => throw new IllegalArgumentException("minhash_bands(tokens[, bands])")
       }),
+    ("minhash_sig", info("minhash_sig",
+      "minhash_sig(tokens) - raw 128-component MinHash signature for similarity estimation"),
+      (e: Seq[Expression]) => MinHashSig(e.head)),
+    ("sig_match_frac", info("sig_match_frac",
+      "sig_match_frac(a, b) - fraction of agreeing signature components (MinHash jaccard estimate)"),
+      (e: Seq[Expression]) => SigMatchFrac(e(0), e(1))),
     ("simhash64", info("simhash64", "simhash64(words) - 64-bit SimHash signature"),
       (e: Seq[Expression]) => SimHash64(e.head)),
     ("hyperplane_buckets",

@@ -1,0 +1,52 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** minhash_sig(tokens) → array<bigint> of the raw numHashes MinHash
+  * minima — the signature itself, for SIGNATURE-BASED similarity
+  * estimation (the 100 TB regime where re-reading token sets for exact
+  * verification is too expensive: J ≈ fraction of agreeing components,
+  * std-err sqrt(J(1−J)/k)).
+  *
+  * Uses the SAME hash family and seed schedule as [[MinHashBands]]
+  * (h_i(x) = mix(fnv1a(x) ^ mix(0x5eed5eed + i))), so estimates are
+  * consistent with the band keys candidates were generated from.
+  */
+case class MinHashSig(child: Expression, numHashes: Int = 128)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireArrayOf(prettyName, org.apache.spark.sql.types.StringType, child)
+
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => Hash64.mix(0x5eed5eedL + i))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val minima = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = Hash64.fnv1a(arr.getUTF8String(i))
+        var k = 0
+        while (k < numHashes) {
+          val h = Hash64.mix(base ^ seeds(k))
+          if (h < minima(k)) minima(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(minima)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

@@ -287,6 +287,63 @@ object Pipeline {
       cross.union(within)
     },
 
+    // ---- d23: signature-only similarity estimation — d15's candidate
+    // generation, but similarity comes from the MinHash SIGNATURES
+    // (fraction of agreeing components, std-err √(J(1−J)/128) ≈ 0.03 at
+    // J=0.9) instead of an exact kernel over the token sets. This is
+    // the 100 TB shape when even the sorted-merge verify is too
+    // expensive: after banding, the shuffle carries 128 longs per doc
+    // and never touches tokens again. Estimate-vs-exact error is
+    // spec-bounded on planted dups (DedupSpec); rows-only in the gate
+    // (hash-dependent output by design).
+    "d23_minhash_estimate" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      // d15's exact-collapse applies verbatim: identical word sets have
+      // identical signatures, so estimating over group REPS and
+      // expanding membership afterwards provably emits the same pairs
+      // (within-group estimates are exactly 1.0 — every component
+      // agrees). Without the collapse, this corpus's 248-doc identical
+      // cliques alone put ~10⁶ collision rows per band into the
+      // distinct. One token pass computes signature AND band keys; band
+      // self-join moves (key, id) only; the 128-long signatures join
+      // back per-rep from a broadcast dim (shuffle join on rep_id at
+      // 100 TB) — tokens never shuffle anywhere.
+      val w = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), array_sort(array_distinct(col("words"))).as("wset"))
+        .withColumn("gid", md5(concat_ws(" ", col("wset"))))
+      val reps = w.groupBy(col("gid"))
+        .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
+      val base = reps
+        .select(col("gid"), col("rep_id"), expr("minhash_sig(wset)").as("sig"),
+          expr("minhash_bands(wset, 16)").as("keys"))
+        .persist()
+      val banded = base.select(col("rep_id"), explode(col("keys")).as("key"))
+      val a = banded.select(col("key"), col("rep_id").as("r_a"))
+      val b = banded.select(col("key").as("key2"), col("rep_id").as("r_b"))
+      val candRep = a.join(b, col("key") === col("key2") && col("r_a") < col("r_b"))
+        .select("r_a", "r_b").distinct()
+      val dim = broadcast(base.select(col("rep_id"), col("sig")))
+      val repPairs = candRep
+        .join(dim.select(col("rep_id").as("r_a"), col("sig").as("sig_a")), "r_a")
+        .join(dim.select(col("rep_id").as("r_b"), col("sig").as("sig_b")), "r_b")
+        .select(col("r_a"), col("r_b"),
+          round(expr("sig_match_frac(sig_a, sig_b)"), 4).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.7)
+      val m = broadcast(w.select(col("gid"), col("doc_id"))
+        .join(base.select(col("gid"), col("rep_id")), "gid")
+        .select(col("doc_id"), col("rep_id")))
+      val cross = repPairs
+        .join(m.select(col("rep_id").as("r_a"), col("doc_id").as("da")), "r_a")
+        .join(m.select(col("rep_id").as("r_b"), col("doc_id").as("db")), "r_b")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("est_jaccard"))
+      val within = m.select(col("rep_id"), col("doc_id").as("doc_a"))
+        .join(m.select(col("rep_id").as("rep_id2"), col("doc_id").as("doc_b")),
+          col("rep_id") === col("rep_id2") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(1.0).as("est_jaccard"))
+      cross.union(within)
+    },
+
     // ---- d5: brute-force cosine top-k: small query set broadcast against
     // the corpus; the kernel is the native codegen CosineSimilarity
     // expression (one fused loop per pair). Linear in corpus size — the

@@ -286,6 +286,25 @@ object Relational {
         ORDER BY c_custkey""")
     },
 
+    // ---- q43: FULL OUTER join — per-nation customer vs supplier
+    // counts where either side may be absent (suppliers filtered to a
+    // deterministic subset so the outer rows actually materialize).
+    // Both inputs pre-aggregate to one row per key BEFORE the join, so
+    // the full-outer shuffle moves nation-count rows, not base tables.
+    "q43_full_outer" -> { (s, dir) =>
+      val c = T(s, dir, "customer").groupBy(col("c_nationkey").as("k"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = T(s, dir, "supplier")
+        .filter(pmod(col("s_suppkey"), lit(3)) === 0)
+        .groupBy(col("s_nationkey").as("k2"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("k") === col("k2"), "full_outer")
+        .select(coalesce(col("k"), col("k2")).cast("bigint").as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+
     // ---- q21: pivot (null cells → 0 to match FILTER-agg semantics).
     "q21_pivot" -> { (s, dir) =>
       val pri = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -632,6 +651,18 @@ object Relational {
       ) o
       WHERE c.c_custkey < 20
       ORDER BY c.c_custkey, o.o_orderdate DESC, o.o_orderkey DESC""",
+
+    "q43_full_outer" -> """
+      WITH c AS (
+        SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+      s AS (
+        SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier
+        WHERE s_suppkey % 3 = 0 GROUP BY 1)
+      SELECT CAST(coalesce(c.k, s.k) AS BIGINT) AS nationkey,
+             coalesce(n_cust, 0) AS n_cust,
+             coalesce(n_supp, 0) AS n_supp
+      FROM c FULL OUTER JOIN s ON c.k = s.k
+      ORDER BY nationkey""",
 
     "q42_corr_subq" -> """
       SELECT c_custkey, c_nationkey, c_acctbal

@@ -116,6 +116,18 @@ object Sources {
       GraftReader.read(s, url).orderBy("c_custkey")
     },
 
+    // ---- a10: ORC writer/reader roundtrip — the columnar-format twin
+    // of a7's parquet path, through the same extension-inferred
+    // format routing (reference scope: whatever DuckDB reads over
+    // hdfs://, Spark reads natively — ORC included).
+    "a10_orc_roundtrip" -> { (s, dir) =>
+      val url = s"$scratchDir/a10/nation.orc"
+      GraftWriter.write(T(s, dir, "nation").select("n_nationkey", "n_name"), url)
+      GraftReader.read(s, url)
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"), col("n_name"))
+        .orderBy("n_nationkey")
+    },
+
     // ---- a9: schema evolution on read — an ingest landing zone where
     // newer files carry added columns. Two generations are written with
     // different schemas; mergeSchema stitches the union schema and
@@ -182,6 +194,8 @@ object Sources {
       FROM customer
       WHERE c_custkey <= 100
       ORDER BY c_custkey""",
+    "a10_orc_roundtrip" -> nationOracle,
+
     "a9_schema_evolution" -> """
       SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
       FROM documents WHERE doc_id % 2 = 0

@@ -72,6 +72,24 @@ class DedupSpec extends SparkSpecBase {
     assert(j > 0.9 && j < 1.0) // 79 shared of 81 distinct tokens
   }
 
+  test("d23: signature estimate tracks exact jaccard on planted dups") {
+    val out = Pipeline.queries("d23_minhash_estimate")(spark, plantedDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // exact dups: J = 1.0 exactly — every signature component agrees
+    (0 until 3).foreach { i =>
+      assert(out.get((i.toLong, 200L + i)).contains(1.0),
+        s"exact dup ($i, ${200 + i}): ${out.get((i.toLong, 200L + i))}")
+    }
+    // near-dups: exact J = 79/81 ≈ 0.9753; 128-hash estimate std-err
+    // ≈ 0.014, assert within 5 sigma
+    (0 until 5).foreach { i =>
+      val est = out((i.toLong, 100L + i))
+      assert(math.abs(est - 79.0 / 81.0) < 0.07, s"pair ($i, ${100 + i}): est=$est")
+    }
+    // unrelated distinct docs never reach the 0.7 estimate threshold
+    assert(!out.keys.exists { case (a, b) => a < 20 && b < 20 })
+  }
+
   test("d4: mega-bucket salting keeps exact results on a single-block corpus") {
     // Every doc lands in ONE block (same lang, same len bucket): with
     // saltCap = 2000 a 2400-doc corpus forces nsalt = 2, exercising the
