@@ -208,6 +208,31 @@ object StreamingOps {
         .orderBy("purchase_id", "view_id")
     },
 
+    // ---- s7: foreachBatch file sink — the canonical production sink:
+    // each micro-batch lands as its own parquet directory keyed by
+    // batchId, which is what makes retries idempotent (a re-run of
+    // batch N overwrites batch=N instead of appending duplicates —
+    // Spark's exactly-once-sink recipe for stores without transactional
+    // streaming writers). The re-read aggregate is oracle-checked
+    // against the batch table, proving no rows were lost or doubled
+    // across the batch boundary.
+    "s7_stream_foreach_batch" -> { (s, dir) =>
+      val out = s"${graft.queries.Sources.scratchDir}/s7_sink"
+      graft.sources.GraftWriter.removeDirectory(s, out)
+      val q = streamEvents(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("event_type")
+    },
+
     // ---- s3: stateful sessionization via flatMapGroupsWithState —
     // the streaming twin of q30 (same gap, same session numbering),
     // with the per-user session counter held in GroupState.
@@ -266,6 +291,12 @@ object StreamingOps {
         ON v.user_id = p.user_id
        AND v.v_us >= p.p_us - 3600000000 AND v.v_us <= p.p_us
       ORDER BY purchase_id, view_id""",
+
+    "s7_stream_foreach_batch" -> """
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     "s3_stream_session" -> """
       WITH flagged AS (
