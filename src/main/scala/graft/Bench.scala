@@ -85,6 +85,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt-and-braces FIRST, before any shutdown step that can hang: a
+    // stuck executor task can block spark.stop() until the driver's wall
+    // budget kills the JVM, and the fallback must already be on disk by
+    // then (review finding: writing it after the quiesce protects
+    // against nothing).
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     // Quiesce BEFORE printing: round-2's JSON line was followed by
     // executor-pool shutdown noise (RejectedExecutionException spam from
     // spark.stop()) that corrupted the stream mid-parse. The bare JSON
@@ -92,13 +102,6 @@ object Bench {
     pool.shutdownNow()
     pool.awaitTermination(10, TimeUnit.SECONDS)
     spark.stop()
-    // Belt-and-braces: persist the line to a file too, so a logger-
-    // mangled stdout can never erase the round's perf signal again.
-    try {
-      val out = java.nio.file.Paths.get("target", "bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     println(json)
     System.out.flush()
   }

@@ -50,7 +50,10 @@ object SigMatchFrac {
     var m = 0
     var i = 0
     while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) m += 1
+      // a null component never matches anything (the SQL-registered form
+      // accepts containsNull arrays; reading the slot raw would treat
+      // null as 0 and report spurious agreement)
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) m += 1
       i += 1
     }
     m.toDouble / n

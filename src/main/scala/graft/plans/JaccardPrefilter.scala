@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 import graft.expressions.JaccardSim
@@ -32,11 +33,15 @@ import graft.expressions.JaccardSim
   */
 object JaccardPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Alias map (exprId → producing expression) from one Project level of
-    * each child subtree. */
+  /** Alias map (exprId → producing expression) from the Project AND
+    * Aggregate levels of each child subtree (real plans route set
+    * columns through aggregates — e.g. a groupBy(...).agg(first(wset))
+    * collapse step — and the set-ness chain must survive that). */
   private def aliasDefs(scope: Seq[LogicalPlan]): Map[ExprId, Expression] =
     scope.flatMap(_.collect {
       case p: Project => p.projectList.collect { case al: Alias => al.exprId -> al.child }
+      case a: Aggregate =>
+        a.aggregateExpressions.collect { case al: Alias => al.exprId -> al.child }
     }.flatten).toMap
 
   /** Provably set-like: a direct array_distinct, or an attribute that
@@ -58,9 +63,17 @@ object JaccardPrefilter extends Rule[LogicalPlan] with PredicateHelper {
       case ad: ArrayDistinct => Some(ad)
       case s: ArraySort if depth > 0 => distinctProducer(s.argument, defs, depth - 1)
       case s: SortArray if depth > 0 => distinctProducer(s.base, defs, depth - 1)
+      // first(x) emits ONE of the group's values verbatim — set-ness of
+      // x carries through (any other aggregate function yields None)
+      case ae: AggregateExpression if depth > 0 && ae.aggregateFunction.isInstanceOf[First] =>
+        distinctProducer(ae.aggregateFunction.asInstanceOf[First].child, defs, depth - 1)
+      case f: First if depth > 0 => distinctProducer(f.child, defs, depth - 1)
       case a: Attribute if depth > 0 =>
         defs.get(a.exprId) match {
-          case Some(next @ (_: Attribute | _: ArrayDistinct | _: ArraySort | _: SortArray)) =>
+          case Some(next) if next.isInstanceOf[Attribute] ||
+              next.isInstanceOf[ArrayDistinct] || next.isInstanceOf[ArraySort] ||
+              next.isInstanceOf[SortArray] || next.isInstanceOf[AggregateExpression] ||
+              next.isInstanceOf[First] =>
             distinctProducer(next, defs, depth - 1)
           case _ => None
         }

@@ -25,6 +25,26 @@ object Pipeline {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("words", split(trim(col("text")), "\\s+"))
 
+  /** One tokenize + sort + dedup + group-hash pass per doc, PERSISTED —
+    * every consumer (rep aggregation, banding, membership expansion)
+    * reads it without re-scanning the corpus. Review finding: d15/d23's
+    * membership join previously re-ran the full token pass, doubling
+    * the dominant corpus scan. gid is injective for whitespace-split
+    * words (no token contains a space).
+    */
+  private def collapsedWordSets(df: DataFrame): DataFrame =
+    withWords(df)
+      .select(col("doc_id"), array_sort(array_distinct(col("words"))).as("wset"))
+      .withColumn("gid", md5(concat_ws(" ", col("wset"))))
+      .persist()
+
+  /** d4's blocking key. d20's per-block union-find is only globally
+    * exact because it decomposes along the SAME key d4 generated edges
+    * under (edges never cross blocks) — both operators MUST derive it
+    * from here. */
+  private def lenBucket: org.apache.spark.sql.Column =
+    floor(col("n_chars") / 100.0).cast("int")
+
   /** 3-word shingles for MinHash (short docs fall back to one shingle). */
   private def withShingles(df: DataFrame): DataFrame =
     withWords(df).withColumn("shingles", expr(
@@ -118,8 +138,7 @@ object Pipeline {
       // per-pair hash-set allocation); the one-time per-doc sort is
       // O(n log n) on 1/1000th the rows the kernel touches
       val w = withWords(T(s, dir, "documents"))
-        .select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 100.0).cast("int").as("len_bucket"),
+        .select(col("doc_id"), col("lang"), lenBucket.as("len_bucket"),
           array_sort(array_distinct(col("words"))).as("wset"))
         .withColumn("wn", size(col("wset")))
       val sizes = w.groupBy(col("lang"), col("len_bucket"))
@@ -167,8 +186,7 @@ object Pipeline {
       import s.implicits._
       GraftExtensions.install(s)
       val blocked = T(s, dir, "documents")
-        .select(col("doc_id"), concat_ws(" ", col("lang"),
-          floor(col("n_chars") / 100.0).cast("int")).as("blk"))
+        .select(col("doc_id"), concat_ws(" ", col("lang"), lenBucket).as("blk"))
       val docsK = blocked.as[(Long, String)]
         .groupByKey(_._2).mapValues(_._1)
       val edgesK = queries("d4_ngram_jaccard")(s, dir)
@@ -240,11 +258,7 @@ object Pipeline {
     // rule can only guard predicates that contain the kernel itself.
     "d15_jaccard_lsh" -> { (s, dir) =>
       GraftExtensions.install(s)
-      // words contain no whitespace (split on \s+), so the space-joined
-      // sorted set is an injective group key
-      val w = withWords(T(s, dir, "documents"))
-        .select(col("doc_id"), array_sort(array_distinct(col("words"))).as("wset"))
-        .withColumn("gid", md5(concat_ws(" ", col("wset"))))
+      val w = collapsedWordSets(T(s, dir, "documents")) // persisted token pass
       val reps = w.groupBy(col("gid"))
         .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
         .persist() // banding + kernel dim + membership all read it
@@ -308,9 +322,7 @@ object Pipeline {
       // self-join moves (key, id) only; the 128-long signatures join
       // back per-rep from a broadcast dim (shuffle join on rep_id at
       // 100 TB) — tokens never shuffle anywhere.
-      val w = withWords(T(s, dir, "documents"))
-        .select(col("doc_id"), array_sort(array_distinct(col("words"))).as("wset"))
-        .withColumn("gid", md5(concat_ws(" ", col("wset"))))
+      val w = collapsedWordSets(T(s, dir, "documents")) // persisted token pass
       val reps = w.groupBy(col("gid"))
         .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
       val base = reps

@@ -88,6 +88,35 @@ class ExtensionsSpec extends SparkSpecBase {
       Set((1L, 2L)))
   }
 
+  test("e1: JaccardPrefilter set-ness proof survives a first() aggregate") {
+    GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = scratch("jacrule3")
+    Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),
+      (3L, Seq("z"))
+    ).toDF("id", "words").write.parquet(s"$dir/t.parquet")
+    // the d15 collapse shape: set columns routed through a
+    // groupBy(...).agg(first(wset)) — the chain is
+    // set_a ← wset ← first(wset') ← array_distinct(words), crossing an
+    // Aggregate alias level. first() emits one group value verbatim, so
+    // set-ness carries and the bound must fire.
+    val reps = spark.read.parquet(s"$dir/t.parquet")
+      .select(col("id"), array_distinct(col("words")).as("wset"))
+      .groupBy(col("id")).agg(first(col("wset")).as("wset"))
+    val a = reps.select(col("id").as("id_a"), col("wset").as("set_a"))
+    val b = reps.select(col("id").as("id_b"), col("wset").as("set_b"))
+    val joined = a.join(b, col("id_a") < col("id_b") &&
+      expr("jaccard_sim(set_a, set_b)") >= 0.5)
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(opt.contains("size("), opt)
+    assert(joined.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+  }
+
   test("e2: hot-path expressions are native codegen, not CodegenFallback") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}

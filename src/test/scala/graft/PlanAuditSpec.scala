@@ -83,8 +83,13 @@ class PlanAuditSpec extends SparkSpecBase {
       s"labeling consumers do not share the cache:\n$p")
   }
 
-  test("q23 top-n per group: single window, no global sort before limit") {
+  test("q23 top-n per group: rank-limit pushdown, no pre-window global sort") {
     val p = plan("q23_topn_group")
-    assert("Window".r.findAllIn(plan("q23_topn_group")).nonEmpty, p)
+    // WindowGroupLimit = the rank-limit pushed below the shuffle, so
+    // each partition keeps only its top-N candidates before exchanging —
+    // the property that makes per-group top-N survive 100× groups
+    assert(p.contains("WindowGroupLimit"), p)
+    // the only range-partitioned sort allowed is the final output order
+    assert("Exchange rangepartitioning".r.findAllIn(p).length <= 1, p)
   }
 }
