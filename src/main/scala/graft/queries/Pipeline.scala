@@ -567,6 +567,32 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- d24: intra-document repetition — the duplicate-bigram
+    // fraction quality filter (high ratio = boilerplate/spam/generated
+    // loops). Pure column expressions, zero shuffles beyond the scan.
+    // Output is ALL-INTEGER (counts + per-mille): a rounded ratio like
+    // 0.80625 is not binary-exact and the two engines' round()
+    // (decimal-string vs binary) can disagree on the boundary, while
+    // (n−d)·1000 is exact in double and IEEE division makes floor
+    // identical on both sides.
+    "d24_repetition" -> { (s, dir) =>
+      withWords(T(s, dir, "documents"))
+        .withColumn("grams", expr(
+          """CASE WHEN size(words) >= 2
+               THEN transform(sequence(0, size(words) - 2),
+                      i -> concat_ws(' ', words[i], words[i + 1]))
+               ELSE array() END"""))
+        .select(col("doc_id"),
+          size(col("grams")).cast("int").as("n_grams"),
+          size(array_distinct(col("grams"))).cast("int").as("n_distinct"))
+        .withColumn("dup_per_mille",
+          when(col("n_grams") > 0,
+            floor((col("n_grams") - col("n_distinct")).cast("double") * 1000.0 /
+              col("n_grams")).cast("int"))
+            .otherwise(0))
+        .orderBy("doc_id")
+    },
+
     // ---- d10: rolling polynomial hash fingerprint (order-sensitive,
     // modulo-bounded so Spark and the oracle agree on arithmetic).
     "d10_fingerprint" -> { (s, dir) =>
@@ -877,6 +903,27 @@ object Pipeline {
       FROM w JOIN f USING (word) CROSS JOIN n
       GROUP BY w.doc_id
       ORDER BY w.doc_id""",
+
+    "d24_repetition" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 2
+                    THEN list_transform(range(len(words) - 1),
+                           i -> words[i + 1] || ' ' || words[i + 2])
+                    ELSE [] END AS grams
+        FROM w)
+      SELECT doc_id,
+             CAST(len(grams) AS INT) AS n_grams,
+             CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+             CAST(CASE WHEN len(grams) > 0
+                  THEN floor(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                             * 1000.0 / len(grams))
+                  ELSE 0 END AS INT) AS dup_per_mille
+      FROM g
+      ORDER BY doc_id""",
 
     "d10_fingerprint" -> """
       SELECT doc_id,
