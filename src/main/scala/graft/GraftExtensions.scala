@@ -45,7 +45,10 @@ object GraftExtensions {
     ("jaccard_sim", info("jaccard_sim", "jaccard_sim(a, b) - Jaccard similarity of two string-token sets"),
       (e: Seq[Expression]) => JaccardSim(e(0), e(1))),
     ("jaccard_sim_sorted", info("jaccard_sim_sorted",
-      "jaccard_sim_sorted(a, b) - Jaccard over ALREADY sorted+deduplicated token arrays (merge kernel, no per-pair allocation)"),
+      "jaccard_sim_sorted(a, b) - Jaccard via two-pointer merge. WARNING: both inputs MUST " +
+        "be sorted ascending (binary order) and deduplicated, e.g. array_sort(array_distinct(x)); " +
+        "anything else returns silently WRONG results - use jaccard_sim instead. " +
+        "Set -Dgraft.jaccard.checkSorted=true to fail fast on violations."),
       (e: Seq[Expression]) => JaccardSim(e(0), e(1), assumeSorted = true)),
     ("minhash_bands", info("minhash_bands",
       "minhash_bands(tokens[, bands]) - MinHash LSH band keys (128 hashes; bands controls the J threshold: 32 -> ~0.5, 16 -> ~0.8)"),

@@ -74,6 +74,10 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
       }
       spark.catalog.clearCache() // release any per-query persist()s
+      // A timed-out query may have died inside a set/restore of a session
+      // conf (s5/d20 lower shuffle partitions around tiny stateful
+      // stages) — re-pin so later queries never plan with a leaked value.
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
     pool.shutdownNow()
     spark.stop()

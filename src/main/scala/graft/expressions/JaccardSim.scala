@@ -36,11 +36,17 @@ case class JaccardSim(left: Expression, right: Expression,
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (assumeSorted) JaccardSim.mergeJaccard(x, y) else JaccardSim.hashJaccard(x, y)
+    if (assumeSorted) {
+      if (JaccardSim.checkSorted) JaccardSim.mergeJaccardChecked(x, y)
+      else JaccardSim.mergeJaccard(x, y)
+    } else JaccardSim.hashJaccard(x, y)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = if (assumeSorted) "mergeJaccard" else "hashJaccard"
+    val kernel =
+      if (!assumeSorted) "hashJaccard"
+      else if (JaccardSim.checkSorted) "mergeJaccardChecked"
+      else "mergeJaccard"
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.expressions.JaccardSim.$kernel($a, $b);")
   }
@@ -51,6 +57,19 @@ case class JaccardSim(left: Expression, right: Expression,
 }
 
 object JaccardSim {
+
+  /** Debug-mode precondition verification for the sorted kernel
+    * (`-Dgraft.jaccard.checkSorted=true`): every input array is asserted
+    * strictly ascending + deduplicated before the merge, turning the
+    * silent-wrong-answer failure mode of a misused `jaccard_sim_sorted`
+    * into an immediate, explanatory error. Off by default — the internal
+    * d4/d15 call sites construct their sets via
+    * `array_sort(array_distinct(...))`, so the hot path stays
+    * verification-free. Mutable (not just a captured property) so specs
+    * can exercise both kernels; codegen snapshots it at compile time.
+    */
+  @volatile var checkSorted: Boolean =
+    java.lang.Boolean.getBoolean("graft.jaccard.checkSorted")
 
   /** General kernel: hash-set dedup of both sides, nulls skipped. */
   def hashJaccard(x: ArrayData, y: ArrayData): Double = {
@@ -97,5 +116,29 @@ object JaccardSim {
     }
     val union = na + nb - inter
     if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Sorted kernel with the precondition asserted (debug mode). */
+  def mergeJaccardChecked(x: ArrayData, y: ArrayData): Double = {
+    verifySortedDistinct(x)
+    verifySortedDistinct(y)
+    mergeJaccard(x, y)
+  }
+
+  /** The non-null prefix (nulls sort last under array_sort) must be
+    * strictly ascending in UTF8String binary order — exactly what the
+    * merge kernel's correctness depends on (strictness also rules out
+    * duplicates, which would inflate the union count). */
+  private def verifySortedDistinct(a: ArrayData): Unit = {
+    val n = a.numElements()
+    var i = 1
+    while (i < n && !a.isNullAt(i)) {
+      if (a.isNullAt(i - 1) || a.getUTF8String(i - 1).compareTo(a.getUTF8String(i)) >= 0)
+        throw new IllegalArgumentException(
+          s"jaccard_sim_sorted: input array is not sorted+deduplicated ascending " +
+            s"(violation at position $i); build sets with array_sort(array_distinct(x)) " +
+            "or use jaccard_sim")
+      i += 1
+    }
   }
 }

@@ -100,9 +100,13 @@ object JaccardPrefilter extends Rule[LogicalPlan] with PredicateHelper {
     case GreaterThanOrEqual(j: JaccardSim, Literal(t: Double, DoubleType)) => Some((j, t))
     case GreaterThanOrEqual(Round(j: JaccardSim, Literal(n: Int, IntegerType), _), Literal(t: Double, DoubleType)) =>
       // round(J, n) >= t with J ∈ [0,1] implies J >= t - 0.5·10⁻ⁿ; relax
-      // by exactly the half-ulp of the literal scale so rounding can't
-      // lose a pair while the prune stays as tight as the scale allows
-      Some((j, math.max(0.0, t - 0.5 * math.pow(10.0, -n))))
+      // by the half-ulp of the literal scale so rounding can't lose a
+      // pair while the prune stays as tight as the scale allows. The
+      // relaxation is computed in binary floating point (pow ≤1 ulp off,
+      // the subtraction rounds once more), so step two ulps down to make
+      // the bound provably ≤ the exact decimal boundary — tightness loss
+      // is immaterial, conservatism is not.
+      Some((j, math.max(0.0, math.nextDown(math.nextDown(t - 0.5 * math.pow(10.0, -n))))))
     case _ => None
   }
 

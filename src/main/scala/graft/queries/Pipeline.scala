@@ -45,6 +45,37 @@ object Pipeline {
   private def lenBucket: org.apache.spark.sql.Column =
     floor(col("n_chars") / 100.0).cast("int")
 
+  /** Streaming union-find with path compression (memory O(distinct
+    * nodes); the edge iterator streams through): emits one
+    * (node, root) row per node, root canonicalized to the component's
+    * min node id. `nodes` seeds members that may have no edges. Shared
+    * by both levels of d20's connected-components scheme.
+    */
+  private def unionFindLabels(nodes: Iterator[Long],
+      edges: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    nodes.foreach(d => parent.getOrElseUpdate(d, d))
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+    }
+    val keys = parent.keys.toArray
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    keys.foreach { d =>
+      val r = find(d)
+      minOfRoot.update(r, math.min(minOfRoot.getOrElse(r, Long.MaxValue), d))
+    }
+    keys.iterator.map(d => (d, minOfRoot(find(d))))
+  }
+
   /** 3-word shingles for MinHash (short docs fall back to one shingle). */
   private def withShingles(df: DataFrame): DataFrame =
     withWords(df).withColumn("shingles", expr(
@@ -171,54 +202,60 @@ object Pipeline {
     // (d4's oracle-checked J ≥ 0.5 pair set) into clusters and keep one
     // canonical doc per cluster (min doc_id). d4's edges are BLOCK-LOCAL
     // by construction (both endpoints share the lang + len-bucket
-    // blocking key), so global CC decomposes exactly into per-block CC:
-    // one cogroup shuffle keyed by block, then a streaming union-find
-    // per block (memory O(docs in block) — edges stream through; the
-    // legitimate mapGroups case: per-group imperative logic Spark's
-    // operators can't express). No driver-side iteration at all. The
-    // earlier iterative min-label-propagation + pointer-jumping variant
-    // (the shape cross-block graphs need) converged in 9 rounds but paid
-    // ~1 s/round of scheduling floor — 16 s at sf0.1 where this shape
-    // costs ~3 s on top of the d4 pair generation it consumes.
+    // blocking key), so global CC decomposes exactly into per-block CC.
+    // No driver-side iteration at all. The earlier iterative
+    // min-label-propagation + pointer-jumping variant (the shape
+    // cross-block graphs need) converged in 9 rounds but paid ~1 s/round
+    // of scheduling floor — 16 s at sf0.1 where this shape costs ~3 s on
+    // top of the d4 pair generation it consumes.
+    //
+    // TWO-LEVEL union-find, so a homogeneous mega-block (the case d4
+    // chunk-salts its pair scan against) cannot collapse the clustering
+    // back into one O(edges) task:
+    //  1. edges are salted by (blk, doc_a mod nsalt) — the same
+    //     per-block nsalt derivation as d4 — and each chunk runs a local
+    //     streaming union-find, emitting ONE (node, local min-root) link
+    //     per node it saw. This contracts O(edges) down to
+    //     O(nodes × chunks touched) and restores the parallelism the
+    //     salting bought upstream.
+    //  2. one cogroup per block merges the contracted links with the
+    //     full member list (isolated docs included) through the same
+    //     union-find. A node with edges in several chunks links its
+    //     local roots, so components are exactly preserved (standard
+    //     edge-partition contraction). The single per-block task is now
+    //     bounded by O(docs in block), INDEPENDENT of edge count.
+    // Both levels stream their edge iterators; memory is O(distinct
+    // nodes) per task (the legitimate mapGroups case: per-group
+    // imperative logic Spark's operators can't express).
     // The DuckDB oracle is an exact recursive-CTE transitive closure, so
     // the block-local = global equivalence is itself oracle-verified.
     "d20_dedup_clusters" -> { (s, dir) =>
       import s.implicits._
       GraftExtensions.install(s)
+      val saltCap = 2000 // same chunk cap as d4's pair scan
       val blocked = T(s, dir, "documents")
         .select(col("doc_id"), concat_ws(" ", col("lang"), lenBucket).as("blk"))
+      val blockSizes = blocked.groupBy(col("blk")).agg(count(lit(1)).as("block_n"))
+      val salted = blocked.join(broadcast(blockSizes), "blk")
+        .withColumn("nsalt", ceil(col("block_n") / lit(saltCap.toDouble)).cast("int"))
+      // level 1: contracted (node → local root) links per edge chunk
+      val links = queries("d4_ngram_jaccard")(s, dir)
+        .select("doc_a", "doc_b")
+        .join(salted.select(col("doc_id").as("doc_a"), col("blk"), col("nsalt")), "doc_a")
+        .select(col("blk"), pmod(col("doc_a"), col("nsalt")).cast("int").as("salt"),
+          col("doc_a"), col("doc_b"))
+        .as[(String, Int, Long, Long)]
+        .groupByKey(t => (t._1, t._2))
+        .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Long, Long)]) =>
+          unionFindLabels(Iterator.empty, it.map(t => (t._3, t._4)))
+            .map { case (d, r) => (key._1, d, r) }
+        }
+      // level 2: per-block merge of contracted links + isolated members
       val docsK = blocked.as[(Long, String)]
         .groupByKey(_._2).mapValues(_._1)
-      val edgesK = queries("d4_ngram_jaccard")(s, dir)
-        .select("doc_a", "doc_b")
-        .join(blocked.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .select(col("blk"), col("doc_a"), col("doc_b"))
-        .as[(String, Long, Long)]
-        .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      val labeled = docsK.cogroup(edgesK) { (_, docs, edges) =>
-        // union-find with path compression; root canonicalized to the
-        // component's min doc_id afterwards
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        val members = docs.toArray
-        members.foreach(d => parent.getOrElseUpdate(d, d))
-        edges.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
-        }
-        val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
-        members.foreach { d =>
-          val r = find(d)
-          minOfRoot.update(r, math.min(minOfRoot.getOrElse(r, Long.MaxValue), d))
-        }
-        members.iterator.map(d => (d, minOfRoot(find(d))))
+      val linksK = links.groupByKey(_._1).mapValues(t => (t._2, t._3))
+      val labeled = docsK.cogroup(linksK) { (_, docs, linkEdges) =>
+        unionFindLabels(docs, linkEdges)
       }.toDF("doc_id", "root")
         // both the size aggregate and the final join read the labeling;
         // without this the cogroup AND the d4 pair generation upstream

@@ -90,16 +90,15 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.keys.exists { case (a, b) => a < 20 && b < 20 })
   }
 
-  test("d4: mega-bucket salting keeps exact results on a single-block corpus") {
-    // Every doc lands in ONE block (same lang, same len bucket): with
-    // saltCap = 2000 a 2400-doc corpus forces nsalt = 2, exercising the
-    // chunk-salted scan. Each pair must still be met exactly once: the
-    // salted output must equal the unsalted brute-force answer.
+  /** Single-block corpus: every doc shares (lang, len bucket), so with
+    * saltCap = 2000 the 2400 docs force nsalt = 2 — exercising d4's
+    * chunk-salted pair scan AND d20's two-level union-find. 30 clusters
+    * of 80 near-identical docs (18 shared + 2 own tokens, same length):
+    * within-cluster J = 18/22 ≈ 0.82, cross-cluster J = 0. */
+  private lazy val megaBucketDir: String = {
     val dir = scratch("megabucket")
     import spark.implicits._
     def text(i: Int): String = {
-      // 30 clusters of 80 near-identical docs: cluster vocabulary plus
-      // a couple of per-doc tokens, all docs the same length
       val c = i % 30
       val base = (0 until 18).map(j => f"clu$c%03d_tok$j%04d")
       val own = (0 until 2).map(j => f"own$i%05d_$j%04d")
@@ -110,7 +109,13 @@ class DedupSpec extends SparkSpecBase {
       .withColumn("source", lit("spec"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     GraftWriter.write(df, s"$dir/documents.parquet")
-    val out = Pipeline.queries("d4_ngram_jaccard")(spark, dir)
+    dir
+  }
+
+  test("d4: mega-bucket salting keeps exact results on a single-block corpus") {
+    // Each pair must still be met exactly once: the salted output must
+    // equal the unsalted brute-force answer.
+    val out = Pipeline.queries("d4_ngram_jaccard")(spark, megaBucketDir)
     // same-cluster pairs share 18 of 22 distinct tokens: J = 18/22 ≈ 0.82;
     // cross-cluster pairs share nothing. Expect exactly the within-cluster
     // pair count, each exactly once (salting must not drop or duplicate).
@@ -119,6 +124,22 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.length == expected, s"got ${rows.length}, want $expected")
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == expected)
     assert(rows.forall(_.getDouble(2) > 0.8))
+  }
+
+  test("d20: two-level union-find clusters a single-block corpus exactly") {
+    // The mega-block's edge mass (30 × C(80,2) edges in ONE block) is
+    // split across level-1 chunks; the level-2 merge must still recover
+    // the exact 30 components: root = min doc_id of the cluster
+    // (= the cluster index, docs 0..29), size 80, keep only the root.
+    val out = Pipeline.queries("d20_dedup_clusters")(spark, megaBucketDir).collect()
+    assert(out.length == 2400)
+    out.foreach { r =>
+      val (doc, root, size, keep) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(root == doc % 30, s"doc $doc: root $root")
+      assert(size == 80, s"doc $doc: size $size")
+      assert(keep == (doc < 30), s"doc $doc: keep $keep")
+    }
   }
 
   test("d1: exact dedup groups exact copies only") {

@@ -80,8 +80,10 @@ class ExtensionsSpec extends SparkSpecBase {
     val opt = joined.queryExecution.optimizedPlan.toString
     assert(opt.contains("size("), opt)
     // round(J, 4) >= 0.5 relaxes by the half-ulp of scale 4 (5e-5), not
-    // the old blanket 0.05 — the literal 0.4999[5] must appear, 0.45 not
-    assert(opt.contains("0.49995"), opt)
+    // the old blanket 0.05 — the bound is 0.49995 minus a two-ulp guard
+    // (provably conservative under pow/subtraction rounding), so the
+    // plan carries 0.4999499999999999..., never 0.45
+    assert(opt.contains("0.49994999"), opt)
     assert(!opt.contains("0.45"), opt)
     // and the relaxed bound still loses no qualifying pair
     assert(joined.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
@@ -144,6 +146,30 @@ class ExtensionsSpec extends SparkSpecBase {
     assert("""\*\(\d+\) Project \[jaccard_sim""".r.findFirstIn(plan).isDefined, plan)
     // both kernels on identical sorted-distinct input: J = 1.0, equal
     assert(df.collect().forall(r => r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0))
+  }
+
+  test("e2: checkSorted debug mode fails fast on unsorted jaccard_sim_sorted input") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def j(arr: Array[String]) = JaccardSim(
+      Literal.create(arr, ArrayType(StringType)),
+      Literal.create(arr, ArrayType(StringType)),
+      assumeSorted = true)
+    val prev = JaccardSim.checkSorted
+    try {
+      JaccardSim.checkSorted = true
+      // sorted+distinct: passes the assertion, normal result
+      assert(j(Array("a", "b", "c")).eval(null) == 1.0)
+      // out of order → immediate error instead of silent garbage
+      val ex1 = intercept[IllegalArgumentException](j(Array("b", "a")).eval(null))
+      assert(ex1.getMessage.contains("not sorted"))
+      // duplicates (strictness violation) → same error
+      intercept[IllegalArgumentException](j(Array("a", "a", "b")).eval(null))
+      // with the flag off, the unchecked kernel is back (undefined result,
+      // but no throw) — the hot path must stay verification-free
+      JaccardSim.checkSorted = false
+      j(Array("b", "a")).eval(null)
+    } finally JaccardSim.checkSorted = prev
   }
 
   test("e2: cosine_sim codegen path evaluates inside whole-stage codegen") {
