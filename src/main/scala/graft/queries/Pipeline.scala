@@ -630,6 +630,85 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- d25: benchmark-contamination check — the decontamination step
+    // every serious training pipeline runs: count each training doc's
+    // 3-gram shingles that also appear in a held-out benchmark/eval set
+    // (here: the deterministic doc_id % 97 == 0 subset stands in for the
+    // benchmark). Shape for 100 TB: the benchmark shingle set is tiny by
+    // construction (eval sets are thousands of docs, not billions) →
+    // broadcast left-semi join against the exploded training shingles,
+    // then one per-doc count — the corpus never shuffles, only its
+    // matched shingle hits do. ALL-INTEGER output (counts + per-mille +
+    // an integer-derived flag), so the oracle is exact.
+    "d25_contamination" -> { (s, dir) =>
+      val sh = withShingles(T(s, dir, "documents"))
+        .select(col("doc_id"), col("shingles"))
+        .persist() // benchmark side + training side + totals: one pass
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("shingles")).as("shingle")).distinct()
+      val train = sh.filter(col("doc_id") % 97 =!= 0)
+      val hits = train
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .join(broadcast(bench), Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
+      train.select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+        .withColumn("contam_permille",
+          expr("1000 * n_contam div n_shingles"))
+        // flag at >=10% shingle overlap — decontamination thresholds are
+        // deliberately aggressive (any substantial n-gram overlap with an
+        // eval set disqualifies a doc); integer form, no float boundary
+        .withColumn("contaminated", col("n_contam") * 10 >= col("n_shingles"))
+        .select("doc_id", "n_shingles", "n_contam", "contam_permille", "contaminated")
+        .orderBy("doc_id")
+    },
+
+    // ---- d26: fixed-window boilerplate dedup — the C4-style "line
+    // dedup" analogue for unpunctuated token streams: hash consecutive
+    // 20-token windows and surface windows shared by ≥2 docs (navigation
+    // chrome, license blurbs, generated loops). One explode + one
+    // hash-keyed groupBy shuffle — the windows shuffle as md5 hashes,
+    // never as token text, which is what keeps the shuffle narrow at
+    // 100 TB. (A real pipeline would follow with a per-doc window-drop
+    // join, which is d26's output joined back on window_hash.)
+    "d26_window_dedup" -> { (s, dir) =>
+      val wins = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, cast(ceil(size(words) / 20.0) as int) - 1),
+               i -> concat_ws(' ', slice(words, i * 20 + 1, 20)))""")).as("win"))
+      wins.groupBy(md5(col("win")).as("window_hash"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("window_hash")
+    },
+
+    // ---- d27: token-budget shard packing — the sequence-packing step
+    // that turns a filtered corpus into training shards of ~budget
+    // tokens. Deterministic start-offset packing: shard = (tokens before
+    // this doc) div budget, running sum PARTITIONED BY source — each
+    // source packs independently and in parallel (a single global
+    // running sum would serialize the window at 100 TB; per-source
+    // packing is both the scalable plan and what data-mixing pipelines
+    // actually want, since shards stay source-pure for mixing weights).
+    // ALL-INTEGER output → exact oracle.
+    "d27_shard_pack" -> { (s, dir) =>
+      val budget = 2000L // tokens per shard
+      val toks = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), size(col("words")).cast("long").as("n_tok"))
+      val packed = toks.withColumn("cum_before",
+          coalesce(sum(col("n_tok")).over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("shard", expr(s"cum_before div ${budget}L"))
+      packed.groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "shard")
+    },
+
     // ---- d10: rolling polynomial hash fingerprint (order-sensitive,
     // modulo-bounded so Spark and the oracle agree on arithmetic).
     "d10_fingerprint" -> { (s, dir) =>
@@ -940,6 +1019,71 @@ object Pipeline {
       FROM w JOIN f USING (word) CROSS JOIN n
       GROUP BY w.doc_id
       ORDER BY w.doc_id""",
+
+    "d25_contamination" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 3
+                    THEN list_distinct(list_transform(range(len(words) - 2),
+                           i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3]))
+                    ELSE [array_to_string(words, ' ')] END AS shingles
+        FROM w),
+      bench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+      train AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+      hits AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contam
+        FROM train t JOIN bench b USING (shingle)
+        GROUP BY t.doc_id),
+      tot AS (
+        SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles
+        FROM sh WHERE doc_id % 97 <> 0)
+      SELECT tot.doc_id, tot.n_shingles,
+             coalesce(h.n_contam, 0) AS n_contam,
+             CAST(1000 * coalesce(h.n_contam, 0) // tot.n_shingles AS BIGINT) AS contam_permille,
+             coalesce(h.n_contam, 0) * 10 >= tot.n_shingles AS contaminated
+      FROM tot LEFT JOIN hits h ON tot.doc_id = h.doc_id
+      ORDER BY tot.doc_id""",
+
+    "d26_window_dedup" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      wins AS (
+        SELECT doc_id,
+               unnest(list_transform(range(CAST(ceil(len(words) / 20.0) AS INT)),
+                 i -> array_to_string(words[i * 20 + 1 : i * 20 + 20], ' '))) AS win
+        FROM w)
+      SELECT md5(win) AS window_hash,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occ,
+             min(doc_id) AS first_doc
+      FROM wins
+      GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY window_hash""",
+
+    "d27_shard_pack" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM t)
+      SELECT source, CAST(cum_before // 2000 AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c
+      GROUP BY 1, 2
+      ORDER BY source, shard""",
 
     "d24_repetition" -> """
       WITH w AS (

@@ -160,6 +160,35 @@ object Sources {
         .filter(col("size") > 0 && !col("is_dir"))
         .select(regexp_extract(col("path"), "[^/]+$", 0).as("fname"))
         .orderBy("fname")
+    },
+
+    // ---- a11: small-file compaction — the FS maintenance op every
+    // long-lived HDFS/parquet landing zone needs: a directory of tiny
+    // files (here: the corpus deliberately landed as 64 shards) is
+    // rewritten into ceil(rows / targetRowsPerFile) right-sized files.
+    // repartition(n), not coalesce(n): coalesce(1) would collapse the
+    // READ side into one task too; repartition keeps the scan parallel
+    // and only the write lands n files. At 100 TB the same plan runs
+    // per-partition-directory with targetRowsPerFile derived from the
+    // desired file size. The oracle checks exact row preservation
+    // (counts + integer checksums per lang) against the source table;
+    // the file-count reduction itself is spec-asserted (SourcesSpec).
+    "a11_compaction" -> { (s, dir) =>
+      val small = s"$scratchDir/a11/small"
+      val compacted = s"$scratchDir/a11/compacted"
+      GraftWriter.write(T(s, dir, "documents").repartition(64), small,
+        format = Some("parquet"))
+      val in = GraftReader.read(s, small, "parquet")
+      val targetRowsPerFile = 100000L
+      val n = math.max(1L, (in.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      GraftWriter.write(in.repartition(n), compacted, format = Some("parquet"))
+      GraftReader.read(s, compacted, "parquet")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("doc_id")).as("n_ids"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_total"))
+        .orderBy("lang")
     }
   )
 
@@ -169,6 +198,14 @@ object Sources {
       ORDER BY n_nationkey"""
 
   val oracles: Map[String, String] = Map(
+    "a11_compaction" -> """
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(sum(n_chars) AS BIGINT) AS chars_total
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
     "a1_scheme_routing" -> nationOracle,
     "a2_glob_read" -> nationOracle,
     "a3_multifile_union" -> """

@@ -87,6 +87,23 @@ class SourcesSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("a11: compaction collapses the small-file directory and keeps every row") {
+    // run the operator (it writes small/ at 64 files, compacted/ at
+    // ceil(rows / 100k) = 1 file for the tiny SF), then assert the
+    // file-count reduction the oracle can't see
+    val out = graft.queries.Sources.queries("a11_compaction")(spark, sfTiny)
+    assert(out.count() > 0)
+    def parquetFiles(p: String): Int =
+      GraftReader.listFiles(spark, s"$p/*.parquet")
+        .filter(!col("is_dir")).collect().length
+    val base = graft.queries.Sources.scratchDir
+    assert(parquetFiles(s"$base/a11/small") == 64)
+    assert(parquetFiles(s"$base/a11/compacted") == 1)
+    // exact row preservation across the rewrite
+    val docs = Tables.load(spark, sfTiny, "documents")
+    assert(GraftReader.read(spark, s"$base/a11/compacted", "parquet").count() == docs.count())
+  }
+
   test("a8: listing relation exposes path/size/mtime") {
     val df = GraftReader.listFiles(spark, s"$sfTiny/*.parquet")
     assert(df.columns.toSeq == Seq("path", "size", "mtime_ms", "is_dir"))
