@@ -208,6 +208,27 @@ object StreamingOps {
         .orderBy("purchase_id", "view_id")
     },
 
+    // ---- s8: stream-static enrichment join — the other canonical
+    // production streaming shape (s5 covers stream-STREAM): every
+    // micro-batch equi-joins against a STATIC precomputed dimension (a
+    // per-user profile snapshot), broadcast so the stream side never
+    // shuffles and no join state store exists at all (the static side is
+    // re-resolvable per batch; no watermark needed — this is what keeps
+    // the join O(batch) forever on an unbounded stream). Enriched rows
+    // then aggregate per derived attribute.
+    "s8_stream_enrich" -> { (s, dir) =>
+      val profile = graft.Tables.load(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_hist"))
+      val enriched = streamEvents(s, dir)
+        .join(broadcast(profile), Seq("user_id"))
+        .withColumn("activity",
+          when(col("n_hist") >= 67, "heavy").otherwise("light"))
+      val agg = enriched.groupBy(col("activity"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      runToTable(s, agg, "graft_s8", OutputMode.Complete())
+        .orderBy("activity", "event_type")
+    },
+
     // ---- s7: foreachBatch file sink — the canonical production sink:
     // each micro-batch lands as its own parquet directory keyed by
     // batchId, which is what makes retries idempotent (a re-run of
@@ -250,6 +271,16 @@ object StreamingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s8_stream_enrich" -> """
+      WITH p AS (
+        SELECT user_id, count(*) AS n_hist FROM events GROUP BY user_id)
+      SELECT CASE WHEN p.n_hist >= 67 THEN 'heavy' ELSE 'light' END AS activity,
+             e.event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(e.value), 2) AS total_value
+      FROM events e JOIN p USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY activity, event_type""",
     "s1_stream_window" -> """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value

@@ -83,6 +83,29 @@ class PlanAuditSpec extends SparkSpecBase {
       s"labeling consumers do not share the cache:\n$p")
   }
 
+  test("d25 contamination: benchmark side broadcasts as a semi-join") {
+    val p = Pipeline.queries("d25_contamination")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    // the benchmark shingle set must reach the training side as a
+    // BROADCAST left-semi join — a shuffled join here would shuffle the
+    // full exploded training shingle stream at 100 TB
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark set is not a broadcast semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d27 shard packing: per-source window, no global sort") {
+    val p = Pipeline.queries("d27_shard_pack")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    // the running sum must partition by source (hash exchange), never
+    // range-partition the whole corpus into one global ordering — the
+    // final output orderBy is the only range exchange allowed
+    assert("Exchange rangepartitioning".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+    // map-side partial aggregation ahead of the shard rollup
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("q23 top-n per group: rank-limit pushdown, no pre-window global sort") {
     val p = plan("q23_topn_group")
     // WindowGroupLimit = the rank-limit pushed below the shuffle, so
