@@ -66,6 +66,15 @@ object GraftExtensions {
       (e: Seq[Expression]) => SigMatchFrac(e(0), e(1))),
     ("simhash64", info("simhash64", "simhash64(words) - 64-bit SimHash signature"),
       (e: Seq[Expression]) => SimHash64(e.head)),
+    ("heavy_hitters", info("heavy_hitters",
+      "heavy_hitters(item, k) - Misra-Gries heavy-hitters sketch aggregate: returns the <=k " +
+        "candidate items (every item with frequency > n/k is guaranteed present); " +
+        "rerank candidates with an exact count pass for exact top-m"),
+      (e: Seq[Expression]) => e match {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(kk: Int, _)) =>
+          MisraGries(c, kk)
+        case _ => throw new IllegalArgumentException("heavy_hitters(item, k) — k must be an int literal")
+      }),
     ("hyperplane_buckets",
       info("hyperplane_buckets", "hyperplane_buckets(vec) - multi-table sign-LSH bucket keys"),
       (e: Seq[Expression]) => HyperplaneBuckets(e.head))

@@ -1,0 +1,140 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+/** `heavy_hitters(item, k)` — Misra-Gries heavy-hitters sketch as a
+  * native distributive aggregate (the "novel sketch" extension tier:
+  * when the builtin surface has no operator, a custom Catalyst aggregate
+  * beats a UDAF). The summary holds at most k counters; map-side partial
+  * summaries MERGE associatively (counter-sum, then evict by the
+  * (k+1)-th largest count), so the aggregate distributes exactly like
+  * sum(): one O(k)-sized object per partition crosses the wire, never
+  * the item stream — the property that makes global frequent-item
+  * discovery feasible over a 100 TB corpus whose full vocabulary (every
+  * distinct n-gram) could never be grouped exactly.
+  *
+  * Guarantee (standard Misra-Gries): every item with true frequency
+  * > n/k survives in the summary; surviving counts are undercounts by
+  * at most n/k. Exact top-m therefore needs a rerank pass counting ONLY
+  * the ≤k candidates (see d28), exact whenever the true m-th frequency
+  * exceeds n/k.
+  *
+  * eval() returns the candidate items sorted ascending (binary order) —
+  * counts are deliberately NOT exposed: they are sketch lower bounds,
+  * and the rerank pass recomputes exact ones.
+  */
+case class MisraGries(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
+
+  require(k > 0, "heavy_hitters: k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "heavy_hitters"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"heavy_hitters requires a string item column, got ${child.dataType.catalogString}")
+    }
+
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+    mutable.HashMap.empty[UTF8String, Long]
+
+  override def update(buf: mutable.HashMap[UTF8String, Long],
+      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[UTF8String]
+      buf.get(item) match {
+        case Some(n) => buf.update(item, n + 1L)
+        case None if buf.size < k =>
+          // clone: the evaluated UTF8String may point into a reused
+          // row buffer; the stored key must own its bytes
+          buf.update(item.clone(), 1L)
+        case None =>
+          // classic MG step: a miss with a full summary decrements every
+          // counter (amortized O(1) per stream item: each decrement pays
+          // back an earlier increment)
+          buf.mapValuesInPlace((_, n) => n - 1L)
+          buf.filterInPlace((_, n) => n > 0L)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[UTF8String, Long],
+      other: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
+    other.foreach { case (item, n) =>
+      buf.update(item, buf.getOrElse(item, 0L) + n)
+    }
+    if (buf.size > k) {
+      // evict by the (k+1)-th largest count: subtracting it from every
+      // counter keeps the undercount bound additive across merges
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val cut = counts(buf.size - k - 1)
+      buf.mapValuesInPlace((_, n) => n - cut)
+      buf.filterInPlace((_, n) => n > 0L)
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
+    val items = buf.keysIterator.toArray
+    java.util.Arrays.sort(items, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(items.asInstanceOf[Array[AnyRef]])
+  }
+
+  override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (item, n) =>
+      val bytes = item.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(n)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[UTF8String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(UTF8String.fromBytes(b), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGries =
+    copy(child = newChildren.head)
+}

@@ -142,6 +142,32 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("d28: heavy-hitters sketch + rerank is exact on a 1000-word corpus with evictions") {
+    // 1000 distinct words >> k = 64 counters, so the sketch evicts
+    // constantly in update() AND merges partial summaries across
+    // partitions; 20 planted heavy words (200 occurrences each) clear
+    // the survival bound n/k = 8900/64 ≈ 139, the 980 light words (5
+    // each) stay far below — the exact top-20 must come back exactly.
+    val dir = scratch("heavyhitters")
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val heavy = (0 until 20).map(i => f"heavy$i%02d")
+    val light = (0 until 980).map(i => f"light$i%03d")
+    val stream = rnd.shuffle(
+      heavy.flatMap(w => Seq.fill(200)(w)) ++ light.flatMap(w => Seq.fill(5)(w)))
+    val docs = stream.grouped(89).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }.toSeq
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df.repartition(8), s"$dir/documents.parquet")
+    val got = Pipeline.queries("d28_heavy_hitters")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // all 20 heavies tie at 200 → output ordered by word ascending
+    assert(got == heavy.sorted.map(w => (w, 200L)), s"got $got")
+  }
+
   test("d1: exact dedup groups exact copies only") {
     val out = Pipeline.queries("d1_exact_dedup")(spark, plantedDir)
     assert(out.count() == 25) // 28 docs, 3 exact dup pairs collapse
