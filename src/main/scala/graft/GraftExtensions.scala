@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan-rewrite level: auto-derive cheap size bounds for jaccard
     // threshold predicates (graft.plans.JaccardPrefilter)
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilter)
+    // whole-operator level: native AS-OF join (marker rewrite + strategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -77,7 +80,16 @@ object GraftExtensions {
       }),
     ("hyperplane_buckets",
       info("hyperplane_buckets", "hyperplane_buckets(vec) - multi-table sign-LSH bucket keys"),
-      (e: Seq[Expression]) => HyperplaneBuckets(e.head))
+      (e: Seq[Expression]) => HyperplaneBuckets(e.head)),
+    ("asof_on", info("asof_on",
+      "asof_on(lkey, rkey, ltime, rtime) - AS-OF join marker: use as the ENTIRE condition " +
+        "of a left/inner join; the AsOfJoinRewrite rule replaces the join with the native " +
+        "as-of operator (each left row matches the latest right row with equal key and " +
+        "rtime <= ltime)"),
+      (e: Seq[Expression]) => e match {
+        case Seq(lk, rk, lt, rt) => graft.plans.AsOfOn(lk, rk, lt, rt)
+        case _ => throw new IllegalArgumentException("asof_on(lkey, rkey, ltime, rtime)")
+      })
   )
 
   /** Idempotently register all graft functions AND the optimizer rule on
@@ -92,5 +104,11 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.JaccardPrefilter))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.JaccardPrefilter
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.AsOfJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.AsOfJoinRewrite
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

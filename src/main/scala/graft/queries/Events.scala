@@ -85,6 +85,28 @@ object Events {
         .orderBy("purchase_id")
     },
 
+    // ---- e3: the NATIVE as-of join — same semantics and oracle as q38,
+    // executed by the custom whole-operator stack (graft.plans.AsOfJoin:
+    // asof_on marker → AsOfJoinRewrite → AsOfJoinStrategy → AsOfJoinExec).
+    // The physical plan is one co-partitioned shuffle per side + in-
+    // partition sort + an O(|L|+|R|) forward merge with O(1) task state —
+    // the operator q38 emulates with union + window, now reusable from
+    // any query as `join(right, expr("asof_on(..)"), "left")`.
+    "e3_asof_native" -> { (s, dir) =>
+      graft.GraftExtensions.install(s)
+      val e = T(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("view_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      purchases.join(views, expr("asof_on(p_user, v_user, p_ts, v_ts)"), "left")
+        .select(col("purchase_id"), col("p_user").as("user_id"), col("view_id"))
+        .orderBy("purchase_id")
+    },
+
     // ---- q39: RANGE join — pairs of a user's events within 5 minutes.
     // Spark-first re-expression: time-bucket blocking (probe side
     // explodes into its own and the next 300 s bucket) turns the
@@ -185,6 +207,19 @@ object Events {
         WHERE p.last_purchase > v.first_view)""",
 
     "q38_asof" -> """
+      WITH v AS (
+        SELECT user_id, ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      p AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id, v.view_id
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY purchase_id""",
+
+    // e3 = q38's semantics through the native operator: same oracle
+    "e3_asof_native" -> """
       WITH v AS (
         SELECT user_id, ts, max(event_id) AS view_id
         FROM events WHERE event_type = 'view' GROUP BY user_id, ts),

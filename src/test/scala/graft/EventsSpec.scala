@@ -51,4 +51,25 @@ class EventsSpec extends SparkSpecBase {
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
     assert(got == Set((100L, None), (101L, Some(30L)), (102L, Some(30L))), got.toString)
   }
+
+  test("e3: native as-of operator plans AsOfJoinExec and matches q38 exactly") {
+    val df = Events.queries("e3_asof_native")(spark, plantedDir)
+    // the rewrite must actually fire: the physical plan carries the
+    // custom operator, not a fallback join of the unevaluable marker
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native operator not planned:\n$plan")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    // same edge semantics as q38: no-prior-view null, same-ts view counts
+    assert(rows(df) == rows(Events.queries("q38_asof")(spark, plantedDir)), rows(df).toString)
+  }
+
+  test("e3: native as-of matches q38's union+window composition on the full table") {
+    val dir = sfTiny
+    val native = Events.queries("e3_asof_native")(spark, dir).collect()
+    val composed = Events.queries("q38_asof")(spark, dir).collect()
+    assert(native.length == composed.length)
+    assert(native.map(_.toString).toSeq == composed.map(_.toString).toSeq)
+  }
 }
