@@ -50,9 +50,9 @@ object Bench {
     name match {
       case n if headliners(n) => 0
       case n if n.startsWith("d") => 1
-      case n if n.startsWith("q") => 2
       case n if n.startsWith("a") => 3
-      case _ => 4 // streaming: pure micro-batch machinery floor
+      case n if n.startsWith("s") => 4 // streaming: micro-batch machinery floor
+      case _ => 2 // relational / events / extension entries
     }
   }
 

@@ -85,6 +85,31 @@ object Events {
         .orderBy("purchase_id")
     },
 
+    // ---- q44: recursive CTE — the calendar-spine gap-filling pattern
+    // (generate every day between min and max event date, left-join the
+    // daily counts so empty days surface as 0). Spark 4's WITH RECURSIVE
+    // plans a UnionLoop: the driver iterates the recursive step, each
+    // iteration a distributed batch — here ~1 row/step (the spine), so
+    // recursion depth = days, and the only distributed work is the one
+    // daily-count aggregate + broadcast join. The recursive member
+    // carries the bound (hi) through the loop instead of re-running a
+    // scalar subquery per step.
+    "q44_recursive_cte" -> { (s, dir) =>
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        WITH RECURSIVE days AS (
+          SELECT CAST(min(ts) AS DATE) AS d, CAST(max(ts) AS DATE) AS hi FROM events
+          UNION ALL
+          SELECT date_add(d, 1) AS d, hi FROM days WHERE d < hi
+        )
+        SELECT d AS day, coalesce(n, CAST(0 AS BIGINT)) AS n
+        FROM days LEFT JOIN (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n
+          FROM events GROUP BY CAST(ts AS DATE)) e
+          ON days.d = e.day
+        ORDER BY day""")
+    },
+
     // ---- e3: the NATIVE as-of join — same semantics and oracle as q38,
     // executed by the custom whole-operator stack (graft.plans.AsOfJoin:
     // asof_on marker → AsOfJoinRewrite → AsOfJoinStrategy → AsOfJoinExec).
@@ -217,6 +242,19 @@ object Events {
       FROM p ASOF LEFT JOIN v
         ON p.user_id = v.user_id AND p.ts >= v.ts
       ORDER BY purchase_id""",
+
+    "q44_recursive_cte" -> """
+      WITH RECURSIVE days AS (
+        SELECT CAST(min(ts) AS DATE) AS d, CAST(max(ts) AS DATE) AS hi FROM events
+        UNION ALL
+        SELECT d + 1 AS d, hi FROM days WHERE d < hi
+      )
+      SELECT d AS day, CAST(coalesce(n, 0) AS BIGINT) AS n
+      FROM days LEFT JOIN (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1) e
+        ON days.d = e.day
+      ORDER BY day""",
 
     // e3 = q38's semantics through the native operator: same oracle
     "e3_asof_native" -> """
