@@ -709,6 +709,52 @@ object Pipeline {
         .orderBy("source", "shard")
     },
 
+    // ---- d29: IVF-style ANN — the coarse-quantizer scale path beside
+    // d6's LSH: assign every corpus vector to its nearest of C coarse
+    // centroids (the IVF build: one linear scan × C, centroids
+    // broadcast), then each query probes only its nProbe nearest cells
+    // and exact-reranks the candidates. Candidate generation and the
+    // rerank joins shuffle ids only; vectors are re-joined by id. Here
+    // the centroids are a deterministic anchor subset (first C vec_ids)
+    // — at 100 TB they come from k-means over a sample, the plan shape
+    // is identical. Recall on planted clustered vectors is
+    // spec-verified (DedupSpec); the driver corpus is near-uniform
+    // random, where cell-pruned recall is structurally bounded by
+    // nProbe/C — the documented IVF trade, hence rows-only here.
+    "d29_ivf_ann" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val nCells = 32
+      val nProbe = 4
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+        .select("vec_id", "vec")
+        .persist() // consumed by centroids, assignment, queries, rerank
+      val cents = broadcast(emb.orderBy("vec_id").limit(nCells)
+        .select(col("vec_id").as("cid"), col("vec").as("cvec")))
+      val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+      val assigned = emb.crossJoin(cents)
+        .withColumn("csim", expr("cosine_sim(vec, cvec)"))
+        .select(col("vec_id"), col("cid"), col("csim"))
+      val cellOf = assigned.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
+      val qProbe = assigned.filter(col("vec_id") < 10)
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= nProbe)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      val cands = qProbe.join(cellOf, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+      val qv = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec")))
+      val scored = cands.join(emb, "vec_id").join(qv, "qid")
+        .withColumn("cos_sim", round(expr("cosine_sim(qvec, vec)"), 4))
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.select(col("qid"), col("vec_id").as("nid"), col("cos_sim"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
     // ---- d28: exact global top-k frequent tokens via the Misra-Gries
     // heavy-hitters sketch (graft.expressions.MisraGries, SQL
     // `heavy_hitters`). Two passes, neither of which groups the full

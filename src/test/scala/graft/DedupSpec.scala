@@ -184,6 +184,36 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("d29: IVF ANN recall >= 0.8 vs exact d5 on planted clustered vectors") {
+    // 20 well-separated clusters of 25 vectors (center + small noise):
+    // a query's true neighbors share its cluster, the cluster maps to
+    // one coarse cell, and nProbe = 4 probes comfortably cover it. The
+    // driver's near-uniform corpus can't show this (cell pruning on
+    // structureless data is the documented IVF trade) — clustered data
+    // is exactly the case IVF exists for.
+    val dir = scratch("ivf")
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def center(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val centers = Seq.fill(20)(center())
+    // vec_ids 0..9 land in 10 DIFFERENT clusters (they are d29's fixed
+    // query set); remaining members follow
+    val rows = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      val v = c.map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.05f)
+      (i.toLong, v, i % 20)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    def resultPairs(name: String) =
+      Pipeline.queries(name)(spark, dir).select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultPairs("d5_knn_cosine")
+    val ivf = resultPairs("d29_ivf_ann")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("d15: minhash-candidate jaccard finds planted dups without blocking keys") {
     val d15 = pairs(Pipeline.queries("d15_jaccard_lsh")(spark, plantedDir))
     // planted near/exact dups all have J >= 0.9 — band recall there is ~1

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
-import graft.expressions.{JaccardSim, MinHashBands, SimHash64}
+import graft.expressions.{JaccardSim, MinHashBands, MisraGries, SimHash64}
 
 /** Randomized property tests for the similarity kernels — pure
   * expression-level invariants the dedup plans depend on, checked over
@@ -90,6 +90,43 @@ class KernelPropertySpec extends AnyFunSuite {
     (1 to Rounds).foreach { _ =>
       val a = randTokens(r)
       assert(sig(a) == sig(r.shuffle(a)), s"a=$a")
+    }
+  }
+
+  test("misra-gries: freq > n/k items survive any partition split + merge order") {
+    // the distributive-aggregate contract d28 rests on: however the
+    // stream is split into partitions and however the partial summaries
+    // are merged, every item with true frequency > n/k is in the output
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    val r = rng(5)
+    (1 to 40).foreach { _ =>
+      val k = 8 + r.nextInt(24)
+      val vocabN = 50 + r.nextInt(150)
+      // skewed stream: low ids are heavy (id drawn as min of two uniforms)
+      val stream = Seq.fill(1500 + r.nextInt(1500)) {
+        math.min(r.nextInt(vocabN), r.nextInt(vocabN))
+      }.map(i => f"w$i%04d")
+      val n = stream.size
+      val freq = stream.groupBy(identity).map { case (w, ws) => (w, ws.size) }
+      val mg = MisraGries(BoundReference(0, StringType, nullable = true), k)
+      // random split into 1..6 partitions, one partial summary each
+      val nParts = 1 + r.nextInt(6)
+      val partials = stream.groupBy(_ => r.nextInt(nParts)).values.map { part =>
+        val buf = mg.createAggregationBuffer()
+        part.foreach(w => mg.update(buf, InternalRow(UTF8String.fromString(w))))
+        // roundtrip through serialize: the shuffle path the real agg takes
+        mg.deserialize(mg.serialize(buf))
+      }.toSeq
+      val merged = r.shuffle(partials).reduce((a, b) => mg.merge(a, b))
+      val out = mg.eval(merged).asInstanceOf[ArrayData]
+      val survivors = (0 until out.numElements())
+        .map(i => out.getUTF8String(i).toString).toSet
+      freq.foreach { case (w, f) =>
+        if (f.toDouble > n.toDouble / k)
+          assert(survivors.contains(w),
+            s"item $w freq=$f > n/k=${n.toDouble / k} missing (k=$k, parts=$nParts)")
+      }
     }
   }
 }
