@@ -162,6 +162,39 @@ object Sources {
         .orderBy("fname")
     },
 
+    // ---- a12: bucketed tables — the write-side lever that deletes the
+    // join shuffle outright: both fact tables land bucketBy(8, orderkey)
+    // + sortBy, so the orders⋈lineitem join plans with ZERO exchanges
+    // and zero sorts on the join key (PlanAuditSpec asserts it). At
+    // 100 TB this is THE co-located join strategy: pay one bucketed
+    // write, then every subsequent join/groupBy on the bucket key is
+    // shuffle-free. The only exchanges left are the post-join aggregate
+    // and the output ordering.
+    "a12_bucketed_join" -> { (s, dir) =>
+      // a fresh session's in-memory catalog does not know about table
+      // directories left by PREVIOUS sessions — drop both the catalog
+      // entry and the physical location, or CREATE fails location
+      // validation
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      Seq("graft_b_orders", "graft_b_lineitem").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        GraftWriter.removeDirectory(s, s"$wh/$t")
+      }
+      T(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("graft_b_orders")
+      T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("graft_b_lineitem")
+      s.table("graft_b_orders")
+        .join(s.table("graft_b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- a11: small-file compaction — the FS maintenance op every
     // long-lived HDFS/parquet landing zone needs: a directory of tiny
     // files (here: the corpus deliberately landed as 64 shards) is
@@ -198,6 +231,12 @@ object Sources {
       ORDER BY n_nationkey"""
 
   val oracles: Map[String, String] = Map(
+    "a12_bucketed_join" -> """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+             round(sum(l_extendedprice), 2) AS total_price
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     "a11_compaction" -> """
       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,

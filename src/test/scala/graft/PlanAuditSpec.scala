@@ -106,6 +106,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("a12 bucketed join: zero shuffles feed the join") {
+    // disable auto-broadcast so the tiny test SF plans the same
+    // co-located SortMergeJoin a 100 TB run would (at real scale
+    // neither side broadcasts); the bucketed layout must feed the join
+    // with NO exchange — the only ones left are the post-join aggregate
+    // and the output ordering
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val df = graft.queries.Sources.queries("a12_bucketed_join")(spark, sfTiny)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("BroadcastExchange"), p)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 2, s"bucketed join still shuffles ($exchanges exchanges):\n$p")
+      // both scans actually read the bucketed layout, all buckets
+      assert("Bucketed: true".r.findAllIn(p).length == 2, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q23 top-n per group: rank-limit pushdown, no pre-window global sort") {
     val p = plan("q23_topn_group")
     // WindowGroupLimit = the rank-limit pushed below the shuffle, so
