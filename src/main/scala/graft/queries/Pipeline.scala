@@ -76,6 +76,61 @@ object Pipeline {
     keys.iterator.map(d => (d, minOfRoot(find(d))))
   }
 
+  /** d4's pair generation WITHOUT the presentation sort — shared by d4
+    * (which adds the deterministic output ordering) and d20 (whose
+    * groupByKey would discard it; feeding it the unsorted pair stream
+    * saves a pointless global sort of the full edge set).
+    *
+    * Blocking key (lang, n_chars bucket) bounds the self-join; a cheap
+    * size-ratio prefilter (J ≥ 0.5 ⇒ 2·min(|A|,|B|) ≥ max(|A|,|B|), so
+    * it never drops a qualifying pair) prunes before the exact kernel;
+    * jaccard_sim_sorted is one compiled merge pass per surviving pair.
+    *
+    * Mega-bucket guard: on a homogeneous corpus one block can hold most
+    * of the corpus, collapsing the self-join into a single quadratic
+    * task. Blocks over saltCap docs are chunk-salted — side A carries
+    * salt = doc_id mod nsalt, side B explodes every salt value — so
+    * each pair is still met EXACTLY once (results unchanged, oracle
+    * stays exact, unlike minhash-band salting which drops pairs) while
+    * the block's pair scan splits across nsalt tasks. nsalt is derived
+    * per-block from a broadcast block-size aggregate; normal blocks get
+    * nsalt = 1 and zero explosion overhead. Homogeneous-corpus bounded
+    * completion is spec-verified (DedupSpec).
+    */
+  private def d4Pairs(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.install(s)
+    val saltCap = 2000 // docs per block chunk before the scan splits
+    // sorted+distinct sets → the merge-kernel jaccard variant (no
+    // per-pair hash-set allocation); the one-time per-doc sort is
+    // O(n log n) on 1/1000th the rows the kernel touches
+    val w = withWords(T(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), lenBucket.as("len_bucket"),
+        array_sort(array_distinct(col("words"))).as("wset"))
+      .withColumn("wn", size(col("wset")))
+    val sizes = w.groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("block_n"))
+    val sized = w.join(broadcast(sizes), Seq("lang", "len_bucket"))
+      .withColumn("nsalt", ceil(col("block_n") / lit(saltCap.toDouble)).cast("int"))
+    val a = sized.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
+      pmod(col("doc_id"), col("nsalt")).cast("int").as("salt"),
+      col("wset").as("set_a"), col("wn").as("wn_a"))
+    val b = sized.select(col("doc_id").as("doc_b"), col("lang").as("lang2"),
+      col("len_bucket").as("len_bucket2"),
+      explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
+      col("wset").as("set_b"), col("wn").as("wn_b"))
+    // The jaccard threshold lives INSIDE the join condition, explicitly
+    // LAST: a post-join filter gets pushed into the condition ahead of
+    // the cheap predicates (observed via Explain), making the kernel
+    // run for every hash-matched pair; conjunct order is preserved, so
+    // doc_a<doc_b and the size-ratio test short-circuit first.
+    a.join(b, col("lang") === col("lang2") && col("len_bucket") === col("len_bucket2") &&
+        col("salt") === col("salt2") && col("doc_a") < col("doc_b") &&
+        col("wn_a") * 2 >= col("wn_b") && col("wn_b") * 2 >= col("wn_a") &&
+        round(expr("jaccard_sim_sorted(set_a, set_b)"), 4) >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        round(expr("jaccard_sim_sorted(set_a, set_b)"), 4).as("jaccard"))
+  }
+
   /** 3-word shingles for MinHash (short docs fall back to one shingle). */
   private def withShingles(df: DataFrame): DataFrame =
     withWords(df).withColumn("shingles", expr(
@@ -163,38 +218,7 @@ object Pipeline {
     // nsalt = 1 and zero explosion overhead. Homogeneous-corpus bounded
     // completion is spec-verified (DedupSpec).
     "d4_ngram_jaccard" -> { (s, dir) =>
-      GraftExtensions.install(s)
-      val saltCap = 2000 // docs per block chunk before the scan splits
-      // sorted+distinct sets → the merge-kernel jaccard variant (no
-      // per-pair hash-set allocation); the one-time per-doc sort is
-      // O(n log n) on 1/1000th the rows the kernel touches
-      val w = withWords(T(s, dir, "documents"))
-        .select(col("doc_id"), col("lang"), lenBucket.as("len_bucket"),
-          array_sort(array_distinct(col("words"))).as("wset"))
-        .withColumn("wn", size(col("wset")))
-      val sizes = w.groupBy(col("lang"), col("len_bucket"))
-        .agg(count(lit(1)).as("block_n"))
-      val sized = w.join(broadcast(sizes), Seq("lang", "len_bucket"))
-        .withColumn("nsalt", ceil(col("block_n") / lit(saltCap.toDouble)).cast("int"))
-      val a = sized.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
-        pmod(col("doc_id"), col("nsalt")).cast("int").as("salt"),
-        col("wset").as("set_a"), col("wn").as("wn_a"))
-      val b = sized.select(col("doc_id").as("doc_b"), col("lang").as("lang2"),
-        col("len_bucket").as("len_bucket2"),
-        explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
-        col("wset").as("set_b"), col("wn").as("wn_b"))
-      // The jaccard threshold lives INSIDE the join condition, explicitly
-      // LAST: a post-join filter gets pushed into the condition ahead of
-      // the cheap predicates (observed via Explain), making the kernel
-      // run for every hash-matched pair; conjunct order is preserved, so
-      // doc_a<doc_b and the size-ratio test short-circuit first.
-      a.join(b, col("lang") === col("lang2") && col("len_bucket") === col("len_bucket2") &&
-          col("salt") === col("salt2") && col("doc_a") < col("doc_b") &&
-          col("wn_a") * 2 >= col("wn_b") && col("wn_b") * 2 >= col("wn_a") &&
-          round(expr("jaccard_sim_sorted(set_a, set_b)"), 4) >= 0.5)
-        .select(col("doc_a"), col("doc_b"),
-          round(expr("jaccard_sim_sorted(set_a, set_b)"), 4).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+      d4Pairs(s, dir).orderBy("doc_a", "doc_b")
     },
 
     // ---- d20: connected-components dedup clustering — the step a real
@@ -239,7 +263,9 @@ object Pipeline {
       val salted = blocked.join(broadcast(blockSizes), "blk")
         .withColumn("nsalt", ceil(col("block_n") / lit(saltCap.toDouble)).cast("int"))
       // level 1: contracted (node → local root) links per edge chunk
-      val links = queries("d4_ngram_jaccard")(s, dir)
+      // (d4Pairs, not the d4 query: the presentation sort would be paid
+      // on the full edge set and immediately discarded by groupByKey)
+      val links = d4Pairs(s, dir)
         .select("doc_a", "doc_b")
         .join(salted.select(col("doc_id").as("doc_a"), col("blk"), col("nsalt")), "doc_a")
         .select(col("blk"), pmod(col("doc_a"), col("nsalt")).cast("int").as("salt"),
