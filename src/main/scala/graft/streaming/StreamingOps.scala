@@ -229,6 +229,25 @@ object StreamingOps {
         .orderBy("activity", "event_type")
     },
 
+    // ---- s9: DECLARATIVE streaming sessionization via the built-in
+    // session_window() — the purpose-built operator for gap sessions
+    // (s3 is the custom-state twin via flatMapGroupsWithState; prefer
+    // the built-in where it expresses the semantics: state layout,
+    // merging and watermark eviction are the engine's, not hand-rolled).
+    // Boundary semantics: session_window's window end is EXCLUSIVE
+    // (next event at exactly prev + gap starts a NEW session), so the
+    // oracle breaks on diff >= gap — NOT q30's diff > gap convention.
+    "s9_stream_session_window" -> { (s, dir) =>
+      val agg = streamEvents(s, dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      runToTable(s, agg, "graft_s9", OutputMode.Complete())
+        .select(col("user_id"), col("win.start").cast("long").as("session_start_sec"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start_sec")
+    },
+
     // ---- s7: foreachBatch file sink — the canonical production sink:
     // each micro-batch lands as its own parquet directory keyed by
     // batchId, which is what makes retries idempotent (a re-run of
@@ -271,6 +290,29 @@ object StreamingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s9_stream_session_window" -> """
+      WITH e AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM e)
+      SELECT user_id,
+             -- floor, not CAST-rounding: Spark's timestamp->long cast
+             -- truncates sub-second micros, DuckDB's double->bigint
+             -- cast rounds (q39 convention: floor on both engines)
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_sec,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS session_value
+      FROM s
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start_sec""",
     "s8_stream_enrich" -> """
       WITH p AS (
         SELECT user_id, count(*) AS n_hist FROM events GROUP BY user_id)

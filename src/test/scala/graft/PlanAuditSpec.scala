@@ -126,6 +126,16 @@ class PlanAuditSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("d29 ivf: centroid assignment broadcasts, never a cartesian product") {
+    val p = Pipeline.queries("d29_ivf_ann")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    // the corpus x centroids scan is the d5-style deliberate broadcast
+    // NLJ (tiny broadcast side, linear scan); a CartesianProduct here
+    // would shuffle the corpus against itself
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q23 top-n per group: rank-limit pushdown, no pre-window global sort") {
     val p = plan("q23_topn_group")
     // WindowGroupLimit = the rank-limit pushed below the shuffle, so
