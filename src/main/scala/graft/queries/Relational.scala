@@ -396,6 +396,24 @@ object Relational {
         .orderBy(col("l_linestatus"))
     },
 
+    // ---- q45: approximate percentiles — the sketch twin of q28's exact
+    // percentile (DuckDB users reach for approx_quantile the same way).
+    // Spark's approx_percentile is a GK-sketch aggregate: O(accuracy)
+    // partial summaries merge map-side, so the quantile never sorts the
+    // column globally — the only shape that works when the column is
+    // 100 TB. Sketch merge order varies across runs → no hash oracle;
+    // the error bound vs the exact q28 percentiles is spec-asserted
+    // (RelationalSpec-style bound: rank error <= 1/accuracy).
+    "q45_approx_percentile" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("p25"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.75, 1000)").as("p75"))
+        .orderBy(col("l_linestatus"))
+    },
+
     // ---- q29: the reference's demo scalar function as a native codegen
     // Catalyst expression (graft.expressions.Quack), SQL-registered.
     "q29_quack" -> { (s, dir) =>

@@ -246,6 +246,27 @@ class DedupSpec extends SparkSpecBase {
     assert(!got.exists { case (x, y) => x < 20 && y < 20 })
   }
 
+  test("q45: approx_percentile within the GK rank-error bound of exact") {
+    import org.apache.spark.sql.functions._
+    // GK with accuracy = 1000 guarantees rank error <= n/1000; assert
+    // each approximate quantile lies between the exact quantiles at
+    // p +/- 2/accuracy (2x margin on the guarantee)
+    val eps = 2.0 / 1000.0
+    val li = Tables.load(spark, sfSmall, "lineitem")
+    val out = graft.SparkEntry.queries("q45_approx_percentile")(spark, sfSmall)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (p, i) =>
+      val bounds = li.groupBy(col("l_linestatus")).agg(
+        expr(s"percentile(l_extendedprice, ${p - eps})").as("lo"),
+        expr(s"percentile(l_extendedprice, ${p + eps})").as("hi"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      bounds.foreach { case (grp, (lo, hi)) =>
+        val a = out(grp)(i)
+        assert(a >= lo && a <= hi, s"group $grp p$p: approx $a outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("q26: approx_count_distinct within 10% of exact") {
     val r = queries_q26(sfSmall).head()
     val approx = r.getLong(0); val exact = r.getLong(1)
