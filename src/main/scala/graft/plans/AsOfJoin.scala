@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * Semantics (matching DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND
   * l.t >= r.t`): each left row picks the single right row with equal
   * key and the LARGEST right time ≤ its left time; unmatched left rows
-  * survive with nulls (left-outer) or drop (inner).
+  * survive with nulls (left-outer) or drop (inner). If the right side
+  * carries DUPLICATE (key, time) rows, which of the tied rows wins is
+  * unspecified (sort order among equal keys is not total) — pre-dedup
+  * the right side for determinism, as q38/e3 do with their
+  * groupBy(user, ts).agg(max(event_id)) view prep.
   *
   * Physical shape: both sides hash-cluster on the key and sort within
   * partitions by (key, time) — declared via requiredChildDistribution /
@@ -155,7 +159,12 @@ case class AsOfJoinExec(
     val tOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val emit = emitUnmatched
     val outAttrs = output
-    val inSchema = lOut ++ rOut
+    // widen the right side's nullability in the projection INPUT schema
+    // too: BindReferences takes nullability from the input attribute, and
+    // a non-nullable right child (e.g. a local relation) would make the
+    // projection read the all-null unmatched row as garbage zeros
+    // instead of NULLs (caught by the randomized property spec)
+    val inSchema = lOut ++ (if (emit) rOut.map(_.withNullability(true)) else rOut)
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val proj = UnsafeProjection.create(outAttrs.map(a => a: Expression), inSchema)
       val nullRight = new GenericInternalRow(rOut.size)

@@ -65,6 +65,41 @@ class EventsSpec extends SparkSpecBase {
     assert(rows(df) == rows(Events.queries("q38_asof")(spark, plantedDir)), rows(df).toString)
   }
 
+  test("e3: native as-of matches a brute-force reference on random tables") {
+    // seeded random left/right tables with duplicate times WITHIN the
+    // left side, keys missing from either side, and unique (key, time)
+    // on the right (the operator's documented determinism contract);
+    // both inner and left-outer checked against a local brute force
+    import spark.implicits._
+    import graft.GraftExtensions
+    GraftExtensions.install(spark)
+    val rnd = new scala.util.Random(99)
+    (1 to 5).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(6)
+      val lrows = Seq.fill(120)((rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong,
+        rnd.nextLong().abs))
+      val rrows = rnd.shuffle(
+        (for (k <- 0 until nKeys; t <- 0 until 50) yield (k.toLong, t.toLong))
+          .filter(_ => rnd.nextBoolean()).toSeq)
+        .map { case (k, t) => (k, t, rnd.nextLong().abs) }
+      val l = lrows.toDF("lk", "lt", "lid")
+      val r = rrows.toDF("rk", "rt", "rid")
+      val expected = lrows.map { case (lk, lt, lid) =>
+        val m = rrows.filter(x => x._1 == lk && x._2 <= lt)
+          .sortBy(_._2).lastOption
+        (lid, m.map(_._3))
+      }.sortBy(_._1)
+      def run(joinType: String) =
+        l.join(r, expr("asof_on(lk, rk, lt, rt)"), joinType)
+          .select(col("lid"), col("rid")).collect()
+          .map(row => (row.getLong(0),
+            if (row.isNullAt(1)) None else Some(row.getLong(1))))
+          .sortBy(_._1).toSeq
+      assert(run("left") == expected, s"trial $trial (left)")
+      assert(run("inner") == expected.filter(_._2.isDefined), s"trial $trial (inner)")
+    }
+  }
+
   test("e3: native as-of matches q38's union+window composition on the full table") {
     val dir = sfTiny
     val native = Events.queries("e3_asof_native")(spark, dir).collect()
