@@ -19,8 +19,12 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   */
 object Verify {
 
+  // 60 s: the slowest query at sf0.01 runs in ~5 s locally, so even a
+  // 4x-slow driver host (observed round 3) clears it with 3x margin —
+  // while a single pathological query can no longer eat 120 s of the
+  // driver's outer wall budget.
   val PerQueryTimeoutSec: Long =
-    sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
+    sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "60").toLong
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -80,6 +84,17 @@ object Verify {
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
     pool.shutdownNow()
-    spark.stop()
+    // Every result is already on disk (one parquet dir per query,
+    // oracle_sql.json first) — nothing left to lose. Cap the quiesce the
+    // way Bench does: a stuck task can block spark.stop() indefinitely,
+    // and an rc=124 outer kill here would waste an otherwise-complete
+    // round of correctness output.
+    val stopper = new Thread(new Runnable {
+      override def run(): Unit = try spark.stop() catch { case _: Throwable => }
+    })
+    stopper.setDaemon(true)
+    stopper.start()
+    stopper.join(15000)
+    Runtime.getRuntime.halt(0)
   }
 }
