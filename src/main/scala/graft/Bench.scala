@@ -46,7 +46,8 @@ object Bench {
     val headliners = Set(
       "d4_ngram_jaccard", "d15_jaccard_lsh", "d2_minhash_lsh", "d3_simhash",
       "d13_embed_neardup", "d20_dedup_clusters", "d23_minhash_estimate",
-      "d5_knn_cosine", "d6_lsh_ann", "d16_tfidf", "d22_unigram_logprob")
+      "d5_knn_cosine", "d6_lsh_ann", "d16_tfidf", "d22_unigram_logprob",
+      "d30_corpus_curation")
     name match {
       case n if headliners(n) => 0
       case n if n.startsWith("d") => 1

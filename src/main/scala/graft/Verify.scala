@@ -56,7 +56,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
     val pool = Executors.newCachedThreadPool()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only filter: SPARK_GRAFT_ONLY=d30,q1 runs just those entries.
+    // The driver never sets it, so the official gate is unaffected.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
+    selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val fut = pool.submit(new Runnable {
         override def run(): Unit = {

@@ -804,6 +804,71 @@ object Pipeline {
         .orderBy(desc("n"), asc("word")).limit(20)
     },
 
+    // ---- d30: end-to-end corpus curation — the capstone composition a
+    // real training-data job runs as ONE Spark plan: quality filter
+    // (token-count bounds + d24's duplicate-bigram per-mille) → exact
+    // dedup (keep min doc_id per content hash, d1) → benchmark-
+    // contamination drop (d25's ≥10% shingle-overlap rule) →
+    // deterministic 80% admission (d18/q22's key-mod predicate) →
+    // token-budget shard packing per source (d27). Every stage is the
+    // integer-exact core of its standalone operator, so the whole chain
+    // has an exact DuckDB oracle. Plan shape: narrow column expressions
+    // until the ONE dedup shuffle (md5 window), the broadcast semi-join
+    // for contamination hits, then d27's per-source window — nothing
+    // quadratic, nothing driver-side, the same plan at 100 TB.
+    "d30_corpus_curation" -> { (s, dir) =>
+      val budget = 2000L
+      val docs = withWords(T(s, dir, "documents"))
+        .withColumn("n_tok", size(col("words")).cast("long"))
+        .withColumn("grams", expr(
+          """CASE WHEN size(words) >= 2
+               THEN transform(sequence(0, size(words) - 2),
+                      i -> concat_ws(' ', words[i], words[i + 1]))
+               ELSE array() END"""))
+        .withColumn("dup_pm", when(size(col("grams")) > 0,
+          floor((size(col("grams")) - size(array_distinct(col("grams"))))
+            .cast("double") * 1000.0 / size(col("grams"))).cast("long"))
+          .otherwise(0L))
+        .withColumn("shingles", expr(
+          """CASE WHEN size(words) >= 3
+               THEN array_distinct(transform(sequence(0, size(words) - 3),
+                      i -> concat_ws(' ', slice(words, i + 1, 3))))
+               ELSE array(concat_ws(' ', words)) END"""))
+        .persist() // benchmark side + survivor side read the same pass
+      // stage 1: quality bounds
+      val quality = docs.filter(col("n_tok").between(20, 400) && col("dup_pm") < 300)
+      // stage 2: exact dedup — keep the min doc_id per content hash
+      val wDedup = Window.partitionBy(md5(col("text")))
+      val deduped = quality
+        .withColumn("keep_id", min(col("doc_id")).over(wDedup))
+        .filter(col("doc_id") === col("keep_id"))
+      // stage 3: contamination drop vs the held-out doc_id % 97 == 0 set
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("shingles")).as("shingle")).distinct()
+      val hits = deduped.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .join(broadcast(bench), Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
+      val clean = deduped.filter(col("doc_id") % 97 =!= 0)
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+        .filter(col("n_contam") * 10 < size(col("shingles")))
+      // stage 4: deterministic 80% admission
+      val admitted = clean.filter(pmod(col("doc_id"), lit(10)) < 8)
+      // stage 5: shard packing per source
+      val packed = admitted
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tok")).over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("shard", expr(s"cum_before div ${budget}L"))
+      packed.groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "shard")
+    },
+
     // ---- d10: rolling polynomial hash fingerprint (order-sensitive,
     // modulo-bounded so Spark and the oracle agree on arithmetic).
     "d10_fingerprint" -> { (s, dir) =>
@@ -1189,6 +1254,63 @@ object Pipeline {
       GROUP BY word
       ORDER BY n DESC, word
       LIMIT 20""",
+
+    "d30_corpus_curation" -> """
+      WITH w AS (
+        SELECT doc_id, source, text,
+               string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      feat AS (
+        SELECT doc_id, source, text, words,
+               CAST(len(words) AS BIGINT) AS n_tok,
+               CASE WHEN len(words) >= 2
+                    THEN list_transform(range(len(words) - 1),
+                           i -> words[i + 1] || ' ' || words[i + 2])
+                    ELSE [] END AS grams,
+               CASE WHEN len(words) >= 3
+                    THEN list_distinct(list_transform(range(len(words) - 2),
+                           i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3]))
+                    ELSE [array_to_string(words, ' ')] END AS shingles
+        FROM w),
+      feat2 AS (
+        SELECT *, CAST(CASE WHEN len(grams) > 0
+             THEN floor(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                        * 1000.0 / len(grams))
+             ELSE 0 END AS BIGINT) AS dup_pm
+        FROM feat),
+      quality AS (
+        SELECT * FROM feat2 WHERE n_tok BETWEEN 20 AND 400 AND dup_pm < 300),
+      deduped AS (
+        SELECT * FROM (
+          SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep_id FROM quality)
+        WHERE doc_id = keep_id),
+      bench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM feat2 WHERE doc_id % 97 = 0),
+      hits AS (
+        SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contam
+        FROM (SELECT doc_id, unnest(shingles) AS shingle
+              FROM deduped WHERE doc_id % 97 <> 0) d
+        JOIN bench USING (shingle)
+        GROUP BY d.doc_id),
+      clean AS (
+        SELECT dd.doc_id, dd.source, dd.n_tok
+        FROM deduped dd LEFT JOIN hits h ON dd.doc_id = h.doc_id
+        WHERE dd.doc_id % 97 <> 0
+          AND coalesce(h.n_contam, 0) * 10 < len(dd.shingles)),
+      admitted AS (
+        SELECT doc_id, source, n_tok FROM clean WHERE doc_id % 10 < 8),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM admitted)
+      SELECT source, CAST(cum_before // 2000 AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c
+      GROUP BY 1, 2
+      ORDER BY source, shard""",
 
     "d24_repetition" -> """
       WITH w AS (
