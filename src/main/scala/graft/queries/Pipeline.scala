@@ -869,6 +869,43 @@ object Pipeline {
         .orderBy("source", "shard")
     },
 
+    // ---- d31: C4/RefinedWeb-style duplicated-span REMOVAL accounting —
+    // unlike d26 (sliding windows that FLAG boilerplate docs), this
+    // rewrites each doc: partition it into non-overlapping 10-token
+    // chunks, drop every chunk whose exact text occurs in >=2 distinct
+    // docs corpus-wide, and report surviving token counts. Scale shape:
+    // the corpus text never shuffles — chunks are md5'd at the scan,
+    // the dup set is a groupBy on the 16-byte hash (count DISTINCT
+    // doc_id, so a chunk repeated inside ONE doc is not "duplicated"),
+    // and membership comes back via a hash-keyed left-semi join. The
+    // CASE guard matters: sequence(0, n div 10 - 1) on a short doc
+    // would be sequence(0, -1) = [0, -1] (Spark sequences run
+    // DESCENDING when stop < start), not an empty array.
+    "d31_chunk_dedup" -> { (s, dir) =>
+      val K = 10
+      val base = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), size(col("words")).cast("long").as("n_tok"),
+          expr(
+            s"""CASE WHEN size(words) >= $K
+                 THEN transform(sequence(0, size(words) div $K - 1),
+                        i -> md5(concat_ws(' ', slice(words, i * $K + 1, $K))))
+                 ELSE array() END""").as("hchunks"))
+        .persist() // chunk-explode side + final per-doc join read one pass
+      val chunks = base.select(col("doc_id"), explode(col("hchunks")).as("h"))
+      val dup = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val perDoc = chunks.join(dup, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      base.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          size(col("hchunks")).cast("long").as("n_chunks"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_chunks"),
+          (col("n_tok") - lit(K.toLong) * coalesce(col("n_dup"), lit(0L)))
+            .as("kept_tok"))
+        .orderBy("doc_id")
+    },
+
     // ---- d10: rolling polynomial hash fingerprint (order-sensitive,
     // modulo-bounded so Spark and the oracle agree on arithmetic).
     "d10_fingerprint" -> { (s, dir) =>
@@ -1311,6 +1348,32 @@ object Pipeline {
       FROM c
       GROUP BY 1, 2
       ORDER BY source, shard""",
+
+    "d31_chunk_dedup" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      base AS (
+        SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tok,
+               CASE WHEN len(words) >= 10
+                    THEN list_transform(range(len(words) // 10),
+                           i -> array_to_string(words[i * 10 + 1 : i * 10 + 10], ' '))
+                    ELSE [] END AS chunks
+        FROM w),
+      c AS (
+        SELECT doc_id, unnest(chunks) AS chunk FROM base),
+      dup AS (
+        SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+      dc AS (
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        FROM c JOIN dup USING (chunk)
+        GROUP BY c.doc_id)
+      SELECT b.doc_id, b.n_tok,
+             CAST(len(b.chunks) AS BIGINT) AS n_chunks,
+             coalesce(dc.n_dup, 0) AS n_dup_chunks,
+             b.n_tok - 10 * coalesce(dc.n_dup, 0) AS kept_tok
+      FROM base b LEFT JOIN dc ON b.doc_id = dc.doc_id
+      ORDER BY b.doc_id""",
 
     "d24_repetition" -> """
       WITH w AS (

@@ -473,6 +473,29 @@ object Relational {
         .unionAll(bld.except(big).withColumn("tag", lit("only_building")))
         .select("tag", "k")
         .orderBy("tag", "k")
+    },
+
+    // ---- q46: correlated LATERAL join (DuckDB supports LATERAL since
+    // 0.9; reference users write per-row top-k lookups this way). Spark
+    // 4 de-correlates the LIMIT'd subquery into a ranked window join —
+    // i.e. the optimizer turns the row-at-a-time formulation into the
+    // same one-shuffle plan q23 hand-writes. Tie-break on o_orderkey so
+    // the top-2 set is deterministic across engines.
+    "q46_lateral" -> { (s, dir) =>
+      T(s, dir, "customer").createOrReplaceTempView("customer")
+      T(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey <= 300
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""")
     }
   )
 
@@ -796,6 +819,19 @@ object Relational {
         SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
         EXCEPT
         SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000)
-      ORDER BY tag, k"""
+      ORDER BY tag, k""",
+
+    "q46_lateral" -> """
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c,
+      LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+      ) o
+      WHERE c.c_custkey <= 300
+      ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey"""
   )
 }

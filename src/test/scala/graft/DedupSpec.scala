@@ -276,4 +276,37 @@ class DedupSpec extends SparkSpecBase {
 
   private def queries_q26(dir: String) =
     graft.queries.Relational.queries("q26_approx_distinct")(spark, dir)
+
+  test("d31: chunk dedup removes only cross-doc duplicated 10-token spans") {
+    import spark.implicits._
+    val dir = scratch("d31_planted")
+    def toks(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val shared = toks("a", 10) // the planted cross-doc chunk
+    val rows = Seq(
+      // doc 1: shared chunk + own chunk + 5-token remainder
+      (1L, (shared ++ toks("x", 10) ++ toks("r", 5)).mkString(" ")),
+      // doc 2: shared chunk + two own chunks
+      (2L, (shared ++ toks("y", 20)).mkString(" ")),
+      // doc 3: fully unique, 2 chunks
+      (3L, toks("z", 20).mkString(" ")),
+      // doc 4: shorter than one chunk — nothing removable
+      (4L, toks("w", 9).mkString(" ")),
+      // doc 5: the SAME chunk twice, but only within this one doc —
+      // count(DISTINCT doc_id) = 1, so it must NOT count as duplicated
+      (5L, (toks("c", 10) ++ toks("c", 10)).mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    val got = Pipeline.queries("d31_chunk_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((25L, 2L, 1L, 15L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((30L, 3L, 1L, 20L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((20L, 2L, 0L, 20L)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((9L, 0L, 0L, 9L)), s"doc4: ${got(4L)}")
+    assert(got(5L) == ((20L, 2L, 0L, 20L)), s"doc5 (intra-doc repeat): ${got(5L)}")
+  }
 }

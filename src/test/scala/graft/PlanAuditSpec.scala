@@ -145,4 +145,15 @@ class PlanAuditSpec extends SparkSpecBase {
     // the only range-partitioned sort allowed is the final output order
     assert("Exchange rangepartitioning".r.findAllIn(p).length <= 1, p)
   }
+
+  test("q46 lateral: de-correlated into a windowed join, never row-at-a-time") {
+    val p = plan("q46_lateral")
+    // Catalyst must rewrite the correlated LIMIT'd lateral subquery into
+    // a ranked-window + join plan — the per-outer-row re-execution a
+    // naive lateral implies would be O(customers × orders-scan) at scale
+    assert(p.contains("Window"), s"lateral not de-correlated via window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no hash/merge join in:\n$p")
+  }
 }
