@@ -162,6 +162,22 @@ object Sources {
         .orderBy("fname")
     },
 
+    // ---- e4: the SOURCE tier of the extension mechanism — a full
+    // DataSourceV2 connector (sources/FileListSource: TableProvider →
+    // Table → ScanBuilder → Batch → PartitionReader) exposing the
+    // reference's Glob/ListFiles/GetFileSize directory surface as a
+    // first-class TABLE. Both scale contracts are real, not decorative:
+    // the name/size predicates below are ACCEPTED by pushFilters and
+    // evaluated inside the listing (files pruned before partitions are
+    // planned), and column pruning means only `name` is materialized.
+    // SourcesSpec asserts both on the physical plan.
+    "e4_dsv2_listing" -> { (s, dir) =>
+      s.read.format("graft.sources.FileListSource").load(s"$dir/*.parquet")
+        .filter(col("name").endsWith(".parquet") && col("size") > 0)
+        .select(col("name").as("fname"))
+        .orderBy("fname")
+    },
+
     // ---- a12: bucketed tables — the write-side lever that deletes the
     // join shuffle outright: both fact tables land bucketBy(8, orderkey)
     // + sortBy, so the orders⋈lineitem join plans with ZERO exchanges
@@ -281,6 +297,13 @@ object Sources {
       ORDER BY doc_id""",
 
     "a8_file_metadata" -> """
+      SELECT * FROM (VALUES ('customer.parquet'), ('documents.parquet'),
+        ('embeddings.parquet'), ('events.parquet'), ('lineitem.parquet'),
+        ('nation.parquet'), ('orders.parquet'), ('part.parquet'),
+        ('region.parquet'), ('supplier.parquet')) t(fname)
+      ORDER BY fname""",
+
+    "e4_dsv2_listing" -> """
       SELECT * FROM (VALUES ('customer.parquet'), ('documents.parquet'),
         ('embeddings.parquet'), ('events.parquet'), ('lineitem.parquet'),
         ('nation.parquet'), ('orders.parquet'), ('part.parquet'),

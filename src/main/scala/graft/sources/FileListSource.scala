@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 file-listing table — the reference's directory surface
+  * (`Glob`/`ListFiles`/`GetFileSize`, hadoopfs.hpp:166-204) exposed as a
+  * first-class Spark TABLE instead of a driver-side helper:
+  *
+  *   spark.read.format("graft.sources.FileListSource").load(dirGlob)
+  *
+  * This is the source-side tier of the extension mechanism (E-block):
+  * where e1/e2 extend expressions and e3 extends operators, e4 extends
+  * the scan itself via the connector API. The implementation exercises
+  * the two contracts that matter at scale:
+  *
+  *  - SupportsPushDownRequiredColumns — a `SELECT name` never
+  *    materializes path/size rows (readers emit only the pruned schema);
+  *  - SupportsPushDownFilters — name/size predicates are evaluated
+  *    INSIDE the listing, before partitions are planned, so
+  *    `WHERE name LIKE '%.parquet'` prunes files (and whole input
+  *    partitions) rather than filtering rows post-scan. Catalyst sees
+  *    the accepted filters in PushedFilters and drops its own copy.
+  *
+  * Listing runs driver-side through the Hadoop FileSystem API (exactly
+  * like Spark's InMemoryFileIndex); entries are then chunked into input
+  * partitions so row materialization happens on executors. For
+  * million-file directories the chunking bounds per-task state; the
+  * single driver listing pass is the same cost Spark's own file sources
+  * pay.
+  */
+class FileListSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FileListSource.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FileListTable(properties.get("path"))
+}
+
+object FileListSource {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false)))
+
+  /** Files per input partition: bounds task state on huge directories
+    * while keeping tiny listings in one task. */
+  val ChunkSize = 1024
+
+  case class FileEntry(path: String, name: String, size: Long)
+
+  /** Driver-side glob + list, mirroring GraftReader.listFiles (files
+    * only — directories are expanded one level, as DuckDB's glob does). */
+  def list(url: String): Array[FileEntry] = {
+    val path = new Path(url)
+    val fs = path.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(path)) match {
+      case Some(matches) if matches.nonEmpty =>
+        matches.flatMap { st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+        }.filter(!_.isDirectory)
+      case _ => Array.empty[org.apache.hadoop.fs.FileStatus]
+    }
+    statuses.map(st =>
+        FileEntry(st.getPath.toString, st.getPath.getName, st.getLen))
+      .sortBy(_.path)
+  }
+
+  /** The filter subset the listing can evaluate itself. */
+  def evaluable(f: Filter): Boolean = f match {
+    case StringEndsWith("name" | "path", _) => true
+    case StringStartsWith("name", _) => true
+    case EqualTo("name", _) => true
+    case GreaterThan("size", _) => true
+    case _ => false
+  }
+
+  def eval(f: Filter, e: FileEntry): Boolean = f match {
+    case StringEndsWith("name", s) => e.name.endsWith(s)
+    case StringEndsWith("path", s) => e.path.endsWith(s)
+    case StringStartsWith("name", s) => e.name.startsWith(s)
+    case EqualTo("name", v) => e.name == v.toString
+    case GreaterThan("size", v) => e.size > v.toString.toLong
+    case _ => true
+  }
+}
+
+class FileListTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_ls($path)"
+  override def schema(): StructType = FileListSource.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FileListScanBuilder(if (path != null) path else options.get("path"))
+}
+
+class FileListScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = FileListSource.fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition(FileListSource.evaluable)
+    pushed = ours
+    rest // residual filters stay with Spark
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // empty pruned schema (e.g. a bare count(*)) still needs row
+    // cardinality — keep zero fields, readers emit empty rows
+    required = requiredSchema
+  override def build(): Scan = new FileListScan(path, required, pushed)
+}
+
+class FileListScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftFileList path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val entries = FileListSource.list(path)
+      .filter(e => pushed.forall(FileListSource.eval(_, e)))
+    entries.grouped(FileListSource.ChunkSize)
+      .map(FileListPartition(_)).toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FileListReaderFactory(required)
+}
+
+case class FileListPartition(entries: Array[FileListSource.FileEntry])
+  extends InputPartition
+
+class FileListReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val es = p.asInstanceOf[FileListPartition].entries
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < es.length }
+      override def get(): InternalRow = {
+        val e = es(i)
+        InternalRow.fromSeq(required.fields.toIndexedSeq.map(_.name match {
+          case "path" => UTF8String.fromString(e.path)
+          case "name" => UTF8String.fromString(e.name)
+          case "size" => e.size
+        }))
+      }
+      override def close(): Unit = ()
+    }
+}

@@ -112,4 +112,45 @@ class SourcesSpec extends SparkSpecBase {
     assert(GraftReader.exists(spark, s"$sfTiny/nation.parquet"))
     assert(!GraftReader.exists(spark, s"$sfTiny/nope.parquet"))
   }
+
+  test("e4 dsv2: listing table returns real sizes and honors mixed dirs") {
+    val dir = scratch("e4_mixed")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.csv"),
+      "x,y\n1,2\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.csv"),
+      "x,y\n3,4\n5,6\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "c.bin"),
+      Array.fill[Byte](17)(1))
+    def ls = spark.read.format("graft.sources.FileListSource").load(dir)
+    assert(ls.count() == 3)
+    // pushed name filter prunes at the listing, result is still exact
+    val csv = ls.filter(col("name").endsWith(".csv"))
+      .select("name", "size").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(csv.keySet == Set("a.csv", "b.csv"))
+    assert(csv("a.csv") == 8L && csv("b.csv") == 12L)
+    // size pushdown
+    assert(ls.filter(col("size") > 12L).collect().map(_.getAs[String]("name"))
+      .toSeq == Seq("c.bin"))
+    // non-matching pushed filter -> zero planned rows, no error
+    assert(ls.filter(col("name").endsWith(".zip")).count() == 0)
+  }
+
+  test("e4 dsv2: filters are consumed by the scan, columns pruned") {
+    val df = spark.read.format("graft.sources.FileListSource")
+      .load(s"$sfTiny/*.parquet")
+      .filter(col("name").endsWith(".parquet"))
+      .select("name")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GraftFileList"), s"no dsv2 scan in:\n$p")
+    assert(p.contains("StringEndsWith(name,.parquet)"),
+      s"name filter not pushed:\n$p")
+    // the accepted filter must NOT be re-evaluated post-scan
+    assert(!p.contains("FilterExec") &&
+      !"(?i)\\bFilter\\b".r.findFirstIn(p.replaceAll("PushedFilters[^\\n]*", "")).isDefined,
+      s"residual Filter survived pushdown:\n$p")
+    // column pruning: the scan's output is just `name`
+    val scanOut = df.queryExecution.executedPlan.collectLeaves().head.output
+    assert(scanOut.map(_.name) == Seq("name"), s"scan output: $scanOut")
+  }
 }
