@@ -906,6 +906,49 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- d32: incremental-ingest dedup — the ASYMMETRIC daily shape a
+    // production pipeline runs: a NEW batch (doc_id % 5 == 0 here; in
+    // production, today's crawl) is screened against the EXISTING
+    // corpus, which is never rewritten. Two tiers: exact text-hash
+    // membership, and any shared 20-token sliding window (d26's
+    // boilerplate unit, used asymmetrically). Scale shape: both sides
+    // reduce to md5 hashes at the scan (text never shuffles), the
+    // existing side collapses to DISTINCT hash sets, and membership is
+    // two left-semi equi-joins keyed on 16-byte hashes — the existing
+    // corpus contributes only its hash set, so a 100 TB corpus costs
+    // one column scan, not a re-shuffle of its text.
+    "d32_incremental_dedup" -> { (s, dir) =>
+      val W = 20
+      val docs = withWords(T(s, dir, "documents"))
+        .withColumn("n_tok", size(col("words")).cast("long"))
+        .withColumn("whashes", expr(
+          s"""CASE WHEN size(words) >= $W
+               THEN array_distinct(transform(sequence(0, size(words) - $W),
+                      i -> md5(concat_ws(' ', slice(words, i + 1, $W)))))
+               ELSE array(md5(concat_ws(' ', words))) END"""))
+        .withColumn("thash", md5(col("text")))
+        .persist() // batch and existing sides split one tokenize pass
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val exact = batch
+        .join(existing.select(col("thash")).distinct(), Seq("thash"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("exact_dup"))
+      val exWin = existing.select(explode(col("whashes")).as("h")).distinct()
+      val shared = batch.select(col("doc_id"), explode(col("whashes")).as("h"))
+        .join(exWin, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      batch.select(col("doc_id"), col("n_tok"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(shared, Seq("doc_id"), "left")
+        .withColumn("exact_dup", coalesce(col("exact_dup"), lit(0L)))
+        .withColumn("n_shared_windows", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("admitted",
+          when(col("exact_dup") === 1L || col("n_shared_windows") > 0L, 0L)
+            .otherwise(1L))
+        .select("doc_id", "n_tok", "exact_dup", "n_shared_windows", "admitted")
+        .orderBy("doc_id")
+    },
+
     // ---- d10: rolling polynomial hash fingerprint (order-sensitive,
     // modulo-bounded so Spark and the oracle agree on arithmetic).
     "d10_fingerprint" -> { (s, dir) =>
@@ -1373,6 +1416,37 @@ object Pipeline {
              coalesce(dc.n_dup, 0) AS n_dup_chunks,
              b.n_tok - 10 * coalesce(dc.n_dup, 0) AS kept_tok
       FROM base b LEFT JOIN dc ON b.doc_id = dc.doc_id
+      ORDER BY b.doc_id""",
+
+    "d32_incremental_dedup" -> """
+      WITH w AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      f AS (
+        SELECT doc_id, text, CAST(len(words) AS BIGINT) AS n_tok,
+               CASE WHEN len(words) >= 20
+                    THEN list_distinct(list_transform(range(len(words) - 19),
+                           i -> array_to_string(words[i + 1 : i + 20], ' ')))
+                    ELSE [array_to_string(words, ' ')] END AS wins
+        FROM w),
+      batch AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+      existing AS (SELECT * FROM f WHERE doc_id % 5 <> 0),
+      exw AS (SELECT DISTINCT unnest(wins) AS win FROM existing),
+      ext AS (SELECT DISTINCT text FROM existing),
+      shared AS (
+        SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM (SELECT doc_id, unnest(wins) AS win FROM batch) b
+        JOIN exw USING (win)
+        GROUP BY b.doc_id),
+      ex AS (SELECT b.doc_id FROM batch b JOIN ext ON b.text = ext.text)
+      SELECT b.doc_id, b.n_tok,
+             CAST(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_dup,
+             coalesce(s.n_shared, 0) AS n_shared_windows,
+             CAST(CASE WHEN ex.doc_id IS NOT NULL OR coalesce(s.n_shared, 0) > 0
+                  THEN 0 ELSE 1 END AS BIGINT) AS admitted
+      FROM batch b
+      LEFT JOIN ex ON b.doc_id = ex.doc_id
+      LEFT JOIN shared s ON b.doc_id = s.doc_id
       ORDER BY b.doc_id""",
 
     "d24_repetition" -> """

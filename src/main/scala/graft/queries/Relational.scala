@@ -496,6 +496,23 @@ object Relational {
         ) o
         WHERE c.c_custkey <= 300
         ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+
+    // ---- q47: UNPIVOT / melt — the inverse of q21's pivot (DuckDB
+    // UNPIVOT surface). Narrow-side note for scale: unpivot is a
+    // zero-shuffle projection (each row expands to k metric rows
+    // in-place), so the only exchanges are the aggregate feeding it and
+    // the output order. All melted metrics must share one type — the
+    // rounds normalize everything to double before the expansion.
+    "q47_unpivot" -> { (s, dir) =>
+      val wide = T(s, dir, "lineitem").groupBy(col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"))
+      wide.unpivot(Array(col("l_linestatus")),
+          Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+          "metric", "value")
+        .orderBy("l_linestatus", "metric")
     }
   )
 
@@ -832,6 +849,16 @@ object Relational {
         LIMIT 2
       ) o
       WHERE c.c_custkey <= 300
-      ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey"""
+      ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""",
+
+    "q47_unpivot" -> """
+      WITH a AS (
+        SELECT l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 4) AS avg_disc
+        FROM lineitem GROUP BY 1)
+      SELECT l_linestatus, metric, value
+      FROM a UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
+      ORDER BY l_linestatus, metric"""
   )
 }

@@ -309,4 +309,39 @@ class DedupSpec extends SparkSpecBase {
     assert(got(4L) == ((9L, 0L, 0L, 9L)), s"doc4: ${got(4L)}")
     assert(got(5L) == ((20L, 2L, 0L, 20L)), s"doc5 (intra-doc repeat): ${got(5L)}")
   }
+
+  test("d32: incremental dedup screens the batch against the existing corpus") {
+    import spark.implicits._
+    val dir = scratch("d32_planted")
+    def toks(prefix: String, from: Int, n: Int): Seq[String] =
+      (from until from + n).map(i => s"$prefix$i")
+    val ex2Text = toks("x", 1, 30).mkString(" ") // existing doc 2's text
+    val ex3Text = toks("s", 1, 10).mkString(" ") // existing short doc
+    val rows = Seq(
+      // existing corpus: doc_id % 5 != 0
+      (1L, toks("e", 1, 40).mkString(" ")),
+      (2L, ex2Text),
+      (3L, ex3Text),
+      // batch: doc_id % 5 == 0
+      (5L, ex2Text), // exact copy -> exact_dup, rejected
+      // one full 20-token window of doc 1 (e11..e30) inside new text
+      (10L, (toks("o", 1, 10) ++ toks("e", 11, 20)).mkString(" ")),
+      (15L, toks("u", 1, 25).mkString(" ")), // unique -> admitted
+      (20L, ex3Text), // short exact copy: whole-text window + exact hash
+      (25L, toks("v", 1, 9).mkString(" "))) // short unique -> admitted
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    val got = Pipeline.queries("d32_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set(5L, 10L, 15L, 20L, 25L))
+    assert(got(5L) == ((30L, 1L, 11L, 0L)), s"exact copy: ${got(5L)}")
+    assert(got(10L) == ((30L, 0L, 1L, 0L)), s"window overlap: ${got(10L)}")
+    assert(got(15L) == ((25L, 0L, 0L, 1L)), s"unique: ${got(15L)}")
+    assert(got(20L) == ((10L, 1L, 1L, 0L)), s"short exact copy: ${got(20L)}")
+    assert(got(25L) == ((9L, 0L, 0L, 1L)), s"short unique: ${got(25L)}")
+  }
 }
