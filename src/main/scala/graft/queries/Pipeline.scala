@@ -949,6 +949,29 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- d33: corpus-level token statistics — Zipf rank-frequency
+    // slope + fit, the distribution diagnostic a data-quality dashboard
+    // computes per snapshot (natural text ~ -1; synthetic/templated
+    // corpora deviate hard, as this one does). Scale shape: one
+    // map-side-combined groupBy collapses the 100 TB token stream to
+    // the TYPE dictionary; the global row_number window then runs over
+    // vocabulary (≪ corpus, single partition is fine and deliberate),
+    // and the regression is one tiny aggregate. Rounded to 4dp — the
+    // regression sums are over the small ranked table, so accumulation-
+    // order ulps sit far below the rounding grain.
+    "d33_zipf" -> { (s, dir) =>
+      val freq = withWords(T(s, dir, "documents"))
+        .select(explode(col("words")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val ranked = freq.withColumn("r",
+        row_number().over(Window.orderBy(desc("n"), asc("word"))))
+      ranked.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("n")).as("total_tokens"),
+        round(expr("regr_slope(ln(n), ln(r))"), 4).as("zipf_slope"),
+        round(expr("regr_r2(ln(n), ln(r))"), 4).as("r2"))
+    },
+
     // ---- d10: rolling polynomial hash fingerprint (order-sensitive,
     // modulo-bounded so Spark and the oracle agree on arithmetic).
     "d10_fingerprint" -> { (s, dir) =>
@@ -1448,6 +1471,21 @@ object Pipeline {
       LEFT JOIN ex ON b.doc_id = ex.doc_id
       LEFT JOIN shared s ON b.doc_id = s.doc_id
       ORDER BY b.doc_id""",
+
+    "d33_zipf" -> """
+      WITH w AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      freq AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word),
+      ranked AS (
+        SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS r
+        FROM freq)
+      SELECT CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(n) AS BIGINT) AS total_tokens,
+             round(regr_slope(ln(n), ln(r)), 4) AS zipf_slope,
+             round(regr_r2(ln(n), ln(r)), 4) AS r2
+      FROM ranked""",
 
     "d24_repetition" -> """
       WITH w AS (

@@ -513,6 +513,27 @@ object Relational {
           Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
           "metric", "value")
         .orderBy("l_linestatus", "metric")
+    },
+
+    // ---- q48: RANGE window frame — value-based framing (trailing
+    // 30 DAYS per customer), the window surface q11's ROWS frame can't
+    // express: the frame holds every peer within the value interval,
+    // however many rows that is. Integer day numbers + cent-exact sums
+    // keep both engines bit-identical (sum-of-double frames can differ
+    // in the last ulp across accumulation orders). One shuffle on
+    // o_custkey, in-partition sort, O(1) sliding frame state.
+    "q48_range_frame" -> { (s, dir) =>
+      val o = T(s, dir, "orders")
+        .withColumn("daynum",
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
+            .cast("long"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("daynum"))
+        .rangeBetween(-30, 0)
+      o.select(col("o_custkey"), col("o_orderkey"), col("daynum"),
+          sum(col("cents")).over(w).as("cents_30d"),
+          count(lit(1)).over(w).as("n_30d"))
+        .orderBy("o_custkey", "daynum", "o_orderkey")
     }
   )
 
@@ -859,6 +880,21 @@ object Relational {
         FROM lineitem GROUP BY 1)
       SELECT l_linestatus, metric, value
       FROM a UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
-      ORDER BY l_linestatus, metric"""
+      ORDER BY l_linestatus, metric""",
+
+    "q48_range_frame" -> """
+      WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day', DATE '1992-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS daynum,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT o_custkey, o_orderkey, daynum,
+             sum(cents) OVER (PARTITION BY o_custkey ORDER BY daynum
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS cents_30d,
+             count(*) OVER (PARTITION BY o_custkey ORDER BY daynum
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
+      FROM o
+      ORDER BY o_custkey, daynum, o_orderkey"""
   )
 }
