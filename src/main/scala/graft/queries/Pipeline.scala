@@ -965,7 +965,10 @@ object Pipeline {
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
       val ranked = freq.withColumn("r",
         row_number().over(Window.orderBy(desc("n"), asc("word"))))
-      ranked.agg(
+      // GROUPED (constant-key) aggregate, not a global one: a global agg
+      // returns one all-null row on an empty corpus; grouped returns
+      // zero rows — the EmptyCorpusSpec contract every d-op upholds.
+      ranked.groupBy(lit("corpus").as("scope")).agg(
         count(lit(1)).as("n_types"),
         sum(col("n")).as("total_tokens"),
         round(expr("regr_slope(ln(n), ln(r))"), 4).as("zipf_slope"),
@@ -1481,11 +1484,13 @@ object Pipeline {
       ranked AS (
         SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS r
         FROM freq)
-      SELECT CAST(count(*) AS BIGINT) AS n_types,
+      SELECT 'corpus' AS scope,
+             CAST(count(*) AS BIGINT) AS n_types,
              CAST(sum(n) AS BIGINT) AS total_tokens,
              round(regr_slope(ln(n), ln(r)), 4) AS zipf_slope,
              round(regr_r2(ln(n), ln(r)), 4) AS r2
-      FROM ranked""",
+      FROM ranked
+      GROUP BY 1""",
 
     "d24_repetition" -> """
       WITH w AS (
