@@ -1128,6 +1128,145 @@ object Pipeline {
           round(min(col("l2")), 4).as("min_norm"),
           round(max(col("l2")), 4).as("max_norm"))
         .orderBy("label")
+    },
+
+    // ---- d34: mixture-weight computation for data mixing — the
+    // DoReMi/Pile-style bookkeeping step: per-language token shares vs a
+    // uniform target mixture, the downsample rate that hits it, and the
+    // repeat factor an upsampled language would need. ALL-INTEGER output
+    // (per-mille shares, integer-division expected counts): the rate
+    // arithmetic that LOOKS fractional folds into exact integer ops
+    // (expected_tok = min(n_tok, tot div n_langs)), so the oracle is
+    // exact. Shape at 100 TB: one map-side-combined groupBy collapses
+    // the token stream to one row per language; the global totals join
+    // back as a broadcast 1-row aggregate — nothing else moves.
+    "d34_mixture_weights" -> { (s, dir) =>
+      val perLang = withWords(T(s, dir, "documents"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("words")).cast("long")).as("n_tok"))
+      val tot = perLang
+        .agg(sum(col("n_tok")).as("tot_tok"), count(lit(1)).as("n_langs"))
+        .withColumn("one", lit(1))
+      perLang.withColumn("one", lit(1)).join(broadcast(tot), "one")
+        .select(col("lang"), col("n_docs"), col("n_tok"),
+          expr("n_tok * 1000L div tot_tok").as("share_pm"),
+          expr("least(n_tok, tot_tok div n_langs)").as("expected_tok"),
+          expr("least(n_tok, tot_tok div n_langs) * 1000L div n_tok")
+            .as("sample_rate_pm"),
+          expr("(tot_tok div n_langs + n_tok - 1L) div n_tok").as("repeat_x"))
+        .orderBy("lang")
+    },
+
+    // ---- d35: CCNet-style perplexity bucketing — split each language's
+    // docs into head/middle/tail terciles by their mean unigram
+    // log-probability (d22's score), the standard cheap-LM quality
+    // partition used to decide which slice of a crawl to train on.
+    // The tercile boundary is an ntile over the ROUNDED score (ties
+    // broken by doc_id) so both engines rank identically. Shape: d22's
+    // aggregates plus ONE per-lang window over doc-level rows — the
+    // window input is one row per doc, never per token.
+    "d35_ccnet_buckets" -> { (s, dir) =>
+      val words = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+      val tf = words.groupBy("doc_id", "lang", "word")
+        .agg(count(lit(1)).as("cnt")).persist()
+      val freq = tf.groupBy("word").agg(sum(col("cnt")).as("wfreq"))
+      val total = freq.agg(sum(col("wfreq")).as("n_total")).withColumn("one", lit(1))
+      val scored = tf.join(freq, "word")
+        .withColumn("one", lit(1)).join(broadcast(total), "one")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(
+          sum(col("cnt") * log(col("wfreq").cast("double") / col("n_total"))) /
+            sum(col("cnt")), 4).as("avg_logprob"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("avg_logprob").desc, col("doc_id"))
+      scored.withColumn("bucket",
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            ntile(3).over(w)))
+        .select("doc_id", "lang", "avg_logprob", "bucket")
+        .orderBy("doc_id")
+    },
+
+    // ---- d36: SemDeDup-style semantic dedup (Abbas et al. 2023) —
+    // embedding-space near-dup removal done the scalable way: assign
+    // every vector to its nearest of K coarse centroids (cosine, d29's
+    // IVF quantizer), generate candidate pairs ONLY within a cell, and
+    // greedily drop the higher id of any pair with cosine >= tau. Shape
+    // at 100 TB: centroids broadcast; the cell self-join is the only
+    // pair generator (cells are corpus/K-sized; a production run
+    // subdivides hot cells exactly like d4's chunk salting); pairs
+    // shuffle as ids, vectors re-join after. Cell assignment orders by
+    // the ROUNDED similarity (ties by centroid id) so both engines
+    // agree exactly.
+    "d36_semdedup" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val kCells = 8
+      val tau = 0.40
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+        .select("vec_id", "vec")
+        .persist() // centroids, assignment and both pair sides share it
+      val cents = broadcast(emb.filter(col("vec_id") < kCells)
+        .select(col("vec_id").as("cid"), col("vec").as("cvec")))
+      val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+      val cellOf = emb.crossJoin(cents)
+        .withColumn("csim", round(expr("cosine_sim(vec, cvec)"), 6))
+        .select(col("vec_id"), col("cid"), col("csim"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val pairs = cellOf.as("a").join(cellOf.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+      val close = pairs
+        .join(emb.select(col("vec_id").as("ia"), col("vec").as("va")), "ia")
+        .join(emb.select(col("vec_id").as("ib"), col("vec").as("vb")), "ib")
+        .withColumn("cs", round(expr("cosine_sim(va, vb)"), 4))
+        .filter(col("cs") >= tau)
+        .groupBy(col("ib").as("vec_id"))
+        .agg(count(lit(1)).as("n_close"))
+      cellOf.join(close, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("n_close"), lit(0L)).as("n_close"),
+          when(col("n_close").isNull, 1L).otherwise(0L).as("kept"))
+        .orderBy("vec_id")
+    },
+
+    // ---- d37: BM25 retrieval scoring — the classic sparse relevance
+    // function (Okapi, k1=1.2, b=0.75) over a fixed query term set, the
+    // retrieval twin of d16's TF-IDF. Shape at 100 TB: the term filter
+    // sits BEFORE the (doc, term) aggregate so only query-term hits
+    // shuffle; document frequencies and corpus stats are tiny broadcast
+    // aggregates; the result is the top 50 by rounded score. Double
+    // math rounds at 4dp over a <=4-term sum — far below the grain.
+    "d37_bm25" -> { (s, dir) =>
+      val qterms = Seq("table", "query", "window", "join")
+      val docs = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("words"),
+          size(col("words")).cast("double").as("dl"))
+        .persist() // corpus stats + hit scan read one tokenize pass
+      val stats = docs
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        .withColumn("one", lit(1))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("words")).as("word"))
+        .filter(col("word").isin(qterms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("word"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).cast("double").as("dfreq"))
+      tf.join(broadcast(dfreq), "word")
+        .withColumn("one", lit(1)).join(broadcast(stats), "one")
+        .withColumn("idf", log(
+          (col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0))
+        .withColumn("term_score",
+          col("idf") * col("cnt") * 2.2 /
+            (col("cnt") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_terms"),
+          round(sum(col("term_score")), 4).as("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(50)
     }
   )
 
@@ -1577,6 +1716,104 @@ object Pipeline {
              round(max(l2), 4) AS max_norm
       FROM n
       GROUP BY label
-      ORDER BY label"""
+      ORDER BY label""",
+
+    "d34_mixture_weights" -> """
+      WITH w AS (
+        SELECT lang, len(string_split_regex(trim(text), '\s+')) AS nt
+        FROM documents),
+      l AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tok
+        FROM w GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM l)
+      SELECT lang, n_docs, n_tok,
+             CAST(n_tok * 1000 // tot_tok AS BIGINT) AS share_pm,
+             CAST(least(n_tok, tot_tok // n_langs) AS BIGINT) AS expected_tok,
+             CAST(least(n_tok, tot_tok // n_langs) * 1000 // n_tok AS BIGINT)
+               AS sample_rate_pm,
+             CAST((tot_tok // n_langs + n_tok - 1) // n_tok AS BIGINT) AS repeat_x
+      FROM l CROSS JOIN t
+      ORDER BY lang""",
+
+    "d35_ccnet_buckets" -> """
+      WITH w AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      f AS (SELECT word, count(*) AS wfreq FROM w GROUP BY 1),
+      n AS (SELECT sum(wfreq) AS n_total FROM f),
+      sc AS (
+        SELECT w.doc_id, w.lang,
+               round(avg(ln(CAST(wfreq AS DOUBLE) / n_total)), 4) AS avg_logprob
+        FROM w JOIN f USING (word) CROSS JOIN n
+        GROUP BY 1, 2),
+      t AS (
+        SELECT doc_id, lang, avg_logprob,
+               ntile(3) OVER (PARTITION BY lang
+                 ORDER BY avg_logprob DESC, doc_id) AS nt
+        FROM sc)
+      SELECT doc_id, lang, avg_logprob,
+             CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+      FROM t
+      ORDER BY doc_id""",
+
+    "d36_semdedup" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      asg AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cid) AS rn
+        FROM e CROSS JOIN c),
+      cell AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+      p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      cl AS (
+        SELECT p.ib AS vec_id, CAST(count(*) AS BIGINT) AS n_close
+        FROM p
+        JOIN e ea ON ea.vec_id = p.ia
+        JOIN e eb ON eb.vec_id = p.ib
+        WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.40
+        GROUP BY 1)
+      SELECT cell.vec_id, cell.cell,
+             coalesce(cl.n_close, CAST(0 AS BIGINT)) AS n_close,
+             CAST(CASE WHEN cl.n_close IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM cell LEFT JOIN cl ON cell.vec_id = cl.vec_id
+      ORDER BY cell.vec_id""",
+
+    "d37_bm25" -> """
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl,
+               string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+      tf AS (
+        SELECT doc_id, dl, word, CAST(count(*) AS DOUBLE) AS cnt
+        FROM (SELECT doc_id, dl, unnest(words) AS word FROM base)
+        WHERE word IN ('table', 'query', 'window', 'join')
+        GROUP BY 1, 2, 3),
+      df AS (SELECT word, CAST(count(*) AS DOUBLE) AS dfreq FROM tf GROUP BY 1),
+      sc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_hit_terms,
+               round(sum(
+                 ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0) *
+                 cnt * 2.2 /
+                 (cnt + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        FROM tf JOIN df USING (word) CROSS JOIN st
+        GROUP BY doc_id)
+      SELECT doc_id, n_hit_terms, bm25
+      FROM sc
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 50"""
   )
 }

@@ -534,6 +534,25 @@ object Relational {
           sum(col("cents")).over(w).as("cents_30d"),
           count(lit(1)).over(w).as("n_30d"))
         .orderBy("o_custkey", "daynum", "o_orderkey")
+    },
+
+    // ---- q49: DISTINCT ON — DuckDB's per-key first-row shorthand
+    // (`SELECT DISTINCT ON (k) ... ORDER BY k, v DESC`), a surface the
+    // reference's users lean on constantly. Spark has no DISTINCT ON;
+    // the idiomatic translation is the ranked-window filter (q23's
+    // top-N plan with N=1): latest order per customer, ties broken by
+    // orderkey so both engines pick the identical row.
+    "q49_distinct_on" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy("o_custkey")
     }
   )
 
@@ -895,6 +914,16 @@ object Relational {
              count(*) OVER (PARTITION BY o_custkey ORDER BY daynum
                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
       FROM o
-      ORDER BY o_custkey, daynum, o_orderkey"""
+      ORDER BY o_custkey, daynum, o_orderkey""",
+
+    "q49_distinct_on" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS o_orderdate,
+             round(o_totalprice, 2) AS o_totalprice
+      FROM (SELECT DISTINCT ON (o_custkey)
+                   o_custkey, o_orderkey, o_orderdate, o_totalprice
+            FROM orders
+            ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC)
+      ORDER BY o_custkey"""
   )
 }

@@ -238,6 +238,31 @@ object Sources {
           sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("chars_total"))
         .orderBy("lang")
+    },
+
+    // ---- a13: compressed-codec roundtrips — HDFS data lakes are
+    // gzip/zstd-heavy, and the reference reads whatever DuckDB's
+    // readers decompress (csv.gz transparently; parquet codecs
+    // internally). Spark twin: a gzip CSV write/read (codec via the
+    // `compression` option, transparently decompressed on re-read) and
+    // a zstd-parquet write/read, equi-joined per key so BOTH
+    // decompression paths must agree with the canonical table.
+    "a13_compressed_read" -> { (s, dir) =>
+      val base = T(s, dir, "nation").select("n_nationkey", "n_name")
+      val gz = s"$scratchDir/a13/nation_csv_gz"
+      val zs = s"$scratchDir/a13/nation_zstd.parquet"
+      GraftWriter.write(base, gz, format = Some("csv"),
+        options = Map("compression" -> "gzip", "header" -> "true"))
+      GraftWriter.write(base, zs, options = Map("compression" -> "zstd"))
+      val c = GraftReader.read(s, gz, "csv")
+        .select(col("n_nationkey").cast("bigint").as("k"),
+          col("n_name").as("name_gzip"))
+      val p = GraftReader.read(s, zs, "parquet")
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_name").as("name_zstd"))
+      p.join(c, col("n_nationkey") === col("k"))
+        .select("n_nationkey", "name_gzip", "name_zstd")
+        .orderBy("n_nationkey")
     }
   )
 
@@ -287,6 +312,12 @@ object Sources {
       WHERE c_custkey <= 100
       ORDER BY c_custkey""",
     "a10_orc_roundtrip" -> nationOracle,
+
+    "a13_compressed_read" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             n_name AS name_gzip, n_name AS name_zstd
+      FROM nation
+      ORDER BY n_nationkey""",
 
     "a9_schema_evolution" -> """
       SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars

@@ -246,6 +246,35 @@ class DedupSpec extends SparkSpecBase {
     assert(!got.exists { case (x, y) => x < 20 && y < 20 })
   }
 
+  test("d36: semdedup drops the higher id of planted near-dup pairs") {
+    val dir = scratch("planted-semdedup")
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 128-dim: random-pair cosine std ~ 1/sqrt(128), so tau=0.4 sits
+    // beyond 4.5 sigma and the no-false-positive assertion is stable
+    def vec(): Array[Float] = Array.fill(128)(rnd.nextGaussian().toFloat)
+    val base = (0 until 20).map(i => (i.toLong, vec()))
+    // ids 100+i: tiny perturbation of vector i (cosine > 0.99) — lands
+    // in the same cell (centroid i for i < 8 is vector i itself) and
+    // must be the dropped side of the pair
+    val dups = (0 until 5).map { i =>
+      (100L + i, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    GraftWriter.write(df, s"$dir/embeddings.parquet")
+    val rows = Pipeline.queries("d36_semdedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 25)
+    (0 until 5).foreach { i =>
+      val (nClose, kept) = rows(100L + i)
+      assert(kept == 0L && nClose >= 1L, s"dup ${100 + i}: kept=$kept n_close=$nClose")
+      assert(rows(i.toLong)._2 == 1L, s"original $i must be kept")
+    }
+    // random gaussians stay far under tau=0.4: nothing else is dropped
+    assert(rows.count(_._2._2 == 1L) == 20)
+  }
+
   test("q45: approx_percentile within the GK rank-error bound of exact") {
     import org.apache.spark.sql.functions._
     // GK with accuracy = 1000 guarantees rank error <= n/1000; assert

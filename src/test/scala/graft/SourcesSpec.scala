@@ -104,6 +104,24 @@ class SourcesSpec extends SparkSpecBase {
     assert(GraftReader.read(spark, s"$base/a11/compacted", "parquet").count() == docs.count())
   }
 
+  test("a13: compressed roundtrip actually writes gzip csv + zstd parquet") {
+    val out = graft.queries.Sources.queries("a13_compressed_read")(spark, sfTiny)
+    assert(out.count() == 25)
+    // the oracle proves content parity; the codec-on-disk part it can't
+    // see: data files must carry the compression in their names
+    val base = graft.queries.Sources.scratchDir
+    val gzFiles = GraftReader.listFiles(spark, s"$base/a13/nation_csv_gz/*")
+      .filter(!col("is_dir") && !col("path").contains("_SUCCESS"))
+      .select("path").collect().map(_.getString(0))
+    assert(gzFiles.nonEmpty && gzFiles.forall(_.endsWith(".csv.gz")),
+      s"expected .csv.gz parts, got: ${gzFiles.mkString(", ")}")
+    val zsFiles = GraftReader.listFiles(spark, s"$base/a13/nation_zstd.parquet/*")
+      .filter(!col("is_dir") && !col("path").contains("_SUCCESS"))
+      .select("path").collect().map(_.getString(0))
+    assert(zsFiles.nonEmpty && zsFiles.forall(_.contains("zstd")),
+      s"expected zstd parquet parts, got: ${zsFiles.mkString(", ")}")
+  }
+
   test("a8: listing relation exposes path/size/mtime") {
     val df = GraftReader.listFiles(spark, s"$sfTiny/*.parquet")
     assert(df.columns.toSeq == Seq("path", "size", "mtime_ms", "is_dir"))
