@@ -1267,6 +1267,33 @@ object Pipeline {
           round(sum(col("term_score")), 4).as("bm25"))
         .orderBy(desc("bm25"), asc("doc_id"))
         .limit(50)
+    },
+
+    // ---- d38: bigram-surprisal scoring — the next LM rung above d22's
+    // unigram filter: each doc's mean conditional log-probability
+    // ln(c(w1,w2) / c(w1,*)) of its bigrams under corpus counts. A doc
+    // of common words in an UNUSUAL order scores low here but high
+    // under d22 — the signal the bigram model adds. Shape at 100 TB:
+    // the bigram stream collapses map-side to the (doc, w1, w2)
+    // aggregate; the corpus pair/prefix dictionaries derive from it
+    // (never from a second corpus scan) and join back keyed on words.
+    "d38_bigram_surprisal" -> { (s, dir) =>
+      val bg = withWords(T(s, dir, "documents"))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(words) - 2),
+               i -> struct(words[i] AS w1, words[i + 1] AS w2))""")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val tf2 = bg.groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).cast("double").as("cnt")).persist()
+      val c2 = tf2.groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      tf2.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).cast("bigint").as("n_bigrams"),
+          round(sum(col("cnt") * log(col("c2") / col("c1"))) /
+            sum(col("cnt")), 4).as("avg_logprob"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1814,6 +1841,26 @@ object Pipeline {
       SELECT doc_id, n_hit_terms, bm25
       FROM sc
       ORDER BY bm25 DESC, doc_id
-      LIMIT 50"""
+      LIMIT 50""",
+
+    "d38_bigram_surprisal" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      ex AS (
+        SELECT doc_id, CAST(unnest(range(len(words) - 1)) AS INT) AS i, words
+        FROM w WHERE len(words) >= 2),
+      bg AS (
+        SELECT doc_id, words[i + 1] AS w1, words[i + 2] AS w2 FROM ex),
+      tf2 AS (
+        SELECT doc_id, w1, w2, CAST(count(*) AS DOUBLE) AS cnt
+        FROM bg GROUP BY 1, 2, 3),
+      c2 AS (SELECT w1, w2, sum(cnt) AS c2 FROM tf2 GROUP BY 1, 2),
+      c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             round(sum(cnt * ln(c2 / c1)) / sum(cnt), 4) AS avg_logprob
+      FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id
+      ORDER BY doc_id"""
   )
 }

@@ -553,6 +553,25 @@ object Relational {
         .filter(col("rn") === 1)
         .drop("rn")
         .orderBy("o_custkey")
+    },
+
+    // ---- q50: IGNORE NULLS gap filling — carry the last observed
+    // value forward over a sparse column (`last_value(v IGNORE NULLS)`
+    // in DuckDB; Spark's `last(col, ignoreNulls = true)` window twin).
+    // The sparse column is a deterministic thinning (every third order
+    // carries a value) so both engines fill the identical gaps. One
+    // shuffle (the per-customer window); frame is the default
+    // unbounded-preceding..current-row, identical on a unique ordering.
+    "q50_gap_fill" -> { (s, dir) =>
+      val o = T(s, dir, "orders")
+        .withColumn("v",
+          when(col("o_orderkey") % 3 === 0, round(col("o_totalprice"), 2)))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("v"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }
   )
 
@@ -924,6 +943,19 @@ object Relational {
                    o_custkey, o_orderkey, o_orderdate, o_totalprice
             FROM orders
             ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC)
-      ORDER BY o_custkey"""
+      ORDER BY o_custkey""",
+
+    "q50_gap_fill" -> """
+      WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN round(o_totalprice, 2) END AS v
+        FROM orders)
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM o
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""
   )
 }

@@ -178,6 +178,25 @@ object Sources {
         .orderBy("fname")
     },
 
+    // ---- e5: parquet AGGREGATE pushdown — count/min/max answered from
+    // parquet footer statistics instead of scanning row data, the
+    // difference between touching 100 TB and touching its metadata.
+    // Needs the V2 parquet source, so the entry runs in a child session
+    // (newSession: shared context, isolated conf — nothing leaks into
+    // later queries, the s5/d20 advisor rule). PlanAuditSpec asserts
+    // PushedAggregation on the scan node.
+    "e5_agg_pushdown" -> { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"),
+          round(min(col("l_quantity")), 2).as("min_qty"),
+          round(max(col("l_quantity")), 2).as("max_qty"))
+    },
+
     // ---- a12: bucketed tables — the write-side lever that deletes the
     // join shuffle outright: both fact tables land bucketBy(8, orderkey)
     // + sortBy, so the orders⋈lineitem join plans with ZERO exchanges
@@ -333,6 +352,14 @@ object Sources {
         ('nation.parquet'), ('orders.parquet'), ('part.parquet'),
         ('region.parquet'), ('supplier.parquet')) t(fname)
       ORDER BY fname""",
+
+    "e5_agg_pushdown" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(l_orderkey) AS BIGINT) AS min_okey,
+             CAST(max(l_orderkey) AS BIGINT) AS max_okey,
+             round(min(l_quantity), 2) AS min_qty,
+             round(max(l_quantity), 2) AS max_qty
+      FROM lineitem""",
 
     "e4_dsv2_listing" -> """
       SELECT * FROM (VALUES ('customer.parquet'), ('documents.parquet'),

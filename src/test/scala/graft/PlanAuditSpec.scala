@@ -62,6 +62,42 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("e5: count/min/max are answered by parquet footer stats") {
+    val f = graft.queries.Sources.queries("e5_agg_pushdown")(spark, sfTiny)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the whole point of the entry: the scan node must carry the pushed
+    // aggregate list — at 100 TB this is metadata IO, not data IO
+    assert(f.contains("PushedAggregation"), s"no PushedAggregation in:\n$f")
+    assert("PushedAggregation: \\[[^\\]]*COUNT".r.findFirstIn(f).isDefined, f)
+    assert("PushedAggregation: \\[[^\\]]*MIN".r.findFirstIn(f).isDefined, f)
+  }
+
+  test("d36 semdedup: cell pair-generation stays an equi-join") {
+    val p = Pipeline.queries("d36_semdedup")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    // the K-centroid assignment is a DELIBERATE broadcast nested-loop
+    // (tiny fixed side, like d5/d29); the corpus-sized pair generator
+    // must never be — it joins on the cell key
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in pair generation:\n$p")
+  }
+
+  test("d37/d38 LM scoring: dictionary sides join without a corpus reshuffle") {
+    // d37: document frequencies + corpus stats must broadcast onto the
+    // term hits; d38's per-doc aggregate must partial-aggregate map-side
+    val p37 = Pipeline.queries("d37_bm25")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p37).length >= 1 ||
+      "BroadcastNestedLoopJoin".r.findAllIn(p37).length >= 1, p37)
+    assert(!p37.contains("CartesianProduct"), p37)
+    val p38 = Pipeline.queries("d38_bigram_surprisal")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(p38.contains("partial_count") || p38.contains("partial_sum"), p38)
+    assert(!p38.contains("CartesianProduct") &&
+      !p38.contains("BroadcastNestedLoopJoin"), p38)
+  }
+
   test("d5 knn: query side broadcasts, corpus side streams") {
     val p = Pipeline.queries("d5_knn_cosine")(spark, sfTiny).queryExecution.executedPlan.toString
     // the deliberate shape: broadcast the tiny query set against the
