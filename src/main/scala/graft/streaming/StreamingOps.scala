@@ -92,6 +92,34 @@ object StreamingOps {
     }
   }
 
+  /** s10's per-batch dedup step, shared with StreamingSpec so the
+    * cross-batch test drives EXACTLY the production code path: resolve
+    * intra-batch dups to min doc_id, anti-join against the accumulated
+    * admitted table, land novelties under an idempotent per-batchId dir.
+    */
+  def dedupIngestBatch(admitted: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val firsts = batch
+      .select(col("doc_id"), md5(col("text")).as("thash"))
+      .groupBy("thash").agg(min(col("doc_id")).as("doc_id"))
+    val admittedPath = new Path(admitted)
+    val afs = admittedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the state read EXCLUDES this batchId's own partition: a retried
+    // batch would otherwise anti-join against its previous attempt's
+    // output, emit an empty novelty set, and overwrite its own dir
+    // with nothing — silently losing the admitted docs
+    val novel =
+      if (afs.exists(admittedPath))
+        firsts.join(
+          spark.read.parquet(admitted)
+            .filter(col("batch") =!= batchId).select("thash"),
+          Seq("thash"), "left_anti")
+      else firsts
+    novel.select(col("doc_id"), col("thash"))
+      .write.mode("overwrite").parquet(s"$admitted/batch=$batchId")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- s1: streaming tumbling-window count+sum with a watermark —
@@ -273,6 +301,40 @@ object StreamingOps {
         .orderBy("event_type")
     },
 
+    // ---- s10: streaming incremental ingest dedup — the production
+    // daily-crawl loop d32 runs as a batch, as a LIVE pipeline: each
+    // micro-batch of arriving documents is screened against the
+    // ACCUMULATED admitted set on storage (a parquet state/output table
+    // — the admitted rows ARE the state, so there is exactly one thing
+    // to keep consistent), novel content hashes are admitted, dups are
+    // dropped. foreachBatch + overwrite-per-batchId dirs is s7's
+    // idempotent-retry recipe: a re-delivered batch rewrites its own
+    // subdir and re-derives the same novelty set, so replays are safe.
+    // Intra-batch dups resolve to min doc_id; the bounded replay
+    // (single batch) therefore reproduces d1's keep-min semantics
+    // exactly — the oracle below. Cross-batch state accumulation
+    // (file-at-a-time triggers) is spec-verified in StreamingSpec.
+    "s10_stream_incremental_dedup" -> { (s, dir) =>
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val base = s"${graft.queries.Sources.scratchDir}/s10"
+      graft.sources.GraftWriter.removeDirectory(s, base)
+      val conf = s.sparkContext.hadoopConfiguration
+      val src = new Path(s"$dir/documents.parquet")
+      val in = new Path(s"$base/in")
+      val fs = in.getFileSystem(conf)
+      fs.mkdirs(in)
+      FileUtil.copy(fs, src, fs, new Path(in, "documents.parquet"), false, true, conf)
+      val admitted = s"$base/admitted"
+      val schema = s.read.parquet(in.toString).schema
+      val q = s.readStream.schema(schema).parquet(in.toString)
+        .writeStream
+        .foreachBatch(dedupIngestBatch(admitted) _)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(admitted).select(col("doc_id"), col("thash"))
+        .orderBy("doc_id")
+    },
+
     // ---- s3: stateful sessionization via flatMapGroupsWithState —
     // the streaming twin of q30 (same gap, same session numbering),
     // with the per-user session counter held in GroupState.
@@ -290,6 +352,12 @@ object StreamingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s10_stream_incremental_dedup" -> """
+      SELECT min(doc_id) AS doc_id, md5(text) AS thash
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY doc_id""",
+
     "s9_stream_session_window" -> """
       WITH e AS (
         SELECT user_id, ts, value,

@@ -188,4 +188,28 @@ class StreamingSpec extends SparkSpecBase {
     val q31 = graft.queries.Events.queries("q31_tumbling")(spark, sfTiny)
     assert(s1.collect().toSeq == q31.collect().toSeq)
   }
+
+  test("s10: admitted state accumulates across ingest batches") {
+    import spark.implicits._
+    // drive the EXACT production batch step (dedupIngestBatch) with two
+    // explicit daily batches: day-2 re-delivers day-1 content (must be
+    // dropped against the on-storage state) alongside novel docs
+    val admitted = scratch("s10-state") + "/admitted"
+    val day1 = Seq((1L, "alpha beta"), (2L, "gamma delta"), (7L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val day2 = Seq((10L, "alpha beta"), (11L, "epsilon zeta"), (12L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    StreamingOps.dedupIngestBatch(admitted)(day1, 0L)
+    StreamingOps.dedupIngestBatch(admitted)(day2, 1L)
+    val got = spark.read.parquet(admitted).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // day 1: intra-batch dup (7 repeats 1) resolves to min id; day 2:
+    // 10 is a cross-batch dup of 1 (dropped by state), 11/12 resolve to 11
+    assert(got == Set(1L, 2L, 11L), s"admitted: $got")
+    // idempotent retry: re-delivering batch 1 must not change the state
+    StreamingOps.dedupIngestBatch(admitted)(day2, 1L)
+    val again = spark.read.parquet(admitted).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == Set(1L, 2L, 11L), s"retry changed state: $again")
+  }
 }
