@@ -1269,6 +1269,59 @@ object Pipeline {
         .limit(50)
     },
 
+    // ---- d39: set-containment dedup — the asymmetric case d4's
+    // symmetric Jaccard (with its size-ratio prefilter) deliberately
+    // EXCLUDES: a short doc fully contained in a longer one (quote
+    // pages, boilerplate wrappers, snippet farms). Full containment
+    // (wset_a ⊆ wset_b) verified exactly via array_except(a,b) == [],
+    // aggregated per contained doc so output stays O(docs), never
+    // O(pairs). Candidate generation: lang-block + d4's chunk-salting
+    // (exact — every pair met once); the production candidate path for
+    // corpora with real vocabularies is a prefix-filter inverted index
+    // (any ⌊(1-t)|A|⌋+1 tokens of A must hit B — sound for any fixed
+    // token order), which this 31-word synthetic corpus would not
+    // exercise meaningfully. The contained side is restricted to
+    // SNIPPET docs (<= 12 distinct words — the quote/wrapper case that
+    // motivates containment dedup); the filter also shrinks the probe
+    // side enough to broadcast at test SF, while the salt machinery
+    // still guards the shuffled-join case a real corpus plans into.
+    // Conjunct order matters as in d4: equi keys, id/size ordering,
+    // O(1) range bounds, THEN the subset kernel.
+    "d39_containment" -> { (s, dir) =>
+      val saltCap = 2000
+      val snippetCap = 12
+      val w = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          array_sort(array_distinct(col("words"))).as("wset"))
+        .withColumn("wn", size(col("wset")))
+      val sizes = w.groupBy(col("lang")).agg(count(lit(1)).as("block_n"))
+      val sized = w.join(broadcast(sizes), Seq("lang"))
+        .withColumn("nsalt", ceil(col("block_n") / lit(saltCap.toDouble)).cast("int"))
+      val a = sized.filter(col("wn") <= snippetCap)
+        .select(col("doc_id").as("doc_a"), col("lang"),
+          pmod(col("doc_id"), col("nsalt")).cast("int").as("salt"),
+          col("wset").as("set_a"), col("wn").as("wn_a"))
+      val b = sized.select(col("doc_id").as("doc_b"), col("lang").as("lang2"),
+        explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
+        col("wset").as("set_b"), col("wn").as("wn_b"))
+      // conjunct ladder (order preserved, d4's rule): equi keys → id/size
+      // ordering → O(1) sorted-range bounds (A ⊆ B forces min(A) ≥
+      // min(B) and max(A) ≤ max(B) in sort order — two string compares
+      // that kill most pairs) → only then the O(|A|+|B|) subset kernel
+      a.join(b, col("lang") === col("lang2") && col("salt") === col("salt2") &&
+          col("doc_a") =!= col("doc_b") &&
+          (col("wn_a") < col("wn_b") ||
+            (col("wn_a") === col("wn_b") && col("doc_a") < col("doc_b"))) &&
+          element_at(col("set_a"), 1) >= element_at(col("set_b"), 1) &&
+          element_at(col("set_a"), -1) <= element_at(col("set_b"), -1) &&
+          size(array_except(col("set_a"), col("set_b"))) === 0)
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("wn_a")).as("n_wset"),
+          count(lit(1)).as("n_containers"),
+          min(col("doc_b")).as("min_container"))
+        .orderBy("doc_id")
+    },
+
     // ---- d38: bigram-surprisal scoring — the next LM rung above d22's
     // unigram filter: each doc's mean conditional log-probability
     // ln(c(w1,w2) / c(w1,*)) of its bigrams under corpus counts. A doc
@@ -1842,6 +1895,25 @@ object Pipeline {
       FROM sc
       ORDER BY bm25 DESC, doc_id
       LIMIT 50""",
+
+    "d39_containment" -> """
+      WITH w AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS wset
+        FROM documents),
+      s AS (SELECT doc_id, lang, wset, len(wset) AS wn FROM w),
+      p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.wn AS wa
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+          AND a.wn <= 12
+          AND (a.wn < b.wn OR (a.wn = b.wn AND a.doc_id < b.doc_id))
+          AND len(list_intersect(a.wset, b.wset)) = a.wn)
+      SELECT da AS doc_id, CAST(min(wa) AS INT) AS n_wset,
+             CAST(count(*) AS BIGINT) AS n_containers,
+             min(db) AS min_container
+      FROM p
+      GROUP BY da
+      ORDER BY doc_id""",
 
     "d38_bigram_surprisal" -> """
       WITH w AS (

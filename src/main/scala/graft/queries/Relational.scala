@@ -572,6 +572,25 @@ object Relational {
           col("o_orderdate").cast("date").as("o_orderdate"), col("v"),
           last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+
+    // ---- q51: list-function suite — the DuckDB list_* surface beyond
+    // q34/q35 (sort, slice, fold), with every OUTPUT column scalar (the
+    // q34 lesson: the driver's checker cannot hash array columns). The
+    // per-key list is sorted before slicing/folding so collect_list's
+    // nondeterministic order cannot leak into the result, and elements
+    // are rounded BEFORE the fold so both engines sum identical doubles
+    // in identical order.
+    "q51_list_funcs" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(expr("sort_array(collect_list(round(o_totalprice, 2)), false)").as("l"))
+        .select(col("o_custkey"),
+          size(col("l")).as("n_orders"),
+          element_at(col("l"), 1).as("max_price"),
+          expr("round(aggregate(slice(l, 1, 3), cast(0 as double), (a, x) -> a + x), 2)")
+            .as("top3_sum"))
+        .orderBy("o_custkey")
     }
   )
 
@@ -956,6 +975,19 @@ object Relational {
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
       FROM o
-      ORDER BY o_custkey, o_orderdate, o_orderkey"""
+      ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "q51_list_funcs" -> """
+      WITH l AS (
+        SELECT o_custkey,
+               list_reverse_sort(list(round(o_totalprice, 2))) AS l
+        FROM orders
+        GROUP BY o_custkey)
+      SELECT o_custkey,
+             CAST(len(l) AS INT) AS n_orders,
+             l[1] AS max_price,
+             round(list_sum(l[1:3]), 2) AS top3_sum
+      FROM l
+      ORDER BY o_custkey"""
   )
 }

@@ -275,6 +275,29 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.count(_._2._2 == 1L) == 20)
   }
 
+  test("d39: containment finds planted snippets, ignores near-misses") {
+    val dir = scratch("planted-containment")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (2L, "beta delta zeta", "en"),                  // snippet of 1
+      (3L, "beta delta OMEGA", "en"),                 // near-miss: OMEGA not in 1
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu", "en"),
+      (5L, "beta delta zeta", "de"))                  // wrong lang: never a candidate
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(docs, s"$dir/documents.parquet")
+    val got = Pipeline.queries("d39_containment")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // 2 ⊆ 1 and 2 ⊆ 4 (two containers, min id 1); 1 ⊆ 4 but 1 is not a
+    // snippet (10 distinct words <= 12, so it IS eligible) — check both
+    assert(got(2L) == (2L, 1L), s"snippet 2: ${got.get(2L)}")
+    assert(got(1L) == (1L, 4L), s"doc 1 inside 4: ${got.get(1L)}")
+    assert(!got.contains(3L), "near-miss must not match")
+    assert(!got.contains(5L), "cross-lang must not match")
+  }
+
   test("q45: approx_percentile within the GK rank-error bound of exact") {
     import org.apache.spark.sql.functions._
     // GK with accuracy = 1000 guarantees rank error <= n/1000; assert
