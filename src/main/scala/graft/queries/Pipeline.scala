@@ -1269,6 +1269,48 @@ object Pipeline {
         .limit(50)
     },
 
+    // ---- d40: distributed k-means fit (Lloyd, K=8, 3 unrolled
+    // iterations) — TRAINS the coarse quantizer d29/d36 consume as
+    // given. Classic Spark ML shape: centroids broadcast each
+    // iteration (K×dim doubles — tiny at any corpus size), assignment
+    // is a map-only argmin per row, re-estimation is one (cid, pos)
+    // aggregate; the corpus is scanned once per iteration and vectors
+    // never shuffle (posexplode moves (cid, pos, val) triples that
+    // collapse map-side). Engine-exactness: distances and re-estimated
+    // means round at 6dp before any comparison (ties by cid), so both
+    // engines walk identical assignment sequences.
+    "d40_kmeans_fit" -> { (s, dir) =>
+      val kCells = 8
+      val iters = 3
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+        .select("vec_id", "vec")
+        .persist() // scanned once per Lloyd iteration
+      var cents = emb.filter(col("vec_id") < kCells)
+        .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
+      var assigned: DataFrame = null
+      val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      for (_ <- 1 to iters) {
+        assigned = emb.crossJoin(broadcast(cents))
+          .withColumn("dist", round(sqrt(expr(
+            """aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)),
+                 cast(0 as double), (acc, e) -> acc + e)""")), 6))
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("vec"), col("dist"))
+        cents = assigned
+          .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
+          .groupBy("cid").agg(expr(
+            "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+            .as("cvec"))
+      }
+      assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          round(avg(col("dist")), 4).as("avg_dist"))
+        .orderBy("cid")
+    },
+
     // ---- d39: set-containment dedup — the asymmetric case d4's
     // symmetric Jaccard (with its size-ratio prefilter) deliberately
     // EXCLUDES: a short doc fully contained in a longer one (quote
@@ -1895,6 +1937,53 @@ object Pipeline {
       FROM sc
       ORDER BY bm25 DESC, doc_id
       LIMIT 50""",
+
+    "d40_kmeans_fit" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+      a1 AS (
+        SELECT vec_id, cid, v, dist FROM (
+          SELECT e.vec_id, c0.cid, e.v,
+                 round(list_distance(e.v, c0.cv), 6) AS dist,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.v, c0.cv), 6), c0.cid) AS rn
+          FROM e CROSS JOIN c0) WHERE rn = 1),
+      x1 AS (
+        SELECT cid, CAST(unnest(range(len(v))) AS INT) AS pos,
+               CAST(unnest(v) AS DOUBLE) AS val
+        FROM a1),
+      c1 AS (
+        SELECT cid, list(cv ORDER BY pos) AS cv FROM (
+          SELECT cid, pos, round(avg(val), 6) AS cv FROM x1 GROUP BY 1, 2)
+        GROUP BY cid),
+      a2 AS (
+        SELECT vec_id, cid, v, dist FROM (
+          SELECT e.vec_id, c1.cid, e.v,
+                 round(list_distance(e.v, c1.cv), 6) AS dist,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.v, c1.cv), 6), c1.cid) AS rn
+          FROM e CROSS JOIN c1) WHERE rn = 1),
+      x2 AS (
+        SELECT cid, CAST(unnest(range(len(v))) AS INT) AS pos,
+               CAST(unnest(v) AS DOUBLE) AS val
+        FROM a2),
+      c2 AS (
+        SELECT cid, list(cv ORDER BY pos) AS cv FROM (
+          SELECT cid, pos, round(avg(val), 6) AS cv FROM x2 GROUP BY 1, 2)
+        GROUP BY cid),
+      a3 AS (
+        SELECT vec_id, cid, v, dist FROM (
+          SELECT e.vec_id, c2.cid, e.v,
+                 round(list_distance(e.v, c2.cv), 6) AS dist,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.v, c2.cv), 6), c2.cid) AS rn
+          FROM e CROSS JOIN c2) WHERE rn = 1)
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+             round(avg(dist), 4) AS avg_dist
+      FROM a3
+      GROUP BY cid
+      ORDER BY cid""",
 
     "d39_containment" -> """
       WITH w AS (

@@ -591,6 +591,25 @@ object Relational {
           expr("round(aggregate(slice(l, 1, 3), cast(0 as double), (a, x) -> a + x), 2)")
             .as("top3_sum"))
         .orderBy("o_custkey")
+    },
+
+    // ---- q52: FILTER-clause aggregation + GROUP BY ALL — two DuckDB
+    // SQL-surface idioms Spark SQL shares verbatim (FILTER since 3.0,
+    // GROUP BY ALL since 3.4): per-status conditional counts/sums
+    // without CASE scaffolding (q16/q21 are the CASE-based twins, this
+    // is the standard modern spelling). Same single-shuffle plan as q1.
+    "q52_agg_filter" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+                 AS spend_f
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority""")
     }
   )
 
@@ -988,6 +1007,17 @@ object Relational {
              l[1] AS max_price,
              round(list_sum(l[1:3]), 2) AS top3_sum
       FROM l
-      ORDER BY o_custkey"""
+      ORDER BY o_custkey""",
+
+    "q52_agg_filter" -> """
+      SELECT o_orderpriority,
+             count(*) AS n,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+               AS spend_f
+      FROM orders
+      GROUP BY ALL
+      ORDER BY o_orderpriority"""
   )
 }
