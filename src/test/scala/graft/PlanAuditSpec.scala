@@ -99,6 +99,35 @@ class PlanAuditSpec extends SparkSpecBase {
       !p38.contains("BroadcastNestedLoopJoin"), p38)
   }
 
+  test("dynamic partition pruning fires on a partition-key join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the runtime half of a6's static pruning story: when the partition
+    // key arrives from a FILTERED dimension instead of a literal, the
+    // fact scan must still prune — at 100 TB this is the difference
+    // between scanning every date partition and scanning the few the
+    // dimension selects. Reuse a6's partitioned layout (write if absent).
+    val url = s"${graft.queries.Sources.scratchDir}/a6/orders_by_status"
+    if (!new java.io.File(url).exists()) {
+      graft.queries.Sources.queries("a6_partition_discovery")(spark, sfTiny).count()
+    }
+    val fact = graft.sources.GraftReader.read(spark, url, "parquet")
+    // the dim must be a FILE scan: a local relation constant-folds the
+    // filter away and the pruning rule never sees a selective predicate
+    val dimUrl = s"${graft.queries.Sources.scratchDir}/dpp_dim"
+    Seq(("F", "final"), ("O", "open"), ("P", "pending"))
+      .toDF("o_orderstatus", "label")
+      .write.mode("overwrite").parquet(dimUrl)
+    val dim = spark.read.parquet(dimUrl)
+    val joined = fact.join(dim.filter(col("label") === "final"), "o_orderstatus")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$p")
+    // and it actually prunes: only the F partition's files are read
+    assert(joined.collect().map(_.getString(0)).toSeq == Seq("F"))
+  }
+
   test("d5 knn: query side broadcasts, corpus side streams") {
     val p = Pipeline.queries("d5_knn_cosine")(spark, sfTiny).queryExecution.executedPlan.toString
     // the deliberate shape: broadcast the tiny query set against the
