@@ -131,6 +131,44 @@ object Pipeline {
         round(expr("jaccard_sim_sorted(set_a, set_b)"), 4).as("jaccard"))
   }
 
+  /** d40/d41's shared Lloyd loop (K=8, 3 unrolled iterations, euclidean,
+    * distances/means rounded at 6dp before any comparison so both
+    * engines walk identical assignment sequences). Returns the final
+    * E-step assignment (vec_id, cid, vec, dist — distances against the
+    * last pre-re-estimation centroids), those centroids, and the
+    * persisted embedding table all three consumers share.
+    */
+  private def lloydFit(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val kCells = 8
+    val iters = 3
+    val emb = T(s, dir, "embeddings")
+      .withColumn("vec", col("embedding").cast("array<double>"))
+      .select("vec_id", "vec")
+      .persist() // scanned once per Lloyd iteration
+    var cents = emb.filter(col("vec_id") < kCells)
+      .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
+    var used = cents
+    var assigned: DataFrame = null
+    val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    for (_ <- 1 to iters) {
+      used = cents
+      assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("dist", round(sqrt(expr(
+          """aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)),
+               cast(0 as double), (acc, e) -> acc + e)""")), 6))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("vec"), col("dist"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
+        .groupBy("cid").agg(expr(
+          "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+          .as("cvec"))
+    }
+    (assigned, used, emb)
+  }
+
   /** 3-word shingles for MinHash (short docs fall back to one shingle). */
   private def withShingles(df: DataFrame): DataFrame =
     withWords(df).withColumn("shingles", expr(
@@ -1280,35 +1318,48 @@ object Pipeline {
     // means round at 6dp before any comparison (ties by cid), so both
     // engines walk identical assignment sequences.
     "d40_kmeans_fit" -> { (s, dir) =>
-      val kCells = 8
-      val iters = 3
-      val emb = T(s, dir, "embeddings")
-        .withColumn("vec", col("embedding").cast("array<double>"))
-        .select("vec_id", "vec")
-        .persist() // scanned once per Lloyd iteration
-      var cents = emb.filter(col("vec_id") < kCells)
-        .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
-      var assigned: DataFrame = null
-      val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      for (_ <- 1 to iters) {
-        assigned = emb.crossJoin(broadcast(cents))
-          .withColumn("dist", round(sqrt(expr(
-            """aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)),
-                 cast(0 as double), (acc, e) -> acc + e)""")), 6))
-          .withColumn("rn", row_number().over(wA))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("vec"), col("dist"))
-        cents = assigned
-          .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
-          .groupBy("cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
-          .groupBy("cid").agg(expr(
-            "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
-            .as("cvec"))
-      }
+      val (assigned, _, _) = lloydFit(s, dir)
       assigned.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
           round(avg(col("dist")), 4).as("avg_dist"))
         .orderBy("cid")
+    },
+
+    // ---- d41: ANN capstone — fit, index, search as ONE plan: d40's
+    // trained quantizer (not d29's fixed seeds) becomes the IVF index
+    // (cell assignment = the fit's final E-step), queries probe their
+    // nProbe=2 nearest trained centroids, candidates are the members of
+    // probed cells only, and the exact euclidean rerank returns top-5.
+    // Everything downstream of the fit shuffles ids, never vectors
+    // (d29's rule); the oracle replays the identical unrolled
+    // computation in SQL, so this composition is gate-checked
+    // end-to-end, not rows-only.
+    "d41_ann_pipeline" -> { (s, dir) =>
+      val nProbe = 2
+      val (assigned, cents, emb) = lloydFit(s, dir)
+      val cellOf = assigned.select(col("vec_id"), col("cid"))
+      val qv = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec")))
+      val wQ = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+      val qProbe = qv.crossJoin(broadcast(cents))
+        .withColumn("qdist", round(sqrt(expr(
+          """aggregate(zip_with(qvec, cvec, (x, y) -> (x - y) * (x - y)),
+               cast(0 as double), (acc, e) -> acc + e)""")), 6))
+        .withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") <= nProbe)
+        .select(col("qid"), col("cid"))
+      val cands = qProbe.join(cellOf, "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+      val wR = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+      cands.join(emb, "vec_id").join(qv, "qid")
+        .withColumn("dist", round(sqrt(expr(
+          """aggregate(zip_with(qvec, vec, (x, y) -> (x - y) * (x - y)),
+               cast(0 as double), (acc, e) -> acc + e)""")), 6))
+        .select(col("qid"), col("vec_id").as("nid"), col("dist"),
+          row_number().over(wR).as("rn"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
     },
 
     // ---- d39: set-containment dedup — the asymmetric case d4's
@@ -1984,6 +2035,71 @@ object Pipeline {
       FROM a3
       GROUP BY cid
       ORDER BY cid""",
+
+    "d41_ann_pipeline" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+      a1 AS (
+        SELECT vec_id, cid, v, dist FROM (
+          SELECT e.vec_id, c0.cid, e.v,
+                 round(list_distance(e.v, c0.cv), 6) AS dist,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.v, c0.cv), 6), c0.cid) AS rn
+          FROM e CROSS JOIN c0) WHERE rn = 1),
+      x1 AS (
+        SELECT cid, CAST(unnest(range(len(v))) AS INT) AS pos,
+               CAST(unnest(v) AS DOUBLE) AS val
+        FROM a1),
+      c1 AS (
+        SELECT cid, list(cv ORDER BY pos) AS cv FROM (
+          SELECT cid, pos, round(avg(val), 6) AS cv FROM x1 GROUP BY 1, 2)
+        GROUP BY cid),
+      a2 AS (
+        SELECT vec_id, cid, v, dist FROM (
+          SELECT e.vec_id, c1.cid, e.v,
+                 round(list_distance(e.v, c1.cv), 6) AS dist,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.v, c1.cv), 6), c1.cid) AS rn
+          FROM e CROSS JOIN c1) WHERE rn = 1),
+      x2 AS (
+        SELECT cid, CAST(unnest(range(len(v))) AS INT) AS pos,
+               CAST(unnest(v) AS DOUBLE) AS val
+        FROM a2),
+      c2 AS (
+        SELECT cid, list(cv ORDER BY pos) AS cv FROM (
+          SELECT cid, pos, round(avg(val), 6) AS cv FROM x2 GROUP BY 1, 2)
+        GROUP BY cid),
+      a3 AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c2.cid,
+                 round(list_distance(e.v, c2.cv), 6) AS dist,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.v, c2.cv), 6), c2.cid) AS rn
+          FROM e CROSS JOIN c2) WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      qp AS (
+        SELECT qid, cid FROM (
+          SELECT q.qid, c2.cid,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round(list_distance(q.qv, c2.cv), 6), c2.cid) AS rn
+          FROM q CROSS JOIN c2) WHERE rn <= 2),
+      cands AS (
+        SELECT DISTINCT qp.qid, a3.vec_id
+        FROM qp JOIN a3 USING (cid) WHERE a3.vec_id <> qp.qid),
+      sc AS (
+        SELECT c.qid, c.vec_id AS nid,
+               round(list_distance(eq.v, en.v), 6) AS dist
+        FROM cands c
+        JOIN e eq ON eq.vec_id = c.qid
+        JOIN e en ON en.vec_id = c.vec_id),
+      r AS (
+        SELECT qid, nid, dist,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY dist, nid) AS INT) AS rn
+        FROM sc)
+      SELECT qid, nid, dist, rn FROM r WHERE rn <= 5
+      ORDER BY qid, rn""",
 
     "d39_containment" -> """
       WITH w AS (
