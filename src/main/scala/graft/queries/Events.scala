@@ -191,6 +191,23 @@ object Events {
         .agg(countDistinct(col("user_id")).as("dau"),
           countDistinct(col("b_user_id")).as("retained"))
         .orderBy("day")
+    },
+
+    // ---- q53: running DISTINCT count over a window — "how many
+    // distinct event types has this user produced so far". Spark has no
+    // count(DISTINCT) OVER; the idiomatic translation is
+    // size(collect_set()) over the running frame (set state is bounded
+    // by the type cardinality, not the event count). Unique (sec,
+    // event_id) ordering makes the running frame engine-identical.
+    "q53_window_distinct" -> { (s, dir) =>
+      val e = T(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("sec"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("user_id"), col("event_id"), col("sec"),
+          size(collect_set(col("event_type")).over(w)).as("n_types_seen"))
+        .orderBy("user_id", "sec", "event_id")
     }
   )
 
@@ -299,6 +316,19 @@ object Events {
       FROM daily a LEFT JOIN daily b
         ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
       GROUP BY a.day
-      ORDER BY day"""
+      ORDER BY day""",
+
+    "q53_window_distinct" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               event_type
+        FROM events)
+      SELECT user_id, event_id, sec,
+             CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+               AS n_types_seen
+      FROM e
+      ORDER BY user_id, sec, event_id"""
   )
 }

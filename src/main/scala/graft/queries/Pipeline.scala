@@ -1362,6 +1362,32 @@ object Pipeline {
         .orderBy("qid", "rn")
     },
 
+    // ---- d42: feature hashing — the bridge from text to fixed-width
+    // vectors when no embedding model is in the loop (hashing trick,
+    // Weinberger et al. 2009): every token maps to one of 64 buckets
+    // via a PORTABLE polynomial hash (ascii/length arithmetic both
+    // engines compute bit-identically — d10's convention; xxhash64
+    // would be the production choice but the two engines' hashes
+    // differ, which would break the oracle), then per-doc sparse
+    // count-vector statistics. All-integer output. One explode + one
+    // (doc, bucket) aggregate — the same shuffle shape as d16's tf.
+    "d42_feature_hashing" -> { (s, dir) =>
+      val bucket = expr(
+        """pmod(ascii(word) * 31 + length(word) * 7 +
+             ascii(substring(word, length(word), 1)), 64)""")
+      T(s, dir, "documents").transform(withWords)
+        .select(col("doc_id"), explode(col("words")).as("word"))
+        .withColumn("h", bucket)
+        .groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tok"),
+          count(lit(1)).as("nnz"),
+          sum(col("cnt") * col("cnt")).as("l2_sq"),
+          max(col("cnt")).as("max_bucket"))
+        .orderBy("doc_id")
+    },
+
     // ---- d39: set-containment dedup — the asymmetric case d4's
     // symmetric Jaccard (with its size-ratio prefilter) deliberately
     // EXCLUDES: a short doc fully contained in a longer one (quote
@@ -2100,6 +2126,27 @@ object Pipeline {
         FROM sc)
       SELECT qid, nid, dist, rn FROM r WHERE rn <= 5
       ORDER BY qid, rn""",
+
+    "d42_feature_hashing" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+               (ascii(word) * 31 + length(word) * 7 +
+                ascii(substr(word, CAST(length(word) AS INT), 1))) % 64 AS h
+        FROM w),
+      tb AS (
+        SELECT doc_id, h, CAST(count(*) AS BIGINT) AS cnt
+        FROM h GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_tok,
+             CAST(count(*) AS BIGINT) AS nnz,
+             CAST(sum(cnt * cnt) AS BIGINT) AS l2_sq,
+             CAST(max(cnt) AS BIGINT) AS max_bucket
+      FROM tb
+      GROUP BY doc_id
+      ORDER BY doc_id""",
 
     "d39_containment" -> """
       WITH w AS (
