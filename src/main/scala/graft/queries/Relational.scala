@@ -610,6 +610,27 @@ object Relational {
         FROM orders
         GROUP BY ALL
         ORDER BY o_orderpriority""")
+    },
+
+    // ---- q54: VARIANT semi-structured roundtrip — Spark 4's VARIANT
+    // type (the engine-native answer to DuckDB's JSON type, q37's
+    // string-path twin): serialize a struct to JSON, parse_json into a
+    // VARIANT column, extract typed fields with variant_get. The oracle
+    // is the identity on the source columns — what goes in must come
+    // back out through the binary VARIANT encoding, typed, not
+    // re-stringified.
+    "q54_variant" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))).as("js"))
+        .select(col("o_orderkey"),
+          expr("parse_json(js)").as("v"))
+        .select(col("o_orderkey"),
+          expr("variant_get(v, '$.o_custkey', 'bigint')").as("custkey"),
+          expr("variant_get(v, '$.o_orderstatus', 'string')").as("status"),
+          round(expr("variant_get(v, '$.o_totalprice', 'double')"), 2).as("price"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -1018,6 +1039,14 @@ object Relational {
                AS spend_f
       FROM orders
       GROUP BY ALL
-      ORDER BY o_orderpriority"""
+      ORDER BY o_orderpriority""",
+
+    "q54_variant" -> """
+      SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) AS custkey,
+             o_orderstatus AS status,
+             round(o_totalprice, 2) AS price
+      FROM orders
+      ORDER BY o_orderkey"""
   )
 }

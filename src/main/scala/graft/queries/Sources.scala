@@ -178,6 +178,33 @@ object Sources {
         .orderBy("fname")
     },
 
+    // ---- a14: dynamic partition overwrite — the lakehouse "patch one
+    // day, leave the rest" write: with partitionOverwriteMode=dynamic an
+    // overwrite replaces ONLY the partitions present in the incoming
+    // frame. Here the F partition is rewritten with discounted prices;
+    // O and P must survive untouched (static mode — Spark's default —
+    // would have deleted them, the classic footgun). Runs in a child
+    // session so the mode never leaks into other entries' writers.
+    "a14_partition_overwrite" -> { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val url = s"$scratchDir/a14/orders_by_status"
+      GraftWriter.removeDirectory(s2, url)
+      val base = Tables.load(s2, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      GraftWriter.write(base.repartition(col("o_orderstatus")), url,
+        format = Some("parquet"), partitionBy = Seq("o_orderstatus"))
+      val patch = base.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+      GraftWriter.write(patch.repartition(col("o_orderstatus")), url,
+        format = Some("parquet"), partitionBy = Seq("o_orderstatus"))
+      GraftReader.read(s2, url, "parquet")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     // ---- e5: parquet AGGREGATE pushdown — count/min/max answered from
     // parquet footer statistics instead of scanning row data, the
     // difference between touching 100 TB and touching its metadata.
@@ -352,6 +379,15 @@ object Sources {
         ('nation.parquet'), ('orders.parquet'), ('part.parquet'),
         ('region.parquet'), ('supplier.parquet')) t(fname)
       ORDER BY fname""",
+
+    "a14_partition_overwrite" -> """
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             round(sum(CASE WHEN o_orderstatus = 'F'
+                            THEN o_totalprice * 0.5
+                            ELSE o_totalprice END), 2) AS total
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
 
     "e5_agg_pushdown" -> """
       SELECT CAST(count(*) AS BIGINT) AS n_rows,
