@@ -631,6 +631,34 @@ object Relational {
           expr("variant_get(v, '$.o_orderstatus', 'string')").as("status"),
           round(expr("variant_get(v, '$.o_totalprice', 'double')"), 2).as("price"))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q55: POSITIONAL JOIN — DuckDB's pair-by-row-position join
+    // (rank-aligned pairing: i-th biggest order with i-th richest
+    // customer — the quantile-matching shape). Spark has no physical
+    // row order, so position must be MADE explicit: row_number over the
+    // same total order on each side, then an equi-join on the rank.
+    // That is the honest distributed translation — positional semantics
+    // only exist relative to a declared ordering.
+    "q55_positional_join" -> { (s, dir) =>
+      // distributed top-k FIRST (orderBy+limit plans as TakeOrdered —
+      // per-partition heaps, no global sort), THEN the positional rank
+      // over the surviving 100 rows (the single-partition window is
+      // fine when its input is k rows, not the corpus)
+      val wo = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wc = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val a = T(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+        .withColumn("rn", row_number().over(wo))
+      val b = T(s, dir, "customer")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(100)
+        .withColumn("rn", row_number().over(wc))
+      a.join(broadcast(b), "rn")
+        .select(col("rn"), col("o_orderkey"), col("o_totalprice"),
+          col("c_custkey"), col("c_acctbal"))
+        .orderBy("rn")
     }
   )
 
@@ -1047,6 +1075,20 @@ object Relational {
              o_orderstatus AS status,
              round(o_totalprice, 2) AS price
       FROM orders
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+
+    "q55_positional_join" -> """
+      WITH a AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100),
+      b AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+        FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 100),
+      p AS (SELECT a.*, b.* FROM a POSITIONAL JOIN b)
+      SELECT CAST(row_number() OVER
+               (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+             o_orderkey, o_totalprice, c_custkey, c_acctbal
+      FROM p
+      ORDER BY rn"""
   )
 }
