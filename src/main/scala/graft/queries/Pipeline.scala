@@ -131,6 +131,16 @@ object Pipeline {
         round(expr("jaccard_sim_sorted(set_a, set_b)"), 4).as("jaccard"))
   }
 
+  /** Rounded euclidean distance between two double-array columns —
+    * the ONE definition d40's fit and d41's probe/rerank all share, so
+    * the 6dp engine-exactness grain can never drift between call sites
+    * (review finding: it was copy-pasted three times).
+    */
+  private def euclid(a: String, b: String): org.apache.spark.sql.Column =
+    round(sqrt(expr(
+      s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+           cast(0 as double), (acc, e) -> acc + e)""")), 6)
+
   /** d40/d41's shared Lloyd loop (K=8, 3 unrolled iterations, euclidean,
     * distances/means rounded at 6dp before any comparison so both
     * engines walk identical assignment sequences). Returns the final
@@ -153,9 +163,7 @@ object Pipeline {
     for (_ <- 1 to iters) {
       used = cents
       assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("dist", round(sqrt(expr(
-          """aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)),
-               cast(0 as double), (acc, e) -> acc + e)""")), 6))
+        .withColumn("dist", euclid("vec", "cvec"))
         .withColumn("rn", row_number().over(wA))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("vec"), col("dist"))
@@ -1342,9 +1350,7 @@ object Pipeline {
         .select(col("vec_id").as("qid"), col("vec").as("qvec")))
       val wQ = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
       val qProbe = qv.crossJoin(broadcast(cents))
-        .withColumn("qdist", round(sqrt(expr(
-          """aggregate(zip_with(qvec, cvec, (x, y) -> (x - y) * (x - y)),
-               cast(0 as double), (acc, e) -> acc + e)""")), 6))
+        .withColumn("qdist", euclid("qvec", "cvec"))
         .withColumn("rn", row_number().over(wQ))
         .filter(col("rn") <= nProbe)
         .select(col("qid"), col("cid"))
@@ -1353,9 +1359,7 @@ object Pipeline {
         .select("qid", "vec_id").distinct()
       val wR = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
       cands.join(emb, "vec_id").join(qv, "qid")
-        .withColumn("dist", round(sqrt(expr(
-          """aggregate(zip_with(qvec, vec, (x, y) -> (x - y) * (x - y)),
-               cast(0 as double), (acc, e) -> acc + e)""")), 6))
+        .withColumn("dist", euclid("qvec", "vec"))
         .select(col("qid"), col("vec_id").as("nid"), col("dist"),
           row_number().over(wR).as("rn"))
         .filter(col("rn") <= 5)

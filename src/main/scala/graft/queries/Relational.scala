@@ -655,7 +655,10 @@ object Relational {
         .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"))
         .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(100)
         .withColumn("rn", row_number().over(wc))
-      a.join(broadcast(b), "rn")
+      // FULL outer on the rank: POSITIONAL JOIN null-pads the shorter
+      // side, so an inner join would silently drop trailing ranks
+      // whenever either table has under k rows (review finding)
+      a.join(b, Seq("rn"), "full_outer")
         .select(col("rn"), col("o_orderkey"), col("o_totalprice"),
           col("c_custkey"), col("c_acctbal"))
         .orderBy("rn")
@@ -1081,14 +1084,22 @@ object Relational {
       WITH a AS (
         SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100),
+      ar AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(row_number() OVER
+                 (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn_a
+        FROM a ORDER BY rn_a),
       b AS (
         SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
         FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 100),
-      p AS (SELECT a.*, b.* FROM a POSITIONAL JOIN b)
-      SELECT CAST(row_number() OVER
-               (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+      br AS (
+        SELECT c_custkey, c_acctbal,
+               CAST(row_number() OVER
+                 (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn_b
+        FROM b ORDER BY rn_b)
+      SELECT coalesce(rn_a, rn_b) AS rn,
              o_orderkey, o_totalprice, c_custkey, c_acctbal
-      FROM p
+      FROM ar POSITIONAL JOIN br
       ORDER BY rn"""
   )
 }

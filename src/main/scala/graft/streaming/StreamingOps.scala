@@ -99,6 +99,7 @@ object StreamingOps {
     */
   def dedupIngestBatch(admitted: String)(batch: DataFrame, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
     val spark = batch.sparkSession
     val firsts = batch
       .select(col("doc_id"), md5(col("text")).as("thash"))
@@ -108,11 +109,19 @@ object StreamingOps {
     // the state read EXCLUDES this batchId's own partition: a retried
     // batch would otherwise anti-join against its previous attempt's
     // output, emit an empty novelty set, and overwrite its own dir
-    // with nothing — silently losing the admitted docs
+    // with nothing — silently losing the admitted docs. The schema is
+    // EXPLICIT: after an empty batch the state tree can hold only
+    // _SUCCESS markers, and schema inference over zero data files
+    // throws — which would kill the stream on the very next batch
+    // (review finding; spec-pinned below).
+    val stateSchema = StructType(Seq(
+      StructField("doc_id", org.apache.spark.sql.types.LongType),
+      StructField("thash", StringType),
+      StructField("batch", IntegerType)))
     val novel =
       if (afs.exists(admittedPath))
         firsts.join(
-          spark.read.parquet(admitted)
+          spark.read.schema(stateSchema).parquet(admitted)
             .filter(col("batch") =!= batchId).select("thash"),
           Seq("thash"), "left_anti")
       else firsts

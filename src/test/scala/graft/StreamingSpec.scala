@@ -212,4 +212,19 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(again == Set(1L, 2L, 11L), s"retry changed state: $again")
   }
+
+  test("s10: an empty first batch does not kill the next batch's state read") {
+    import spark.implicits._
+    // an empty batch leaves admitted/batch=0 with only a _SUCCESS marker;
+    // the next batch's state read must survive the no-data-files tree
+    // (explicit state schema — inference would throw) and admit normally
+    val admitted = scratch("s10-empty-first") + "/admitted"
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val day1 = Seq((5L, "kappa lambda")).toDF("doc_id", "text")
+    StreamingOps.dedupIngestBatch(admitted)(empty, 0L)
+    StreamingOps.dedupIngestBatch(admitted)(day1, 1L)
+    val got = spark.read.parquet(admitted).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(5L), s"admitted after empty first batch: $got")
+  }
 }
