@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator level: native AS-OF join (marker rewrite + strategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // parser level: the reference's `FROM 'hdfs://...'` path-literal
+    // table syntax (graft.sources.PathSyntaxParser)
+    ext.injectParser((_, parser) => new graft.sources.PathSyntaxParser(parser))
   }
 }
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.sources.{GraftReader, GraftWriter}
+import graft.sources.{GraftReader, GraftWriter, PathSyntax}
 
 /** Source/storage A-block (SURVEY.md §2 A) as oracle-checkable queries.
   * Each entry exercises a capability of the reference's HadoopFileSystem
@@ -224,6 +224,23 @@ object Sources {
           round(max(col("l_quantity")), 2).as("max_qty"))
     },
 
+    // ---- e6: the PARSER tier of the extension mechanism — the
+    // reference's exact headline syntax, `SELECT * FROM
+    // 'hdfs://host/path/file'`, runs as Spark SQL. Session-build
+    // injection (PathSyntaxParser via GraftExtensions) is spec-verified
+    // in ExtensionsSpec; this entry exercises the same rewrite through
+    // PathSyntax.sql since the driver's session carries no extensions
+    // conf. A self-join of two path-literal tables proves table refs
+    // resolve in both FROM and JOIN position.
+    "e6_path_syntax" -> { (s, dir) =>
+      PathSyntax.sql(s, s"""
+        SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name,
+               r.r_name AS region
+        FROM '$dir/nation.parquet' n
+        JOIN '$dir/region.parquet' r ON n.n_regionkey = r.r_regionkey
+        ORDER BY n_nationkey""")
+    },
+
     // ---- a12: bucketed tables — the write-side lever that deletes the
     // join shuffle outright: both fact tables land bucketBy(8, orderkey)
     // + sortBy, so the orders⋈lineitem join plans with ZERO exchanges
@@ -388,6 +405,12 @@ object Sources {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+
+    "e6_path_syntax" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             r_name AS region
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      ORDER BY n_nationkey""",
 
     "e5_agg_pushdown" -> """
       SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The reference's headline user surface — `SELECT * FROM
+  * 'hdfs://host:9000/path/file'` (reference docs/README.md) — as Spark
+  * SQL. DuckDB resolves a quoted path in table position via replacement
+  * scans; Spark's native spelling is ``format.`path` ``. This layer
+  * closes the syntax gap with a pre-lexer rewrite: every `FROM '<url>'`
+  * / `JOIN '<url>'` becomes ``FROM <fmt>.`<url>` `` with the format
+  * inferred from the extension (GraftReader's table), so the
+  * reference's exact query text runs unchanged.
+  *
+  * Two entry points, mirroring GraftExtensions' own doc:
+  *  - session-build path: GraftExtensions injects [[PathSyntaxParser]]
+  *    (`spark.sql.extensions=graft.GraftExtensions`), making the syntax
+  *    native to every `spark.sql(...)` call (spec-verified);
+  *  - programmatic path: [[PathSyntax.sql]] applies the same rewrite on
+  *    a plain session (used by the e6 query entry — the driver builds
+  *    its sessions without the extensions conf).
+  *
+  * The rewrite is a QUOTE-AWARE scan, not a regex: string literals are
+  * copied verbatim (including `''` escapes), so a literal like
+  * `'from '` can never be mistaken for a table ref — only a FROM/JOIN
+  * keyword encountered OUTSIDE any literal, followed by a quoted
+  * string, rewrites (the spec pins exactly this case).
+  */
+object PathSyntax {
+
+  /** Index just past the literal's closing quote, honoring '' escapes. */
+  private def closeQuote(s: String, start: Int): Int = {
+    var i = start + 1
+    while (i < s.length) {
+      if (s(i) == '\'') {
+        if (i + 1 < s.length && s(i + 1) == '\'') i += 2 // escaped ''
+        else return i + 1
+      } else i += 1
+    }
+    s.length
+  }
+
+  def rewrite(sqlText: String): String = {
+    val out = new StringBuilder(sqlText.length + 32)
+    val n = sqlText.length
+    var i = 0
+    def wordEnd(from: Int): Int = {
+      var j = from
+      while (j < n && (sqlText(j).isLetterOrDigit || sqlText(j) == '_')) j += 1
+      j
+    }
+    while (i < n) {
+      val c = sqlText(i)
+      if (c == '\'') {
+        val j = closeQuote(sqlText, i)
+        out.append(sqlText.substring(i, j)); i = j
+      } else if (c.isLetter &&
+          (i == 0 || !(sqlText(i - 1).isLetterOrDigit || sqlText(i - 1) == '_'))) {
+        val j = wordEnd(i)
+        val w = sqlText.substring(i, j)
+        if (w.equalsIgnoreCase("from") || w.equalsIgnoreCase("join")) {
+          var k = j
+          while (k < n && sqlText(k).isWhitespace) k += 1
+          if (k < n && sqlText(k) == '\'') {
+            val q = closeQuote(sqlText, k)
+            val url = sqlText.substring(k + 1, math.max(k + 1, q - 1))
+            out.append(w).append(' ')
+              .append(GraftReader.inferFormat(url))
+              .append(".`").append(url).append('`')
+            i = q
+          } else { out.append(w); i = j }
+        } else { out.append(w); i = j }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** `spark.sql` with path-literal table support on an uninjected session. */
+  def sql(s: SparkSession, text: String): DataFrame = s.sql(rewrite(text))
+}
+
+/** Delegating parser: rewrites path-literal table refs, then hands the
+  * query to Spark's own parser — every other parser duty passes through
+  * untouched.
+  */
+class PathSyntaxParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(PathSyntax.rewrite(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(PathSyntax.rewrite(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

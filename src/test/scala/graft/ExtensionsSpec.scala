@@ -32,6 +32,24 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(fresh.sql("SELECT quack('q')").head().getString(0).startsWith("Quack q"))
   }
 
+  test("e6: injected parser makes FROM 'path' native Spark SQL") {
+    // the reference's headline syntax, through the REAL injectParser
+    // path: this session's context was built with
+    // spark.sql.extensions=graft.GraftExtensions, so a fresh session
+    // parses path-literal table refs with no rewrite call
+    val fresh = spark.newSession()
+    val n = fresh.sql(s"SELECT count(*) AS n FROM '$sfTiny/nation.parquet'")
+      .head().getLong(0)
+    assert(n == 25)
+    // join position resolves too, and ordinary string literals survive
+    val r = fresh.sql(
+      s"""SELECT concat('from ', r.r_name) AS tag
+          FROM '$sfTiny/nation.parquet' n
+          JOIN '$sfTiny/region.parquet' r ON n.n_regionkey = r.r_regionkey
+          WHERE n.n_nationkey = 0""").head().getString(0)
+    assert(r.startsWith("from "), r)
+  }
+
   test("e1: JaccardPrefilter rule derives size bounds for threshold predicates") {
     GraftExtensions.install(spark)
     import spark.implicits._
