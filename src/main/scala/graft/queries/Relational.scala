@@ -662,6 +662,25 @@ object Relational {
         .select(col("rn"), col("o_orderkey"), col("o_totalprice"),
           col("c_custkey"), col("c_acctbal"))
         .orderBy("rn")
+    },
+
+    // ---- q56: bag-semantics set operations — INTERSECT ALL / EXCEPT
+    // ALL (q36 covers the DISTINCT forms; the ALL forms preserve
+    // multiplicity: per key, min(cnt_a, cnt_b) resp. cnt_a - cnt_b).
+    // Spark's intersectAll/exceptAll plan as one aggregate + generate —
+    // no quadratic anything. Output is per-key multiplicities so the
+    // result is deterministic and bounded.
+    "q56_setops_all" -> { (s, dir) =>
+      val o = T(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val ia = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_both"))
+      val ea = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_only_a"))
+      ia.join(ea, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          coalesce(col("n_only_a"), lit(0L)).as("n_only_a"))
+        .orderBy("k")
     }
   )
 
@@ -1100,6 +1119,21 @@ object Relational {
       SELECT coalesce(rn_a, rn_b) AS rn,
              o_orderkey, o_totalprice, c_custkey, c_acctbal
       FROM ar POSITIONAL JOIN br
-      ORDER BY rn"""
+      ORDER BY rn""",
+
+    "q56_setops_all" -> """
+      WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+      b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+      ia AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_both
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY k),
+      ea AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_only_a
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY k)
+      SELECT coalesce(ia.k, ea.k) AS k,
+             coalesce(n_both, 0) AS n_both,
+             coalesce(n_only_a, 0) AS n_only_a
+      FROM ia FULL JOIN ea ON ia.k = ea.k
+      ORDER BY k"""
   )
 }

@@ -48,6 +48,10 @@ class ExtensionsSpec extends SparkSpecBase {
           JOIN '$sfTiny/region.parquet' r ON n.n_regionkey = r.r_regionkey
           WHERE n.n_nationkey = 0""").head().getString(0)
     assert(r.startsWith("from "), r)
+    // glob path literals route through too (the reference's Glob surface)
+    val g = fresh.sql(s"SELECT count(*) AS n FROM '$sfTiny/nat*.parquet'")
+      .head().getLong(0)
+    assert(g == 25)
   }
 
   test("e1: JaccardPrefilter rule derives size bounds for threshold predicates") {
