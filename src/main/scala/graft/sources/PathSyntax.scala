@@ -53,10 +53,25 @@ object PathSyntax {
       while (j < n && (sqlText(j).isLetterOrDigit || sqlText(j) == '_')) j += 1
       j
     }
+    def closeBacktick(start: Int): Int = {
+      var j = start + 1
+      while (j < n) {
+        if (sqlText(j) == '`') {
+          if (j + 1 < n && sqlText(j + 1) == '`') j += 2 // escaped ``
+          else return j + 1
+        } else j += 1
+      }
+      n
+    }
     while (i < n) {
       val c = sqlText(i)
       if (c == '\'') {
         val j = closeQuote(sqlText, i)
+        out.append(sqlText.substring(i, j)); i = j
+      } else if (c == '`') {
+        // backtick-quoted identifier (incl. our own rewritten paths):
+        // copied verbatim so a second pass is a no-op (idempotence)
+        val j = closeBacktick(i)
         out.append(sqlText.substring(i, j)); i = j
       } else if (c.isLetter &&
           (i == 0 || !(sqlText(i - 1).isLetterOrDigit || sqlText(i - 1) == '_'))) {
@@ -67,10 +82,13 @@ object PathSyntax {
           while (k < n && sqlText(k).isWhitespace) k += 1
           if (k < n && sqlText(k) == '\'') {
             val q = closeQuote(sqlText, k)
+            // un-escape '' inside the literal; re-escape backticks for
+            // the emitted identifier form
             val url = sqlText.substring(k + 1, math.max(k + 1, q - 1))
+              .replace("''", "'")
             out.append(w).append(' ')
               .append(GraftReader.inferFormat(url))
-              .append(".`").append(url).append('`')
+              .append(".`").append(url.replace("`", "``")).append('`')
             i = q
           } else { out.append(w); i = j }
         } else { out.append(w); i = j }
