@@ -56,6 +56,12 @@ object GraftExtensions {
         "anything else returns silently WRONG results - use jaccard_sim instead. " +
         "Set -Dgraft.jaccard.checkSorted=true to fail fast on violations."),
       (e: Seq[Expression]) => JaccardSim(e(0), e(1), assumeSorted = true)),
+    ("is_subset_sorted", info("is_subset_sorted",
+      "is_subset_sorted(a, b) - true iff a is a subset of b. WARNING: both inputs MUST " +
+        "be sorted ascending (binary order) and deduplicated, e.g. array_sort(array_distinct(x)); " +
+        "anything else returns silently WRONG results. " +
+        "Set -Dgraft.jaccard.checkSorted=true to fail fast on violations."),
+      (e: Seq[Expression]) => SubsetSorted(e(0), e(1))),
     ("minhash_bands", info("minhash_bands",
       "minhash_bands(tokens[, bands]) - MinHash LSH band keys (128 hashes; bands controls the J threshold: 32 -> ~0.5, 16 -> ~0.8)"),
       (e: Seq[Expression]) => e match {

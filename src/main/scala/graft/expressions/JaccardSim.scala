@@ -129,15 +129,15 @@ object JaccardSim {
     * strictly ascending in UTF8String binary order — exactly what the
     * merge kernel's correctness depends on (strictness also rules out
     * duplicates, which would inflate the union count). */
-  private def verifySortedDistinct(a: ArrayData): Unit = {
+  private[expressions] def verifySortedDistinct(a: ArrayData): Unit = {
     val n = a.numElements()
     var i = 1
     while (i < n && !a.isNullAt(i)) {
       if (a.isNullAt(i - 1) || a.getUTF8String(i - 1).compareTo(a.getUTF8String(i)) >= 0)
         throw new IllegalArgumentException(
-          s"jaccard_sim_sorted: input array is not sorted+deduplicated ascending " +
+          s"sorted-merge kernel: input array is not sorted+deduplicated ascending " +
             s"(violation at position $i); build sets with array_sort(array_distinct(x)) " +
-            "or use jaccard_sim")
+            "or use the unsorted variant")
       i += 1
     }
   }

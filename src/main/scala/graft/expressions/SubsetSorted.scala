@@ -1,0 +1,81 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** is_subset_sorted(a, b) → a ⊆ b over two SORTED + DEDUPLICATED
+  * array<string> columns (jaccard_sim_sorted's precondition and
+  * convention — `array_sort(array_distinct(...))` inputs, UTF8String
+  * binary order). One two-pointer merge walk, zero allocation, early
+  * exit on the first element of `a` missing from `b` — replaces
+  * d39's `size(array_except(a, b)) = 0`, which built a hash set per
+  * candidate pair. Participates in whole-stage codegen.
+  *
+  * Same hard warning as the sorted jaccard kernel: unsorted or
+  * duplicated input yields undefined results; the debug system property
+  * `-Dgraft.jaccard.checkSorted=true` turns misuse into an immediate
+  * error (shared flag — both kernels guard the same precondition).
+  */
+case class SubsetSorted(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "is_subset_sorted"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireArrayOf(prettyName, org.apache.spark.sql.types.StringType, left, right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (JaccardSim.checkSorted) SubsetSorted.mergeSubsetChecked(x, y)
+    else SubsetSorted.mergeSubset(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (JaccardSim.checkSorted) "mergeSubsetChecked" else "mergeSubset"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.SubsetSorted.$kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubsetSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+object SubsetSorted {
+
+  /** Sorted-distinct kernel: every non-null element of x must appear in
+    * y. `array_sort` places nulls LAST, so the walk stops at the first
+    * null on either side (nulls skipped, the JaccardSim convention).
+    * The empty set is a subset of everything.
+    */
+  def mergeSubset(x: ArrayData, y: ArrayData): Boolean = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var na = 0
+    while (na < nx && !x.isNullAt(na)) na += 1
+    var nb = 0
+    while (nb < ny && !y.isNullAt(nb)) nb += 1
+    if (na > nb) return false
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { i += 1; j += 1 }
+      else if (c < 0) return false // x(i) can never appear later in y
+      else j += 1
+      if (na - i > nb - j) return false // not enough of y left
+    }
+    i == na
+  }
+
+  /** Debug-mode twin: asserts both inputs strictly ascending first. */
+  def mergeSubsetChecked(x: ArrayData, y: ArrayData): Boolean = {
+    JaccardSim.verifySortedDistinct(x)
+    JaccardSim.verifySortedDistinct(y)
+    mergeSubset(x, y)
+  }
+}

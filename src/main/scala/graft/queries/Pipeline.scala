@@ -1411,6 +1411,7 @@ object Pipeline {
     // Conjunct order matters as in d4: equi keys, id/size ordering,
     // O(1) range bounds, THEN the subset kernel.
     "d39_containment" -> { (s, dir) =>
+      GraftExtensions.install(s)
       val saltCap = 2000
       val snippetCap = 12
       val w = withWords(T(s, dir, "documents"))
@@ -1430,14 +1431,17 @@ object Pipeline {
       // conjunct ladder (order preserved, d4's rule): equi keys → id/size
       // ordering → O(1) sorted-range bounds (A ⊆ B forces min(A) ≥
       // min(B) and max(A) ≤ max(B) in sort order — two string compares
-      // that kill most pairs) → only then the O(|A|+|B|) subset kernel
+      // that kill most pairs) → only then the subset kernel: the native
+      // is_subset_sorted merge walk (expressions/SubsetSorted — zero
+      // allocation, early exit; replaced array_except, which built a
+      // hash set per surviving candidate pair)
       a.join(b, col("lang") === col("lang2") && col("salt") === col("salt2") &&
           col("doc_a") =!= col("doc_b") &&
           (col("wn_a") < col("wn_b") ||
             (col("wn_a") === col("wn_b") && col("doc_a") < col("doc_b"))) &&
           element_at(col("set_a"), 1) >= element_at(col("set_b"), 1) &&
           element_at(col("set_a"), -1) <= element_at(col("set_b"), -1) &&
-          size(array_except(col("set_a"), col("set_b"))) === 0)
+          expr("is_subset_sorted(set_a, set_b)"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("wn_a")).as("n_wset"),
           count(lit(1)).as("n_containers"),

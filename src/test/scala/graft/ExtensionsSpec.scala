@@ -155,6 +155,10 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(!c.isInstanceOf[CodegenFallback])
     assert(!j.isInstanceOf[CodegenFallback])
     assert(!QuackVersion(q).isInstanceOf[CodegenFallback])
+    val sub = SubsetSorted(
+      Literal.create(Array("a"), ArrayType(StringType)),
+      Literal.create(Array("a"), ArrayType(StringType)))
+    assert(!sub.isInstanceOf[CodegenFallback])
   }
 
   test("e2: jaccard kernels fuse into whole-stage codegen and agree") {

@@ -88,6 +88,26 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("subset: merge kernel agrees with Set.subsetOf on sorted-distinct input") {
+    val r = rng(0x50b5e7)
+    var subs = 0
+    for (_ <- 1 to Rounds) {
+      val a0 = randTokens(r)
+      // half the rounds: force a true subset (sample of b) so both
+      // branches are exercised, not just the overwhelmingly-likely
+      // non-subset case
+      val b = randTokens(r)
+      val a = if (r.nextBoolean()) a0 else b.filter(_ => r.nextBoolean())
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val got = graft.expressions.SubsetSorted.mergeSubset(arr(sa), arr(sb))
+      val want = sa.toSet.subsetOf(sb.toSet)
+      assert(got == want, s"a=$sa b=$sb got=$got want=$want")
+      if (want) subs += 1
+    }
+    assert(subs > 20, s"degenerate generator: only $subs subset cases")
+  }
+
   test("jaccard: merge kernel agrees with hash kernel on sorted-distinct input") {
     val r = rng(2)
     (1 to Rounds).foreach { _ =>
