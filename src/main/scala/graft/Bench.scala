@@ -47,7 +47,10 @@ object Bench {
       "d4_ngram_jaccard", "d15_jaccard_lsh", "d2_minhash_lsh", "d3_simhash",
       "d13_embed_neardup", "d20_dedup_clusters", "d23_minhash_estimate",
       "d5_knn_cosine", "d6_lsh_ann", "d16_tfidf", "d22_unigram_logprob",
-      "d30_corpus_curation")
+      "d30_corpus_curation",
+      // round-4 work-dominated additions — must survive slow-host shedding
+      "d35_ccnet_buckets", "d38_bigram_surprisal", "d39_containment",
+      "d40_kmeans_fit", "d41_ann_pipeline")
     name match {
       case n if headliners(n) => 0
       case n if n.startsWith("d") => 1
