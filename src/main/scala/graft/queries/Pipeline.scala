@@ -1124,11 +1124,18 @@ object Pipeline {
     // centroid) rows instead of re-assembled arrays keeps the result
     // checker-hashable and join-ready for d5/d6-style scoring.
     "d19_label_centroid" -> { (s, dir) =>
+      // 4dp via multiply-first rounding (round(x*1e4)/1e4, not
+      // round(x, 4)): float32 component averages land on 4dp MIDPOINTS
+      // often enough that the engines' rounding pipelines diverged at
+      // sf0.001/sf0.1 (Spark rounds the decimal expansion of the
+      // double; DuckDB rounds the binary-scaled double). Scaling first
+      // makes both engines decide on the SAME scaled double; + 0.0
+      // collapses -0.0 so the checker's string sort can't diverge.
       T(s, dir, "embeddings")
         .select(col("label"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
         .groupBy("label", "pos")
-        .agg(round(avg(col("v")), 4).as("centroid"))
+        .agg((round(avg(col("v")) * 10000) / 10000.0 + lit(0.0)).as("centroid"))
         .orderBy("label", "pos")
     },
 
@@ -1890,7 +1897,7 @@ object Pipeline {
                CAST(unnest(range(len(embedding))) AS INT) AS pos,
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings)
-      SELECT label, pos, round(avg(v), 4) AS centroid
+      SELECT label, pos, round(avg(v) * 10000) / 10000 + 0.0 AS centroid
       FROM ex
       GROUP BY 1, 2
       ORDER BY label, pos""",

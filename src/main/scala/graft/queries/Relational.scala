@@ -387,12 +387,22 @@ object Relational {
 
     // ---- q28: exact linear-interpolation percentiles.
     "q28_percentile" -> { (s, dir) =>
+      // percentiles over CENTS: quartile interpolation of integers at
+      // binary-exact fractions (.25/.5/.75) is EXACT in double whatever
+      // formula the engine uses — a raw-double percentile differed by
+      // one ulp at sf0.1 and round(2) flipped on the boundary. Rounding
+      // happens AT CENTS SCALE, before the /100: an interpolated
+      // half-cent divided first yields a double whose shortest decimal
+      // string is the 2dp midpoint, and the engines' rounding pipelines
+      // split on exactly that shape (Spark rounds the string, DuckDB
+      // the scaled binary). Exact halves round away-from-zero in both.
       T(s, dir, "lineitem")
+        .withColumn("cents", expr("cast(round(l_extendedprice * 100) as bigint)"))
         .groupBy(col("l_linestatus"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+          (round(expr("percentile(cents, 0.25)")) / 100.0).as("p25"),
+          (round(expr("percentile(cents, 0.5)")) / 100.0).as("p50"),
+          (round(expr("percentile(cents, 0.75)")) / 100.0).as("p75"))
         .orderBy(col("l_linestatus"))
     },
 
@@ -681,6 +691,25 @@ object Relational {
           coalesce(col("n_both"), lit(0L)).as("n_both"),
           coalesce(col("n_only_a"), lit(0L)).as("n_only_a"))
         .orderBy("k")
+    },
+
+    // ---- q57: rank-distribution window statistics — percent_rank and
+    // cume_dist (the last uncovered window-stat surface; q10 covers the
+    // rank family, d35 ntile). Both are pure rank arithmetic over an
+    // already-sorted partition: (rank-1)/(n-1) and rank_with_ties/n —
+    // engine-exact at 6dp on a unique ordering. Per-status partitions,
+    // top 20 orders each to keep output bounded.
+    "q57_rank_dist" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          row_number().over(w).as("rn"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .filter(col("rn") <= 20)
+        .orderBy("o_orderstatus", "rn")
     }
   )
 
@@ -958,9 +987,9 @@ object Relational {
 
     "q28_percentile" -> """
       SELECT l_linestatus,
-             round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-             round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-             round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+             round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25)) / 100 AS p25,
+             round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)) / 100 AS p50,
+             round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75)) / 100 AS p75
       FROM lineitem
       GROUP BY l_linestatus
       ORDER BY l_linestatus""",
@@ -1134,6 +1163,20 @@ object Relational {
              coalesce(n_both, 0) AS n_both,
              coalesce(n_only_a, 0) AS n_only_a
       FROM ia FULL JOIN ea ON ia.k = ea.k
-      ORDER BY k"""
+      ORDER BY k""",
+
+    "q57_rank_dist" -> """
+      WITH r AS (
+        SELECT o_orderstatus, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice,
+               CAST(row_number() OVER w AS INT) AS rn,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey))
+      SELECT o_orderstatus, o_orderkey, o_totalprice, rn, pct_rank, cume
+      FROM r WHERE rn <= 20
+      ORDER BY o_orderstatus, rn"""
   )
 }
