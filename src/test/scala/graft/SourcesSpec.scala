@@ -122,6 +122,35 @@ class SourcesSpec extends SparkSpecBase {
       s"expected zstd parquet parts, got: ${zsFiles.mkString(", ")}")
   }
 
+  test("a14: dynamic overwrite leaves other partitions' files physically untouched") {
+    // the oracle proves content; this pins the mechanism — the O and P
+    // partition FILES must be the same files (same paths, same mtimes)
+    // after the F-only patch write, not rewritten copies
+    val out = graft.queries.Sources.queries("a14_partition_overwrite")(spark, sfTiny)
+    assert(out.count() == 3)
+    val base = graft.queries.Sources.scratchDir
+    def snap(p: String): Map[String, Long] =
+      GraftReader.listFiles(spark, s"$base/a14/orders_by_status/$p/*")
+        .filter(!col("is_dir")).select("path", "mtime_ms")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oBefore = snap("o_orderstatus=O")
+    val fBefore = snap("o_orderstatus=F")
+    // re-run ONLY the patch write (same child-session dynamic mode)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    Thread.sleep(1100) // ensure a distinguishable mtime granularity
+    val patch = Tables.load(s2, sfTiny, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+    graft.sources.GraftWriter.write(
+      patch.repartition(col("o_orderstatus")),
+      s"$base/a14/orders_by_status",
+      format = Some("parquet"), partitionBy = Seq("o_orderstatus"))
+    assert(snap("o_orderstatus=O") == oBefore, "O partition was rewritten")
+    assert(snap("o_orderstatus=F") != fBefore, "F partition was not rewritten")
+  }
+
   test("a8: listing relation exposes path/size/mtime") {
     val df = GraftReader.listFiles(spark, s"$sfTiny/*.parquet")
     assert(df.columns.toSeq == Seq("path", "size", "mtime_ms", "is_dir"))
