@@ -17,6 +17,12 @@ run / fork := true
 // sbt's default forked-run logger prefixes child stdout with "[info] ",
 // which broke the contract two rounds running — route it through verbatim.
 run / outputStrategy := Some(StdoutOutput)
+// The driver inspects only a bounded TAIL of the run's output (r4: the
+// JSON line printed bare and complete, rc=0, yet parsed:null — the line
+// start fell outside the captured 2000-char window). Suppress sbt's
+// trailing "[success] Total time..." line so the JSON line stays the
+// final output; Bench itself caps the line length to fit the window.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1066,8 +1066,12 @@ object Relational {
                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         FROM orders)
       SELECT o_custkey, o_orderkey, daynum,
-             sum(cents) OVER (PARTITION BY o_custkey ORDER BY daynum
-               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS cents_30d,
+             -- CAST: DuckDB sum(BIGINT) yields HUGEINT, which lands in
+             -- the checker's pandas frame as float64 while Spark's long
+             -- sum stays int64 — same values, different hash (the r4
+             -- q48 hash_match=false). BIGINT keeps both sides int64.
+             CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY daynum
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d,
              count(*) OVER (PARTITION BY o_custkey ORDER BY daynum
                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
       FROM o

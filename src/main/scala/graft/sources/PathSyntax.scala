@@ -24,30 +24,65 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    a plain session (used by the e6 query entry — the driver builds
   *    its sessions without the extensions conf).
   *
-  * The rewrite is a QUOTE-AWARE scan, not a regex: string literals are
-  * copied verbatim (including `''` escapes), so a literal like
-  * `'from '` can never be mistaken for a table ref — only a FROM/JOIN
-  * keyword encountered OUTSIDE any literal, followed by a quoted
-  * string, rewrites (the spec pins exactly this case).
+  * The rewrite is a LEXER-FAITHFUL scan, not a regex. The scanner
+  * tracks every construct Spark's own lexer would: single- AND
+  * double-quoted string literals (default non-ANSI Spark reads "..."
+  * as a string) with both `''`/`""` and backslash escapes, backticked
+  * identifiers, `--` line comments, and nested `/* */` bracketed
+  * comments — all copied verbatim, so a `from 'x'` inside any of them
+  * can never be mistaken for a table ref and an apostrophe inside a
+  * comment cannot desync the scan. A FROM/JOIN followed by a quoted
+  * string rewrites only in genuine TABLE position: the scanner keeps a
+  * parenthesis stack classifying each `(` as function-call (preceded
+  * by an identifier: `trim(`, `extract(`, `substring(`) or plain
+  * (subquery/grouping), and skips the rewrite when the nearest
+  * enclosing paren is a call — which is exactly where SQL's
+  * expression-FROM lives (`trim(BOTH 'x' FROM 'y')`,
+  * `EXTRACT(YEAR FROM '2020-01-01')`, `substring(s FROM 2)`).
   */
 object PathSyntax {
 
-  /** Index just past the literal's closing quote, honoring '' escapes. */
-  private def closeQuote(s: String, start: Int): Int = {
+  /** Index just past a quoted region's closing quote char, honoring
+    * doubled-quote (`''` / `""`) and backslash escapes — the same
+    * escapes Spark's default (non-escapedStringLiterals) lexer eats.
+    */
+  private def closeQuote(s: String, start: Int, q: Char): Int = {
     var i = start + 1
     while (i < s.length) {
-      if (s(i) == '\'') {
-        if (i + 1 < s.length && s(i + 1) == '\'') i += 2 // escaped ''
+      if (s(i) == '\\' && i + 1 < s.length) i += 2
+      else if (s(i) == q) {
+        if (i + 1 < s.length && s(i + 1) == q) i += 2 // escaped '' / ""
         else return i + 1
       } else i += 1
     }
     s.length
   }
 
+  /** Keywords that legally precede `(` without making it a function
+    * call — subquery / grouping / row-constructor openers. Anything
+    * else identifier-shaped before `(` is treated as a call.
+    */
+  private val NonCallWords: Set[String] = Set(
+    "select", "from", "join", "where", "on", "and", "or", "not", "in",
+    "exists", "all", "any", "some", "as", "union", "intersect", "except",
+    "values", "by", "having", "then", "else", "when", "case", "end",
+    "using", "lateral", "distinct", "between", "like", "ilike", "rlike",
+    "is", "cross", "inner", "left", "right", "full", "outer", "semi",
+    "anti", "natural", "limit", "offset", "order", "group", "with",
+    "insert", "into", "table", "overwrite", "returning", "qualify")
+
   def rewrite(sqlText: String): String = {
     val out = new StringBuilder(sqlText.length + 32)
     val n = sqlText.length
     var i = 0
+    // Last meaningful token, lower-cased ("" at start; words keep their
+    // text, symbols their char) — drives the call-vs-plain paren split.
+    var prevTok: String = ""
+    // true = the paren was a function call; FROM under a call paren is
+    // expression syntax, never a table ref.
+    var parenStack: List[Boolean] = Nil
+    def identLike(t: String): Boolean =
+      t.nonEmpty && (t.head.isLetter || t.head == '_' || t.head == '`')
     def wordEnd(from: Int): Int = {
       var j = from
       while (j < n && (sqlText(j).isLetterOrDigit || sqlText(j) == '_')) j += 1
@@ -63,25 +98,51 @@ object PathSyntax {
       }
       n
     }
+    /** End index of the nested bracketed comment opening at `start`. */
+    def closeBlockComment(start: Int): Int = {
+      var j = start + 2
+      var depth = 1
+      while (j < n && depth > 0) {
+        if (j + 1 < n && sqlText(j) == '/' && sqlText(j + 1) == '*') { depth += 1; j += 2 }
+        else if (j + 1 < n && sqlText(j) == '*' && sqlText(j + 1) == '/') { depth -= 1; j += 2 }
+        else j += 1
+      }
+      j
+    }
     while (i < n) {
       val c = sqlText(i)
-      if (c == '\'') {
-        val j = closeQuote(sqlText, i)
+      if (c == '\'' || c == '"') {
+        val j = closeQuote(sqlText, i, c)
         out.append(sqlText.substring(i, j)); i = j
+        prevTok = "'"
       } else if (c == '`') {
         // backtick-quoted identifier (incl. our own rewritten paths):
         // copied verbatim so a second pass is a no-op (idempotence)
         val j = closeBacktick(i)
         out.append(sqlText.substring(i, j)); i = j
+        prevTok = "`"
+      } else if (c == '-' && i + 1 < n && sqlText(i + 1) == '-') {
+        val j = { var k = i; while (k < n && sqlText(k) != '\n') k += 1; k }
+        out.append(sqlText.substring(i, j)); i = j // comment: prevTok unchanged
+      } else if (c == '/' && i + 1 < n && sqlText(i + 1) == '*') {
+        val j = closeBlockComment(i)
+        out.append(sqlText.substring(i, j)); i = j // comment: prevTok unchanged
+      } else if (c == '(') {
+        parenStack = (identLike(prevTok) && !NonCallWords(prevTok)) :: parenStack
+        out.append(c); i += 1; prevTok = "("
+      } else if (c == ')') {
+        parenStack = if (parenStack.isEmpty) Nil else parenStack.tail
+        out.append(c); i += 1; prevTok = ")"
       } else if (c.isLetter &&
           (i == 0 || !(sqlText(i - 1).isLetterOrDigit || sqlText(i - 1) == '_'))) {
         val j = wordEnd(i)
         val w = sqlText.substring(i, j)
-        if (w.equalsIgnoreCase("from") || w.equalsIgnoreCase("join")) {
+        val inCallParen = parenStack.headOption.getOrElse(false)
+        if ((w.equalsIgnoreCase("from") || w.equalsIgnoreCase("join")) && !inCallParen) {
           var k = j
           while (k < n && sqlText(k).isWhitespace) k += 1
           if (k < n && sqlText(k) == '\'') {
-            val q = closeQuote(sqlText, k)
+            val q = closeQuote(sqlText, k, '\'')
             // un-escape '' inside the literal; re-escape backticks for
             // the emitted identifier form
             val url = sqlText.substring(k + 1, math.max(k + 1, q - 1))
@@ -90,9 +151,13 @@ object PathSyntax {
               .append(GraftReader.inferFormat(url))
               .append(".`").append(url.replace("`", "``")).append('`')
             i = q
-          } else { out.append(w); i = j }
-        } else { out.append(w); i = j }
-      } else { out.append(c); i += 1 }
+            prevTok = "`"
+          } else { out.append(w); i = j; prevTok = w.toLowerCase }
+        } else { out.append(w); i = j; prevTok = w.toLowerCase }
+      } else {
+        out.append(c); i += 1
+        if (!c.isWhitespace) prevTok = c.toString
+      }
     }
     out.toString
   }

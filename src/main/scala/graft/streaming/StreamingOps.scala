@@ -334,8 +334,20 @@ object StreamingOps {
       fs.mkdirs(in)
       FileUtil.copy(fs, src, fs, new Path(in, "documents.parquet"), false, true, conf)
       val admitted = s"$base/admitted"
+      // The keep-MIN oracle below needs the whole corpus in ONE batch:
+      // dedupIngestBatch admits the first-SEEN doc_id per hash, so a
+      // multi-batch replay could admit a larger doc_id before a later
+      // batch delivers the smaller one. Pin that assumption mechanically
+      // rather than riding on defaults: exactly one input file on disk,
+      // and maxFilesPerTrigger set explicitly so a future default change
+      // cannot split the replay. (First-seen semantics across batches is
+      // the PRODUCTION behavior and is spec-verified in StreamingSpec.)
+      val dataFiles = fs.listStatus(in).count(st => !st.getPath.getName.startsWith("_"))
+      require(dataFiles == 1, s"s10 oracle requires a single-file batch, found $dataFiles")
       val schema = s.read.parquet(in.toString).schema
-      val q = s.readStream.schema(schema).parquet(in.toString)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1000000")
+        .parquet(in.toString)
         .writeStream
         .foreachBatch(dedupIngestBatch(admitted) _)
         .outputMode(OutputMode.Append()).start()

@@ -51,23 +51,49 @@ class KernelPropertySpec extends AnyFunSuite {
   test("path-syntax rewrite: literals survive, table refs rewrite, idempotent") {
     import graft.sources.PathSyntax.rewrite
     val r = rng(0x9157)
-    val words = Seq("from", "join", "FROM", "select", "x", "from'", "'join")
+    val words = Seq("from", "join", "FROM", "select", "x", "where")
+    sealed trait Part { def text: String }
+    case class Word(text: String) extends Part
+    case class Lit(text: String) extends Part      // quoted literal, must survive verbatim
+    case class PathRef(path: String) extends Part { // must rewrite
+      def text = s"FROM '$path'"
+    }
+    case class Other(text: String) extends Part
     for (_ <- 1 to Rounds) {
-      // random SQL-ish text: words, literals (some containing from/join
-      // and escaped quotes), and path refs
-      val parts = List.fill(1 + r.nextInt(8)) {
-        r.nextInt(4) match {
-          case 0 => words(r.nextInt(words.length))
-          case 1 => "'" + words(r.nextInt(words.length)).replace("'", "''") + " tail'"
-          case 2 => s"FROM '/tmp/t${r.nextInt(9)}.parquet'"
-          case _ => s"x = ${r.nextInt(100)}"
+      // random SQL-ish text: words, single/double-quoted literals (some
+      // containing from/join, escaped quotes, apostrophes), line/block
+      // comments, and path refs
+      val raw = List.fill(1 + r.nextInt(8)) {
+        r.nextInt(7) match {
+          case 0 => Word(words(r.nextInt(words.length)))
+          case 1 => Lit("'" + words(r.nextInt(words.length)).replace("'", "''") + " tail'")
+          case 2 => Lit("\"from '/tmp/t" + r.nextInt(9) + ".parquet'\"") // double-quoted string
+          case 3 => PathRef(s"/tmp/t${r.nextInt(9)}.parquet")
+          case 4 => Other(s"-- it's from 'x.parquet'\n")     // apostrophe in line comment
+          case 5 => Other(s"/* don't from '/y.csv' */")      // apostrophe in block comment
+          case _ => Other(s"x = ${r.nextInt(100)}")
         }
       }
-      val sql = parts.mkString(" ")
+      // a bare FROM/JOIN word directly before a literal IS a path ref by
+      // design — separate them so every part's expectation is unambiguous
+      val parts = raw.flatMap {
+        case w @ Word(t) if t.equalsIgnoreCase("from") || t.equalsIgnoreCase("join") =>
+          List(w, Word("tbl"))
+        case p => List(p)
+      }
+      val sql = parts.map(_.text).mkString(" ")
       val out = rewrite(sql)
-      // every path ref rewrote; no quoted literal got altered
-      assert(!"(?i)\\bFROM\\s+'".r.findFirstIn(out.replaceAll("'[^']*'", "")).isDefined
-        || true) // refs only checked via the explicit cases below
+      parts.foreach {
+        case Lit(l) =>
+          assert(out.contains(l), s"literal $l corrupted:\n$sql\n$out")
+        case p @ PathRef(path) =>
+          assert(out.contains(s"FROM parquet.`$path`"),
+            s"path ref ${p.text} not rewritten:\n$sql\n$out")
+          assert(!out.contains(p.text), s"path ref ${p.text} left raw:\n$sql\n$out")
+        case Other(o) =>
+          assert(out.contains(o), s"segment $o corrupted:\n$sql\n$out")
+        case _ => ()
+      }
       assert(rewrite(out) == out, s"not idempotent:\n$sql\n$out")
     }
     // pinned cases: the exact traps
@@ -77,6 +103,27 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(rewrite("select * from '/x/y.csv' join '/z.jsonl' on 1=1") ==
       "select * from csv.`/x/y.csv` join json.`/z.jsonl` on 1=1")
     assert(rewrite("SELECT quack('Anna')") == "SELECT quack('Anna')")
+    // expression-FROM inside function calls must NOT rewrite
+    assert(rewrite("SELECT trim(BOTH 'x' FROM 'xyx')") ==
+      "SELECT trim(BOTH 'x' FROM 'xyx')")
+    assert(rewrite("SELECT EXTRACT(YEAR FROM '2020-01-01')") ==
+      "SELECT EXTRACT(YEAR FROM '2020-01-01')")
+    assert(rewrite("SELECT substring('abcdef' FROM 2 FOR 3)") ==
+      "SELECT substring('abcdef' FROM 2 FOR 3)")
+    // ...but table-FROM inside subquery/EXISTS parens still rewrites
+    assert(rewrite("SELECT * FROM (SELECT * FROM '/a.parquet') t") ==
+      "SELECT * FROM (SELECT * FROM parquet.`/a.parquet`) t")
+    assert(rewrite("SELECT 1 WHERE EXISTS (SELECT 1 FROM '/a.parquet')") ==
+      "SELECT 1 WHERE EXISTS (SELECT 1 FROM parquet.`/a.parquet`)")
+    assert(rewrite("SELECT coalesce((SELECT max(x) FROM '/a.parquet'), 0)") ==
+      "SELECT coalesce((SELECT max(x) FROM parquet.`/a.parquet`), 0)")
+    // double-quoted strings (default non-ANSI Spark: string literals)
+    assert(rewrite("SELECT \"from '/a.parquet'\"") == "SELECT \"from '/a.parquet'\"")
+    // an apostrophe inside a comment must not desync later rewrites
+    assert(rewrite("-- don't\nSELECT * FROM '/a.parquet'") ==
+      "-- don't\nSELECT * FROM parquet.`/a.parquet`")
+    assert(rewrite("/* it's */ SELECT * FROM '/a.parquet'") ==
+      "/* it's */ SELECT * FROM parquet.`/a.parquet`")
   }
 
   test("jaccard: hash kernel matches reference sets on arbitrary input") {
