@@ -710,6 +710,67 @@ object Relational {
           round(cume_dist().over(w), 6).as("cume"))
         .filter(col("rn") <= 20)
         .orderBy("o_orderstatus", "rn")
+    },
+
+    // ---- q58: arg_max / arg_min — DuckDB's "value at another column's
+    // extreme" aggregates (`arg_max(x, y)`), Spark's max_by/min_by
+    // twins. One map-side-combinable aggregate — the single-shuffle
+    // plan q1 gets, NOT a self-join against the max (the naive
+    // translation, 2 shuffles + a join). Ties on the ordering value are
+    // broken deterministically by comparing (price, orderkey) structs —
+    // lexicographic struct ordering — because DuckDB's own arg_max
+    // leaves ties unspecified and a hash gate needs one answer.
+    "q58_arg_extremes" -> { (s, dir) =>
+      val o = T(s, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_order"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          round(min(col("o_totalprice")), 2).as("min_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- q59: ordered string aggregation — DuckDB's
+    // `string_agg(x, ',' ORDER BY x)`; Spark 4's listagg ... WITHIN
+    // GROUP is the engine-native twin. The WITHIN GROUP ordering is
+    // what makes the result deterministic and therefore gate-checkable
+    // (q34's list() lesson: unordered aggregation output is only equal
+    // as a multiset).
+    "q59_string_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "nation").createOrReplaceTempView("graft_q59_nation")
+      s.sql("""
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+               count(*) AS n
+        FROM graft_q59_nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey""")
+    },
+
+    // ---- q60: lambda list functions — DuckDB's list_filter /
+    // list_transform / list comprehension surface, Spark's
+    // filter/transform/aggregate higher-order functions. All lambda
+    // work happens INSIDE one row (no explode→reshuffle→collect round
+    // trip — the plan is the q1 single-shuffle aggregate plus per-row
+    // expressions), which is exactly how a 100 TB per-document pipeline
+    // wants list work to run. Integer cents keep the folds exact; the
+    // array-typed intermediates are projected to scalars (q34's checker
+    // lesson).
+    "q60_list_lambda" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("o_custkey"))
+        .agg(expr("sort_array(collect_list(cents))").as("l"))
+        .select(col("o_custkey"),
+          expr("size(filter(l, x -> x > 20000000))").as("n_big"),
+          expr("array_join(transform(slice(l, 1, 5), x -> cast(x div 100 as string)), ',')")
+            .as("first5_dollars"),
+          expr("aggregate(filter(l, x -> x > 20000000), 0L, (a, x) -> a + x)")
+            .as("big_cents_sum"))
+        .orderBy("o_custkey")
     }
   )
 
@@ -1181,6 +1242,51 @@ object Relational {
                      ORDER BY o_totalprice DESC, o_orderkey))
       SELECT o_orderstatus, o_orderkey, o_totalprice, rn, pct_rank, cume
       FROM r WHERE rn <= 20
-      ORDER BY o_orderstatus, rn"""
+      ORDER BY o_orderstatus, rn""",
+
+    // DuckDB's arg_max/arg_min leave ties unspecified, so the oracle
+    // spells the same deterministic selection as ranked windows (price
+    // then orderkey, both directions matching the struct comparator).
+    "q58_arg_extremes" -> """
+      WITH r AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey DESC) AS rx,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS rm
+        FROM orders)
+      SELECT o_orderpriority,
+             count(*) AS n,
+             CAST(max(CASE WHEN rx = 1 THEN o_orderkey END) AS BIGINT) AS top_order,
+             CAST(max(CASE WHEN rm = 1 THEN o_orderkey END) AS BIGINT) AS bottom_order,
+             round(max(o_totalprice), 2) AS max_price,
+             round(min(o_totalprice), 2) AS min_price
+      FROM r
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q59_string_agg" -> """
+      SELECT n_regionkey,
+             string_agg(n_name, ',' ORDER BY n_name) AS names,
+             count(*) AS n
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey""",
+
+    "q60_list_lambda" -> """
+      WITH o AS (
+        SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      g AS (
+        SELECT o_custkey, list_sort(list(cents)) AS l
+        FROM o GROUP BY o_custkey)
+      SELECT o_custkey,
+             CAST(length(list_filter(l, x -> x > 20000000)) AS INT) AS n_big,
+             array_to_string(list_transform(l[1:5],
+               x -> CAST(x // 100 AS VARCHAR)), ',') AS first5_dollars,
+             coalesce(CAST(list_sum(list_filter(l, x -> x > 20000000))
+               AS BIGINT), 0) AS big_cents_sum
+      FROM g
+      ORDER BY o_custkey"""
   )
 }

@@ -241,6 +241,32 @@ object Sources {
         ORDER BY n_nationkey""")
     },
 
+    // ---- e7: declarative function extension — DuckDB's CREATE MACRO
+    // surface, the user-side complement of the reference's compiled
+    // extension tier (hadoopfs_extension.cpp:9-19 registers its
+    // capability at load time; a DuckDB user extends the same session
+    // with CREATE MACRO, no C++ required).
+    // Spark 4's SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURNS
+    // ... RETURN <expr>) is the engine-native twin: the body is
+    // inlined into the Catalyst plan at analysis time — codegen,
+    // pushdown and vectorization all see through it, unlike a black-box
+    // lambda UDF. Declared in a child session so the temp function
+    // cannot leak into other entries' catalogs.
+    "e7_sql_macro" -> { (s, dir) =>
+      val s2 = s.newSession()
+      s2.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1.0 - d)""")
+      graft.Tables.load(s2, dir, "lineitem").createOrReplaceTempView("graft_e7_li")
+      s2.sql("""
+        SELECT l_linestatus,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM graft_e7_li
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")
+    },
+
     // ---- a12: bucketed tables — the write-side lever that deletes the
     // join shuffle outright: both fact tables land bucketBy(8, orderkey)
     // + sortBy, so the orders⋈lineitem join plans with ZERO exchanges
@@ -411,6 +437,17 @@ object Sources {
              r_name AS region
       FROM nation JOIN region ON n_regionkey = r_regionkey
       ORDER BY n_nationkey""",
+
+    // the macro's semantics spelled inline (q29's convention for
+    // function-extension entries: the oracle checks the VALUES the
+    // extension computes, not the registration mechanism)
+    "e7_sql_macro" -> """
+      SELECT l_linestatus,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""",
 
     "e5_agg_pushdown" -> """
       SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -223,4 +223,27 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"no hash/merge join in:\n$p")
   }
+
+  test("q58 arg_max: one map-combinable aggregate, no self-join against the max") {
+    val p = plan("q58_arg_extremes")
+    // max_by must plan as partial/final aggregate pairs — the naive
+    // arg_max translation (join the table back to its per-group max)
+    // costs 2 shuffles + a join and collapses on skewed groups
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      ("HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(p).length >= 2
+        && !p.contains("Join")),
+      s"arg_max did not plan as a single aggregate:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in arg_max plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("e7 sql macro: body inlined into the plan, no black-box UDF") {
+    // the SQL scalar UDF must dissolve at analysis time — codegen and
+    // pushdown see plain arithmetic; a ScalaUDF/PythonUDF node would
+    // mean the macro is an interpreter call per row
+    val p = plan("e7_sql_macro")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"macro not inlined:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine under the macro:\n$p")
+  }
 }
