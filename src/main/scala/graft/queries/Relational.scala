@@ -771,6 +771,28 @@ object Relational {
           expr("aggregate(filter(l, x -> x > 20000000), 0L, (a, x) -> a + x)")
             .as("big_cents_sum"))
         .orderBy("o_custkey")
+    },
+
+    // ---- q61: window frame EXCLUDE CURRENT ROW — DuckDB supports the
+    // SQL:2016 EXCLUDE clause directly; Spark has no EXCLUDE, and the
+    // honest algebraic translation is frame_agg − current_row
+    // contribution (exact here because the frame sum is integer cents).
+    // Note EXCLUDE CURRENT ROW removes ONLY the current row — peers at
+    // the same ORDER BY value stay in the frame — which is precisely
+    // what subtracting this row's own value/count yields. Same
+    // one-shuffle O(1)-sliding-state plan as q48.
+    "q61_frame_exclude" -> { (s, dir) =>
+      val o = T(s, dir, "orders")
+        .withColumn("daynum",
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
+            .cast("long"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("daynum"))
+        .rangeBetween(-30, 0)
+      o.select(col("o_custkey"), col("o_orderkey"), col("daynum"),
+          (sum(col("cents")).over(w) - col("cents")).as("peer_cents"),
+          (count(lit(1)).over(w) - lit(1L)).as("n_peers"))
+        .orderBy("o_custkey", "daynum", "o_orderkey")
     }
   )
 
@@ -1287,6 +1309,24 @@ object Relational {
              coalesce(CAST(list_sum(list_filter(l, x -> x > 20000000))
                AS BIGINT), 0) AS big_cents_sum
       FROM g
-      ORDER BY o_custkey"""
+      ORDER BY o_custkey""",
+
+    // the real EXCLUDE CURRENT ROW clause — the surface under test
+    "q61_frame_exclude" -> """
+      WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day', DATE '1992-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS daynum,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT o_custkey, o_orderkey, daynum,
+             coalesce(CAST(sum(cents) OVER (PARTITION BY o_custkey
+               ORDER BY daynum RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+               EXCLUDE CURRENT ROW) AS BIGINT), 0) AS peer_cents,
+             count(*) OVER (PARTITION BY o_custkey
+               ORDER BY daynum RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+               EXCLUDE CURRENT ROW) AS n_peers
+      FROM o
+      ORDER BY o_custkey, daynum, o_orderkey"""
   )
 }

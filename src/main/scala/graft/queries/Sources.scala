@@ -267,6 +267,29 @@ object Sources {
         ORDER BY l_linestatus""")
     },
 
+    // ---- e8: TABLE macro — DuckDB's `CREATE MACRO ... AS TABLE`
+    // (parameterized view) as Spark 4's SQL table function (CREATE
+    // TEMPORARY FUNCTION ... RETURNS TABLE ... RETURN SELECT). Like e7
+    // the body dissolves into the Catalyst plan at analysis time, so a
+    // `FROM big_spenders(100000)` call is a plain pushdown-friendly
+    // subquery, not a materialized staging step. Child session: the
+    // temp function and view stay out of other entries' catalogs.
+    "e8_table_macro" -> { (s, dir) =>
+      val s2 = s.newSession()
+      graft.Tables.load(s2, dir, "orders").createOrReplaceTempView("graft_e8_orders")
+      s2.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION big_spenders(minTotal DOUBLE)
+        RETURNS TABLE (o_custkey BIGINT, n BIGINT, total DOUBLE)
+        RETURN SELECT o_custkey, count(*) AS n,
+                      round(sum(o_totalprice), 2) AS total
+               FROM graft_e8_orders
+               WHERE o_totalprice > minTotal
+               GROUP BY o_custkey""")
+      s2.sql("""
+        SELECT * FROM big_spenders(400000.0)
+        ORDER BY o_custkey""")
+    },
+
     // ---- a12: bucketed tables — the write-side lever that deletes the
     // join shuffle outright: both fact tables land bucketBy(8, orderkey)
     // + sortBy, so the orders⋈lineitem join plans with ZERO exchanges
@@ -437,6 +460,15 @@ object Sources {
              r_name AS region
       FROM nation JOIN region ON n_regionkey = r_regionkey
       ORDER BY n_nationkey""",
+
+    // the table macro's semantics spelled inline (same convention as e7)
+    "e8_table_macro" -> """
+      SELECT o_custkey, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      WHERE o_totalprice > 400000.0
+      GROUP BY o_custkey
+      ORDER BY o_custkey""",
 
     // the macro's semantics spelled inline (q29's convention for
     // function-extension entries: the oracle checks the VALUES the

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming block (SURVEY.md §2 C, streaming half).
@@ -356,6 +356,57 @@ object StreamingOps {
         .orderBy("doc_id")
     },
 
+    // ---- s11: Trigger.AvailableNow — the production BACKFILL shape:
+    // drain everything currently on storage under a rate limit
+    // (maxFilesPerTrigger=1 → one micro-batch per file, aggregate state
+    // carried across batches), then stop on its own. This is how a
+    // 100 TB landing zone is caught up without either an unbounded
+    // always-on query or one giant OOM batch; the same checkpointed
+    // query then restarts incrementally. The oracle is the invariant
+    // that makes the trigger trustworthy: a multi-batch bounded drain
+    // must converge to exactly the one-shot batch aggregate. Integer
+    // cents, since cross-batch state accumulation reorders a double sum.
+    "s11_stream_available_now" -> { (s, dir) =>
+      val base = s"${graft.queries.Sources.scratchDir}/s11_${Integer.toHexString(dir.hashCode)}"
+      // three-file landing zone: the drain MUST span multiple batches.
+      // Staged once per source dir (streamEvents' recipe) — the backfill
+      // under test is the DRAIN, not the staging write.
+      val events = graft.Tables.load(s, dir, "events")
+      val staged = try {
+        val d = s.read.parquet(s"$base/in")
+        d.inputFiles.length >= 3 && d.count() == events.count()
+      } catch { case _: Throwable => false }
+      if (!staged)
+        events.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      val schema = s.read.parquet(s"$base/in").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      val withTs =
+        if (schema.exists(f => f.name == "ts" && f.dataType == LongType))
+          src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else src
+      val agg = withTs
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      // state-store count = partitions × batches here; the aggregate
+      // state is ~150 window rows, so run the drain at few partitions
+      // (s5's recipe) and restore the session default after
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        val q = agg.writeStream.format("memory").queryName("graft_s11")
+          .outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table("graft_s11")
+        .select(col("win.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("total_cents"))
+        .orderBy("day", "event_type")
+    },
+
     // ---- s3: stateful sessionization via flatMapGroupsWithState —
     // the streaming twin of q30 (same gap, same session numbering),
     // with the per-user session counter held in GroupState.
@@ -415,6 +466,17 @@ object StreamingOps {
     "s1_stream_window" -> """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type""",
+
+    // the batch one-shot aggregate the bounded multi-batch drain must
+    // reproduce exactly (integer cents — see the s11 entry comment)
+    "s11_stream_available_now" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
       FROM events
       GROUP BY 1, 2
       ORDER BY day, event_type""",

@@ -213,6 +213,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(again == Set(1L, 2L, 11L), s"retry changed state: $again")
   }
 
+  test("s11: AvailableNow drains file-at-a-time across batches, then stops itself") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = scratch("s11-drain")
+    // 4 rows spread over 4 files -> the rate limit forces >=4 batches
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, i * 10L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val nFiles = spark.read.parquet(s"$base/in").inputFiles.length
+    assert(nFiles >= 4, s"expected >=4 input files, got $nFiles")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    val q = agg.writeStream.format("memory").queryName("graft_s11_spec")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    // AvailableNow must TERMINATE on its own once the backlog drains —
+    // that self-stop is the trigger's contract (vs processAllAvailable,
+    // which needs an external stop)
+    assert(q.awaitTermination(120000), "AvailableNow did not self-terminate")
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 4, s"drain did not split into per-file batches: $batches")
+    val row = spark.table("graft_s11_spec").collect().head
+    assert(row.getLong(0) == 4 && row.getLong(1) == 100,
+      s"multi-batch drain diverged from batch aggregate: $row")
+  }
+
   test("s10: an empty first batch does not kill the next batch's state read") {
     import spark.implicits._
     // an empty batch leaves admitted/batch=0 with only a _SUCCESS marker;
