@@ -1399,6 +1399,51 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- d43: DSIR importance weights — data selection via importance
+    // resampling (Xie et al., NeurIPS 2023): score every raw document
+    // by how much likelier its hashed features are under a TARGET
+    // distribution than under the raw corpus,
+    //   log w(x) = Σ_tokens [log p̂_target(h(tok)) − log p̂_raw(h(tok))],
+    // with the feature space collapsed to B=64 hash buckets (d42's
+    // portable bucket hash) so both distributions are DENSE B-row
+    // dictionaries — broadcastable at any corpus size, which is the
+    // whole point of hashed DSIR at 100 TB. Target slice: lang='en'
+    // (curating toward an English mix). ONE explode feeds both
+    // distribution estimates and the per-doc score: the (doc, bucket)
+    // aggregate is persisted and reused, so the corpus shuffles
+    // (doc_id, bucket, cnt) triples once and tokens never move again.
+    // Laplace +1 smoothing keeps buckets absent from the target finite.
+    // lang is doc-constant, so first(lang)-per-doc rides the same
+    // aggregate (no second pass over the corpus).
+    "d43_dsir_weights" -> { (s, dir) =>
+      val B = 64
+      val bucket = expr(
+        s"""pmod(ascii(word) * 31 + length(word) * 7 +
+             ascii(substring(word, length(word), 1)), $B)""")
+      val pairs = T(s, dir, "documents").transform(withWords)
+        .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+        .withColumn("h", bucket)
+        .groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("cnt"), first(col("lang")).as("lang"))
+        .persist() // shared by the dictionary pass and the score pass;
+                   // Bench/Verify clearCache() between entries (d22's recipe)
+      val bstats = pairs.groupBy(col("h"))
+        .agg(sum(col("cnt")).as("cnt_r"),
+          sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("cnt_t"))
+      val tot = bstats.agg(sum(col("cnt_r")).as("nr"), sum(col("cnt_t")).as("nt"))
+        .withColumn("one", lit(1))
+      val lam = bstats.withColumn("one", lit(1)).join(broadcast(tot), "one")
+        .select(col("h"),
+          (log((col("cnt_t") + lit(1)).cast("double") / (col("nt") + lit(B)).cast("double")) -
+           log((col("cnt_r") + lit(1)).cast("double") / (col("nr") + lit(B)).cast("double")))
+            .as("lam"))
+      pairs.join(broadcast(lam), "h")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tok"),
+          round(sum(col("cnt") * col("lam")), 4).as("logw"))
+        .orderBy("doc_id")
+    },
+
     // ---- d39: set-containment dedup — the asymmetric case d4's
     // symmetric Jaccard (with its size-ratio prefilter) deliberately
     // EXCLUDES: a short doc fully contained in a longer one (quote
@@ -2162,6 +2207,41 @@ object Pipeline {
       FROM tb
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    "d43_dsir_weights" -> """
+      WITH w AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      hh AS (
+        SELECT doc_id, lang,
+               (ascii(word) * 31 + length(word) * 7 +
+                ascii(substr(word, CAST(length(word) AS INT), 1))) % 64 AS h
+        FROM w),
+      p AS (
+        SELECT doc_id, h, CAST(count(*) AS BIGINT) AS cnt,
+               min(lang) AS lang
+        FROM hh GROUP BY 1, 2),
+      b AS (
+        SELECT h, CAST(sum(cnt) AS BIGINT) AS cnt_r,
+               CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS BIGINT)
+                 AS cnt_t
+        FROM p GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(cnt_r) AS BIGINT) AS nr,
+               CAST(sum(cnt_t) AS BIGINT) AS nt
+        FROM b),
+      lam AS (
+        SELECT h,
+               ln(CAST(cnt_t + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE)) -
+               ln(CAST(cnt_r + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE)) AS lam
+        FROM b, tot)
+      SELECT p.doc_id,
+             CAST(sum(p.cnt) AS BIGINT) AS n_tok,
+             round(sum(p.cnt * lam.lam), 4) AS logw
+      FROM p JOIN lam USING (h)
+      GROUP BY p.doc_id
+      ORDER BY p.doc_id""",
 
     "d39_containment" -> """
       WITH w AS (
