@@ -50,7 +50,9 @@ object Bench {
       "d30_corpus_curation",
       // round-4 work-dominated additions — must survive slow-host shedding
       "d35_ccnet_buckets", "d38_bigram_surprisal", "d39_containment",
-      "d40_kmeans_fit", "d41_ann_pipeline")
+      "d40_kmeans_fit", "d41_ann_pipeline",
+      // round-5: DSIR importance weights (token-stream work-dominated)
+      "d43_dsir_weights")
     name match {
       case n if headliners(n) => 0
       case n if n.startsWith("d") => 1

@@ -1437,10 +1437,17 @@ object Pipeline {
           (log((col("cnt_t") + lit(1)).cast("double") / (col("nt") + lit(B)).cast("double")) -
            log((col("cnt_r") + lit(1)).cast("double") / (col("nr") + lit(B)).cast("double")))
             .as("lam"))
+      // per-TERM fixed-point (micro-nats), then an exact integer sum:
+      // each (doc, bucket) term is a deterministic double (identical on
+      // both engines — no accumulation), so rounding it to a bigint is
+      // reproducible, and the per-doc aggregate becomes order-free
+      // integer arithmetic. Summing the raw doubles and rounding once
+      // would reintroduce the order-dependent rounding-boundary class
+      // the r4 q48/q57 incidents came from (review finding).
       pairs.join(broadcast(lam), "h")
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).as("n_tok"),
-          round(sum(col("cnt") * col("lam")), 4).as("logw"))
+          sum(expr("cast(round(cnt * lam * 1e6) as bigint)")).as("logw_unat"))
         .orderBy("doc_id")
     },
 
@@ -2238,7 +2245,8 @@ object Pipeline {
         FROM b, tot)
       SELECT p.doc_id,
              CAST(sum(p.cnt) AS BIGINT) AS n_tok,
-             round(sum(p.cnt * lam.lam), 4) AS logw
+             CAST(sum(CAST(round(p.cnt * lam.lam * 1e6) AS BIGINT))
+               AS BIGINT) AS logw_unat
       FROM p JOIN lam USING (h)
       GROUP BY p.doc_id
       ORDER BY p.doc_id""",

@@ -58,6 +58,27 @@ object PathSyntax {
     s.length
   }
 
+  /** The literal's VALUE under the escapes closeQuote scans over:
+    * doubled quotes collapse, and a backslash before a quote or
+    * backslash is consumed (the two escape forms that can appear in a
+    * quoted path). Other backslash sequences are kept verbatim — a
+    * path legitimately containing `\n` as characters must survive.
+    */
+  private def unescapeLiteral(raw: String): String = {
+    val b = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw(i)
+      if (c == '\\' && i + 1 < raw.length &&
+          (raw(i + 1) == '\'' || raw(i + 1) == '\\')) {
+        b.append(raw(i + 1)); i += 2
+      } else if (c == '\'' && i + 1 < raw.length && raw(i + 1) == '\'') {
+        b.append('\''); i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** Keywords that legally precede `(` without making it a function
     * call — subquery / grouping / row-constructor openers. Anything
     * else identifier-shaped before `(` is treated as a call.
@@ -143,10 +164,11 @@ object PathSyntax {
           while (k < n && sqlText(k).isWhitespace) k += 1
           if (k < n && sqlText(k) == '\'') {
             val q = closeQuote(sqlText, k, '\'')
-            // un-escape '' inside the literal; re-escape backticks for
-            // the emitted identifier form
-            val url = sqlText.substring(k + 1, math.max(k + 1, q - 1))
-              .replace("''", "'")
+            // un-escape ''/\'/\\ inside the literal (the emitted
+            // identifier carries the literal's VALUE); re-escape
+            // backticks for the identifier form
+            val url = unescapeLiteral(
+              sqlText.substring(k + 1, math.max(k + 1, q - 1)))
             out.append(w).append(' ')
               .append(GraftReader.inferFormat(url))
               .append(".`").append(url.replace("`", "``")).append('`')

@@ -399,7 +399,12 @@ object StreamingOps {
         val q = agg.writeStream.format("memory").queryName("graft_s11")
           .outputMode(OutputMode.Complete())
           .trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination(120000) finally q.stop()
+        // the boolean MATTERS: a false return means the drain was still
+        // running — stop() would then freeze a partial aggregate into
+        // the sink and the entry would report a bogus value mismatch
+        // instead of a timeout (review finding)
+        try require(q.awaitTermination(240000), "s11 drain did not finish in 240s")
+        finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table("graft_s11")
         .select(col("win.start").cast("date").as("day"), col("event_type"),

@@ -119,6 +119,14 @@ class KernelPropertySpec extends AnyFunSuite {
       "SELECT coalesce((SELECT max(x) FROM parquet.`/a.parquet`), 0)")
     // double-quoted strings (default non-ANSI Spark: string literals)
     assert(rewrite("SELECT \"from '/a.parquet'\"") == "SELECT \"from '/a.parquet'\"")
+    // escaped quotes inside a path literal: the emitted identifier must
+    // carry the literal's VALUE ('' and \' both mean one apostrophe)
+    assert(rewrite("SELECT * FROM '/data/it''s.parquet'") ==
+      "SELECT * FROM parquet.`/data/it's.parquet`")
+    assert(rewrite("SELECT * FROM '/data/it\\'s.parquet'") ==
+      "SELECT * FROM parquet.`/data/it's.parquet`")
+    assert(rewrite("SELECT * FROM '/data/a\\\\b.parquet'") ==
+      "SELECT * FROM parquet.`/data/a\\b.parquet`")
     // an apostrophe inside a comment must not desync later rewrites
     assert(rewrite("-- don't\nSELECT * FROM '/a.parquet'") ==
       "-- don't\nSELECT * FROM parquet.`/a.parquet`")
