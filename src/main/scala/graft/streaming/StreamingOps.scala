@@ -412,6 +412,76 @@ object StreamingOps {
         .orderBy("day", "event_type")
     },
 
+    // ---- s12: CHECKPOINT RECOVERY — the property every production
+    // streaming claim rests on: stop a checkpointed query, come back
+    // later (new data has landed), restart the SAME plan against the
+    // SAME checkpoint, and the engine must (a) restore the aggregate
+    // state, (b) process ONLY the files it has not seen, (c) never
+    // double-count. Exercised as two AvailableNow sessions over a
+    // growing landing zone: drain half the files, land the other half,
+    // restart from the checkpoint. The oracle is the one-shot batch
+    // aggregate over EVERYTHING — any state loss shows as missing
+    // counts, any reprocessing as doubled counts. Deterministic by
+    // construction (phase 2 always has exactly the two unseen files).
+    // Integer cents as in s11.
+    "s12_stream_checkpoint_recovery" -> { (s, dir) =>
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val base = s"${graft.queries.Sources.scratchDir}/s12_${Integer.toHexString(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(base).getFileSystem(conf)
+      val events = graft.Tables.load(s, dir, "events")
+      // stage a stable 4-file split once per source dir
+      val allDir = s"$base/all"
+      val stagedOk = try {
+        val d = s.read.parquet(allDir)
+        d.inputFiles.length == 4 && d.count() == events.count()
+      } catch { case _: Throwable => false }
+      if (!stagedOk)
+        events.repartition(4).write.mode("overwrite").parquet(allDir)
+      val parts = fs.listStatus(new Path(allDir)).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-")).sortBy(_.getName)
+      require(parts.length == 4, s"expected 4 staged files, got ${parts.length}")
+      // fresh landing zone + checkpoint every run (a stale checkpoint
+      // would mark the same filenames already-processed and the final
+      // restart would legitimately emit nothing)
+      graft.sources.GraftWriter.removeDirectory(s, s"$base/in")
+      graft.sources.GraftWriter.removeDirectory(s, s"$base/ckpt")
+      fs.mkdirs(new Path(s"$base/in"))
+      def land(ps: Seq[Path]): Unit = ps.foreach { p =>
+        FileUtil.copy(fs, p, fs, new Path(s"$base/in", p.getName), false, true, conf)
+      }
+      val schema = s.read.parquet(allDir).schema
+      def drain(): Unit = {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        val withTs =
+          if (schema.exists(f => f.name == "ts" && f.dataType == LongType))
+            src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          else src
+        val agg = withTs
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        val q = agg.writeStream.format("memory").queryName("graft_s12")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow()).start()
+        try require(q.awaitTermination(240000), "s12 drain did not finish in 240s")
+        finally q.stop()
+      }
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        land(parts.take(2)); drain()   // session 1: first half
+        land(parts.drop(2)); drain()   // session 2: restart from ckpt, new files
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table("graft_s12")
+        .select(col("win.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("total_cents"))
+        .orderBy("day", "event_type")
+    },
+
     // ---- s3: stateful sessionization via flatMapGroupsWithState —
     // the streaming twin of q30 (same gap, same session numbering),
     // with the per-user session counter held in GroupState.
@@ -471,6 +541,17 @@ object StreamingOps {
     "s1_stream_window" -> """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type""",
+
+    // the one-shot batch aggregate over the WHOLE corpus: state loss on
+    // restart would show as missing counts, file reprocessing as doubled
+    "s12_stream_checkpoint_recovery" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
       FROM events
       GROUP BY 1, 2
       ORDER BY day, event_type""",

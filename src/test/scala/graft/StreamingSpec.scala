@@ -242,6 +242,35 @@ class StreamingSpec extends SparkSpecBase {
       s"multi-batch drain diverged from batch aggregate: $row")
   }
 
+  test("s12: restart from checkpoint resumes state and skips seen files") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = scratch("s12-ckpt")
+    def drain(): Unit = {
+      val agg = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .groupBy().agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      val q = agg.writeStream.format("memory").queryName("graft_s12_spec")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000)) finally q.stop()
+    }
+    Seq((1L, 10L)).toDF("k", "v").write.mode("append").parquet(s"$base/in")
+    drain()
+    val mid = spark.table("graft_s12_spec").collect().head
+    assert(mid.getLong(0) == 1 && mid.getLong(1) == 10, s"first drain: $mid")
+    Seq((2L, 25L)).toDF("k", "v").write.mode("append").parquet(s"$base/in")
+    drain() // restart: must ADD the new file's rows exactly once
+    val fin = spark.table("graft_s12_spec").collect().head
+    // state loss => (1, 25); reprocessing the seen file => (3, 45)
+    assert(fin.getLong(0) == 2 && fin.getLong(1) == 35,
+      s"checkpoint restart lost state or reprocessed: $fin")
+  }
+
   test("s10: an empty first batch does not kill the next batch's state read") {
     import spark.implicits._
     // an empty batch leaves admitted/batch=0 with only a _SUCCESS marker;
