@@ -793,6 +793,22 @@ object Relational {
           (sum(col("cents")).over(w) - col("cents")).as("peer_cents"),
           (count(lit(1)).over(w) - lit(1L)).as("n_peers"))
         .orderBy("o_custkey", "daynum", "o_orderkey")
+    },
+
+    // ---- q62: star modifiers — DuckDB's `SELECT * EXCLUDE (...)
+    // REPLACE (expr AS col)` projection shorthand. Spark 4 has the
+    // EXCLUDE half natively (`* EXCEPT (...)`); REPLACE is spelled as
+    // EXCEPT-then-reprojection, which is semantically identical (the
+    // replaced column keeps its name, the rest of the star passes
+    // through). Pure projection — no shuffle beyond the output sort,
+    // and column pruning still reaches the scan.
+    "q62_star_modifiers" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("graft_q62_orders")
+      s.sql("""
+        SELECT * EXCEPT (o_orderdate, o_orderpriority, o_totalprice),
+               round(o_totalprice, 2) AS o_totalprice
+        FROM graft_q62_orders
+        ORDER BY o_orderkey""")
     }
   )
 
@@ -1327,6 +1343,13 @@ object Relational {
                ORDER BY daynum RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
                EXCLUDE CURRENT ROW) AS n_peers
       FROM o
-      ORDER BY o_custkey, daynum, o_orderkey"""
+      ORDER BY o_custkey, daynum, o_orderkey""",
+
+    // the real EXCLUDE/REPLACE star modifiers — the surface under test
+    "q62_star_modifiers" -> """
+      SELECT * EXCLUDE (o_orderdate, o_orderpriority)
+             REPLACE (round(o_totalprice, 2) AS o_totalprice)
+      FROM orders
+      ORDER BY o_orderkey"""
   )
 }

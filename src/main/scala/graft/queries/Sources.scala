@@ -241,6 +241,46 @@ object Sources {
         ORDER BY n_nationkey""")
     },
 
+    // ---- a15: upsert / MERGE on plain parquet — DuckDB's
+    // `INSERT ... ON CONFLICT DO UPDATE` storage surface, as the
+    // join-based merge every parquet lakehouse runs under the hood:
+    // matched keys take the update row, unmatched update rows insert,
+    // untouched base rows pass through — expressed as ONE anti-join +
+    // union plan, written to a fresh snapshot dir and re-read (atomic
+    // swap is a rename; a14's dynamic partition overwrite is the
+    // partition-pruned variant that avoids rewriting untouched
+    // partitions at 100 TB). The anti-join shuffles on the merge key —
+    // broadcast when the upsert batch is small, which it is here and
+    // in most daily-merge pipelines.
+    "a15_upsert_merge" -> { (s, dir) =>
+      val base = s"$scratchDir/a15_${Integer.toHexString(dir.hashCode)}"
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val orders = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      GraftWriter.removeDirectory(s, base)
+      orders.write.parquet(s"$base/t")
+      val snapshot = s.read.parquet(s"$base/t")
+      // the day's merge batch: price corrections on every 100th order,
+      // plus brand-new orders derived from every 500th
+      val updates = orders.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * lit(1.1), 2))
+      val inserts = orders.filter(col("o_orderkey") % 500 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderstatus", lit("N"))
+      val upserts = updates.unionByName(inserts)
+      val merged = snapshot
+        .join(broadcast(upserts.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .select(cols.map(col): _*)
+        .unionByName(upserts.select(cols.map(col): _*))
+      merged.write.parquet(s"$base/t_next") // next snapshot; swap = rename
+      s.read.parquet(s"$base/t_next")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("total_cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // ---- e7: declarative function extension — DuckDB's CREATE MACRO
     // surface, the user-side complement of the reference's compiled
     // extension tier (hadoopfs_extension.cpp:9-19 registers its
@@ -460,6 +500,32 @@ object Sources {
              r_name AS region
       FROM nation JOIN region ON n_regionkey = r_regionkey
       ORDER BY n_nationkey""",
+
+    // the merge's semantics spelled inline over the source table: base
+    // rows minus matched keys, plus updates, plus inserts
+    "a15_upsert_merge" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM orders),
+      upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(round(o_totalprice, 2) * 1.1, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0),
+      ins AS (
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 500 = 0),
+      merged AS (
+        SELECT * FROM base WHERE o_orderkey % 100 <> 0
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins)
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM merged
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
 
     // the table macro's semantics spelled inline (same convention as e7)
     "e8_table_macro" -> """
