@@ -430,17 +430,19 @@ object StreamingOps {
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(base).getFileSystem(conf)
       val events = graft.Tables.load(s, dir, "events")
-      // stage a stable 4-file split once per source dir
+      // stage a stable 2-file split once per source dir (one file per
+      // session: multi-batch-per-session is s11's property; what s12
+      // pins is recovery ACROSS sessions, so keep the drains minimal)
       val allDir = s"$base/all"
       val stagedOk = try {
         val d = s.read.parquet(allDir)
-        d.inputFiles.length == 4 && d.count() == events.count()
+        d.inputFiles.length == 2 && d.count() == events.count()
       } catch { case _: Throwable => false }
       if (!stagedOk)
-        events.repartition(4).write.mode("overwrite").parquet(allDir)
+        events.repartition(2).write.mode("overwrite").parquet(allDir)
       val parts = fs.listStatus(new Path(allDir)).map(_.getPath)
         .filter(p => p.getName.startsWith("part-")).sortBy(_.getName)
-      require(parts.length == 4, s"expected 4 staged files, got ${parts.length}")
+      require(parts.length == 2, s"expected 2 staged files, got ${parts.length}")
       // fresh landing zone + checkpoint every run (a stale checkpoint
       // would mark the same filenames already-processed and the final
       // restart would legitimately emit nothing)
@@ -473,8 +475,8 @@ object StreamingOps {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 4)
       try {
-        land(parts.take(2)); drain()   // session 1: first half
-        land(parts.drop(2)); drain()   // session 2: restart from ckpt, new files
+        land(parts.take(1)); drain()   // session 1: first half
+        land(parts.drop(1)); drain()   // session 2: restart from ckpt, new file
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table("graft_s12")
         .select(col("win.start").cast("date").as("day"), col("event_type"),
