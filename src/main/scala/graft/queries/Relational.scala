@@ -809,6 +809,31 @@ object Relational {
                round(o_totalprice, 2) AS o_totalprice
         FROM graft_q62_orders
         ORDER BY o_orderkey""")
+    },
+
+    // ---- q63: SUMMARIZE — DuckDB's one-word table profiler, as a
+    // programmatic per-column stats plan: count / nulls / exact
+    // distinct / min / max per column, one aggregate per column
+    // unioned. Each aggregate is a full-scan map-side-combinable pass
+    // (Spark runs the union's branches as independent jobs over the
+    // same cached scan); at 100 TB the swap is countDistinct →
+    // approx_count_distinct — same plan shape, sketch merge instead of
+    // exact set. Doubles are profiled as integer cents: double→string
+    // casts format differently across engines, integers don't.
+    "q63_summarize" -> { (s, dir) =>
+      val o = T(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "cents")
+      o.columns.toSeq.map { c =>
+        o.agg(
+          count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_v"),
+          max(col(c)).cast("string").as("max_v"))
+          .select(lit(c).as("col_name"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+      }.reduce(_.unionByName(_)).orderBy("col_name")
     }
   )
 
@@ -1350,6 +1375,50 @@ object Relational {
       SELECT * EXCLUDE (o_orderdate, o_orderpriority)
              REPLACE (round(o_totalprice, 2) AS o_totalprice)
       FROM orders
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+
+    // SUMMARIZE's semantics spelled per column (DuckDB's SUMMARIZE
+    // output itself carries approx/quartile columns with engine-specific
+    // formatting, so the oracle pins the deterministic stats subset)
+    "q63_summarize" -> """
+      WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      s AS (
+        SELECT 'o_orderkey' AS col_name, count(*) AS n,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_v
+        FROM o
+        UNION ALL
+        SELECT 'o_custkey', count(*),
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        FROM o
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM o
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM o
+        UNION ALL
+        SELECT 'cents', count(*),
+               sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT cents),
+               CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR)
+        FROM o)
+      SELECT col_name, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+             CAST(n_distinct AS BIGINT) AS n_distinct, min_v, max_v
+      FROM s
+      ORDER BY col_name"""
   )
 }

@@ -25,6 +25,21 @@ object Sources {
   def scratchDir: String =
     sys.env.getOrElse("GRAFT_SCRATCH_DIR", "/root/repo/target/scratch")
 
+  /** a15's merge plan, shared with PlanAuditSpec so the audited plan IS
+    * the production path: matched keys take the upsert row, unmatched
+    * upserts insert, untouched base rows pass through. The upsert side
+    * is explicitly broadcast — the merge batch is small relative to the
+    * snapshot in every sane daily-merge pipeline, and shuffling the full
+    * base to drop a fraction of keys is the classic merge mistake.
+    */
+  def upsertMerge(snapshot: DataFrame, upserts: DataFrame, key: String): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    snapshot
+      .join(broadcast(upserts.select(key)), Seq(key), "left_anti")
+      .select(cols.map(col): _*)
+      .unionByName(upserts.select(cols.map(col): _*))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- a1: explicit scheme routing — the reference's core trick is
@@ -254,7 +269,6 @@ object Sources {
     // in most daily-merge pipelines.
     "a15_upsert_merge" -> { (s, dir) =>
       val base = s"$scratchDir/a15_${Integer.toHexString(dir.hashCode)}"
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val orders = T(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
@@ -268,11 +282,7 @@ object Sources {
       val inserts = orders.filter(col("o_orderkey") % 500 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
         .withColumn("o_orderstatus", lit("N"))
-      val upserts = updates.unionByName(inserts)
-      val merged = snapshot
-        .join(broadcast(upserts.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
-        .select(cols.map(col): _*)
-        .unionByName(upserts.select(cols.map(col): _*))
+      val merged = upsertMerge(snapshot, updates.unionByName(inserts), "o_orderkey")
       merged.write.parquet(s"$base/t_next") // next snapshot; swap = rename
       s.read.parquet(s"$base/t_next")
         .groupBy(col("o_orderstatus"))

@@ -237,6 +237,23 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("a15 merge: update batch broadcasts into the anti-join, no cartesian") {
+    // audit the shared merge helper directly — the a15 entry's returned
+    // DF is the post-write read-back, the merge itself runs inside
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.load(spark, sfTiny, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val upserts = base.filter(col("o_orderkey") % 100 === 0)
+    val p = graft.queries.Sources.upsertMerge(base, upserts, "o_orderkey")
+      .queryExecution.executedPlan.toString
+    // the daily-merge shape: base anti-join (upsert keys) must be a
+    // BROADCAST anti-join — shuffling the full base to drop 1% of keys
+    // is the classic lakehouse-merge mistake at 100 TB
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"merge anti-join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e7 sql macro: body inlined into the plan, no black-box UDF") {
     // the SQL scalar UDF must dissolve at analysis time — codegen and
     // pushdown see plain arithmetic; a ScalaUDF/PythonUDF node would
