@@ -97,13 +97,20 @@ object Bench {
     // complete line, rc=0, parsed:null because the 130-entry queries map
     // pushed the line start out of the window). The stdout line therefore
     // carries the headline metric plus as many per-query timings as fit a
-    // hard budget — DNFs (-1) and the most expensive queries first, i.e.
-    // exactly the entries a perf reader needs — with an "omitted" count;
-    // the untruncated map lives in target/bench.json.
-    def renderCompactJson(results: Seq[(String, Double)], maxChars: Int = 1500): String = {
+    // hard budget — real DNFs (timeout/error, -1) first, then the most
+    // expensive measured queries, i.e. exactly the entries a perf reader
+    // needs — with an "omitted" count. Budget-SHED entries (never
+    // attempted on a slow host — benign by design, the priority order
+    // sheds fixed-overhead entries) are NOT spelled out as -1 noise:
+    // they are counted in "shed" and appear only in target/bench.json,
+    // so a slow-host line leads with real timings, not a wall of -1s.
+    def renderCompactJson(results: Seq[(String, Double)], shed: Set[String],
+        maxChars: Int = 1500): String = {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
-      val ordered = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
-      val head = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"queries":{"""
+      val ordered = results
+        .filterNot { case (k, _) => shed(k) }
+        .sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+      val head = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"shed":${shed.size},"queries":{"""
       val tailReserve = s"""},"omitted":${results.size}}""".length
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       var len = head.length + tailReserve
@@ -128,11 +135,13 @@ object Bench {
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
       .sortBy { case (n, _) => (priorityRank(n), n) }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val shed = scala.collection.mutable.Set.empty[String]
     wanted.foreach { case (name, fn) =>
       val remaining = GlobalBudgetSec - elapsedSec
       if (remaining < 2) {
         System.err.println(s"[bench] $name SKIPPED (global budget exhausted)")
         results += name -> -1.0
+        shed += name
       } else {
         val budget = math.min(PerQueryTimeoutSec, remaining.toLong + 1)
         val t0 = System.nanoTime()
@@ -184,7 +193,7 @@ object Bench {
     stopper.start()
     stopper.join(15000)
     pool.shutdownNow()
-    println(renderCompactJson(results.toSeq))
+    println(renderCompactJson(results.toSeq, shed.toSet))
     System.out.flush()
     Runtime.getRuntime.halt(0)
   }
