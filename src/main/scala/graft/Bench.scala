@@ -102,8 +102,10 @@ object Bench {
     // needs — with an "omitted" count. Budget-SHED entries (never
     // attempted on a slow host — benign by design, the priority order
     // sheds fixed-overhead entries) are NOT spelled out as -1 noise:
-    // they are counted in "shed" and appear only in target/bench.json,
-    // so a slow-host line leads with real timings, not a wall of -1s.
+    // they are counted in "shed" and appear in target/bench.json with a
+    // distinct -2 sentinel (real DNFs stay -1), so neither the stdout
+    // line nor a cross-round bench.json diff mistakes benign shedding
+    // for DNF regressions.
     def renderCompactJson(results: Seq[(String, Double)], shed: Set[String],
         maxChars: Int = 1500): String = {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -140,7 +142,7 @@ object Bench {
       val remaining = GlobalBudgetSec - elapsedSec
       if (remaining < 2) {
         System.err.println(s"[bench] $name SKIPPED (global budget exhausted)")
-        results += name -> -1.0
+        results += name -> -2.0 // shed sentinel: never attempted (-1 = real DNF)
         shed += name
       } else {
         val budget = math.min(PerQueryTimeoutSec, remaining.toLong + 1)

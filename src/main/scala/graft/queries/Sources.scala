@@ -276,11 +276,21 @@ object Sources {
       orders.write.parquet(s"$base/t")
       val snapshot = s.read.parquet(s"$base/t")
       // the day's merge batch: price corrections on every 100th order,
-      // plus brand-new orders derived from every 500th
+      // plus brand-new orders derived from every 500th. The corrected
+      // price is computed in integer CENTS (cents*11 div 10) — a
+      // cross-engine round(p*1.1, 2) on doubles diverges at half-cent
+      // boundaries (measured: 89 of 150k sf0.1 prices split between
+      // Spark's BigDecimal HALF_UP and DuckDB's std::round). Insert
+      // keys are derived PAST max(o_orderkey) so they can never collide
+      // with a live base key at any scale factor.
       val updates = orders.filter(col("o_orderkey") % 100 === 0)
-        .withColumn("o_totalprice", round(col("o_totalprice") * lit(1.1), 2))
+        .withColumn("o_totalprice",
+          expr("(cast(round(o_totalprice * 100) as bigint) * 11 div 10) / 100.0"))
+      val maxKey = snapshot.agg(max(col("o_orderkey")).as("graft_max_key"))
       val inserts = orders.filter(col("o_orderkey") % 500 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .crossJoin(broadcast(maxKey))
+        .withColumn("o_orderkey", col("o_orderkey") + col("graft_max_key") + lit(1L))
+        .drop("graft_max_key")
         .withColumn("o_orderstatus", lit("N"))
       val merged = upsertMerge(snapshot, updates.unionByName(inserts), "o_orderkey")
       merged.write.parquet(s"$base/t_next") // next snapshot; swap = rename
@@ -520,11 +530,13 @@ object Sources {
         FROM orders),
       upd AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               round(round(o_totalprice, 2) * 1.1, 2) AS o_totalprice
+               ((CAST(round(round(o_totalprice, 2) * 100) AS BIGINT) * 11) // 10)
+                 / 100.0 AS o_totalprice
         FROM orders WHERE o_orderkey % 100 = 0),
       ins AS (
-        SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
-               'N' AS o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders) AS o_orderkey,
+               o_custkey, 'N' AS o_orderstatus,
+               round(o_totalprice, 2) AS o_totalprice
         FROM orders WHERE o_orderkey % 500 = 0),
       merged AS (
         SELECT * FROM base WHERE o_orderkey % 100 <> 0

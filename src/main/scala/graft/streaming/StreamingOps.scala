@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Structured Streaming block (SURVEY.md §2 C, streaming half).
   *
@@ -127,6 +127,28 @@ object StreamingOps {
       else firsts
     novel.select(col("doc_id"), col("thash"))
       .write.mode("overwrite").parquet(s"$admitted/batch=$batchId")
+  }
+
+  /** Shared by s11 (AvailableNow backfill) and s12 (checkpoint
+    * recovery): the rate-limited file-stream source over a staged
+    * landing zone plus the integer-cents daily-window aggregate. ONE
+    * definition, so a fix to the nanos→timestamp conversion or the
+    * cents fixed-point rule cannot silently diverge between the two
+    * entries that share the same oracle pattern (review finding).
+    */
+  private def centsDailyWindowAgg(s: SparkSession, inDir: String,
+      schema: StructType): DataFrame = {
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val withTs =
+      if (schema.exists(f => f.name == "ts" && f.dataType == LongType))
+        src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else src
+    withTs
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -357,6 +379,9 @@ object StreamingOps {
     },
 
     // ---- s11: Trigger.AvailableNow — the production BACKFILL shape:
+    // (source + aggregate defined once in centsDailyWindowAgg, shared
+    // with s12 so the ts conversion and cents fixed-point rule cannot
+    // silently diverge between the two entries)
     // drain everything currently on storage under a rate limit
     // (maxFilesPerTrigger=1 → one micro-batch per file, aggregate state
     // carried across batches), then stop on its own. This is how a
@@ -379,17 +404,7 @@ object StreamingOps {
       if (!staged)
         events.repartition(3).write.mode("overwrite").parquet(s"$base/in")
       val schema = s.read.parquet(s"$base/in").schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
-      val withTs =
-        if (schema.exists(f => f.name == "ts" && f.dataType == LongType))
-          src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else src
-      val agg = withTs
-        .withColumn("cents", round(col("value") * 100).cast("long"))
-        .withWatermark("ts", "1 day")
-        .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      val agg = centsDailyWindowAgg(s, s"$base/in", schema)
       // state-store count = partitions × batches here; the aggregate
       // state is ~150 window rows, so run the drain at few partitions
       // (s5's recipe) and restore the session default after
@@ -422,8 +437,9 @@ object StreamingOps {
     // restart from the checkpoint. The oracle is the one-shot batch
     // aggregate over EVERYTHING — any state loss shows as missing
     // counts, any reprocessing as doubled counts. Deterministic by
-    // construction (phase 2 always has exactly the two unseen files).
-    // Integer cents as in s11.
+    // construction: session 2's landing zone holds one already-seen
+    // file plus exactly ONE unseen file (parts.drop(1) of the 2-file
+    // split). Integer cents as in s11.
     "s12_stream_checkpoint_recovery" -> { (s, dir) =>
       import org.apache.hadoop.fs.{FileUtil, Path}
       val base = s"${graft.queries.Sources.scratchDir}/s12_${Integer.toHexString(dir.hashCode)}"
@@ -454,17 +470,7 @@ object StreamingOps {
       }
       val schema = s.read.parquet(allDir).schema
       def drain(): Unit = {
-        val src = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
-        val withTs =
-          if (schema.exists(f => f.name == "ts" && f.dataType == LongType))
-            src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          else src
-        val agg = withTs
-          .withColumn("cents", round(col("value") * 100).cast("long"))
-          .withWatermark("ts", "1 day")
-          .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        val agg = centsDailyWindowAgg(s, s"$base/in", schema)
         val q = agg.writeStream.format("memory").queryName("graft_s12")
           .option("checkpointLocation", s"$base/ckpt")
           .outputMode(OutputMode.Complete())
