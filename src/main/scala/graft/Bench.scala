@@ -52,7 +52,10 @@ object Bench {
       "d35_ccnet_buckets", "d38_bigram_surprisal", "d39_containment",
       "d40_kmeans_fit", "d41_ann_pipeline",
       // round-5: DSIR importance weights (token-stream work-dominated)
-      "d43_dsir_weights")
+      "d43_dsir_weights",
+      // round-5: trained NB classifier + PQ ADC search (both
+      // work-dominated: full tokenize pass / full encode+score pass)
+      "d44_nb_classifier", "d45_pq_adc")
     name match {
       case n if headliners(n) => 0
       case n if n.startsWith("d") => 1

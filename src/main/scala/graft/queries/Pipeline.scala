@@ -1533,6 +1533,158 @@ object Pipeline {
           round(sum(col("cnt") * log(col("c2") / col("c1"))) /
             sum(col("cnt")), 4).as("avg_logprob"))
         .orderBy("doc_id")
+    },
+
+    // ---- d46: per-doc unigram Shannon entropy — the lexical-diversity
+    // quality signal (low entropy = template/keyword-stuffed pages;
+    // complements d8's ratios and d24's repetition counts with the
+    // information-theoretic measure). H = ln(n) − (Σ c·ln c)/n over the
+    // doc's OWN token distribution, so the whole operator is one
+    // explode + one (doc, word) aggregate + one doc aggregate — no
+    // global state, embarrassingly parallel at any corpus size.
+    // Fixed-point: each c·ln c term is a deterministic double (no
+    // accumulation), rounded to integer micro-nats BEFORE the order-
+    // free integer sum (d43's rule); H derives from that integer and
+    // n only, so both engines compute bit-identical doubles.
+    "d46_entropy" -> { (s, dir) =>
+      T(s, dir, "documents").transform(withWords)
+        .select(col("doc_id"), explode(col("words")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(expr("cast(round(cnt * ln(cnt) * 1e6) as bigint)")).as("clnc"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"),
+          round(log(col("n_tok")) - col("clnc") / 1e6 / col("n_tok"), 4)
+            .as("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // ---- d44: trained Naive-Bayes language classifier — the TRAINED
+    // complement to d7's heuristic langid (CCNet/fastText slot in a
+    // curation stack: fit a linear classifier on labeled data, apply
+    // it corpus-wide). Feature space = d42's B=64 portable hash
+    // buckets, so both the per-class likelihood dictionary (5 langs ×
+    // 64 buckets) and the doc-count priors are DENSE, tiny, and
+    // broadcast — training is two aggregates over the one persisted
+    // (doc, bucket, cnt) pass, scoring is a broadcast join + one
+    // integer aggregate, and the corpus shuffles once no matter how
+    // large. Laplace +1 smoothing fills absent (lang, bucket) cells.
+    // Engine exactness: each dictionary weight ln((c+1)/(n_l+B)) and
+    // prior ln(d_l/n) is rounded to integer micro-nats ONCE in the
+    // dictionary; scores are then pure integer arithmetic and argmax
+    // (score DESC, lang ASC) is exact on both engines. Output: the
+    // actual × predicted confusion matrix.
+    "d44_nb_classifier" -> { (s, dir) =>
+      val B = 64
+      val bucket = expr(
+        s"""pmod(ascii(word) * 31 + length(word) * 7 +
+             ascii(substring(word, length(word), 1)), $B)""")
+      val pairs = T(s, dir, "documents").transform(withWords)
+        .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+        .withColumn("h", bucket)
+        .groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("cnt"), first(col("lang")).as("lang"))
+        .persist() // train + score read the same tokenize pass
+      val bl = pairs.groupBy(col("lang"), col("h")).agg(sum(col("cnt")).as("c_lh"))
+      val lt = bl.groupBy(col("lang")).agg(sum(col("c_lh")).as("n_l"))
+      val dc = pairs.select("doc_id", "lang").distinct()
+        .groupBy(col("lang")).agg(count(lit(1)).as("d_l"))
+      val nd = dc.agg(sum(col("d_l")).as("n_docs")).withColumn("one", lit(1))
+      // dense 5×64 weight grid: absent buckets still carry the smoothed
+      // ln(1/(n_l+B)) mass a scoring doc must pay for them
+      val grid = lt.crossJoin(broadcast(
+          s.range(B).select(col("id").cast("int").as("h"))))
+        .join(bl, Seq("lang", "h"), "left")
+        .select(col("lang").as("mlang"), col("h"),
+          expr(s"cast(round(ln((coalesce(c_lh, 0) + 1) / cast(n_l + $B as double)) * 1e6) as bigint)")
+            .as("lam_int"))
+      val prior = dc.withColumn("one", lit(1)).join(broadcast(nd), "one")
+        .select(col("lang").as("mlang"),
+          expr("cast(round(ln(d_l / cast(n_docs as double)) * 1e6) as bigint)")
+            .as("prior_int"))
+      val wP = Window.partitionBy("doc_id").orderBy(desc("score"), asc("mlang"))
+      pairs.join(broadcast(grid), Seq("h"))
+        .groupBy(col("doc_id"), col("mlang"))
+        .agg(first(col("lang")).as("lang"),
+          sum(col("cnt") * col("lam_int")).as("ll"))
+        .join(broadcast(prior), Seq("mlang"))
+        .withColumn("score", col("ll") + col("prior_int"))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"), col("mlang").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // ---- d45: product-quantization ADC search (Jégou et al., TPAMI
+    // 2011) — the memory-side half of the canonical 100 TB ANN index
+    // (IVF partitions the corpus — d29/d41; PQ compresses vectors so a
+    // 64-dim float vector becomes M=4 sub-codes, and queries scan
+    // CODES via a tiny per-query lookup table instead of raw floats).
+    // One plan: split vectors into M=4 16-dim subspaces; train one
+    // K=8 codebook per subspace (one unrolled Lloyd step from the
+    // d29/d40 seed convention); encode the corpus (argmin code per
+    // (vec, sub)); build each query's 4×8 ADC table of subspace
+    // distances; score = integer sum of 4 table lookups per corpus
+    // vector — corpus floats are never touched after encoding, which
+    // is the point of PQ. Scale shape: codebooks O(M·K·dim) and LUTs
+    // O(q·M·K) broadcast at any corpus size; the score join carries
+    // (vec_id, sub, code) triples; vectors never shuffle. Engine
+    // exactness: every (x−y)² term is a deterministic double rounded
+    // to integer pico-units BEFORE its order-free integer sum (d43's
+    // rule at the arithmetic leaf); codebook means round at 6dp
+    // (d40's grain); argmin/top-k tie-break by cid/nid.
+    "d45_pq_adc" -> { (s, dir) =>
+      val M = 4; val subDim = 16; val K = 8
+      def sqd(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) ->
+              cast(round((x - y) * (x - y) * 1e12) as bigint)),
+            cast(0 as bigint), (acc, e) -> acc + e)""")
+      val subs = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), explode(expr(
+          s"""transform(sequence(0, ${M - 1}), m ->
+                struct(m AS sub, slice(vec, m * $subDim + 1, $subDim) AS svec))"""))
+          .as("e"))
+        .select(col("vec_id"), col("e.sub"), col("e.svec"))
+        .persist() // read by train, encode, and LUT passes
+      val seeds = subs.filter(col("vec_id") < K)
+        .select(col("sub"), col("vec_id").cast("int").as("cid"),
+          col("svec").as("cvec"))
+      val wA = Window.partitionBy("vec_id", "sub").orderBy(col("sd"), col("cid"))
+      val assign0 = subs.join(broadcast(seeds), Seq("sub"))
+        .withColumn("sd", sqd("svec", "cvec"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid"))
+      val cb = assign0.join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy("sub", "cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
+        .groupBy("sub", "cid").agg(expr(
+          "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+          .as("cvec"))
+        .persist() // encode + LUT read the trained codebook
+      val codes = subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("sd", sqd("svec", "cvec"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid"))
+      val lut = subs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("sub"), col("svec").as("qvec"))
+        .join(broadcast(cb), Seq("sub"))
+        .withColumn("sd", sqd("qvec", "cvec"))
+        .select("qid", "sub", "cid", "sd")
+      val wR = Window.partitionBy("qid").orderBy(col("adc"), col("nid"))
+      codes.join(broadcast(lut), Seq("sub", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), col("sd"))
+        .groupBy("qid", "nid")
+        .agg(sum(col("sd")).as("adc"))
+        .withColumn("rn", row_number().over(wR))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
     }
   )
 
@@ -2288,6 +2440,127 @@ object Pipeline {
              round(sum(cnt * ln(c2 / c1)) / sum(cnt), 4) AS avg_logprob
       FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    "d46_entropy" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      tc AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM w GROUP BY 1, 2),
+      d AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CAST(round(cnt * ln(cnt) * 1e6) AS BIGINT)) AS BIGINT)
+                 AS clnc
+        FROM tc GROUP BY doc_id)
+      SELECT doc_id, n_tok, n_types,
+             round(ln(n_tok) - clnc / 1e6 / n_tok, 4) AS entropy
+      FROM d
+      ORDER BY doc_id""",
+
+    "d44_nb_classifier" -> """
+      WITH w AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      hh AS (
+        SELECT doc_id, lang,
+               (ascii(word) * 31 + length(word) * 7 +
+                ascii(substr(word, CAST(length(word) AS INT), 1))) % 64 AS h
+        FROM w),
+      p AS (
+        SELECT doc_id, h, CAST(count(*) AS BIGINT) AS cnt, min(lang) AS lang
+        FROM hh GROUP BY 1, 2),
+      bl AS (
+        SELECT lang, h, CAST(sum(cnt) AS BIGINT) AS c_lh
+        FROM p GROUP BY 1, 2),
+      lt AS (SELECT lang, CAST(sum(c_lh) AS BIGINT) AS n_l FROM bl GROUP BY 1),
+      dc AS (
+        SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS d_l
+        FROM p GROUP BY 1),
+      nd AS (SELECT CAST(sum(d_l) AS BIGINT) AS n_docs FROM dc),
+      grid AS (
+        SELECT lt.lang AS mlang, hs.h,
+               CAST(round(ln((coalesce(bl.c_lh, 0) + 1)
+                 / CAST(lt.n_l + 64 AS DOUBLE)) * 1e6) AS BIGINT) AS lam_int
+        FROM lt CROSS JOIN (SELECT CAST(unnest(range(64)) AS INT) AS h) hs
+        LEFT JOIN bl ON bl.lang = lt.lang AND bl.h = hs.h),
+      prior AS (
+        SELECT dc.lang AS mlang,
+               CAST(round(ln(dc.d_l / CAST(nd.n_docs AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS prior_int
+        FROM dc, nd),
+      scored AS (
+        SELECT p.doc_id, grid.mlang, min(p.lang) AS lang,
+               CAST(sum(p.cnt * grid.lam_int) AS BIGINT) AS ll
+        FROM p JOIN grid ON grid.h = p.h
+        GROUP BY p.doc_id, grid.mlang),
+      pred AS (
+        SELECT doc_id, lang, mlang AS pred_lang FROM (
+          SELECT s.doc_id, s.lang, s.mlang,
+                 row_number() OVER (PARTITION BY s.doc_id
+                   ORDER BY s.ll + pr.prior_int DESC, s.mlang ASC) AS rn
+          FROM scored s JOIN prior pr USING (mlang)) WHERE rn = 1)
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred
+      GROUP BY lang, pred_lang
+      ORDER BY lang, pred_lang""",
+
+    // the PQ pipeline unrolled over subvector ELEMENT rows (the
+    // row-relational spelling of the same integer-exact arithmetic);
+    // lut = d1 restricted to the query ids, exactly as the Spark side
+    // computes it from the shared codebook
+    "d45_pq_adc" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sv AS (
+        SELECT vec_id, CAST(floor(pos / 16) AS INT) AS sub,
+               CAST(pos % 16 AS INT) AS spos, val
+        FROM (SELECT vec_id, CAST(unnest(range(len(v))) AS INT) AS pos,
+                     CAST(unnest(v) AS DOUBLE) AS val FROM e)),
+      seeds AS (
+        SELECT sub, CAST(vec_id AS INT) AS cid, spos, val AS cval
+        FROM sv WHERE vec_id < 8),
+      d0 AS (
+        SELECT a.vec_id, a.sub, s.cid,
+               CAST(sum(CAST(round((a.val - s.cval) * (a.val - s.cval) * 1e12)
+                 AS BIGINT)) AS BIGINT) AS sd
+        FROM sv a JOIN seeds s ON s.sub = a.sub AND s.spos = a.spos
+        GROUP BY 1, 2, 3),
+      a0 AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT vec_id, sub, cid,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                   ORDER BY sd, cid) AS rn
+          FROM d0) WHERE rn = 1),
+      cb AS (
+        SELECT a0.sub, a0.cid, sv.spos, round(avg(sv.val), 6) AS cval
+        FROM a0 JOIN sv ON sv.vec_id = a0.vec_id AND sv.sub = a0.sub
+        GROUP BY 1, 2, 3),
+      d1 AS (
+        SELECT a.vec_id, a.sub, c.cid,
+               CAST(sum(CAST(round((a.val - c.cval) * (a.val - c.cval) * 1e12)
+                 AS BIGINT)) AS BIGINT) AS sd
+        FROM sv a JOIN cb c ON c.sub = a.sub AND c.spos = a.spos
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT vec_id, sub, cid,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                   ORDER BY sd, cid) AS rn
+          FROM d1) WHERE rn = 1),
+      lut AS (SELECT vec_id AS qid, sub, cid, sd FROM d1 WHERE vec_id < 10),
+      adc AS (
+        SELECT l.qid, c.vec_id AS nid, CAST(sum(l.sd) AS BIGINT) AS adc
+        FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+        WHERE c.vec_id <> l.qid
+        GROUP BY 1, 2)
+      SELECT qid, nid, adc, CAST(rn AS INT) AS rn FROM (
+        SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+        FROM adc) WHERE rn <= 5
+      ORDER BY qid, rn"""
   )
 }

@@ -834,6 +834,33 @@ object Relational {
           .select(lit(c).as("col_name"), col("n"), col("n_null"),
             col("n_distinct"), col("min_v"), col("max_v"))
       }.reduce(_.unionByName(_)).orderBy("col_name")
+    },
+
+    // ---- q64: the rest of DuckDB's aggregate surface — mode,
+    // bool_and/bool_or, bit_and/bit_or/bit_xor, skewness, kurtosis —
+    // in one grouped pass. All are map-side-combinable single-shuffle
+    // aggregates (mode's partial state is a value→count map; the
+    // moment aggregates carry 4 power sums). Engine exactness:
+    // mode(x, true) pins tie-breaks to the smallest value (the oracle
+    // ranks (count DESC, value ASC) explicitly); Spark's skewness/
+    // kurtosis are POPULATION moments while DuckDB's are
+    // bias-corrected sample statistics, so the oracle derives the
+    // population definitions from raw power sums instead of calling
+    // DuckDB's aggregates.
+    "q64_stats_ext" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .withColumn("q_int", col("l_quantity").cast("int"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("mode(q_int, true)").as("mode_qty"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_quantity") > lit(49)).as("any_max"),
+          bit_and(col("q_int")).as("band_qty"),
+          bit_or(col("q_int")).as("bor_qty"),
+          expr("bit_xor(q_int)").as("bxor_qty"),
+          round(skewness(col("l_quantity")), 4).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -1419,6 +1446,43 @@ object Relational {
       SELECT col_name, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
              CAST(n_distinct AS BIGINT) AS n_distinct, min_v, max_v
       FROM s
-      ORDER BY col_name"""
+      ORDER BY col_name""",
+
+    // mode spelled as the deterministic (count DESC, value ASC) rank;
+    // skewness/kurtosis spelled as POPULATION moments from raw power
+    // sums (Spark's definition) — DuckDB's own skewness/kurtosis are
+    // bias-corrected sample statistics and would mismatch by design
+    "q64_stats_ext" -> """
+      WITH li AS (
+        SELECT l_returnflag, l_quantity, CAST(l_quantity AS INT) AS q_int
+        FROM lineitem),
+      md AS (
+        SELECT l_returnflag, q_int AS mode_qty FROM (
+          SELECT l_returnflag, q_int,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY count(*) DESC, q_int ASC) AS rn
+          FROM li GROUP BY l_returnflag, q_int) WHERE rn = 1),
+      mo AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               avg(l_quantity) AS a,
+               avg(l_quantity * l_quantity) AS s2,
+               avg(l_quantity * l_quantity * l_quantity) AS s3,
+               avg(l_quantity * l_quantity * l_quantity * l_quantity) AS s4,
+               bool_and(l_quantity > 0) AS all_pos,
+               bool_or(l_quantity > 49) AS any_max,
+               bit_and(CAST(l_quantity AS INT)) AS band_qty,
+               bit_or(CAST(l_quantity AS INT)) AS bor_qty,
+               bit_xor(CAST(l_quantity AS INT)) AS bxor_qty
+        FROM li GROUP BY l_returnflag)
+      SELECT mo.l_returnflag, md.mode_qty,
+             mo.all_pos, mo.any_max,
+             mo.band_qty, mo.bor_qty, mo.bxor_qty,
+             round((s3 - 3 * a * s2 + 2 * a * a * a)
+               / power(s2 - a * a, 1.5), 4) AS skew_qty,
+             round((s4 - 4 * a * s3 + 6 * a * a * s2 - 3 * a * a * a * a)
+               / power(s2 - a * a, 2) - 3, 4) AS kurt_qty
+      FROM mo JOIN md USING (l_returnflag)
+      ORDER BY mo.l_returnflag"""
   )
 }

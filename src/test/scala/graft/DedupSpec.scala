@@ -214,6 +214,32 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("d45: PQ ADC top-5 stays within the query's own cluster") {
+    val dir = scratch("planted-pq")
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def center(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val centers = Seq.fill(20)(center())
+    // same clustered shape as d29's corpus: tight 0.05 jitter around 20
+    // well-separated centers, queries 0..9 in 10 different clusters.
+    // Same-cluster members quantize to the same PQ code (jitter is
+    // small against cell diameters), so their ADC distance to the
+    // query is minimal — the top-5 must stay in the query's cluster.
+    val rows = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      val v = c.map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.05f)
+      (i.toLong, v, i % 20)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Pipeline.queries("d45_pq_adc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 50, s"expected 10 queries x top-5, got ${got.length}")
+    val sameCluster = got.count { case (q, n) => q % 20 == n % 20 }
+    assert(sameCluster.toDouble / got.length >= 0.8,
+      s"same-cluster fraction ${sameCluster}/${got.length}")
+  }
+
   test("d15: minhash-candidate jaccard finds planted dups without blocking keys") {
     val d15 = pairs(Pipeline.queries("d15_jaccard_lsh")(spark, plantedDir))
     // planted near/exact dups all have J >= 0.9 — band recall there is ~1

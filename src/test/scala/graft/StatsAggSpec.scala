@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q64's engine-exactness contracts, pinned as unit facts so the oracle
+  * can rely on them: mode's deterministic tie-break, and Spark's
+  * skewness/kurtosis being POPULATION moments (the oracle derives the
+  * same definitions from raw power sums because DuckDB's aggregates are
+  * bias-corrected sample statistics).
+  */
+class StatsAggSpec extends SparkSpecBase {
+
+  test("q64: mode(x, true) breaks frequency ties by the smallest value") {
+    import spark.implicits._
+    val df = Seq(3, 1, 3, 1, 2).toDF("x") // values 1 and 3 tie at count 2
+    assert(df.agg(expr("mode(x, true)")).head.getInt(0) == 1)
+  }
+
+  test("q64: skewness/kurtosis match the population-moment closed form") {
+    import spark.implicits._
+    // Bernoulli(p = 1/4) sample {0,0,0,1}: population skewness
+    // (1-2p)/sqrt(p(1-p)) = 2/sqrt(3); excess kurtosis
+    // (1-6p(1-p))/(p(1-p)) = -2/3. Sample-corrected statistics (what
+    // DuckDB computes) would differ by the n/(n-1)(n-2) factors.
+    val r = Seq(0.0, 0.0, 0.0, 1.0).toDF("x")
+      .agg(skewness(col("x")), kurtosis(col("x"))).head
+    assert(math.abs(r.getDouble(0) - 2.0 / math.sqrt(3.0)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - (-2.0 / 3.0)) < 1e-9)
+  }
+}

@@ -62,4 +62,38 @@ class TextSpec extends SparkSpecBase {
     assert(byId(3L)._2 == 0 && byId(3L)._3.contains("no pii"))
     assert(byId(4L)._2 == 0 && byId(4L)._3.endsWith("stay intact"))
   }
+
+  test("d46: entropy matches closed forms on known token distributions") {
+    val dir = scratch("entropy")
+    writeDocs(dir, Seq(
+      (0L, "a a a a"),   // one type: H = 0
+      (1L, "a b c d"),   // uniform over 4 types: H = ln 4
+      (2L, "a a b b"),   // uniform over 2 types: H = ln 2
+      (3L, "a a a b")))  // skewed: strictly below the uniform ln 4
+    val out = Pipeline.queries("d46_entropy")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(0L) == ((4L, 1L, 0.0)))
+    assert(math.abs(out(1L)._3 - math.log(4)) < 1e-3, out(1L).toString)
+    assert(math.abs(out(2L)._3 - math.log(2)) < 1e-3, out(2L).toString)
+    assert(out(1L)._2 == 4L && out(2L)._2 == 2L)
+    assert(out(3L)._3 > 0.0 && out(3L)._3 < out(1L)._3)
+  }
+
+  test("d44: NB classifier separates disjoint-vocabulary languages") {
+    val dir = scratch("nbclassifier")
+    import spark.implicits._
+    // two languages with disjoint vocabularies (verified: the 8 words
+    // hash to 8 distinct buckets) — after training on itself the
+    // classifier must put every doc on the confusion-matrix diagonal
+    val docs = (0 until 10).map(i => (i.toLong, "alpha beta gamma delta alpha", "en")) ++
+      (0 until 10).map(i => (10L + i, "zug bahn tor feld zug", "de"))
+    val df = docs.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    val out = Pipeline.queries("d44_nb_classifier")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("de", "de", 10L), ("en", "en", 10L)), out.toString)
+  }
 }
