@@ -263,4 +263,34 @@ class PlanAuditSpec extends SparkSpecBase {
       s"macro not inlined:\n$p")
     assert(p.contains("partial_sum"), s"no map-side combine under the macro:\n$p")
   }
+
+  test("d44 NB classifier: dictionaries broadcast, corpus never re-shuffles for them") {
+    // the likelihood grid, priors, and (via crossJoin of two tiny
+    // aggregates) the bucket range must all reach the corpus side as
+    // broadcasts — a shuffled join against a 320-row dictionary would
+    // repartition the whole corpus at 100 TB
+    val p = plan("d44_nb_classifier")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 2, s"want >=2 broadcast joins, got $nBroadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side combine in the tokenize aggregate:\n$p")
+  }
+
+  test("d45 PQ: codebooks and LUTs broadcast, score join stays equi") {
+    // seeds/codebook/LUT are O(M*K) rows — every join against the
+    // corpus-sized side must broadcast, and the ADC score join must be
+    // the (sub, cid) equi-join, never a nested-loop over codes
+    val p = plan("d45_pq_adc")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 3, s"want >=3 broadcast joins, got $nBroadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ fell back to a non-equi join:\n$p")
+  }
+
+  test("q64 extended aggregates: one hash shuffle, map-side partials") {
+    val p = plan("q64_stats_ext")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
 }
