@@ -98,7 +98,33 @@ object GraftExtensions {
       (e: Seq[Expression]) => e match {
         case Seq(lk, rk, lt, rt) => graft.plans.AsOfOn(lk, rk, lt, rt)
         case _ => throw new IllegalArgumentException("asof_on(lkey, rkey, ltime, rtime)")
-      })
+      }),
+    // e9: the engine's OWN runtime-filter kernels (what Spark builds
+    // internally for broadcast-join pruning) surfaced as SQL functions —
+    // the sketch-membership primitive a 100 TB ingest pipeline needs
+    // without shipping a join-sized state table (d47 consumes them).
+    // bloom_agg returns the binary sketch; probe it via a scalar
+    // subquery: bloom_might_contain((SELECT bloom_agg(...) FROM t), h).
+    ("bloom_agg", info("bloom_agg",
+      "bloom_agg(xxhash64(x)[, est_items[, num_bits]]) - Bloom-filter aggregate over " +
+        "64-bit hashes; returns the filter as binary. Engine-native " +
+        "BloomFilterAggregate: order-free bit-OR merge, O(bits) state."),
+      (e: Seq[Expression]) => e match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "bloom_agg(hash[, est_items[, num_bits]])")
+      }),
+    ("bloom_might_contain", info("bloom_might_contain",
+      "bloom_might_contain(filter, xxhash64(x)) - probe a bloom_agg sketch; false means " +
+        "DEFINITELY absent, true means present-or-false-positive. The filter argument " +
+        "must be a constant or scalar subquery (engine rule)."),
+      (e: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1)))
   )
 
   /** Idempotently register all graft functions AND the optimizer rule on

@@ -1685,6 +1685,39 @@ object Pipeline {
         .withColumn("rn", row_number().over(wR))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
+    },
+
+    // ---- d47: Bloom-filter ingest screening — sketch-based asymmetric
+    // dedup: the existing corpus collapses into a bits-sized binary
+    // sketch built by Spark's OWN runtime-filter aggregate
+    // (BloomFilterAggregate, surfaced through the e9 extension
+    // functions), and the new batch probes it via a scalar subquery —
+    // the exact plan shape Spark's InjectRuntimeFilter produces for
+    // broadcast-join pruning, driven here from user SQL. vs d32 (exact
+    // hash anti-join): the sketch never shuffles the existing corpus'
+    // hashes and the membership state an ingest node holds drops from
+    // a join-sized table to megabytes at 100 TB, at the price of a
+    // bounded false-positive rate — novel docs can be mistakenly
+    // dropped, true duplicates are NEVER admitted (no false
+    // negatives; DedupSpec pins both directions). Deterministic:
+    // bloom bits are an order-free OR of fixed hashes, so the output
+    // is stable run-to-run (rows-only gate, no SQL oracle — DuckDB
+    // has no bloom surface).
+    "d47_bloom_dedup" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val docs = T(s, dir, "documents")
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .createOrReplaceTempView("graft_d47_existing")
+      docs.filter(col("doc_id") % 5 === 0)
+        .createOrReplaceTempView("graft_d47_new")
+      s.sql("""
+        SELECT n.doc_id, n.lang,
+               bloom_might_contain(
+                 (SELECT bloom_agg(xxhash64(text), CAST(100000 AS BIGINT))
+                  FROM graft_d47_existing),
+                 xxhash64(n.text)) AS dup
+        FROM graft_d47_new n
+        ORDER BY n.doc_id""")
     }
   )
 

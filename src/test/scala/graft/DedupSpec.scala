@@ -240,6 +240,39 @@ class DedupSpec extends SparkSpecBase {
       s"same-cluster fraction ${sameCluster}/${got.length}")
   }
 
+  test("d47: bloom screening flags every true duplicate, bounds false positives") {
+    val dir = scratch("bloom-dedup")
+    import spark.implicits._
+    // doc_ids 0..499; the new batch is doc_id % 5 == 0 (100 docs).
+    // Every new doc with doc_id % 10 == 0 (50 docs) carries a text that
+    // ALSO exists in the existing corpus (doc_id+1 holds the same
+    // text); the other 50 new docs are globally unique.
+    val docs = (0 until 500).map { i =>
+      val text =
+        if (i % 10 == 1) s"shared text ${i - 1}" // existing copy of new doc i-1
+        else if (i % 10 == 0) s"shared text $i"  // new doc with a known dup
+        else s"unique text $i"
+      (i.toLong, text, "en")
+    }
+    val df = docs.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    val out = Pipeline.queries("d47_bloom_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(out.size == 100)
+    // no false negatives: every true duplicate is flagged
+    (0 until 500 by 10).foreach { i =>
+      assert(out(i.toLong), s"true duplicate $i not flagged")
+    }
+    // bounded false positives: novel docs flagged dup (the sketch is
+    // sized for 100k items at default fpp — 400 inserts leave it
+    // nearly empty, so false positives should be rare)
+    val novel = (0 until 500 by 5).filter(_ % 10 != 0)
+    val fp = novel.count(i => out(i.toLong))
+    assert(fp.toDouble / novel.size <= 0.05, s"$fp/${novel.size} false positives")
+  }
+
   test("d15: minhash-candidate jaccard finds planted dups without blocking keys") {
     val d15 = pairs(Pipeline.queries("d15_jaccard_lsh")(spark, plantedDir))
     // planted near/exact dups all have J >= 0.9 — band recall there is ~1

@@ -211,4 +211,23 @@ class ExtensionsSpec extends SparkSpecBase {
     val vals = df.collect().map(_.getDouble(0))
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-9)) // cos(v, v) = 1
   }
+
+  test("e9: engine-native bloom functions are SQL-callable via the extension") {
+    // the session is extension-built (spark.sql.extensions config path),
+    // so bloom_agg/bloom_might_contain resolve without install(); the
+    // filter reaches the probe as a scalar subquery — the same plan
+    // shape Spark's InjectRuntimeFilter produces internally
+    val hit = spark.sql("""
+      SELECT bloom_might_contain(
+               (SELECT bloom_agg(xxhash64(CAST(id AS STRING)), CAST(1000 AS BIGINT))
+                FROM range(100)),
+               xxhash64(CAST(5 AS STRING))) AS hit""").head.getBoolean(0)
+    assert(hit, "inserted key must probe true")
+    val miss = spark.sql("""
+      SELECT bloom_might_contain(
+               (SELECT bloom_agg(xxhash64(CAST(id AS STRING)), CAST(1000 AS BIGINT))
+                FROM range(100)),
+               xxhash64(CAST(987654 AS STRING))) AS hit""").head.getBoolean(0)
+    assert(!miss, "a far-away key must probe false in a near-empty sketch")
+  }
 }
