@@ -1718,6 +1718,56 @@ object Pipeline {
                  xxhash64(n.text)) AS dup
         FROM graft_d47_new n
         ORDER BY n.doc_id""")
+    },
+
+    // ---- d48: cross-modal pair-consistency filter — the LAION/CLIP-
+    // score plan shape: paired modalities equi-join on the pair id,
+    // a per-pair cosine scores text-vs-embedding agreement, and a
+    // threshold admits pairs. (On this synthetic corpus the "text
+    // embedding" is the d42 hashed bag-of-words vector and the stored
+    // embedding is independent of it, so the SCORES are arbitrary —
+    // the operator under test is the scale shape: one 1:1 equi-join,
+    // per-pair arithmetic, no second pass.) Computed SPARSE: the dot
+    // product joins (doc, bucket, cnt) triples against the embedding
+    // array by index, so no dense text vector materializes. Engine
+    // exactness: dot/norm terms are deterministic per-element doubles
+    // rounded to integer nano/pico units before their order-free sums
+    // (d43's rule); the cosine derives from those integers only.
+    "d48_crossmodal_filter" -> { (s, dir) =>
+      val B = 64
+      val bucket = expr(
+        s"""pmod(ascii(word) * 31 + length(word) * 7 +
+             ascii(substring(word, length(word), 1)), $B)""")
+      val pairs = T(s, dir, "documents").transform(withWords)
+        .select(col("doc_id"), explode(col("words")).as("word"))
+        .withColumn("h", bucket)
+        .groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("vec"),
+          expr("""aggregate(vec, cast(0 as bigint),
+                    (acc, x) -> acc + cast(round(x * x * 1e12) as bigint))""")
+            .as("en2_pico"))
+      pairs.join(emb, pairs("doc_id") === emb("vec_id"))
+        .withColumn("dot_term",
+          expr("cast(round(cnt * element_at(vec, h + 1) * 1e9) as bigint)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tok"),
+          sum(col("cnt") * col("cnt")).as("tn2"),
+          sum(col("dot_term")).as("dot_nano"),
+          first(col("en2_pico")).as("en2_pico"))
+        // integer ten-thousandths (not a rounded double): BigDecimal
+        // HALF_UP can collapse a tiny negative to UNSIGNED zero while
+        // DuckDB keeps IEEE -0.0 — observed live as the one mismatched
+        // row; an integer carries no signed zero. keep likewise derives
+        // from the integer dot sign, not a float compare.
+        .withColumn("cos_1e4", expr(
+          """cast(round((dot_nano / 1e9) /
+               sqrt(tn2 * (en2_pico / 1e12)) * 1e4) as bigint)"""))
+        .select(col("doc_id"), col("n_tok"), col("cos_1e4"),
+          (col("dot_nano") >= 0).as("keep"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2594,6 +2644,43 @@ object Pipeline {
         SELECT qid, nid, adc,
                row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
         FROM adc) WHERE rn <= 5
-      ORDER BY qid, rn"""
+      ORDER BY qid, rn""",
+
+    "d48_crossmodal_filter" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      hh AS (
+        SELECT doc_id,
+               (ascii(word) * 31 + length(word) * 7 +
+                ascii(substr(word, CAST(length(word) AS INT), 1))) % 64 AS h
+        FROM w),
+      p AS (
+        SELECT doc_id, h, CAST(count(*) AS BIGINT) AS cnt
+        FROM hh GROUP BY 1, 2),
+      e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      en AS (
+        SELECT vec_id,
+               CAST(sum(CAST(round(val * val * 1e12) AS BIGINT)) AS BIGINT)
+                 AS en2_pico
+        FROM (SELECT vec_id, CAST(unnest(v) AS DOUBLE) AS val FROM e)
+        GROUP BY vec_id),
+      agg AS (
+        SELECT p.doc_id,
+               CAST(sum(p.cnt) AS BIGINT) AS n_tok,
+               CAST(sum(p.cnt * p.cnt) AS BIGINT) AS tn2,
+               CAST(sum(CAST(round(p.cnt * e.v[p.h + 1] * 1e9) AS BIGINT))
+                 AS BIGINT) AS dot_nano,
+               min(en.en2_pico) AS en2_pico
+        FROM p JOIN e ON e.vec_id = p.doc_id
+        JOIN en ON en.vec_id = p.doc_id
+        GROUP BY p.doc_id)
+      SELECT doc_id, n_tok,
+             CAST(round((dot_nano / 1e9) / sqrt(tn2 * (en2_pico / 1e12)) * 1e4)
+               AS BIGINT) AS cos_1e4,
+             (dot_nano >= 0) AS keep
+      FROM agg
+      ORDER BY doc_id"""
   )
 }

@@ -861,6 +861,49 @@ object Relational {
           round(skewness(col("l_quantity")), 4).as("skew_qty"),
           round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- q65: GROUPING()/grouping_id() indicators — the rollup
+    // companion q13 omits: with a NULLABLE group column, the output
+    // NULL is ambiguous (real NULL data vs subtotal row) and the
+    // GROUPING bit is the standard disambiguator. The derived `prio`
+    // column is genuinely null for '1-URGENT' rows, so both NULL kinds
+    // appear and the indicators are load-bearing. Same single Expand +
+    // one-shuffle plan as q13.
+    "q65_grouping_id" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .withColumn("prio", expr("nullif(o_orderpriority, '1-URGENT')"))
+        .rollup(col("o_orderstatus"), col("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"),
+          grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          grouping(col("prio")).cast("int").as("g_pr"),
+          expr("grouping_id(o_orderstatus, prio)").cast("int").as("gid"))
+        .select(col("o_orderstatus"), col("prio"), col("g_st"), col("g_pr"),
+          col("gid"), col("n"), col("cents"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_last,
+          col("prio").asc_nulls_last)
+    },
+
+    // ---- q66: named WINDOW clause — one window definition shared by
+    // several functions (the SQL:2003 surface DuckDB users lean on for
+    // wide window queries). All functions share the one definition, so
+    // the planner computes a SINGLE Window operator over a single
+    // sort — the plan-level point of the clause. Default RANGE frame;
+    // o_orderkey is unique per partition, so the frame is
+    // deterministic on both engines.
+    "q66_window_clause" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("graft_q66_orders")
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS rn,
+               sum(cents) OVER w AS run_cents,
+               max(cents) OVER w AS max_cents
+        FROM (SELECT o_custkey, o_orderkey,
+                     cast(round(o_totalprice * 100) as bigint) AS cents
+              FROM graft_q66_orders)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")
     }
   )
 
@@ -1483,6 +1526,32 @@ object Relational {
              round((s4 - 4 * a * s3 + 6 * a * a * s2 - 3 * a * a * a * a)
                / power(s2 - a * a, 2) - 3, 4) AS kurt_qty
       FROM mo JOIN md USING (l_returnflag)
-      ORDER BY mo.l_returnflag"""
+      ORDER BY mo.l_returnflag""",
+
+    "q65_grouping_id" -> """
+      SELECT o_orderstatus, prio,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+             CAST(GROUPING(prio) AS INT) AS g_pr,
+             CAST(GROUPING(o_orderstatus, prio) AS INT) AS gid,
+             count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM (SELECT o_orderstatus,
+                   nullif(o_orderpriority, '1-URGENT') AS prio,
+                   o_totalprice
+            FROM orders)
+      GROUP BY ROLLUP (o_orderstatus, prio)
+      ORDER BY gid, o_orderstatus NULLS LAST, prio NULLS LAST""",
+
+    "q66_window_clause" -> """
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS rn,
+             CAST(sum(cents) OVER w AS BIGINT) AS run_cents,
+             max(cents) OVER w AS max_cents
+      FROM (SELECT o_custkey, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""
   )
 }

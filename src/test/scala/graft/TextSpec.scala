@@ -96,4 +96,23 @@ class TextSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(out == Set(("de", "de", 10L), ("en", "en", 10L)), out.toString)
   }
+
+  test("d48: aligned pair scores cos +1, anti-aligned scores -1") {
+    val dir = scratch("crossmodal")
+    writeDocs(dir, Seq((0L, "a a b"), (1L, "a a b")))
+    // embedding 0 IS doc 0's hashed count vector (2 at bucket('a'),
+    // 1 at bucket('b')) → cosine exactly +1; embedding 1 is its
+    // negation → exactly -1 and dropped by the keep threshold
+    def bucket(w: String) = (w.head.toInt * 31 + w.length * 7 + w.last.toInt) % 64
+    val va = Array.fill(64)(0f); va(bucket("a")) = 2f; va(bucket("b")) = 1f
+    val vb = va.map(x => -x)
+    import spark.implicits._
+    val emb = Seq((0L, va, 0), (1L, vb, 0)).toDF("vec_id", "embedding", "label")
+    GraftWriter.write(emb, s"$dir/embeddings.parquet")
+    val out = Pipeline.queries("d48_crossmodal_filter")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out(0L) == ((3L, 10000L, true)), out.toString)
+    assert(out(1L) == ((3L, -10000L, false)), out.toString)
+  }
 }
