@@ -123,8 +123,12 @@ object GraftExtensions {
       "bloom_might_contain(filter, xxhash64(x)) - probe a bloom_agg sketch; false means " +
         "DEFINITELY absent, true means present-or-false-positive. The filter argument " +
         "must be a constant or scalar subquery (engine rule)."),
-      (e: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1)))
+      (e: Seq[Expression]) => e match {
+        case Seq(f, v) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(f, v)
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain(filter, hash)")
+      })
   )
 
   /** Idempotently register all graft functions AND the optimizer rule on

@@ -25,6 +25,16 @@ object Pipeline {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("words", split(trim(col("text")), "\\s+"))
 
+  /** d42's portable polynomial bucket hash over a `word` column — the
+    * ONE Scala spelling of the cross-engine feature-space contract
+    * (each oracle spells the same arithmetic in SQL). d42/d43/d44/d48
+    * all hash through here, so their "same feature space" claims can't
+    * silently diverge (review finding: it was copy-pasted four times).
+    */
+  private def bucketHash(b: Int): org.apache.spark.sql.Column = expr(
+    s"""pmod(ascii(word) * 31 + length(word) * 7 +
+         ascii(substring(word, length(word), 1)), $b)""")
+
   /** One tokenize + sort + dedup + group-hash pass per doc, PERSISTED —
     * every consumer (rep aggregation, banding, membership expansion)
     * reads it without re-scanning the corpus. Review finding: d15/d23's
@@ -1383,9 +1393,7 @@ object Pipeline {
     // count-vector statistics. All-integer output. One explode + one
     // (doc, bucket) aggregate — the same shuffle shape as d16's tf.
     "d42_feature_hashing" -> { (s, dir) =>
-      val bucket = expr(
-        """pmod(ascii(word) * 31 + length(word) * 7 +
-             ascii(substring(word, length(word), 1)), 64)""")
+      val bucket = bucketHash(64)
       T(s, dir, "documents").transform(withWords)
         .select(col("doc_id"), explode(col("words")).as("word"))
         .withColumn("h", bucket)
@@ -1417,9 +1425,7 @@ object Pipeline {
     // aggregate (no second pass over the corpus).
     "d43_dsir_weights" -> { (s, dir) =>
       val B = 64
-      val bucket = expr(
-        s"""pmod(ascii(word) * 31 + length(word) * 7 +
-             ascii(substring(word, length(word), 1)), $B)""")
+      val bucket = bucketHash(B)
       val pairs = T(s, dir, "documents").transform(withWords)
         .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
         .withColumn("h", bucket)
@@ -1555,9 +1561,15 @@ object Pipeline {
         .agg(sum(col("cnt")).as("n_tok"),
           count(lit(1)).as("n_types"),
           sum(expr("cast(round(cnt * ln(cnt) * 1e6) as bigint)")).as("clnc"))
+        // integer ten-thousandths, NOT a rounded double: a single-type
+        // doc's H is a tiny NEGATIVE residual (clnc rounds up), and
+        // Spark's BigDecimal round collapses it to unsigned 0.0 while
+        // DuckDB keeps IEEE -0.0 — the d48 signed-zero checker class.
+        // The fixed-point error is < 5e-3 in 1e4 units, so the integer
+        // is never pushed negative.
         .select(col("doc_id"), col("n_tok"), col("n_types"),
-          round(log(col("n_tok")) - col("clnc") / 1e6 / col("n_tok"), 4)
-            .as("entropy"))
+          expr("cast(round((ln(n_tok) - clnc / 1e6 / n_tok) * 1e4) as bigint)")
+            .as("entropy_1e4"))
         .orderBy("doc_id")
     },
 
@@ -1578,9 +1590,7 @@ object Pipeline {
     // actual × predicted confusion matrix.
     "d44_nb_classifier" -> { (s, dir) =>
       val B = 64
-      val bucket = expr(
-        s"""pmod(ascii(word) * 31 + length(word) * 7 +
-             ascii(substring(word, length(word), 1)), $B)""")
+      val bucket = bucketHash(B)
       val pairs = T(s, dir, "documents").transform(withWords)
         .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
         .withColumn("h", bucket)
@@ -1591,7 +1601,7 @@ object Pipeline {
       val lt = bl.groupBy(col("lang")).agg(sum(col("c_lh")).as("n_l"))
       val dc = pairs.select("doc_id", "lang").distinct()
         .groupBy(col("lang")).agg(count(lit(1)).as("d_l"))
-      val nd = dc.agg(sum(col("d_l")).as("n_docs")).withColumn("one", lit(1))
+      val nd = dc.agg(sum(col("d_l")).as("n_docs"))
       // dense 5×64 weight grid: absent buckets still carry the smoothed
       // ln(1/(n_l+B)) mass a scoring doc must pay for them
       val grid = lt.crossJoin(broadcast(
@@ -1600,7 +1610,7 @@ object Pipeline {
         .select(col("lang").as("mlang"), col("h"),
           expr(s"cast(round(ln((coalesce(c_lh, 0) + 1) / cast(n_l + $B as double)) * 1e6) as bigint)")
             .as("lam_int"))
-      val prior = dc.withColumn("one", lit(1)).join(broadcast(nd), "one")
+      val prior = dc.crossJoin(broadcast(nd))
         .select(col("lang").as("mlang"),
           expr("cast(round(ln(d_l / cast(n_docs as double)) * 1e6) as bigint)")
             .as("prior_int"))
@@ -1735,9 +1745,7 @@ object Pipeline {
     // (d43's rule); the cosine derives from those integers only.
     "d48_crossmodal_filter" -> { (s, dir) =>
       val B = 64
-      val bucket = expr(
-        s"""pmod(ascii(word) * 31 + length(word) * 7 +
-             ascii(substring(word, length(word), 1)), $B)""")
+      val bucket = bucketHash(B)
       val pairs = T(s, dir, "documents").transform(withWords)
         .select(col("doc_id"), explode(col("words")).as("word"))
         .withColumn("h", bucket)
@@ -1749,6 +1757,10 @@ object Pipeline {
           expr("""aggregate(vec, cast(0 as bigint),
                     (acc, x) -> acc + cast(round(x * x * 1e12) as bigint))""")
             .as("en2_pico"))
+        // a zero vector has no direction to score — and 0/0 would cast
+        // NaN→0 silently in Spark while DuckDB's CAST errors (review
+        // finding); both sides exclude it explicitly
+        .filter(col("en2_pico") > 0)
       pairs.join(emb, pairs("doc_id") === emb("vec_id"))
         .withColumn("dot_term",
           expr("cast(round(cnt * element_at(vec, h + 1) * 1e9) as bigint)"))
@@ -2539,7 +2551,8 @@ object Pipeline {
                  AS clnc
         FROM tc GROUP BY doc_id)
       SELECT doc_id, n_tok, n_types,
-             round(ln(n_tok) - clnc / 1e6 / n_tok, 4) AS entropy
+             CAST(round((ln(n_tok) - clnc / 1e6 / n_tok) * 1e4) AS BIGINT)
+               AS entropy_1e4
       FROM d
       ORDER BY doc_id""",
 
@@ -2665,7 +2678,8 @@ object Pipeline {
                CAST(sum(CAST(round(val * val * 1e12) AS BIGINT)) AS BIGINT)
                  AS en2_pico
         FROM (SELECT vec_id, CAST(unnest(v) AS DOUBLE) AS val FROM e)
-        GROUP BY vec_id),
+        GROUP BY vec_id
+        HAVING sum(CAST(round(val * val * 1e12) AS BIGINT)) > 0),
       agg AS (
         SELECT p.doc_id,
                CAST(sum(p.cnt) AS BIGINT) AS n_tok,

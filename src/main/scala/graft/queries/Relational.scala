@@ -1545,7 +1545,7 @@ object Relational {
 
     "q66_window_clause" -> """
       SELECT o_custkey, o_orderkey,
-             row_number() OVER w AS rn,
+             CAST(row_number() OVER w AS INT) AS rn,
              CAST(sum(cents) OVER w AS BIGINT) AS run_cents,
              max(cents) OVER w AS max_cents
       FROM (SELECT o_custkey, o_orderkey,

@@ -71,13 +71,14 @@ class TextSpec extends SparkSpecBase {
       (2L, "a a b b"),   // uniform over 2 types: H = ln 2
       (3L, "a a a b")))  // skewed: strictly below the uniform ln 4
     val out = Pipeline.queries("d46_entropy")(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
-    assert(out(0L) == ((4L, 1L, 0.0)))
-    assert(math.abs(out(1L)._3 - math.log(4)) < 1e-3, out(1L).toString)
-    assert(math.abs(out(2L)._3 - math.log(2)) < 1e-3, out(2L).toString)
+    // entropy in integer ten-thousandths of a nat
+    assert(out(0L) == ((4L, 1L, 0L)), out(0L).toString)
+    assert(out(1L)._3 == math.rint(math.log(4) * 1e4).toLong, out(1L).toString)
+    assert(out(2L)._3 == math.rint(math.log(2) * 1e4).toLong, out(2L).toString)
     assert(out(1L)._2 == 4L && out(2L)._2 == 2L)
-    assert(out(3L)._3 > 0.0 && out(3L)._3 < out(1L)._3)
+    assert(out(3L)._3 > 0L && out(3L)._3 < out(1L)._3)
   }
 
   test("d44: NB classifier separates disjoint-vocabulary languages") {
