@@ -55,7 +55,9 @@ object Bench {
       "d43_dsir_weights",
       // round-5: trained NB classifier + PQ ADC search (both
       // work-dominated: full tokenize pass / full encode+score pass)
-      "d44_nb_classifier", "d45_pq_adc")
+      "d44_nb_classifier", "d45_pq_adc",
+      // round-5: Kneser-Ney bigram scoring (full bigram dictionary pass)
+      "d49_kneser_ney")
     name match {
       case n if headliners(n) => 0
       case n if n.startsWith("d") => 1

@@ -208,6 +208,43 @@ object Events {
       e.select(col("user_id"), col("event_id"), col("sec"),
           size(collect_set(col("event_type")).over(w)).as("n_types_seen"))
         .orderBy("user_id", "sec", "event_id")
+    },
+
+    // ---- q68: linear-interpolation gap fill — the numeric step past
+    // q50's last-value carry-forward: a sparse metric (visible on every
+    // 3rd event only) is rebuilt by interpolating between the
+    // bracketing observations, weighted by elapsed event time. Both
+    // brackets arrive through IGNORE NULLS window passes over
+    // (time, value) structs sharing ONE partitioning/sort (one
+    // exchange; the opposite-frame pass rides the same sort order —
+    // no second shuffle); the interpolation itself is one
+    // deterministic double expression over integer cents/µs, so both
+    // engines compute the identical IEEE value and the single round is
+    // exact. Per-user windows at 100 TB: user cardinality ~ corpus
+    // scale, so partitions stay balanced — no single-task stratum.
+    "q68_interpolate" -> { (s, dir) =>
+      val e = T(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("t_us"),
+          expr("case when event_id % 3 = 0 then cast(round(value * 100) as bigint) end")
+            .as("v_cents"))
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      val obs = expr("case when v_cents is not null then struct(t_us, v_cents) end")
+      e.withColumn("prev", last(obs, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nxt", first(obs, ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .select(col("user_id"), col("event_id"), col("t_us"), col("v_cents"),
+          expr("""cast(round(
+              case when v_cents is not null then cast(v_cents as double)
+                   when prev is null and nxt is null then null
+                   when prev is null then cast(nxt.v_cents as double)
+                   when nxt is null then cast(prev.v_cents as double)
+                   else cast(prev.v_cents as double) +
+                        (cast(nxt.v_cents as double) - cast(prev.v_cents as double)) *
+                        ((t_us - prev.t_us) / cast(nxt.t_us - prev.t_us as double))
+              end) as bigint)""").as("interp_cents"))
+        .orderBy("user_id", "t_us", "event_id")
     }
   )
 
@@ -329,6 +366,38 @@ object Events {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
                AS n_types_seen
       FROM e
-      ORDER BY user_id, sec, event_id"""
+      ORDER BY user_id, sec, event_id""",
+
+    "q68_interpolate" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+               CASE WHEN event_id % 3 = 0
+                    THEN CAST(round(value * 100) AS BIGINT) END AS v_cents
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, t_us, v_cents,
+               last_value(CASE WHEN v_cents IS NOT NULL
+                   THEN struct_pack(t_us := t_us, v_cents := v_cents) END
+                 IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+               first_value(CASE WHEN v_cents IS NOT NULL
+                   THEN struct_pack(t_us := t_us, v_cents := v_cents) END
+                 IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t_us, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+        FROM e)
+      SELECT user_id, event_id, t_us, v_cents,
+             CAST(round(
+               CASE WHEN v_cents IS NOT NULL THEN CAST(v_cents AS DOUBLE)
+                    WHEN prev IS NULL AND nxt IS NULL THEN NULL
+                    WHEN prev IS NULL THEN CAST(nxt.v_cents AS DOUBLE)
+                    WHEN nxt IS NULL THEN CAST(prev.v_cents AS DOUBLE)
+                    ELSE CAST(prev.v_cents AS DOUBLE) +
+                         (CAST(nxt.v_cents AS DOUBLE) - CAST(prev.v_cents AS DOUBLE)) *
+                         ((t_us - prev.t_us) / CAST(nxt.t_us - prev.t_us AS DOUBLE))
+               END) AS BIGINT) AS interp_cents
+      FROM f
+      ORDER BY user_id, t_us, event_id"""
   )
 }

@@ -1780,6 +1780,79 @@ object Pipeline {
         .select(col("doc_id"), col("n_tok"), col("cos_1e4"),
           (col("dot_nano") >= 0).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // ---- d49: interpolated Kneser-Ney bigram scoring — the smoothed
+    // LM rung above d38's raw bigram surprisal (which assigns -inf
+    // mass to unseen continuations; KN backs off to how PROMISCUOUS a
+    // word's contexts are, the signal real LM-quality filters use).
+    // P_kn(w2|w1) = max(c(w1,w2)-D, 0)/c(w1)
+    //             + (D·N1+(w1,·)/c(w1)) · N1+(·,w2)/|bigram types|,
+    // D = 0.75. Every dictionary (prefix counts, continuation counts,
+    // type total) derives from the ONE persisted (doc,w1,w2) aggregate
+    // — a second corpus scan never happens — and joins back keyed on
+    // single words, so shuffles carry words+counts, never text. Engine
+    // exactness: P_kn is one deterministic double expression over
+    // integer counts, each cnt·ln(P) term is rounded to integer
+    // micro-nats BEFORE the order-free per-doc integer sum (d43's
+    // rule), and the output is integer ten-thousandths.
+    "d49_kneser_ney" -> { (s, dir) =>
+      val bg = withWords(T(s, dir, "documents"))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(words) - 2),
+               i -> struct(words[i] AS w1, words[i + 1] AS w2))""")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val tf2 = bg.groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("cnt")).persist()
+      val c2 = tf2.groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
+      val pre = c2.groupBy("w1")
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_w1"))
+      val cont = c2.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
+      val nt = c2.agg(count(lit(1)).as("n_types"))
+      tf2.join(c2, Seq("w1", "w2")).join(pre, Seq("w1")).join(cont, Seq("w2"))
+        .crossJoin(broadcast(nt))
+        .withColumn("term", expr(
+          """cast(round(cnt * ln(
+               greatest(c2 - 0.75, 0.0) / c1 +
+               (0.75 * n1p_w1 / c1) * (n1p_w2 / cast(n_types as double))
+             ) * 1e6) as bigint)"""))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_bigrams"), sum(col("term")).as("t"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("cast(round(t / 1e6 / n_bigrams * 1e4) as bigint)")
+            .as("kn_logprob_1e4"))
+        .orderBy("doc_id")
+    },
+
+    // ---- d50: takedown / opt-out enforcement — the compliance
+    // operator a production corpus carries: an external registry of
+    // doc-level takedown requests plus a source-level blocklist,
+    // applied as a BROADCAST left join + flags (the registry is tiny
+    // next to the corpus, so the corpus never shuffles for the join),
+    // with per-source audit accounting — how much was removed and WHY
+    // — rather than a silent filter. The registry here is derived
+    // deterministically (doc_id ≡ 13 mod 97 stands for the external
+    // request table); at 100 TB the plan is identical: broadcast the
+    // registry, scan the corpus once, aggregate the audit.
+    "d50_takedown" -> { (s, dir) =>
+      val docs = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), size(col("words")).as("n_tok"))
+      val requests = docs.filter(pmod(col("doc_id"), lit(97)) === 13)
+        .select(col("doc_id").as("td_id"))
+      docs.join(broadcast(requests), col("doc_id") === col("td_id"), "left")
+        .withColumn("is_takedown", col("td_id").isNotNull.cast("int"))
+        .withColumn("is_blocked",
+          col("source").isin("src3", "src7", "src12").cast("int"))
+        .withColumn("admit",
+          (col("is_takedown") === 0 && col("is_blocked") === 0).cast("int"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_takedown")).as("n_takedown"),
+          max(col("is_blocked")).as("src_blocked"),
+          sum(col("admit")).as("n_admitted"),
+          sum(col("admit") * col("n_tok")).as("admitted_tok"))
+        .orderBy("source")
     }
   )
 
@@ -2695,6 +2768,63 @@ object Pipeline {
                AS BIGINT) AS cos_1e4,
              (dot_nano >= 0) AS keep
       FROM agg
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    "d49_kneser_ney" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      ex AS (
+        SELECT doc_id, CAST(unnest(range(len(words) - 1)) AS INT) AS i, words
+        FROM w WHERE len(words) >= 2),
+      bg AS (
+        SELECT doc_id, words[i + 1] AS w1, words[i + 2] AS w2 FROM ex),
+      tf2 AS (
+        SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+        FROM bg GROUP BY 1, 2, 3),
+      c2 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2
+             FROM tf2 GROUP BY 1, 2),
+      pre AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+                     CAST(count(*) AS BIGINT) AS n1p_w1
+              FROM c2 GROUP BY 1),
+      cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_w2
+               FROM c2 GROUP BY 1),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c2),
+      j AS (
+        SELECT tf2.doc_id, tf2.cnt,
+               CAST(round(tf2.cnt * ln(
+                 greatest(c2.c2 - 0.75, 0.0) / pre.c1 +
+                 (0.75 * pre.n1p_w1 / pre.c1) *
+                 (cont.n1p_w2 / CAST(nt.n_types AS DOUBLE))
+               ) * 1e6) AS BIGINT) AS term
+        FROM tf2 JOIN c2 USING (w1, w2) JOIN pre USING (w1)
+        JOIN cont USING (w2) CROSS JOIN nt)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             CAST(round(CAST(sum(term) AS BIGINT) / 1e6 /
+               CAST(sum(cnt) AS BIGINT) * 1e4) AS BIGINT) AS kn_logprob_1e4
+      FROM j
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    "d50_takedown" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tok,
+               CASE WHEN doc_id % 97 = 13 THEN 1 ELSE 0 END AS is_takedown,
+               CASE WHEN source IN ('src3', 'src7', 'src12')
+                    THEN 1 ELSE 0 END AS is_blocked
+        FROM documents),
+      f AS (
+        SELECT *, CASE WHEN is_takedown = 0 AND is_blocked = 0
+                       THEN 1 ELSE 0 END AS admit
+        FROM d)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(is_takedown) AS BIGINT) AS n_takedown,
+             CAST(max(is_blocked) AS INT) AS src_blocked,
+             CAST(sum(admit) AS BIGINT) AS n_admitted,
+             CAST(sum(admit * n_tok) AS BIGINT) AS admitted_tok
+      FROM f
+      GROUP BY source
+      ORDER BY source"""
   )
 }

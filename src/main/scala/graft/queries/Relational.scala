@@ -904,6 +904,25 @@ object Relational {
               FROM graft_q66_orders)
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         ORDER BY o_custkey, o_orderkey""")
+    },
+
+    // ---- q67: histogram profiling — DuckDB's histogram()/width_bucket
+    // surface as explicit equi-width buckets (histogram()'s MAP output
+    // is spelled as (bucket, stats) ROWS — the q34 lesson: the checker
+    // cannot hash MAP/array columns). Bucket arithmetic is integer
+    // cents with integer division (`div` here, `//` in DuckDB), so
+    // bucket edges are exact on both engines. One map-combinable
+    // aggregate over an 11-row bucket domain: at 100 TB this is a
+    // single scan + a trivial shuffle of 11 partial rows per task.
+    "q67_histogram" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+        .select(expr("cast(least(cents div 1000000, 10) as int)").as("bucket"),
+          col("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        .orderBy("bucket")
     }
   )
 
@@ -1552,6 +1571,18 @@ object Relational {
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
             FROM orders)
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
-      ORDER BY o_custkey, o_orderkey"""
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q67_histogram" -> """
+      WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem)
+      SELECT CAST(least(cents // 1000000, 10) AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             min(cents) AS min_cents, max(cents) AS max_cents
+      FROM c
+      GROUP BY bucket
+      ORDER BY bucket"""
   )
 }

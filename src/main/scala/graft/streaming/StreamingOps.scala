@@ -490,6 +490,91 @@ object StreamingOps {
         .orderBy("day", "event_type")
     },
 
+    // ---- s13: stream-stream LEFT OUTER interval join — s5's
+    // production completion: a purchase with NO qualifying view must
+    // still emit (null view) once the engine can PROVE no match can
+    // arrive. Outer rows are held in join state and flushed only when
+    // the global watermark passes their join window — the semantics
+    // that make outer results exactly-once instead of guess-and-
+    // retract, and the reason an unconditioned outer stream join is
+    // rejected outright. On a bounded replay the watermark never
+    // advances past the tail, so the last unmatched purchases would
+    // sit in state forever; the landing zone is therefore CLOSED with
+    // two sentinel files far past the data horizon (user_id −1, both
+    // event types so BOTH sides' watermarks advance; filtered from
+    // the result): the first advances the watermark, the second
+    // supplies the batch in which eviction actually runs. The oracle
+    // is then the full batch LEFT join — no closure-rule remainder.
+    // File order is pinned by explicit mtimes + maxFilesPerTrigger=1
+    // (a sentinel processed before the data would put the whole
+    // corpus behind the watermark and drop it).
+    "s13_stream_outer_join" -> { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      val base = s"${graft.queries.Sources.scratchDir}/s13_${Integer.toHexString(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(base).getFileSystem(conf)
+      val events = graft.Tables.load(s, dir, "events")
+      val inDir = s"$base/in"
+      val stagedOk = try {
+        val d = s.read.parquet(inDir)
+        d.inputFiles.length == 3 && d.count() == events.count() + 4
+      } catch { case _: Throwable => false }
+      if (!stagedOk) {
+        graft.sources.GraftWriter.removeDirectory(s, inDir)
+        fs.mkdirs(new Path(inDir))
+        val t0 = System.currentTimeMillis()
+        def land(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$base/tmp_$name"
+          df.repartition(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(sys.error(s"no part file under $tmp"))
+          val dest = new Path(inDir, name)
+          fs.rename(part, dest)
+          fs.setTimes(dest, mtime, -1)
+          fs.delete(new Path(tmp), true)
+        }
+        val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+        def sentinel(days: Int): DataFrame = {
+          import s.implicits._
+          Seq("view", "purchase").map(t => (-1L,
+              new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
+              -1L, t, 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        }
+        land(events, "00-data.parquet", t0)
+        land(sentinel(30), "01-close.parquet", t0 + 60000)
+        land(sentinel(32), "02-flush.parquet", t0 + 120000)
+      }
+      val schema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"),
+        "left_outer")
+      // s5's recipe: join state stores per shuffle partition — tiny
+      // state, so run at few partitions and restore the default
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      val sunk = try runToTable(s, joined, "graft_s13", OutputMode.Append())
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      sunk.filter(col("p_user") >= 0)
+        .select(col("purchase_id"), col("view_id"),
+          col("p_user").as("user_id"),
+          (col("p_ts").cast("long") - col("v_ts").cast("long")).as("lag_sec"))
+        .orderBy("purchase_id", "view_id")
+    },
+
     // ---- s3: stateful sessionization via flatMapGroupsWithState —
     // the streaming twin of q30 (same gap, same session numbering),
     // with the per-user session counter held in GroupState.
@@ -606,6 +691,20 @@ object StreamingOps {
       SELECT p.purchase_id, v.view_id, p.user_id,
              (p.p_us // 1000000) - (v.v_us // 1000000) AS lag_sec
       FROM p JOIN v
+        ON v.user_id = p.user_id
+       AND v.v_us >= p.p_us - 3600000000 AND v.v_us <= p.p_us
+      ORDER BY purchase_id, view_id""",
+
+    "s13_stream_outer_join" -> """
+      WITH p AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+        FROM events WHERE event_type = 'view')
+      SELECT p.purchase_id, v.view_id, p.user_id,
+             (p.p_us // 1000000) - (v.v_us // 1000000) AS lag_sec
+      FROM p LEFT JOIN v
         ON v.user_id = p.user_id
        AND v.v_us >= p.p_us - 3600000000 AND v.v_us <= p.p_us
       ORDER BY purchase_id, view_id""",

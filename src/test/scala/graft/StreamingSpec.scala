@@ -127,6 +127,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s13: left-outer interval join emits unmatched only after watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp, Long)] // user, ts, view_id
+    val pIn = MemoryStream[(Long, Timestamp, Long)] // user, ts, purchase_id
+    val views = vIn.toDF().toDF("v_user", "v_ts", "view_id")
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = pIn.toDF().toDF("p_user", "p_ts", "purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("spec_s13")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vIn.addData((1L, ts(0), 100L))
+      // purchase 200 matches view 100; purchase 201 has no view at all
+      pIn.addData((1L, ts(10), 200L), (2L, ts(10), 201L))
+      q.processAllAvailable()
+      val early = spark.table("spec_s13").select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // the unmatched purchase is HELD in state, not guessed at
+      assert(early == Set((200L, 100L)), early.toString)
+      // advance both watermarks far past 201's join window...
+      vIn.addData((9L, ts(1000), 900L)); pIn.addData((9L, ts(1000), 901L))
+      q.processAllAvailable()
+      // ...and run the batch in which eviction emits the outer row
+      vIn.addData((9L, ts(1010), 902L)); pIn.addData((9L, ts(1010), 903L))
+      q.processAllAvailable()
+      val rows = spark.table("spec_s13").select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((201L, -1L)), rows.toString)
+      // the matched purchase is never re-emitted as unmatched
+      assert(!rows.contains((200L, -1L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("s3: session counter carries across batches via GroupState") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -116,4 +116,50 @@ class TextSpec extends SparkSpecBase {
     assert(out(0L) == ((3L, 10000L, true)), out.toString)
     assert(out(1L) == ((3L, -10000L, false)), out.toString)
   }
+
+  test("d49: Kneser-Ney matches closed forms; observed mass stays under 1") {
+    val dir = scratch("kneserney")
+    // doc 0 "a b a b": bigrams (a,b)x2 (b,a)x1; doc 1 "a c": (a,c)x1
+    // c2: (a,b)=2 (b,a)=1 (a,c)=1; c1(a)=3 N1+(a,·)=2; c1(b)=1 N1+(b,·)=1
+    // N1+(·,b)=1 N1+(·,a)=1 N1+(·,c)=1; |types|=3
+    writeDocs(dir, Seq((0L, "a b a b"), (1L, "a c")))
+    val out = Pipeline.queries("d49_kneser_ney")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // mirror the engine expression exactly (same double association)
+    def pkn(c2: Double, c1: Double, n1pW1: Double, n1pW2: Double): Double =
+      math.max(c2 - 0.75, 0.0) / c1 + (0.75 * n1pW1 / c1) * (n1pW2 / 3.0)
+    val pAB = pkn(2, 3, 2, 1); val pBA = pkn(1, 1, 1, 1); val pAC = pkn(1, 3, 2, 1)
+    def microSum(terms: (Double, Double)*): Long =
+      terms.map { case (c, p) => math.rint(c * math.log(p) * 1e6).toLong }.sum
+    def score(t: Long, n: Long): Long = math.rint(t / 1e6 / n * 1e4).toLong
+    assert(out(0L) == ((3L, score(microSum((2.0, pAB), (1.0, pBA)), 3L))), out.toString)
+    assert(out(1L) == ((1L, score(microSum((1.0, pAC)), 1L))), out.toString)
+    // discounted probabilities are proper: each in (0,1), and the mass
+    // assigned to OBSERVED continuations of any prefix stays under 1
+    // (the discount D reserves the rest for unseen continuations)
+    assert(Seq(pAB, pBA, pAC).forall(p => p > 0 && p < 1))
+    assert(pAB + pAC < 1 + 1e-9) // prefix 'a': observed mass
+  }
+
+  test("d50: takedown registry and source blocklist drive the audit") {
+    val dir = scratch("takedown")
+    import spark.implicits._
+    // doc 13 -> takedown (13 % 97 == 13); src3 -> blocklisted
+    val df = Seq(
+      (13L, "one two three", "srcA"), // takedown, 3 tokens
+      (14L, "four five", "srcA"),     // admitted, 2 tokens
+      (1L, "six seven eight", "src3"), // source-blocked
+      (2L, "nine", "srcB")            // admitted, 1 token
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    val out = Pipeline.queries("d50_takedown")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out("srcA") == ((2L, 1L, 0, 1L, 2L)), out.toString)
+    assert(out("src3") == ((1L, 0L, 1, 0L, 0L)), out.toString)
+    assert(out("srcB") == ((1L, 0L, 0, 1L, 1L)), out.toString)
+  }
 }
