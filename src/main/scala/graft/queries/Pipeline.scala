@@ -1853,6 +1853,50 @@ object Pipeline {
           sum(col("admit")).as("n_admitted"),
           sum(col("admit") * col("n_tok")).as("admitted_tok"))
         .orderBy("source")
+    },
+
+    // ---- d51: MT-style paired-document overlap (smoothed BLEU-2) —
+    // the eval-metric operator a curation stack runs to score
+    // candidate/reference pairs (paraphrase mining, decontamination
+    // audits, distillation QA). Pairing is scale-free id arithmetic
+    // (doc i scored against doc i+1), so the pair join is an EQUI
+    // join; clipped n-gram matches come from (doc, gram)-keyed joins —
+    // shuffles carry grams and counts, never text, and nothing is
+    // quadratic. Smoothed modified precisions p_n = (m_n+1)/(t_n+1),
+    // brevity penalty exp(1 − r/c) for short candidates; the score is
+    // one deterministic double expression over the six integer counts
+    // (also emitted), rounded once to integer ten-thousandths.
+    "d51_bleu_pairs" -> { (s, dir) =>
+      val docs = withWords(T(s, dir, "documents"))
+      val uni = docs.select(col("doc_id"), explode(col("words")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val bi = docs.filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(words) - 2),
+               i -> concat(words[i], ' ', words[i + 1]))""")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      def clipped(g: DataFrame, out: String): DataFrame = {
+        val ref = g.select((col("doc_id") - 1).as("doc_id"), col("g"),
+          col("c").as("rc"))
+        g.join(ref, Seq("doc_id", "g"))
+          .groupBy("doc_id").agg(sum(least(col("c"), col("rc"))).as(out))
+      }
+      val t1 = uni.groupBy("doc_id").agg(sum(col("c")).as("t1"))
+      val t2 = bi.groupBy("doc_id").agg(sum(col("c")).as("t2"))
+      val r1 = t1.select((col("doc_id") - 1).as("doc_id"), col("t1").as("r1"))
+      t1.join(r1, Seq("doc_id")) // inner: the last doc has no reference
+        .join(t2, Seq("doc_id"), "left")
+        .join(clipped(uni, "m1"), Seq("doc_id"), "left")
+        .join(clipped(bi, "m2"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("t1"), coalesce(col("t2"), lit(0L)).as("t2"),
+          col("r1"), coalesce(col("m1"), lit(0L)).as("m1"),
+          coalesce(col("m2"), lit(0L)).as("m2"))
+        .withColumn("bleu_1e4", expr(
+          """cast(round((case when t1 >= r1 then 1.0
+                              else exp(1.0 - r1 / cast(t1 as double)) end *
+               sqrt(((m1 + 1) / cast(t1 + 1 as double)) *
+                    ((m2 + 1) / cast(t2 + 1 as double)))) * 1e4) as bigint)"""))
+        .orderBy("doc_id")
     }
   )
 
@@ -2825,6 +2869,50 @@ object Pipeline {
              CAST(sum(admit * n_tok) AS BIGINT) AS admitted_tok
       FROM f
       GROUP BY source
-      ORDER BY source"""
+      ORDER BY source""",
+
+    "d51_bleu_pairs" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      u AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(words) AS g FROM w)
+        GROUP BY 1, 2),
+      ex AS (
+        SELECT doc_id, CAST(unnest(range(len(words) - 1)) AS INT) AS i, words
+        FROM w WHERE len(words) >= 2),
+      b2 AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, words[i + 1] || ' ' || words[i + 2] AS g FROM ex)
+        GROUP BY 1, 2),
+      t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t1 FROM u GROUP BY 1),
+      t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t2 FROM b2 GROUP BY 1),
+      m1 AS (
+        SELECT cand.doc_id, CAST(sum(least(cand.c, ref.c)) AS BIGINT) AS m1
+        FROM u cand JOIN u ref
+          ON ref.doc_id = cand.doc_id + 1 AND ref.g = cand.g
+        GROUP BY 1),
+      m2 AS (
+        SELECT cand.doc_id, CAST(sum(least(cand.c, ref.c)) AS BIGINT) AS m2
+        FROM b2 cand JOIN b2 ref
+          ON ref.doc_id = cand.doc_id + 1 AND ref.g = cand.g
+        GROUP BY 1),
+      j AS (
+        SELECT a.doc_id, a.t1, coalesce(t2.t2, 0) AS t2, r.t1 AS r1,
+               coalesce(m1.m1, 0) AS m1, coalesce(m2.m2, 0) AS m2
+        FROM t1 a JOIN t1 r ON r.doc_id = a.doc_id + 1
+        LEFT JOIN t2 ON t2.doc_id = a.doc_id
+        LEFT JOIN m1 ON m1.doc_id = a.doc_id
+        LEFT JOIN m2 ON m2.doc_id = a.doc_id)
+      SELECT doc_id, t1, CAST(t2 AS BIGINT) AS t2, r1,
+             CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+             CAST(round((CASE WHEN t1 >= r1 THEN 1.0
+                              ELSE exp(1.0 - r1 / CAST(t1 AS DOUBLE)) END *
+               sqrt(((m1 + 1) / CAST(t1 + 1 AS DOUBLE)) *
+                    ((m2 + 1) / CAST(t2 + 1 AS DOUBLE)))) * 1e4) AS BIGINT)
+               AS bleu_1e4
+      FROM j
+      ORDER BY doc_id"""
   )
 }

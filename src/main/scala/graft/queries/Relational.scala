@@ -923,6 +923,33 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
           min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
         .orderBy("bucket")
+    },
+
+    // ---- q69: GROUPS window frame — the SQL:2016 frame mode where
+    // peer rows with equal ORDER-BY values form one frame unit
+    // (neither engine ships it: Spark has no GROUPS mode, DuckDB
+    // 1.0's parser rejects it — verified live). Exact algebraic
+    // translation, like q61's EXCLUDE: GROUPS BETWEEN 2 PRECEDING AND
+    // CURRENT ROW ≡ dense_rank() the order values, then a RANGE frame
+    // over that integer rank; the oracle spells the identical algebra
+    // in DuckDB SQL, cross-checking the translation on both engines.
+    // Both window passes share the one (custkey, orderdate)
+    // partitioning — one exchange; the rank pass feeds the range pass
+    // on the same sort order. Trailing sum over integer cents:
+    // order-free within the frame, so engine-exact.
+    "q69_groups_frame" -> { (s, dir) =>
+      val o = T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val wRank = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+      val wFrame = Window.partitionBy("o_custkey").orderBy("dr")
+        .rangeBetween(-2, Window.currentRow)
+      o.withColumn("dr", dense_rank().over(wRank))
+        .withColumn("g3_cents", sum(col("cents")).over(wFrame))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("cents"), col("g3_cents"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }
   )
 
@@ -1583,6 +1610,23 @@ object Relational {
              min(cents) AS min_cents, max(cents) AS max_cents
       FROM c
       GROUP BY bucket
-      ORDER BY bucket"""
+      ORDER BY bucket""",
+
+    "q69_groups_frame" -> """
+      WITH o AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      d AS (
+        SELECT *, dense_rank() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate) AS dr
+        FROM o)
+      SELECT o_custkey, o_orderkey, o_orderdate, cents,
+             CAST(sum(cents) OVER (
+               PARTITION BY o_custkey ORDER BY dr
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS g3_cents
+      FROM d
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""
   )
 }

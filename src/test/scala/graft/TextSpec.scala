@@ -162,4 +162,20 @@ class TextSpec extends SparkSpecBase {
     assert(out("src3") == ((1L, 0L, 1, 0L, 0L)), out.toString)
     assert(out("srcB") == ((1L, 0L, 0, 1L, 1L)), out.toString)
   }
+
+  test("d51: identical pair scores BLEU 1.0, disjoint pair only smoothing mass") {
+    val dir = scratch("bleu")
+    writeDocs(dir, Seq(
+      (0L, "a b c"), (1L, "a b c"), // identical pair → p1 = p2 = bp = 1
+      (2L, "x y z")))               // doc 1 vs doc 2: zero overlap
+    val out = Pipeline.queries("d51_bleu_pairs")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(out.keySet == Set(0L, 1L), out.toString) // last doc has no reference
+    assert(out(0L) == ((3L, 2L, 3L, 3L, 2L, 10000L)), out.toString)
+    // disjoint: m1 = m2 = 0 → sqrt((1/4)·(1/3)) with bp = 1
+    val smoothed = math.rint(math.sqrt((1.0 / 4) * (1.0 / 3)) * 1e4).toLong
+    assert(out(1L) == ((3L, 2L, 3L, 0L, 0L, smoothed)), out.toString)
+  }
 }
