@@ -950,6 +950,47 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("cents"), col("g3_cents"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+
+    // ---- q70: DYNAMIC pivot — DuckDB's `PIVOT ... ON col` discovers
+    // the output columns from the data; Spark's two-pass
+    // `groupBy().pivot(col)` is the same contract (a bounded distinct
+    // scan picks the columns, then one pivoting aggregate). q21 is the
+    // static CASE-scaffolding twin; here the engine owns column
+    // discovery. The distinct pass is bounded by the status-domain
+    // cardinality — safe at any corpus size. Missing cells filled 0 on
+    // both engines (integer cents throughout).
+    "q70_dynamic_pivot" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderstatus"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .groupBy(col("o_custkey"))
+        .pivot("o_orderstatus") // dynamic: values discovered by the engine
+        .agg(sum(col("cents")))
+        .na.fill(0L)
+        .orderBy("o_custkey")
+    },
+
+    // ---- q71: MAP-typed surface — DuckDB's MAP construction/access
+    // (map_from_entries, cardinality, map[key], contains) expressed
+    // with Spark's map functions; every OUTPUT column scalar (the q34
+    // lesson — the checker cannot hash map columns), so the oracle
+    // spells the same contract as plain conditional aggregation. The
+    // per-user map state is bounded by the event-type cardinality.
+    "q71_map_funcs" -> { (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("n")))))
+          .as("m"))
+        .select(col("user_id"),
+          size(col("m")).as("n_types"),
+          coalesce(element_at(col("m"), "view"), lit(0L)).as("n_views"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchases"),
+          expr("map_contains_key(m, 'click')").as("has_click"))
+        .orderBy("user_id")
     }
   )
 
@@ -1627,6 +1668,31 @@ object Relational {
                RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
                AS g3_cents
       FROM d
-      ORDER BY o_custkey, o_orderdate, o_orderkey"""
+      ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "q70_dynamic_pivot" -> """
+      WITH o AS (
+        SELECT o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      p AS (PIVOT o ON o_orderstatus USING sum(cents) GROUP BY o_custkey)
+      SELECT o_custkey,
+             CAST(coalesce("F", 0) AS BIGINT) AS F,
+             CAST(coalesce("O", 0) AS BIGINT) AS O,
+             CAST(coalesce("P", 0) AS BIGINT) AS P
+      FROM p
+      ORDER BY o_custkey""",
+
+    "q71_map_funcs" -> """
+      SELECT user_id,
+             CAST(count(DISTINCT event_type) AS INT) AS n_types,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS n_views,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+             bool_or(event_type = 'click') AS has_click
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""
   )
 }

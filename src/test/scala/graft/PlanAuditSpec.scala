@@ -293,4 +293,37 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
     assert(p.contains("partial_"), s"no partial aggregation:\n$p")
   }
+
+  test("q68/q69 window translations: both passes ride ONE hash exchange") {
+    // q68's opposite-frame brackets and q69's rank→range passes share
+    // the same partitioning; a second hashpartitioning exchange would
+    // mean the translation re-shuffles per pass (the remaining exchange
+    // is the deterministic output range-sort)
+    for (name <- Seq("q68_interpolate", "q69_groups_frame")) {
+      val p = plan(name)
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"$name re-shuffles between window passes:\n$p")
+    }
+  }
+
+  test("d50 takedown: the request registry broadcasts onto the corpus") {
+    val p = plan("d50_takedown")
+    assert(p.contains("BroadcastHashJoin"), s"registry join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d49/d51 gram scoring: pair joins stay equi, partials map-side") {
+    // d49's dictionary joins (w1/w2-keyed) and d51's (doc,gram) pair
+    // joins must never degrade to a quadratic fallback; the one allowed
+    // nested-loop is d49's broadcast of the 1-row type-total
+    for (name <- Seq("d49_kneser_ney", "d51_bleu_pairs")) {
+      val p = Pipeline.queries(name)(spark, sfTiny)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+      assert(p.contains("partial_"), s"$name no map-side partials:\n$p")
+    }
+    val p51 = Pipeline.queries("d51_bleu_pairs")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!p51.contains("BroadcastNestedLoopJoin"), s"d51 BNLJ:\n$p51")
+  }
 }
