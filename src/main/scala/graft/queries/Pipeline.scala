@@ -1897,6 +1897,48 @@ object Pipeline {
                sqrt(((m1 + 1) / cast(t1 + 1 as double)) *
                     ((m2 + 1) / cast(t2 + 1 as double)))) * 1e4) as bigint)"""))
         .orderBy("doc_id")
+    },
+
+    // ---- d52: char-level near-dup screen via banded edit distance —
+    // the character-level complement to d4/d15's token-set Jaccard:
+    // OCR noise, in-place typo edits and punctuation drift preserve
+    // most of the token multiset Jaccard can't see past, but land
+    // within a small Levenshtein radius. Candidate generation is the
+    // CRAWL-ADJACENT screen (each doc vs the next two ingest ids,
+    // same lang) — near-dup pages overwhelmingly arrive adjacent in
+    // crawl order, and offset pairing keeps candidates O(n) where
+    // attribute blocking measured kernel-bound (456k blocked pairs at
+    // sf0.1 ran the banded kernel past 40 s on 32 cores; DuckDB's
+    // full-matrix oracle needed 207 s on the same pairs — for
+    // arbitrary-candidate char dedup, generate candidates with d15's
+    // LSH and verify linearly, exactly this kernel stage). Offsets
+    // explode THEN equi-join on the computed id (an OR-of-offsets
+    // join condition would fall off the hash-join path). The sound
+    // |Δchars| ≤ k prefilter precedes the kernel (lev ≥ |len a − len
+    // b|, no qualifying pair lost); the kernel is Spark's built-in
+    // THRESHOLDED levenshtein — banded O(k·n) per pair, −1 above k.
+    // The oracle spells the identical contract over DuckDB's exact
+    // levenshtein (both classic unit-cost edit distance — integer, so
+    // the match is exact).
+    "d52_edit_distance" -> { (s, dir) =>
+      val k = 50
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val a = d.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+          col("n_chars").as("ca"), col("text").as("ta"))
+        .select(col("*"), explode(array(lit(1L), lit(2L))).as("off"))
+        .withColumn("doc_b", col("doc_a") + col("off"))
+      val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("n_chars").as("cb"), col("text").as("tb"))
+      a.join(b, Seq("doc_b"))
+        .filter(col("lang_a") === col("lang_b") &&
+          abs(col("ca") - col("cb")) <= lit(k.toLong))
+        .withColumn("lev", levenshtein(col("ta"), col("tb"), k))
+        .filter(col("lev") >= 0)
+        .select(col("doc_a"), col("doc_b"), col("off"), col("lev"),
+          expr("""cast(round((1.0 - lev / cast(greatest(ca, cb) as double))
+            * 1e4) as bigint)""").as("sim_1e4"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -2913,6 +2955,23 @@ object Pipeline {
                     ((m2 + 1) / CAST(t2 + 1 AS DOUBLE)))) * 1e4) AS BIGINT)
                AS bleu_1e4
       FROM j
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    "d52_edit_distance" -> """
+      WITH offs AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)),
+                                          (CAST(2 AS BIGINT))) t(off)),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, offs.off,
+               a.n_chars AS ca, b.n_chars AS cb,
+               levenshtein(a.text, b.text) AS lev
+        FROM documents a CROSS JOIN offs
+        JOIN documents b ON b.doc_id = a.doc_id + offs.off
+        WHERE a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 50)
+      SELECT doc_a, doc_b, off, CAST(lev AS INT) AS lev,
+             CAST(round((1.0 - lev / CAST(greatest(ca, cb) AS DOUBLE)) * 1e4)
+               AS BIGINT) AS sim_1e4
+      FROM p
+      WHERE lev <= 50
+      ORDER BY doc_a, doc_b"""
   )
 }

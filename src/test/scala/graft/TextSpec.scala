@@ -178,4 +178,23 @@ class TextSpec extends SparkSpecBase {
     val smoothed = math.rint(math.sqrt((1.0 / 4) * (1.0 / 3)) * 1e4).toLong
     assert(out(1L) == ((3L, 2L, 3L, 0L, 0L, smoothed)), out.toString)
   }
+
+  test("d52: adjacent one-char edit flagged; cross-lang and far docs are not") {
+    val dir = scratch("editdist")
+    import spark.implicits._
+    val df = Seq(
+      (0L, "the quick brown fox jumps", "en"),  // vs 1: one substitution
+      (1L, "the quick crown fox jumps", "en"),  // vs 2: different lang -> skip
+      (2L, "the quick crown fox jumps", "de"),  // vs 3,4: nothing adjacent
+      (5L, "zzz " * 30 + "tail", "en"),         // vs 6: > 50 edits apart
+      (6L, "qqq " * 30 + "tail", "en")
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    val out = Pipeline.queries("d52_edit_distance")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    // the only surviving pair is the one-substitution neighbor
+    assert(out == Map((0L, 1L) -> 1), out.toString)
+  }
 }
