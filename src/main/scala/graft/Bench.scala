@@ -57,7 +57,9 @@ object Bench {
       // work-dominated: full tokenize pass / full encode+score pass)
       "d44_nb_classifier", "d45_pq_adc",
       // round-5: Kneser-Ney bigram scoring (full bigram dictionary pass)
-      "d49_kneser_ney")
+      "d49_kneser_ney",
+      // round-5: banded edit-distance screen (6x DuckDB's full matrix)
+      "d52_edit_distance")
     name match {
       case n if headliners(n) => 0
       case n if n.startsWith("d") => 1
