@@ -54,6 +54,60 @@ object StreamingOps {
     s.table(name)
   }
 
+  /** Shared by s13/s14: the events table staged as a SENTINEL-CLOSED
+    * landing zone — the data file plus two far-future sentinel files
+    * (user_id −1, one row per event type so every side's watermark
+    * advances; consumers filter user_id ≥ 0). With maxFilesPerTrigger=1
+    * the first sentinel batch advances the watermark past the whole
+    * data horizon and the second supplies the batch in which
+    * watermark-driven eviction (outer-join flush, state timeout)
+    * actually runs — the bounded-replay twin of "the stream keeps
+    * going", which is what lets those entries carry EXACT full-corpus
+    * oracles instead of closure-rule remainders. File order is pinned
+    * by explicit mtimes (a sentinel processed before the data would put
+    * the whole corpus behind the watermark and drop it).
+    */
+  def sentinelClosedEventsDir(s: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val base = s"${graft.queries.Sources.scratchDir}/sclose_${Integer.toHexString(dir.hashCode)}"
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(base).getFileSystem(conf)
+    val events = graft.Tables.load(s, dir, "events")
+    val inDir = s"$base/in"
+    val stagedOk = try {
+      val d = s.read.parquet(inDir)
+      d.inputFiles.length == 3 && d.count() == events.count() + 10
+    } catch { case _: Throwable => false }
+    if (!stagedOk) {
+      graft.sources.GraftWriter.removeDirectory(s, inDir)
+      fs.mkdirs(new Path(inDir))
+      val t0 = System.currentTimeMillis()
+      def land(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dest = new Path(inDir, name)
+        fs.rename(part, dest)
+        fs.setTimes(dest, mtime, -1)
+        fs.delete(new Path(tmp), true)
+      }
+      val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+      def sentinel(days: Int): DataFrame = {
+        import s.implicits._
+        Seq("view", "purchase", "click", "signup", "error").map(t => (-1L,
+            new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
+            -1L, t, 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      }
+      land(events, "00-data.parquet", t0)
+      land(sentinel(30), "01-close.parquet", t0 + 60000)
+      land(sentinel(32), "02-flush.parquet", t0 + 120000)
+    }
+    inDir
+  }
+
   /** Per-event row for stateful sessionization. */
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class SessionRow(user_id: Long, session_id: Long, n_events: Long, session_value: Double)
@@ -88,6 +142,50 @@ object StreamingOps {
       state.update((sessionId, lastTs))
       out.iterator.map { case (sid, n, v) =>
         SessionRow(userId, sid, n, math.rint(v * 100) / 100)
+      }
+    }
+  }
+
+  /** s14's per-user open-session state: numbering continues s3/q30's
+    * 1-based time-order convention. */
+  case class OpenSession(sessionId: Long, n: Long, value: Double, lastTs: Long)
+
+  /** s14's TIMEOUT-closing sessionizer — the state-eviction mechanism
+    * none of the window/dedup/join entries exercise: sessions closed by
+    * in-batch evidence (a gap) emit immediately; the OPEN tail session
+    * lives in GroupState with an EVENT-TIME TIMEOUT at last event +
+    * gap, and is emitted exactly once when the watermark passes that
+    * point (state removed — bounded state on an unbounded stream, and
+    * no session is ever emitted twice or lost). Shared with
+    * StreamingSpec so the multi-batch continuation test drives this
+    * exact code path.
+    */
+  def timeoutSessionize(userId: Long, events: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[SessionRow] = {
+    if (state.hasTimedOut) {
+      val open = state.get
+      state.remove()
+      Iterator.single(SessionRow(userId, open.sessionId, open.n,
+        math.rint(open.value * 100) / 100))
+    } else {
+      val sorted = events.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+        var open = state.getOption.orNull
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          if (open == null) open = OpenSession(1L, 0L, 0.0, t)
+          else if (t - open.lastTs > 1800L * 1000) {
+            out += SessionRow(userId, open.sessionId, open.n,
+              math.rint(open.value * 100) / 100)
+            open = OpenSession(open.sessionId + 1, 0L, 0.0, t)
+          }
+          open = open.copy(n = open.n + 1, value = open.value + e.value, lastTs = t)
+        }
+        state.update(open)
+        state.setTimeoutTimestamp(open.lastTs + 1800L * 1000)
+        out.iterator
       }
     }
   }
@@ -509,43 +607,7 @@ object StreamingOps {
     // (a sentinel processed before the data would put the whole
     // corpus behind the watermark and drop it).
     "s13_stream_outer_join" -> { (s, dir) =>
-      import org.apache.hadoop.fs.Path
-      val base = s"${graft.queries.Sources.scratchDir}/s13_${Integer.toHexString(dir.hashCode)}"
-      val conf = s.sparkContext.hadoopConfiguration
-      val fs = new Path(base).getFileSystem(conf)
-      val events = graft.Tables.load(s, dir, "events")
-      val inDir = s"$base/in"
-      val stagedOk = try {
-        val d = s.read.parquet(inDir)
-        d.inputFiles.length == 3 && d.count() == events.count() + 4
-      } catch { case _: Throwable => false }
-      if (!stagedOk) {
-        graft.sources.GraftWriter.removeDirectory(s, inDir)
-        fs.mkdirs(new Path(inDir))
-        val t0 = System.currentTimeMillis()
-        def land(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = s"$base/tmp_$name"
-          df.repartition(1).write.mode("overwrite").parquet(tmp)
-          val part = fs.listStatus(new Path(tmp)).map(_.getPath)
-            .find(_.getName.startsWith("part-"))
-            .getOrElse(sys.error(s"no part file under $tmp"))
-          val dest = new Path(inDir, name)
-          fs.rename(part, dest)
-          fs.setTimes(dest, mtime, -1)
-          fs.delete(new Path(tmp), true)
-        }
-        val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
-        def sentinel(days: Int): DataFrame = {
-          import s.implicits._
-          Seq("view", "purchase").map(t => (-1L,
-              new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
-              -1L, t, 0.0, "{}"))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        }
-        land(events, "00-data.parquet", t0)
-        land(sentinel(30), "01-close.parquet", t0 + 60000)
-        land(sentinel(32), "02-flush.parquet", t0 + 120000)
-      }
+      val inDir = sentinelClosedEventsDir(s, dir)
       val schema = s.read.parquet(inDir).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -573,6 +635,38 @@ object StreamingOps {
           col("p_user").as("user_id"),
           (col("p_ts").cast("long") - col("v_ts").cast("long")).as("lag_sec"))
         .orderBy("purchase_id", "view_id")
+    },
+
+    // ---- s14: TIMEOUT-closed sessionization — the GroupState
+    // EVENT-TIME TIMEOUT mechanism (s3 numbers sessions with
+    // NoTimeout and emits per-batch fragments; s9's session_window is
+    // engine-owned): a session closes either when later in-batch
+    // evidence proves the gap, or when the WATERMARK passes last
+    // event + gap and the registered timeout fires — the only way an
+    // open tail session ever emits on an unbounded stream, and the
+    // eviction that bounds state to open sessions only. Replay closed
+    // by the shared sentinel landing zone, so EVERY session times out
+    // or closes by evidence and the exact q30/s3 batch oracle applies
+    // (same gap rule, same 1-based numbering).
+    "s14_stream_timeout_session" -> { (s, dir) =>
+      import s.implicits._
+      val inDir = sentinelClosedEventsDir(s, dir)
+      val schema = s.read.parquet(inDir).schema
+      val evs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .selectExpr("cast(user_id as long) user_id", "ts",
+          "cast(event_id as long) event_id", "cast(value as double) value")
+        .withWatermark("ts", "1 hour")
+        .as[Ev]
+      val sessions = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(timeoutSessionize)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      val sunk = try runToTable(s, sessions.toDF(), "graft_s14", OutputMode.Append())
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      sunk.filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_id")
     },
 
     // ---- s3: stateful sessionization via flatMapGroupsWithState —
@@ -716,6 +810,25 @@ object StreamingOps {
       ORDER BY event_type""",
 
     "s3_stream_session" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+             round(sum(value), 2) AS session_value
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+
+    "s14_stream_timeout_session" -> """
       WITH flagged AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL

@@ -166,6 +166,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s14: open session emits only when the event-time timeout fires") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[StreamingOps.Ev]
+    val sessions = in.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(StreamingOps.timeoutSessionize)
+    val q = sessions.toDF().writeStream.format("memory").queryName("spec_s14")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamingOps.Ev(1L, ts(0), 1L, 1.0), StreamingOps.Ev(1L, ts(10), 2L, 1.0))
+      q.processAllAvailable()
+      // the session is open — held in state, nothing guessed out early
+      assert(spark.table("spec_s14").count() == 0)
+      // a later batch within the gap EXTENDS the same session
+      in.addData(StreamingOps.Ev(1L, ts(20), 3L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("spec_s14").count() == 0)
+      // far-future events advance the watermark past lastTs + gap...
+      in.addData(StreamingOps.Ev(99L, ts(1000), 4L, 0.0))
+      q.processAllAvailable()
+      // ...and the next batch fires the registered timeout
+      in.addData(StreamingOps.Ev(99L, ts(1010), 5L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("spec_s14")
+        .select("user_id", "session_id", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // user 1's merged 3-event session emitted exactly once; user 99's
+      // session is still open (its own timeout is beyond the watermark)
+      assert(rows == Set((1L, 1L, 3L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("s3: session counter carries across batches via GroupState") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
