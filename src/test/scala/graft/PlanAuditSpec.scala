@@ -54,7 +54,7 @@ class PlanAuditSpec extends SparkSpecBase {
   test("dedup joins stay equi-joins — no quadratic fallback") {
     for (name <- Seq("d4_ngram_jaccard", "d15_jaccard_lsh", "d13_embed_neardup",
         "d30_corpus_curation", "d31_chunk_dedup", "d32_incremental_dedup",
-        "d39_containment")) {
+        "d39_containment", "d52_edit_distance")) {
       val p = Pipeline.queries(name)(spark, sfTiny).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name fell back to cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name fell back to BNLJ:\n$p")
