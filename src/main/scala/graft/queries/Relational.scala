@@ -991,6 +991,38 @@ object Relational {
           coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchases"),
           expr("map_contains_key(m, 'click')").as("has_click"))
         .orderBy("user_id")
+    },
+
+    // ---- q72: frame EXCLUDE GROUP / EXCLUDE TIES — the rest of the
+    // SQL:2016 exclusion clause (q61 translated EXCLUDE CURRENT ROW).
+    // DuckDB executes these natively (the oracle), Spark lacks the
+    // clause entirely; the exact algebra over a running RANGE frame:
+    //   EXCLUDE GROUP = frame_sum − peer_group_sum
+    //   EXCLUDE TIES  = frame_sum − peer_group_sum + current_row
+    // where peer_group_sum is the SAME window with RANGE BETWEEN
+    // CURRENT ROW AND CURRENT ROW (the peer group by definition) — so
+    // all three passes share ONE partitioning and sort. Cents are
+    // strictly positive, so an empty excluded frame is exactly the
+    // sum-0 case and nullif restores SQL's empty-frame NULL.
+    "q72_frame_exclude_group" -> { (s, dir) =>
+      val o = T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
+            .cast("long").as("dk"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val w = Window.partitionBy("o_custkey").orderBy("dk")
+      val run = sum(col("cents"))
+        .over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+      val grp = sum(col("cents"))
+        .over(w.rangeBetween(Window.currentRow, Window.currentRow))
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("cents"), run.as("run_cents"), grp.as("grp_cents"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("cents"),
+          expr("nullif(run_cents - grp_cents, 0)").as("ex_group_cents"),
+          (col("run_cents") - col("grp_cents") + col("cents")).as("ex_ties_cents"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }
   )
 
@@ -1693,6 +1725,23 @@ object Relational {
              bool_or(event_type = 'click') AS has_click
       FROM events
       GROUP BY user_id
-      ORDER BY user_id"""
+      ORDER BY user_id""",
+
+    "q72_frame_exclude_group" -> """
+      WITH o AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT o_custkey, o_orderkey, o_orderdate, cents,
+             CAST(sum(cents) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               EXCLUDE GROUP) AS BIGINT) AS ex_group_cents,
+             CAST(sum(cents) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               EXCLUDE TIES) AS BIGINT) AS ex_ties_cents
+      FROM o
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""
   )
 }

@@ -299,7 +299,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // the same partitioning; a second hashpartitioning exchange would
     // mean the translation re-shuffles per pass (the remaining exchange
     // is the deterministic output range-sort)
-    for (name <- Seq("q68_interpolate", "q69_groups_frame")) {
+    for (name <- Seq("q68_interpolate", "q69_groups_frame",
+        "q72_frame_exclude_group")) {
       val p = plan(name)
       assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
         s"$name re-shuffles between window passes:\n$p")
