@@ -151,12 +151,66 @@ object Pipeline {
       s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
            cast(0 as double), (acc, e) -> acc + e)""")), 6)
 
+  /** The k centroids/codewords collapsed to ONE broadcastable row
+    * holding `cents: array<struct<cid, cvec>>`, sorted by cid. This is
+    * the scale-safe half of the nearest-centroid idiom (VERDICT r5 #1):
+    * the r5 shape `emb.crossJoin(broadcast(cents)).withColumn("rn",
+    * row_number().over(Window.partitionBy(id).orderBy(score)))`
+    * materialized n×k rows and SHUFFLED them through a full Window sort
+    * just to keep each row's best centroid — at a realistic k=1024 IVF
+    * codebook that is 1024× the corpus through the wire. With the
+    * centroids as one array row, assignment becomes a per-row
+    * higher-order fold ([[argBest]]): zero shuffle, zero row expansion,
+    * corpus scanned exactly once.
+    */
+  private def centroidArray(cents: DataFrame): DataFrame =
+    broadcast(cents.agg(
+      expr("array_sort(collect_list(struct(cid, cvec)))").as("cents")))
+
+  /** Per-row argmin/argmax over a [[centroidArray]] column: scores every
+    * centroid with `scoreSql` (a SQL fragment over the outer row's
+    * columns and the lambda variable `c.cvec`) and folds to the single
+    * best `struct<sc, cid>`. Ties break to the LOWER cid — the array is
+    * cid-sorted and the fold uses a strict improvement test — exactly
+    * the old `orderBy(score, cid)` Window contract, so every oracle's
+    * tie-break survives the refactor unchanged. Plans as a map-local
+    * projection: no Exchange, no Sort, no Window.
+    */
+  private def argBest(scoreSql: String, asc: Boolean,
+      scType: String = "double", cidType: String = "int"): org.apache.spark.sql.Column = {
+    val better = if (asc) "cand.sc < best.sc" else "cand.sc > best.sc"
+    expr(s"""aggregate(
+        transform(cents, c -> struct(($scoreSql) AS sc, c.cid AS cid)),
+        cast(null as struct<sc:$scType, cid:$cidType>),
+        (best, cand) -> CASE WHEN best IS NULL OR $better THEN cand ELSE best END)""")
+  }
+
+  /** Per-row top-n centroids (the nProbe side of IVF search): scored
+    * array sorted by (score, cid) — descending scores are negated so
+    * the one lexicographic struct sort expresses both directions — and
+    * sliced to n. Same zero-shuffle shape as [[argBest]]; the n-way
+    * expansion happens only on the (tiny) query side.
+    */
+  private def probeCells(scoreSql: String, asc: Boolean, n: Int): org.apache.spark.sql.Column = {
+    val key = if (asc) s"($scoreSql)" else s"-($scoreSql)"
+    expr(s"""slice(array_sort(transform(cents,
+        c -> struct($key AS sc, c.cid AS cid))), 1, $n)""")
+  }
+
+  /** [[euclid]]'s grain (6dp-rounded euclidean) against the fold lambda
+    * variable `c.cvec`, for use inside [[argBest]]/[[probeCells]]. */
+  private def euclidToCent(v: String): String =
+    s"""round(sqrt(aggregate(zip_with($v, c.cvec, (x, y) -> (x - y) * (x - y)),
+         cast(0 as double), (acc, e) -> acc + e)), 6)"""
+
   /** d40/d41's shared Lloyd loop (K=8, 3 unrolled iterations, euclidean,
     * distances/means rounded at 6dp before any comparison so both
     * engines walk identical assignment sequences). Returns the final
     * E-step assignment (vec_id, cid, vec, dist — distances against the
     * last pre-re-estimation centroids), those centroids, and the
-    * persisted embedding table all three consumers share.
+    * persisted embedding table all three consumers share. The E-step is
+    * the [[argBest]] fold — one corpus scan per iteration, no shuffle
+    * until the (cid, pos) re-estimation aggregate.
     */
   private def lloydFit(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val kCells = 8
@@ -169,14 +223,12 @@ object Pipeline {
       .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
     var used = cents
     var assigned: DataFrame = null
-    val wA = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
     for (_ <- 1 to iters) {
       used = cents
-      assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("dist", euclid("vec", "cvec"))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("vec"), col("dist"))
+      assigned = emb.crossJoin(centroidArray(cents))
+        .withColumn("best", argBest(euclidToCent("vec"), asc = true))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("vec"),
+          col("best.sc").as("dist"))
       cents = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
@@ -811,18 +863,16 @@ object Pipeline {
         .withColumn("vec", col("embedding").cast("array<double>"))
         .select("vec_id", "vec")
         .persist() // consumed by centroids, assignment, queries, rerank
-      val cents = broadcast(emb.orderBy("vec_id").limit(nCells)
+      val centArr = centroidArray(emb.orderBy("vec_id").limit(nCells)
         .select(col("vec_id").as("cid"), col("vec").as("cvec")))
-      val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
-      val assigned = emb.crossJoin(cents)
-        .withColumn("csim", expr("cosine_sim(vec, cvec)"))
-        .select(col("vec_id"), col("cid"), col("csim"))
-      val cellOf = assigned.withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
-      val qProbe = assigned.filter(col("vec_id") < 10)
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") <= nProbe)
-        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      val cellOf = emb.crossJoin(centArr)
+        .withColumn("best",
+          argBest("cosine_sim(vec, c.cvec)", asc = false, cidType = "bigint"))
+        .select(col("vec_id"), col("best.cid").as("cell"))
+      val qProbe = emb.filter(col("vec_id") < 10).crossJoin(centArr)
+        .select(col("vec_id").as("qid"),
+          explode(probeCells("cosine_sim(vec, c.cvec)", asc = false, nProbe)).as("p"))
+        .select(col("qid"), col("p.cid").as("cell"))
       val cands = qProbe.join(cellOf, "cell")
         .filter(col("vec_id") =!= col("qid"))
         .select("qid", "vec_id").distinct()
@@ -1270,15 +1320,12 @@ object Pipeline {
         .withColumn("vec", col("embedding").cast("array<double>"))
         .select("vec_id", "vec")
         .persist() // centroids, assignment and both pair sides share it
-      val cents = broadcast(emb.filter(col("vec_id") < kCells)
+      val centArr = centroidArray(emb.filter(col("vec_id") < kCells)
         .select(col("vec_id").as("cid"), col("vec").as("cvec")))
-      val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
-      val cellOf = emb.crossJoin(cents)
-        .withColumn("csim", round(expr("cosine_sim(vec, cvec)"), 6))
-        .select(col("vec_id"), col("cid"), col("csim"))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
+      val cellOf = emb.crossJoin(centArr)
+        .withColumn("best", argBest("round(cosine_sim(vec, c.cvec), 6)",
+          asc = false, cidType = "bigint"))
+        .select(col("vec_id"), col("best.cid").as("cell"))
       val pairs = cellOf.as("a").join(cellOf.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
@@ -1365,12 +1412,10 @@ object Pipeline {
       val cellOf = assigned.select(col("vec_id"), col("cid"))
       val qv = broadcast(emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("vec").as("qvec")))
-      val wQ = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
-      val qProbe = qv.crossJoin(broadcast(cents))
-        .withColumn("qdist", euclid("qvec", "cvec"))
-        .withColumn("rn", row_number().over(wQ))
-        .filter(col("rn") <= nProbe)
-        .select(col("qid"), col("cid"))
+      val qProbe = qv.crossJoin(centroidArray(cents))
+        .select(col("qid"),
+          explode(probeCells(euclidToCent("qvec"), asc = true, nProbe)).as("p"))
+        .select(col("qid"), col("p.cid").as("cid"))
       val cands = qProbe.join(cellOf, "cid")
         .filter(col("vec_id") =!= col("qid"))
         .select("qid", "vec_id").distinct()
@@ -1614,16 +1659,20 @@ object Pipeline {
         .select(col("lang").as("mlang"),
           expr("cast(round(ln(d_l / cast(n_docs as double)) * 1e6) as bigint)")
             .as("prior_int"))
-      val wP = Window.partitionBy("doc_id").orderBy(desc("score"), asc("mlang"))
+      // per-doc top-1 as a map-combinable min_by over (-score, mlang)
+      // (q58's idiom — VERDICT r5 #8): the old row_number Window sorted
+      // every (doc, lang) score row through a shuffle; min_by reduces
+      // map-side to one row per doc per task, no sort anywhere
       pairs.join(broadcast(grid), Seq("h"))
         .groupBy(col("doc_id"), col("mlang"))
         .agg(first(col("lang")).as("lang"),
           sum(col("cnt") * col("lam_int")).as("ll"))
         .join(broadcast(prior), Seq("mlang"))
         .withColumn("score", col("ll") + col("prior_int"))
-        .withColumn("rn", row_number().over(wP))
-        .filter(col("rn") === 1)
-        .groupBy(col("lang"), col("mlang").as("pred_lang"))
+        .groupBy(col("doc_id"))
+        .agg(min_by(struct(col("lang"), col("mlang")),
+          struct(-col("score"), col("mlang"))).as("b"))
+        .groupBy(col("b.lang").as("lang"), col("b.mlang").as("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "pred_lang")
     },
@@ -1663,12 +1712,21 @@ object Pipeline {
       val seeds = subs.filter(col("vec_id") < K)
         .select(col("sub"), col("vec_id").cast("int").as("cid"),
           col("svec").as("cvec"))
-      val wA = Window.partitionBy("vec_id", "sub").orderBy(col("sd"), col("cid"))
-      val assign0 = subs.join(broadcast(seeds), Seq("sub"))
-        .withColumn("sd", sqd("svec", "cvec"))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("cid"))
+      // the integer-picounit sqd against the argBest fold variable —
+      // same arithmetic leaf as sqd(), scored per codeword in-row
+      val sqdToCent =
+        """aggregate(zip_with(svec, c.cvec, (x, y) ->
+              cast(round((x - y) * (x - y) * 1e12) as bigint)),
+            cast(0 as bigint), (acc, e) -> acc + e)"""
+      // per-sub codeword arrays (M=4 rows of K=8 structs): the
+      // encode-side argmin is a map-local fold after a broadcast
+      // equi-join on sub — the r5 row_number Window shuffled n×K
+      // expanded rows per subspace (VERDICT r5 #1)
+      def subArray(cw: DataFrame): DataFrame = broadcast(cw.groupBy("sub")
+        .agg(expr("array_sort(collect_list(struct(cid, cvec)))").as("cents")))
+      val assign0 = subs.join(subArray(seeds), Seq("sub"))
+        .withColumn("best", argBest(sqdToCent, asc = true, scType = "bigint"))
+        .select(col("vec_id"), col("sub"), col("best.cid").as("cid"))
       val cb = assign0.join(subs, Seq("vec_id", "sub"))
         .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
         .groupBy("sub", "cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
@@ -1676,11 +1734,9 @@ object Pipeline {
           "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
           .as("cvec"))
         .persist() // encode + LUT read the trained codebook
-      val codes = subs.join(broadcast(cb), Seq("sub"))
-        .withColumn("sd", sqd("svec", "cvec"))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("cid"))
+      val codes = subs.join(subArray(cb), Seq("sub"))
+        .withColumn("best", argBest(sqdToCent, asc = true, scType = "bigint"))
+        .select(col("vec_id"), col("sub"), col("best.cid").as("cid"))
       val lut = subs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("sub"), col("svec").as("qvec"))
         .join(broadcast(cb), Seq("sub"))

@@ -193,6 +193,24 @@ class PlanAuditSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("centroid assignment is a map-local fold: no Window anywhere in the ANN family") {
+    // VERDICT r5 #1: the old crossJoin+row_number assignment shuffled
+    // n×k expanded rows through a Window sort (1024× the corpus at a
+    // k=1024 IVF codebook). The argBest/probeCells fold must leave NO
+    // logical Window in the fit/assign/classify plans; the search
+    // entries keep exactly ONE — the final per-query top-k rerank.
+    def windows(name: String): Int = {
+      val p = Pipeline.queries(name)(spark, sfTiny)
+        .queryExecution.optimizedPlan.toString
+      // \bWindow\b does not match WindowGroupLimit (no word boundary)
+      """\bWindow\b""".r.findAllIn(p).length
+    }
+    for (name <- Seq("d40_kmeans_fit", "d36_semdedup", "d44_nb_classifier"))
+      assert(windows(name) == 0, s"$name: assignment regressed to a Window sort")
+    for (name <- Seq("d29_ivf_ann", "d41_ann_pipeline", "d45_pq_adc"))
+      assert(windows(name) == 1, s"$name: want only the rerank Window, got ${windows(name)}")
+  }
+
   test("d29 ivf: centroid assignment broadcasts, never a cartesian product") {
     val p = Pipeline.queries("d29_ivf_ann")(spark, sfTiny)
       .queryExecution.executedPlan.toString
