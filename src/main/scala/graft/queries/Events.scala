@@ -240,6 +240,10 @@ object Events {
                    when prev is null and nxt is null then null
                    when prev is null then cast(nxt.v_cents as double)
                    when nxt is null then cast(prev.v_cents as double)
+                   -- tied-timestamp bracket: 0/0 would be NaN (Spark
+                   -- casts NaN->0 silently, DuckDB raises) — degrade to
+                   -- carry-forward, mirrored in the oracle
+                   when nxt.t_us = prev.t_us then cast(prev.v_cents as double)
                    else cast(prev.v_cents as double) +
                         (cast(nxt.v_cents as double) - cast(prev.v_cents as double)) *
                         ((t_us - prev.t_us) / cast(nxt.t_us - prev.t_us as double))
@@ -393,6 +397,7 @@ object Events {
                     WHEN prev IS NULL AND nxt IS NULL THEN NULL
                     WHEN prev IS NULL THEN CAST(nxt.v_cents AS DOUBLE)
                     WHEN nxt IS NULL THEN CAST(prev.v_cents AS DOUBLE)
+                    WHEN nxt.t_us = prev.t_us THEN CAST(prev.v_cents AS DOUBLE)
                     ELSE CAST(prev.v_cents AS DOUBLE) +
                          (CAST(nxt.v_cents AS DOUBLE) - CAST(prev.v_cents AS DOUBLE)) *
                          ((t_us - prev.t_us) / CAST(nxt.t_us - prev.t_us AS DOUBLE))

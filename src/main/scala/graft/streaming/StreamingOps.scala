@@ -155,16 +155,21 @@ object StreamingOps {
     * in-batch evidence (a gap) emit immediately; the OPEN tail session
     * lives in GroupState with an EVENT-TIME TIMEOUT at last event +
     * gap, and is emitted exactly once when the watermark passes that
-    * point (state removed — bounded state on an unbounded stream, and
-    * no session is ever emitted twice or lost). Shared with
-    * StreamingSpec so the multi-batch continuation test drives this
-    * exact code path.
+    * point. On timeout the session payload is replaced by a TOMBSTONE
+    * carrying only the next session number (n == 0 marks it): r5 ADVICE
+    * found that removing state outright restarted a returning user at
+    * session_id 1, duplicating (user, session_id) keys and breaking the
+    * s3/q30 1-based continuation convention. The tombstone is O(1) per
+    * ever-seen user — the numbering-continuity floor any engine pays —
+    * and never re-registers a timeout, so it is emitted nowhere. Shared
+    * with StreamingSpec so the multi-batch continuation and
+    * post-timeout-resume tests drive this exact code path.
     */
   def timeoutSessionize(userId: Long, events: Iterator[Ev],
       state: GroupState[OpenSession]): Iterator[SessionRow] = {
     if (state.hasTimedOut) {
       val open = state.get
-      state.remove()
+      state.update(OpenSession(open.sessionId + 1, 0L, 0.0, open.lastTs))
       Iterator.single(SessionRow(userId, open.sessionId, open.n,
         math.rint(open.value * 100) / 100))
     } else {
@@ -176,6 +181,7 @@ object StreamingOps {
         sorted.foreach { e =>
           val t = e.ts.getTime
           if (open == null) open = OpenSession(1L, 0L, 0.0, t)
+          else if (open.n == 0L) open = open.copy(value = 0.0, lastTs = t)
           else if (t - open.lastTs > 1800L * 1000) {
             out += SessionRow(userId, open.sessionId, open.n,
               math.rint(open.value * 100) / 100)

@@ -107,4 +107,23 @@ class EventsSpec extends SparkSpecBase {
     assert(native.length == composed.length)
     assert(native.map(_.toString).toSeq == composed.map(_.toString).toSeq)
   }
+
+  test("q68: tied-timestamp brackets degrade to carry-forward, never NaN") {
+    // ADVICE r5: two observations sharing one (user_id, t_us) with a
+    // null-metric row between them make nxt.t_us - prev.t_us = 0; the
+    // unguarded interpolation evaluates 0/0 = NaN, which Spark casts to
+    // 0 silently while DuckDB raises. The guard must carry prev forward.
+    val dir = scratch("q68-tied")
+    import spark.implicits._
+    val rows = Seq(
+      // event_id % 3 == 0 rows are observations: 3 -> 150, 6 -> 999
+      (3L, ts(100), 7L, "view", 1.50, "{}"),
+      (4L, ts(100), 7L, "view", 0.0, "{}"), // null metric, tied bracket
+      (6L, ts(100), 7L, "view", 9.99, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    GraftWriter.write(rows, s"$dir/events.parquet")
+    val got = Events.queries("q68_interpolate")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+    assert(got == Map(3L -> 150L, 4L -> 150L, 6L -> 999L), got.toString)
+  }
 }

@@ -198,6 +198,20 @@ class StreamingSpec extends SparkSpecBase {
       // user 1's merged 3-event session emitted exactly once; user 99's
       // session is still open (its own timeout is beyond the watermark)
       assert(rows == Set((1L, 1L, 3L)), rows.toString)
+      // post-timeout RESUME (r5 ADVICE): the timeout left a tombstone
+      // counter, so user 1's next session continues numbering at 2 —
+      // state.remove() would have restarted at 1, duplicating the key.
+      // Two events 100 min apart in one batch close session 2 in-batch.
+      in.addData(StreamingOps.Ev(1L, ts(3000), 6L, 5.0),
+        StreamingOps.Ev(1L, ts(3100), 7L, 1.0))
+      q.processAllAvailable()
+      val resumed = spark.table("spec_s14")
+        .select("user_id", "session_id", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // (the same watermark advance legitimately times out user 99's
+      // open 2-event session)
+      assert(resumed == Set((1L, 1L, 3L), (1L, 2L, 1L), (99L, 1L, 2L)),
+        resumed.toString)
     } finally q.stop()
   }
 

@@ -179,22 +179,33 @@ class TextSpec extends SparkSpecBase {
     assert(out(1L) == ((3L, 2L, 3L, 0L, 0L, smoothed)), out.toString)
   }
 
-  test("d52: adjacent one-char edit flagged; cross-lang and far docs are not") {
+  test("d52: adjacent edits flagged with exact similarity; cross-lang and far docs are not") {
+    // ADVICE r5: the sf0.01 oracle row count is 0 (no crawl-adjacent
+    // near-dups in the synthetic corpus) and the old spec asserted only
+    // `lev` — so the similarity arithmetic had no non-vacuous check.
+    // This corpus produces BOTH offsets and pins (off, lev, sim_1e4)
+    // against hand-computed values: sim = round((1 - lev/max_len)*1e4).
     val dir = scratch("editdist")
     import spark.implicits._
     val df = Seq(
-      (0L, "the quick brown fox jumps", "en"),  // vs 1: one substitution
-      (1L, "the quick crown fox jumps", "en"),  // vs 2: different lang -> skip
-      (2L, "the quick crown fox jumps", "de"),  // vs 3,4: nothing adjacent
+      (0L, "the quick brown fox jumps", "en"),  // 25 chars
+      (1L, "the quick crown fox jumps", "en"),  // 1 sub vs 0 and vs 2
+      (2L, "the quick brown fox jumps", "en"),  // identical to 0, off=2
       (5L, "zzz " * 30 + "tail", "en"),         // vs 6: > 50 edits apart
-      (6L, "qqq " * 30 + "tail", "en")
+      (6L, "qqq " * 30 + "tail", "en"),
+      (7L, "same text across languages", "en"), // vs 8: lang differs -> skip
+      (8L, "same text across languages", "de")
     ).toDF("doc_id", "text", "lang")
       .withColumn("source", lit("spec"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     GraftWriter.write(df, s"$dir/documents.parquet")
     val out = Pipeline.queries("d52_edit_distance")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
-    // the only surviving pair is the one-substitution neighbor
-    assert(out == Map((0L, 1L) -> 1), out.toString)
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getLong(4)))).toMap
+    val expected = Map(
+      (0L, 1L) -> ((1L, 1, 9600L)),  // round((1 - 1/25) * 1e4)
+      (0L, 2L) -> ((2L, 0, 10000L)), // identical pair at offset 2
+      (1L, 2L) -> ((1L, 1, 9600L)))
+    assert(out == expected, out.toString)
   }
 }
