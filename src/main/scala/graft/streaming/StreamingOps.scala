@@ -631,11 +631,24 @@ object StreamingOps {
           col("v_ts") <= col("p_ts"),
         "left_outer")
       // s5's recipe: join state stores per shuffle partition — tiny
-      // state, so run at few partitions and restore the default
+      // state, so run at few partitions and restore the default.
+      // s13 is the stateful-heaviest entry (both join sides buffer a
+      // watermark-bounded hour of events), so it runs on the RocksDB
+      // state store (VERDICT r5 #5): at 100 TB the join state is
+      // disk-resident per executor instead of JVM-heap HashMaps —
+      // the provider swap is pure configuration, results byte-equal
+      // (StreamingSpec pins provider parity on the shared join shape).
       val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val prevStore = s.conf.get("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       s.conf.set("spark.sql.shuffle.partitions", 8)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val sunk = try runToTable(s, joined, "graft_s13", OutputMode.Append())
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", prevStore)
+        }
       sunk.filter(col("p_user") >= 0)
         .select(col("purchase_id"), col("view_id"),
           col("p_user").as("user_id"),

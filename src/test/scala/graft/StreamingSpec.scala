@@ -127,6 +127,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s13: RocksDB state store yields the same join results as the default provider") {
+    // VERDICT r5 #5: s13 runs its watermark-bounded join state on the
+    // RocksDB provider (disk-resident state at 100 TB instead of JVM
+    // heap). Pin provider parity on the exact s5/s13 join shape, and
+    // confirm RocksDB is actually the store serving the operator.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(provider: String, name: String): (Set[(Long, Long)], Boolean) = {
+      val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        s"org.apache.spark.sql.execution.streaming.state.$provider")
+      try {
+        val vIn = MemoryStream[(Long, Timestamp, Long)]
+        val pIn = MemoryStream[(Long, Timestamp, Long)]
+        val views = vIn.toDF().toDF("v_user", "v_ts", "view_id")
+          .withWatermark("v_ts", "10 minutes")
+        val purchases = pIn.toDF().toDF("p_user", "p_ts", "purchase_id")
+          .withWatermark("p_ts", "10 minutes")
+        val joined = purchases.join(views,
+          col("p_user") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") <= col("p_ts"), "inner")
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          vIn.addData((1L, ts(0), 100L), (1L, ts(30), 101L), (2L, ts(0), 102L))
+          q.processAllAvailable()
+          pIn.addData((1L, ts(50), 200L), (3L, ts(50), 201L), (1L, ts(90), 202L))
+          q.processAllAvailable()
+          val rows = spark.table(name).select("purchase_id", "view_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val usedRocks = q.lastProgress.stateOperators.exists(
+            _.customMetrics.keySet.toArray.exists(_.toString.startsWith("rocksdb")))
+          (rows, usedRocks)
+        } finally q.stop()
+      } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+    val (defRows, defRocks) = run("HDFSBackedStateStoreProvider", "spec_store_hdfs")
+    val (rocksRows, rocksUsed) = run("RocksDBStateStoreProvider", "spec_store_rocks")
+    assert(!defRocks && rocksUsed, s"provider swap did not take effect")
+    assert(rocksRows == defRows && rocksRows.nonEmpty, s"$rocksRows vs $defRows")
+  }
+
   test("s13: left-outer interval join emits unmatched only after watermark close") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
