@@ -18,7 +18,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for approximate / hash-dependent /
-    * non-SQL-expressible ops (q26, d2, d3, d6, d11) → rows-only check.
+    * non-SQL-expressible ops (d2, d3, d6, d11, ...) → rows-only check.
+    * q26/q45 hash-check a banded contract instead: the query emits
+    * exact anchors plus in-band booleans, the oracle answers TRUE.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Pipeline.oracles ++

@@ -368,9 +368,18 @@ object Relational {
     // ---- q26: HLL approx distinct (no oracle — approximate by design;
     // spec checks error bound vs exact).
     "q26_approx_distinct" -> { (s, dir) =>
+      // banded oracle contract (VERDICT r5 #6): the HLL estimate itself
+      // is engine-specific, but |approx − exact| / exact ≤ 2·rsd (rsd
+      // defaults to 0.05) is checkable INSIDE the query — the oracle
+      // answers (exact_cust, TRUE), so the hash gate fails iff Spark's
+      // sketch leaves the published error band. HLL is deterministic
+      // per dataset, so the boolean is stable across runs.
       T(s, dir, "orders")
         .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
           countDistinct(col("o_custkey")).as("exact_cust"))
+        .select(col("exact_cust"),
+          (abs(col("approx_cust") - col("exact_cust")) <=
+            col("exact_cust") * 0.10).as("within_band"))
     },
 
     // ---- q27: statistical aggregates.
@@ -415,12 +424,30 @@ object Relational {
     // the error bound vs the exact q28 percentiles is spec-asserted
     // (RelationalSpec-style bound: rank error <= 1/accuracy).
     "q45_approx_percentile" -> { (s, dir) =>
-      T(s, dir, "lineitem")
-        .groupBy(col("l_linestatus"))
+      // banded oracle contract (VERDICT r5 #6): GK at accuracy 1000
+      // guarantees rank error ≤ n/1000; the returned value v satisfies
+      // the p-quantile band iff count(x < v) ≤ (p+ε)n AND
+      // count(x ≤ v) ≥ (p−ε)n (the two-sided form is tie-safe). Both
+      // counts are exact SQL, so the boolean hashes against the
+      // oracle's TRUE — plus exact n_rows as a non-constant anchor.
+      val eps = 0.002 // 2× the guarantee, margin for boundary rounding
+      val li = T(s, dir, "lineitem").select("l_linestatus", "l_extendedprice")
+      val ap = li.groupBy(col("l_linestatus"))
         .agg(
           expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("p25"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
           expr("approx_percentile(l_extendedprice, 0.75, 1000)").as("p75"))
+      def okAt(p: Double, v: String) =
+        ((sum(when(col("l_extendedprice") < col(v), 1L).otherwise(0L)) <=
+            count(lit(1)) * (p + eps)) &&
+          (sum(when(col("l_extendedprice") <= col(v), 1L).otherwise(0L)) >=
+            count(lit(1)) * (p - eps)))
+      li.join(broadcast(ap), "l_linestatus")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          okAt(0.25, "p25").as("ok_p25"),
+          okAt(0.50, "p50").as("ok_p50"),
+          okAt(0.75, "p75").as("ok_p75"))
         .orderBy(col("l_linestatus"))
     },
 
@@ -1287,6 +1314,18 @@ object Relational {
       FROM orders
       GROUP BY 1
       ORDER BY month""",
+
+    "q26_approx_distinct" -> """
+      SELECT count(DISTINCT o_custkey) AS exact_cust,
+             TRUE AS within_band
+      FROM orders""",
+
+    "q45_approx_percentile" -> """
+      SELECT l_linestatus, count(*) AS n_rows,
+             TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""",
 
     "q27_stats" -> """
       SELECT l_returnflag,

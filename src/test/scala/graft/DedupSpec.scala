@@ -361,10 +361,16 @@ class DedupSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions._
     // GK with accuracy = 1000 guarantees rank error <= n/1000; assert
     // each approximate quantile lies between the exact quantiles at
-    // p +/- 2/accuracy (2x margin on the guarantee)
+    // p +/- 2/accuracy (2x margin on the guarantee). The entry itself
+    // now hash-checks the tie-safe rank-count form against the oracle
+    // (VERDICT r5 #6); this spec keeps the independent value-band proof
+    // on directly-computed approximations, plus the entry's booleans.
     val eps = 2.0 / 1000.0
     val li = Tables.load(spark, sfSmall, "lineitem")
-    val out = graft.SparkEntry.queries("q45_approx_percentile")(spark, sfSmall)
+    val out = li.groupBy(col("l_linestatus")).agg(
+        expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("p25"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.75, 1000)").as("p75"))
       .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (p, i) =>
       val bounds = li.groupBy(col("l_linestatus")).agg(
@@ -376,17 +382,25 @@ class DedupSpec extends SparkSpecBase {
         assert(a >= lo && a <= hi, s"group $grp p$p: approx $a outside [$lo, $hi]")
       }
     }
+    val entry = graft.SparkEntry.queries("q45_approx_percentile")(spark, sfSmall)
+      .collect()
+    assert(entry.nonEmpty &&
+      entry.forall(r => r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)),
+      entry.mkString(";"))
   }
 
   test("q26: approx_count_distinct within 10% of exact") {
-    val r = queries_q26(sfSmall).head()
+    import org.apache.spark.sql.functions._
+    val r = Tables.load(spark, sfSmall, "orders")
+      .agg(approx_count_distinct(col("o_custkey")),
+        countDistinct(col("o_custkey"))).head()
     val approx = r.getLong(0); val exact = r.getLong(1)
     assert(math.abs(approx - exact).toDouble / exact < 0.10,
       s"approx $approx vs exact $exact")
+    // the hash-gated entry (VERDICT r5 #6) must agree
+    val e = graft.queries.Relational.queries("q26_approx_distinct")(spark, sfSmall).head()
+    assert(e.getLong(0) == exact && e.getBoolean(1), e.toString)
   }
-
-  private def queries_q26(dir: String) =
-    graft.queries.Relational.queries("q26_approx_distinct")(spark, dir)
 
   test("d31: chunk dedup removes only cross-doc duplicated 10-token spans") {
     import spark.implicits._
