@@ -126,6 +126,66 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.forall(_.getDouble(2) > 0.8))
   }
 
+  /** Adversarial mega-block (VERDICT r5 #4): ONE block of 4200 docs
+    * forces nsalt = 3, and the planted duplicate pairs are chosen so
+    * their doc_ids land in DIFFERENT salt chunks — (0,1), (1,2), (0,2)
+    * — plus a same-chunk control. The 2400-doc spec above never
+    * exercised this: its cluster members are 30 apart, so every
+    * qualifying pair shared a chunk at nsalt = 2. A salting scheme that
+    * met pairs per-chunk-pair-intersection (the classic both-sides-salt
+    * mistake) would drop exactly the cross-chunk pairs this plants.
+    */
+  private lazy val crossChunkDir: String = {
+    val dir = scratch("crosschunk")
+    import spark.implicits._
+    val dupPairs = Seq((3000L, 3001L), (3004L, 3005L), (3006L, 3008L),
+      (3009L, 3012L)) // salts mod 3: (0,1), (1,2), (0,2), (0,0)
+    val dupOf = dupPairs.flatMap { case (a, b) => Seq(b -> a) }.toMap
+    def text(i: Long): String = {
+      val seed = dupOf.getOrElse(i, i)
+      (0 until 20).map(j => f"tok${seed}%06d_$j%02d").mkString(" ")
+    }
+    val df = (0L until 4200L).map(i => (i, text(i))).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d4: cross-chunk duplicate pairs survive the salted scan exactly once") {
+    val rows = Pipeline.queries("d4_ngram_jaccard")(spark, crossChunkDir).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = Seq((3000L, 3001L), (3004L, 3005L), (3006L, 3008L), (3009L, 3012L))
+    assert(got.sorted == expected, s"got ${got.toList}")
+    assert(got.distinct.length == got.length, "a pair was met more than once")
+    assert(rows.forall(_.getDouble(2) == 1.0), rows.mkString(";"))
+    // the scan decomposition is real: the pair join is an equi-join
+    // keyed on the salt (bounded per-task work), never a single
+    // quadratic block task or a cartesian fallback
+    val p = Pipeline.queries("d4_ngram_jaccard")(spark, crossChunkDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("salt"), s"salt key missing from the pair join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d20: cross-chunk components merge exactly under the adversarial block") {
+    val out = Pipeline.queries("d20_dedup_clusters")(spark, crossChunkDir).collect()
+    assert(out.length == 4200)
+    val roots = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(3001L -> 3000L, 3005L -> 3004L, 3008L -> 3006L, 3012L -> 3009L)
+    expected.foreach { case (doc, root) =>
+      assert(roots(doc) == root, s"doc $doc root ${roots(doc)}")
+    }
+    // everything unplanted is its own singleton component
+    out.foreach { r =>
+      val (doc, root, size) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (expected.contains(doc) || expected.values.exists(_ == doc))
+        assert(size == 2, s"doc $doc size $size")
+      else assert(root == doc && size == 1, s"doc $doc root $root size $size")
+    }
+  }
+
   test("d20: two-level union-find clusters a single-block corpus exactly") {
     // The mega-block's edge mass (30 × C(80,2) edges in ONE block) is
     // split across level-1 chunks; the level-2 merge must still recover
