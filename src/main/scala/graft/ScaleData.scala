@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 stress-data generator (VERDICT r5 #3): the driver ships
+  * sf0.001/0.01/0.1 only, but the scale cliffs worth catching —
+  * broadcast-threshold flips, LSH collision growth, window/join state
+  * growth — first appear around sf1. This tool replicates sf0.1 tenfold
+  * into a LOCAL scratch dir (never under /root/testdata) with
+  * join-consistent key offsets, so every query still computes sensible
+  * joins at 10× the rows.
+  *
+  * Replication is NOT naive row duplication:
+  *  - all entity keys (order/cust/part/supp/event/user/doc/vec) shift
+  *    by `copy * 100M`, so FK joins stay consistent per copy and
+  *    cardinalities scale ×10;
+  *  - `documents.lang` is remapped per copy (copy 0 untouched): lang is
+  *    the dedup family's blocking key, and byte-identical text copies
+  *    sharing a block would square the candidate-pair mass (×100 work
+  *    for ×10 data — a replication artifact, not a scale property);
+  *    distinct per-copy languages grow blocks the way a genuinely 10×
+  *    corpus does (×10 blocks, same block sizes);
+  *  - `embeddings.embedding` is re-randomized per copy (deterministic
+  *    sin-hash; copy 0 untouched) — identical vectors would plant ×90
+  *    artificial near-dup pairs per vector for d13/d36.
+  *
+  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [copies=10]
+  */
+object ScaleData {
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val stride = 100000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def shift(keys: String*)(df: DataFrame, i: Int): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(stride * i)))
+
+    def scaled(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = Tables.load(spark, srcDir, name)
+      (0 until copies).map(i => f(base, i))
+        .reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scale] $name x$copies done")
+    }
+
+    // shared dimensions: one copy (25 nations / 5 regions at any SF)
+    Seq("region", "nation").foreach { n =>
+      Tables.load(spark, srcDir, n)
+        .write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+      println(s"[scale] $n passthrough done")
+    }
+    scaled("customer")(shift("c_custkey"))
+    scaled("supplier")(shift("s_suppkey"))
+    scaled("part")(shift("p_partkey"))
+    scaled("orders")(shift("o_orderkey", "o_custkey"))
+    scaled("lineitem")(shift("l_orderkey", "l_partkey", "l_suppkey"))
+    scaled("events")(shift("event_id", "user_id"))
+    scaled("documents") { (df, i) =>
+      val shifted = shift("doc_id")(df, i)
+      if (i == 0) shifted
+      else shifted.withColumn("lang", concat(lit(s"x${i}_"), col("lang")))
+    }
+    scaled("embeddings") { (df, i) =>
+      val shifted = shift("vec_id")(df, i)
+      if (i == 0) shifted
+      else shifted.withColumn("embedding", expr(
+        s"transform(embedding, (x, j) -> cast(sin(x * ${i + 2} * 7.3 + j * 0.37) as float))"))
+    }
+    spark.stop()
+  }
+}

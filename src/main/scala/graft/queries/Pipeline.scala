@@ -852,9 +852,12 @@ object Pipeline {
     // the centroids are a deterministic anchor subset (first C vec_ids)
     // — at 100 TB they come from k-means over a sample, the plan shape
     // is identical. Recall on planted clustered vectors is
-    // spec-verified (DedupSpec); the driver corpus is near-uniform
-    // random, where cell-pruned recall is structurally bounded by
-    // nProbe/C — the documented IVF trade, hence rows-only here.
+    // spec-verified (DedupSpec). Formerly rows-only; now HASH-CHECKED:
+    // assignment/probe cosines round at 6dp (d36's engine-exactness
+    // grain) so the DuckDB oracle replays the identical IVF build,
+    // probe and rerank — the gate compares the full top-5 lists, and
+    // the nProbe/C recall trade is part of the checked contract rather
+    // than an excuse to skip it (VERDICT r5 #6).
     "d29_ivf_ann" -> { (s, dir) =>
       GraftExtensions.install(s)
       val nCells = 32
@@ -867,11 +870,11 @@ object Pipeline {
         .select(col("vec_id").as("cid"), col("vec").as("cvec")))
       val cellOf = emb.crossJoin(centArr)
         .withColumn("best",
-          argBest("cosine_sim(vec, c.cvec)", asc = false, cidType = "bigint"))
+          argBest("round(cosine_sim(vec, c.cvec), 6)", asc = false, cidType = "bigint"))
         .select(col("vec_id"), col("best.cid").as("cell"))
       val qProbe = emb.filter(col("vec_id") < 10).crossJoin(centArr)
         .select(col("vec_id").as("qid"),
-          explode(probeCells("cosine_sim(vec, c.cvec)", asc = false, nProbe)).as("p"))
+          explode(probeCells("round(cosine_sim(vec, c.cvec), 6)", asc = false, nProbe)).as("p"))
         .select(col("qid"), col("p.cid").as("cell"))
       val cands = qProbe.join(cellOf, "cell")
         .filter(col("vec_id") =!= col("qid"))
@@ -2227,6 +2230,38 @@ object Pipeline {
       GROUP BY word
       ORDER BY n DESC, word
       LIMIT 20""",
+
+    "d29_ivf_ann" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, vec AS cvec FROM e
+            ORDER BY vec_id LIMIT 32),
+      sc AS (SELECT e.vec_id, c.cid,
+                    round(list_cosine_similarity(e.vec, c.cvec), 6) AS csim
+             FROM e CROSS JOIN c),
+      cell AS (SELECT vec_id, cid AS cell FROM (
+                 SELECT vec_id, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                 FROM sc) WHERE rn = 1),
+      qp AS (SELECT vec_id AS qid, cid AS cell FROM (
+               SELECT vec_id, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+               FROM sc WHERE vec_id < 10) WHERE rn <= 4),
+      cand AS (SELECT DISTINCT qp.qid, cell.vec_id
+               FROM qp JOIN cell USING (cell)
+               WHERE cell.vec_id <> qp.qid),
+      scored AS (SELECT cand.qid, cand.vec_id AS nid,
+                        round(list_cosine_similarity(q.vec, n.vec), 4) AS cos_sim
+                 FROM cand
+                 JOIN e q ON q.vec_id = cand.qid
+                 JOIN e n ON n.vec_id = cand.vec_id),
+      r AS (SELECT qid, nid, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY cos_sim DESC, nid) AS INT) AS rn
+            FROM scored)
+      SELECT qid, nid, cos_sim, rn
+      FROM r WHERE rn <= 5
+      ORDER BY qid, rn""",
 
     "d30_corpus_curation" -> """
       WITH w AS (

@@ -25,21 +25,23 @@ object StreamingOps {
     * deployment the directory is the landing zone being appended to.
     */
   def streamEvents(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.{FileUtil, Path}
-    val src = new Path(s"$dir/events.parquet")
-    val stageDir = new Path(graft.queries.Sources.scratchDir,
-      s"stream_events_${Integer.toHexString(dir.hashCode)}")
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = stageDir.getFileSystem(conf)
-    val staged = new Path(stageDir, "events.parquet")
-    val srcLen = fs.getFileStatus(src).getLen
-    if (!fs.exists(staged) || fs.getFileStatus(staged).getLen != srcLen) {
-      fs.mkdirs(stageDir)
-      FileUtil.copy(fs, src, fs, staged, false, true, conf)
-    }
-    val path = stageDir.toString
-    val schema = s.read.parquet(path).schema
-    val raw = s.readStream.schema(schema).parquet(path)
+    val stageDir = new org.apache.hadoop.fs.Path(
+      graft.queries.Sources.scratchDir,
+      s"stream_events_${Integer.toHexString(dir.hashCode)}").toString
+    val events = graft.Tables.load(s, dir, "events")
+    // Stage once, re-staging if the source changed (row-count witness).
+    // Staging goes through a read+write rather than a raw file copy so
+    // the source table's physical layout doesn't matter — a single
+    // parquet file (driver testdata) and a multi-part directory (any
+    // Spark-written table, e.g. the sf1 stress set) stage identically;
+    // the r5 single-file FileUtil.copy broke on directory layouts.
+    val stagedOk =
+      try s.read.parquet(stageDir).count() == events.count()
+      catch { case _: Throwable => false }
+    if (!stagedOk)
+      events.repartition(1).write.mode("overwrite").parquet(stageDir)
+    val schema = s.read.parquet(stageDir).schema
+    val raw = s.readStream.schema(schema).parquet(stageDir)
     schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case None => raw
@@ -450,15 +452,17 @@ object StreamingOps {
     // exactly — the oracle below. Cross-batch state accumulation
     // (file-at-a-time triggers) is spec-verified in StreamingSpec.
     "s10_stream_incremental_dedup" -> { (s, dir) =>
-      import org.apache.hadoop.fs.{FileUtil, Path}
+      import org.apache.hadoop.fs.Path
       val base = s"${graft.queries.Sources.scratchDir}/s10"
       graft.sources.GraftWriter.removeDirectory(s, base)
       val conf = s.sparkContext.hadoopConfiguration
-      val src = new Path(s"$dir/documents.parquet")
       val in = new Path(s"$base/in")
       val fs = in.getFileSystem(conf)
-      fs.mkdirs(in)
-      FileUtil.copy(fs, src, fs, new Path(in, "documents.parquet"), false, true, conf)
+      // stage by read+write (layout-agnostic: single-file driver table
+      // or multi-part directory both become one part file — the raw
+      // single-file copy this replaced broke on directory layouts)
+      graft.Tables.load(s, dir, "documents")
+        .repartition(1).write.mode("overwrite").parquet(in.toString)
       val admitted = s"$base/admitted"
       // The keep-MIN oracle below needs the whole corpus in ONE batch:
       // dedupIngestBatch admits the first-SEEN doc_id per hash, so a
