@@ -47,19 +47,35 @@ object ScaleData {
     def shift(keys: String*)(df: DataFrame, i: Int): DataFrame =
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(stride * i)))
 
+    // Write each table as ONE plain `<name>.parquet` FILE (not a Spark
+    // part-file directory) so the stress set is byte-layout-identical
+    // to the driver testdata: the a3/a8 oracles pin provenance/listing
+    // output to that layout, and single-file-vs-directory differences
+    // are harness noise, not engine behavior.
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def landFile(df: DataFrame, name: String): Unit = {
+      val tmp = s"$outDir/_tmp_$name"
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val fs = new Path(outDir).getFileSystem(hconf)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dest = new Path(s"$outDir/$name.parquet")
+      fs.delete(dest, true)
+      fs.rename(part, dest)
+      fs.delete(new Path(tmp), true)
+    }
+
     def scaled(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = Tables.load(spark, srcDir, name)
-      (0 until copies).map(i => f(base, i))
-        .reduce(_ unionAll _)
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      landFile((0 until copies).map(i => f(base, i)).reduce(_ unionAll _), name)
       println(s"[scale] $name x$copies done")
     }
 
     // shared dimensions: one copy (25 nations / 5 regions at any SF)
     Seq("region", "nation").foreach { n =>
-      Tables.load(spark, srcDir, n)
-        .write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+      landFile(Tables.load(spark, srcDir, n), n)
       println(s"[scale] $n passthrough done")
     }
     scaled("customer")(shift("c_custkey"))

@@ -378,8 +378,13 @@ object Sources {
         .join(s.table("graft_b_lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
+        // integer cents BEFORE the sum (the repo-wide money rule): a
+        // raw double sum rounded at 2dp diverges from DuckDB in the
+        // last cent once the aggregate passes ~1e10 (seen at the sf1
+        // stress sweep); per-value cents make the sum order-free exact
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice")), 2).as("total_price"))
+          sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .as("total_cents"))
         .orderBy("o_orderpriority")
     },
 
@@ -446,7 +451,8 @@ object Sources {
   val oracles: Map[String, String] = Map(
     "a12_bucketed_join" -> """
       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
-             round(sum(l_extendedprice), 2) AS total_price
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",

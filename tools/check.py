@@ -32,7 +32,11 @@ def main():
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; Spark-written stress sets
+        # (e.g. target/sf1) are multi-part directories — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = n_rowsonly = 0
     for d in sorted(os.listdir(out_dir)):
@@ -53,9 +57,34 @@ def main():
             print(f"{d:24s} {status} rows={len(spark_rows)}")
             continue
         try:
-            res = con.sql(oracles[d])
-            ora_cols = res.columns
-            ora_rows = res.fetchall()
+            # per-oracle timeout (GRAFT_ORACLE_TIMEOUT_SEC, 0 = none):
+            # some oracles are superlinear in DuckDB at stress scales
+            # (e.g. sf1) — an expired oracle is reported as its own
+            # category, not a correctness fail, and the sweep moves on
+            timeout = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_SEC", "0"))
+            box = {}
+            def run():
+                try:
+                    res = con.sql(oracles[d])
+                    box["cols"] = res.columns
+                    box["rows"] = res.fetchall()
+                except Exception as e:
+                    box["err"] = e
+            if timeout > 0:
+                import threading
+                th = threading.Thread(target=run); th.start()
+                th.join(timeout)
+                if th.is_alive():
+                    con.interrupt()
+                    th.join()
+                    print(f"{d:24s} ORACLE-TIMEOUT >{int(timeout)}s (not counted as fail)")
+                    n_rowsonly += 1
+                    continue
+            else:
+                run()
+            if "err" in box:
+                raise box["err"]
+            ora_cols, ora_rows = box["cols"], box["rows"]
         except Exception as e:
             print(f"{d:24s} ORACLE-ERROR {str(e)[:120]}")
             n_fail += 1
