@@ -318,18 +318,29 @@ class DedupSpec extends SparkSpecBase {
       .withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     GraftWriter.write(df, s"$dir/documents.parquet")
+    // gate entry: exact membership + the per-row no-false-negative
+    // contract (what the DuckDB oracle hash-checks)
     val out = Pipeline.queries("d47_bloom_dedup")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+      .map(r => (r.getLong(0), (r.getBoolean(2), r.getBoolean(3)))).toMap
     assert(out.size == 100)
-    // no false negatives: every true duplicate is flagged
     (0 until 500 by 10).foreach { i =>
-      assert(out(i.toLong), s"true duplicate $i not flagged")
+      assert(out(i.toLong)._1, s"true duplicate $i not marked truly_dup")
     }
-    // bounded false positives: novel docs flagged dup (the sketch is
+    out.foreach { case (id, (_, ok)) =>
+      assert(ok, s"false negative surfaced at doc $id")
+    }
+    // bounded false positives on the RAW sketch verdicts (d47Screen —
+    // the verdict column is sketch-hash-dependent, so it lives outside
+    // the hash-checked output): novel docs flagged dup (the sketch is
     // sized for 100k items at default fpp — 400 inserts leave it
     // nearly empty, so false positives should be rare)
+    val raw = Pipeline.d47Screen(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getBoolean(3))).toMap
+    (0 until 500 by 10).foreach { i =>
+      assert(raw(i.toLong), s"true duplicate $i not flagged by the sketch")
+    }
     val novel = (0 until 500 by 5).filter(_ % 10 != 0)
-    val fp = novel.count(i => out(i.toLong))
+    val fp = novel.count(i => raw(i.toLong))
     assert(fp.toDouble / novel.size <= 0.05, s"$fp/${novel.size} false positives")
   }
 
