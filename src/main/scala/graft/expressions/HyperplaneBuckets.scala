@@ -16,6 +16,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * P[candidate] = 1 − (1 − p^bits)^tables with p = 1 − θ/π. Round 1 used a
   * single 16-bit table (AND-only, recall ≈ 0 — VERDICT "What's wrong" #3).
   *
+  * Cross-engine exactness: the dot product is computed over INTEGER
+  * nano-units — e_j = floor(v_j·1e9 + 0.5) as a long, dot = Σ ±e_j — so
+  * the sign decision is order-free integer arithmetic with no float
+  * summation-order hazard, and a SQL engine can replay every bucket key
+  * bit-for-bit (the d6/d13 DuckDB oracles do, via the plane bit matrix
+  * from [[HyperplaneBuckets.planeBitString]]). Scaling cannot overflow:
+  * |e_j| ≤ |v_j|·1e9 + 1 and unit-scale embeddings keep Σ far below 2^63.
+  * Sign-LSH only consumes the direction of the projection, so nano-unit
+  * quantization leaves the hash family's collision geometry unchanged.
+  *
   * Parameter choice: candidate fraction ≈ tables/2^bits and recall trade
   * off against each other through p. The driver testdata's embeddings are
   * near-uniform random (true top-5 cosines 0.26–0.49, per-bit p ≈ 0.6),
@@ -43,27 +53,12 @@ case class HyperplaneBuckets(
 
   // ±1 plane matrix, built lazily once the vector dimension is known.
   // Deterministic and idempotent, so the benign init race is harmless.
-  @transient private var planeCache: Array[Float] = _
+  @transient private var planeCache: Array[Byte] = _
   @transient private var planeDim: Int = -1
 
-  private def planes(dim: Int): Array[Float] = {
+  private def planes(dim: Int): Array[Byte] = {
     if (planeCache == null || planeDim != dim) {
-      val p = new Array[Float](tables * bits * dim)
-      var t = 0
-      while (t < tables) {
-        var b = 0
-        while (b < bits) {
-          var j = 0
-          while (j < dim) {
-            val h = Hash64.mix((t.toLong * 131071 + b) * 524287 + j)
-            p((t * bits + b) * dim + j) = if ((h & 1L) == 0L) 1.0f else -1.0f
-            j += 1
-          }
-          b += 1
-        }
-        t += 1
-      }
-      planeCache = p
+      planeCache = HyperplaneBuckets.planeSigns(tables, bits, dim)
       planeDim = dim
     }
     planeCache
@@ -72,9 +67,12 @@ case class HyperplaneBuckets(
   override protected def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val dim = vec.numElements()
-    val v = new Array[Double](dim)
+    val v = new Array[Long](dim)
     var j = 0
-    while (j < dim) { v(j) = vec.getDouble(j); j += 1 }
+    while (j < dim) {
+      v(j) = math.floor(vec.getDouble(j) * 1e9 + 0.5).toLong
+      j += 1
+    }
     val pl = planes(dim)
     val keys = new Array[Long](tables)
     var t = 0
@@ -82,10 +80,13 @@ case class HyperplaneBuckets(
       var sig = 0L
       var b = 0
       while (b < bits) {
-        var dot = 0.0
+        var dot = 0L
         val off = (t * bits + b) * dim
         var i = 0
-        while (i < dim) { dot += v(i) * pl(off + i); i += 1 }
+        while (i < dim) {
+          dot += (if (pl(off + i) > 0) v(i) else -v(i))
+          i += 1
+        }
         if (dot > 0) sig |= (1L << b)
         b += 1
       }
@@ -97,4 +98,40 @@ case class HyperplaneBuckets(
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+
+  /** The deterministic Rademacher plane matrix, sign at flat index
+    * (t·bits + b)·dim + j. Shared by the runtime expression and the
+    * oracle-side replay constant. */
+  def planeSigns(tables: Int, bits: Int, dim: Int): Array[Byte] = {
+    val p = new Array[Byte](tables * bits * dim)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      while (b < bits) {
+        var j = 0
+        while (j < dim) {
+          val h = Hash64.mix((t.toLong * 131071 + b) * 524287 + j)
+          p((t * bits + b) * dim + j) = if ((h & 1L) == 0L) 1 else -1
+          j += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    p
+  }
+
+  /** '1'/'0' rendering of [[planeSigns]] ('1' = +1), char index = flat
+    * index — interpolated into the d6/d13 oracle SQL as a BIT literal so
+    * DuckDB replays bucket assignment via get_bit (the plane matrix is a
+    * published constant of the operator, like d29's first-k centroids). */
+  def planeBitString(tables: Int, bits: Int, dim: Int): String = {
+    val p = planeSigns(tables, bits, dim)
+    val sb = new StringBuilder(p.length)
+    p.foreach(s => sb.append(if (s > 0) '1' else '0'))
+    sb.toString
+  }
 }

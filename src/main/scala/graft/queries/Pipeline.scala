@@ -25,6 +25,12 @@ object Pipeline {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("words", split(trim(col("text")), "\\s+"))
 
+  /** d6/d13 oracle replay constant: the deterministic Rademacher plane
+    * matrix at the testdata's embedding dim, rendered for DuckDB's
+    * get_bit. See HyperplaneBuckets.planeBitString. */
+  private val planeBits: String =
+    graft.expressions.HyperplaneBuckets.planeBitString(48, 6, 64)
+
   /** d42's portable polynomial bucket hash over a `word` column — the
     * ONE Scala spelling of the cross-engine feature-space contract
     * (each oracle spells the same arithmetic in SQL). d42/d43/d44/d48
@@ -578,7 +584,10 @@ object Pipeline {
     // (round 1's single 16-bit table had recall ≈ 0). Candidates are
     // distinct (qid, nid) id pairs — vectors are re-joined afterwards so
     // the shuffle carries ids, not arrays — then exact-cosine reranked.
-    // Recall vs d5 is spec-verified (DedupSpec).
+    // Recall vs d5 is spec-verified (DedupSpec); the output is also
+    // hash-checked against a full LSH replay oracle — bucket bits are
+    // signs of integer nano-unit dots over the published plane matrix,
+    // so DuckDB re-derives the exact candidate set (see oracle note).
     "d6_lsh_ann" -> { (s, dir) =>
       GraftExtensions.install(s)
       val emb = T(s, dir, "embeddings")
@@ -608,7 +617,8 @@ object Pipeline {
     // per-id. τ=0.4 matches this testdata's similarity regime (true
     // neighbors top out at cos ≈ 0.49); a real near-dup corpus uses
     // τ≈0.95 — threshold and LSH params are per-call. Planted-pair
-    // correctness is spec-verified (DedupSpec).
+    // correctness is spec-verified (DedupSpec); the pair set is also
+    // hash-checked against the same full LSH replay oracle as d6.
     "d13_embed_neardup" -> { (s, dir) =>
       GraftExtensions.install(s)
       val emb = T(s, dir, "embeddings")
@@ -2058,6 +2068,64 @@ object Pipeline {
       WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
                   len(list_distinct(a.wset || b.wset)), 4) >= 0.5
       ORDER BY doc_a, doc_b""",
+
+    // d6/d13: FULL LSH replay (the d29 idiom) — the Rademacher plane
+    // matrix is a published deterministic constant of the operator
+    // (HyperplaneBuckets.planeBitString, interpolated below as a BIT
+    // literal) and bucket bits are signs of order-free INTEGER dot
+    // products, so DuckDB re-derives every bucket key bit-for-bit and
+    // the candidate sets match exactly — no recall band needed.
+    "d6_lsh_ann" -> s"""
+      WITH iv AS (SELECT vec_id,
+                    list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS ivec
+                  FROM embeddings),
+      keys AS (
+        SELECT vec_id, CAST(t.t * 281474976710656 +
+          list_sum(list_transform(range(6), b ->
+            CASE WHEN list_sum(list_transform(range(64), j ->
+                   CASE WHEN get_bit(p.pb, CAST((t.t * 6 + b) * 64 + j AS INTEGER)) = 1
+                        THEN ivec[j + 1] ELSE -ivec[j + 1] END)) > 0
+                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS bkt
+        FROM iv, range(48) t(t), (SELECT '${planeBits}'::BIT AS pb) p),
+      qk AS (SELECT vec_id AS qid, bkt FROM keys WHERE vec_id < 10),
+      cand AS (SELECT DISTINCT qk.qid, k.vec_id AS nid
+               FROM qk JOIN keys k ON k.bkt = qk.bkt AND k.vec_id <> qk.qid),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      sc AS (SELECT qid, nid,
+                    round(list_cosine_similarity(q.ve, n.ve), 4) AS cos_sim
+             FROM cand JOIN e q ON q.vec_id = cand.qid
+                       JOIN e n ON n.vec_id = cand.nid),
+      r AS (SELECT qid, nid, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY cos_sim DESC, nid) AS INT) AS rn
+            FROM sc)
+      SELECT qid, nid, cos_sim, rn FROM r WHERE rn <= 5
+      ORDER BY qid, rn""",
+
+    "d13_embed_neardup" -> s"""
+      WITH iv AS (SELECT vec_id,
+                    list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS ivec
+                  FROM embeddings),
+      keys AS (
+        SELECT vec_id, CAST(t.t * 281474976710656 +
+          list_sum(list_transform(range(6), b ->
+            CASE WHEN list_sum(list_transform(range(64), j ->
+                   CASE WHEN get_bit(p.pb, CAST((t.t * 6 + b) * 64 + j AS INTEGER)) = 1
+                        THEN ivec[j + 1] ELSE -ivec[j + 1] END)) > 0
+                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS bkt
+        FROM iv, range(48) t(t), (SELECT '${planeBits}'::BIT AS pb) p),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM keys a JOIN keys b
+                 ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      sc AS (SELECT id_a, id_b,
+                    round(list_cosine_similarity(a.ve, b.ve), 4) AS cos_sim
+             FROM cand JOIN e a ON a.vec_id = cand.id_a
+                       JOIN e b ON b.vec_id = cand.id_b)
+      SELECT id_a, id_b, cos_sim FROM sc WHERE cos_sim >= 0.4
+      ORDER BY id_a, id_b""",
 
     "d5_knn_cosine" -> """
       WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
