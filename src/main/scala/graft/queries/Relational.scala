@@ -89,7 +89,14 @@ object Relational {
         .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // integer cents BEFORE the sum (repo money rule): a raw double
+        // sum rounded at 2dp loses the last cent once the aggregate
+        // passes ~1e7 (seen at the sf1 stress sweep, same class as
+        // a12); per-row cents make the sum order-free exact, and the
+        // final /100.0 is one identical IEEE division in both engines
+        .agg((sum(expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          / 100.0).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -1100,7 +1107,9 @@ object Relational {
       ORDER BY o_orderpriority""",
 
     "q5_star_join" -> """
-      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      SELECT n_name,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               / 100.0 AS revenue
       FROM customer, orders, lineitem, supplier, nation, region
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
