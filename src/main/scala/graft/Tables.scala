@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -16,17 +16,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    // raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    // Verify/Bench/test sessions). Convert losslessly to a µs timestamp
-    // (`div` keeps the arithmetic integral).
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** events.ts arrives in whatever physical form the driver's generator
+    * used this round; normalize every variant to session-tz TimestampType
+    * so downstream epoch arithmetic and streaming event-time both work:
+    *  - TIMESTAMP(NANOS): Spark only reads it as a raw long
+    *    (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/
+    *    test sessions) → convert losslessly, `div` keeps it integral;
+    *  - timestamp[us] with isAdjustedToUTC=false: Spark 4 infers
+    *    TIMESTAMP_NTZ → cast to TimestampType. Under the UTC session tz
+    *    this reinterprets the same wall-clock to the same epoch micros
+    *    DuckDB reads, and watermarks/typed encoders require LTZ.
+    * Works on batch and streaming DataFrames alike (schema-only dispatch);
+    * shared by the batch loader and every streaming staging/consumer so
+    * the conversion rule cannot diverge between them.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
-  }
 
   /** Register every table as a temp view (for spark.sql-based queries). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -42,10 +42,7 @@ object StreamingOps {
       events.repartition(1).write.mode("overwrite").parquet(stageDir)
     val schema = s.read.parquet(stageDir).schema
     val raw = s.readStream.schema(schema).parquet(stageDir)
-    schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => raw
-    }
+    graft.Tables.normalizeTs(raw)
   }
 
   /** Run a (bounded) streaming DataFrame to completion into a memory
@@ -246,11 +243,7 @@ object StreamingOps {
       schema: StructType): DataFrame = {
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val withTs =
-      if (schema.exists(f => f.name == "ts" && f.dataType == LongType))
-        src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else src
-    withTs
+    graft.Tables.normalizeTs(src)
       .withColumn("cents", round(col("value") * 100).cast("long"))
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
@@ -619,8 +612,8 @@ object StreamingOps {
     "s13_stream_outer_join" -> { (s, dir) =>
       val inDir = sentinelClosedEventsDir(s, dir)
       val schema = s.read.parquet(inDir).schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val src = graft.Tables.normalizeTs(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir))
       val views = src.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
           col("event_id").as("view_id"))
@@ -675,8 +668,8 @@ object StreamingOps {
       import s.implicits._
       val inDir = sentinelClosedEventsDir(s, dir)
       val schema = s.read.parquet(inDir).schema
-      val evs = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val evs = graft.Tables.normalizeTs(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir))
         .selectExpr("cast(user_id as long) user_id", "ts",
           "cast(event_id as long) event_id", "cast(value as double) value")
         .withWatermark("ts", "1 hour")
