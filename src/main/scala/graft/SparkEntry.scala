@@ -17,10 +17,13 @@ object SparkEntry {
       Sources.queries ++ StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for approximate / hash-dependent /
-    * non-SQL-expressible ops (d2, d3, d6, d11, ...) → rows-only check.
-    * q26/q45 hash-check a banded contract instead: the query emits
-    * exact anchors plus in-band booleans, the oracle answers TRUE.
+    * the same parquet tables. The hash-dependent entries (d2, d3, d6,
+    * d13, d15, d23, d29) are checked via FULL replay oracles — DuckDB
+    * re-derives the signatures/buckets bit-for-bit (ReplaySql,
+    * HyperplaneBuckets.planeBitString). q26/q45 hash-check a banded
+    * contract instead: the query emits exact anchors plus in-band
+    * booleans, the oracle answers TRUE. Only d11 (stub media decode)
+    * remains rows-only, by design.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Pipeline.oracles ++

@@ -2048,6 +2048,14 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    // Full hash-family replay oracles (ReplaySql): DuckDB re-derives
+    // every MinHash/SimHash signature bit-for-bit, closing the last
+    // four hash-dependent rows-only entries.
+    "d2_minhash_lsh" -> ReplaySql.d2,
+    "d3_simhash" -> ReplaySql.d3,
+    "d15_jaccard_lsh" -> ReplaySql.d15,
+    "d23_minhash_estimate" -> ReplaySql.d23,
+
     "d1_exact_dedup" -> """
       SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
       FROM documents
