@@ -18,12 +18,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The hash-dependent entries (d2, d3, d6,
-    * d13, d15, d23, d29) are checked via FULL replay oracles — DuckDB
-    * re-derives the signatures/buckets bit-for-bit (ReplaySql,
-    * HyperplaneBuckets.planeBitString). q26/q45 hash-check a banded
-    * contract instead: the query emits exact anchors plus in-band
-    * booleans, the oracle answers TRUE. Only d11 (stub media decode)
-    * remains rows-only, by design.
+    * d11, d13, d15, d23, d29) are checked via FULL replay oracles —
+    * DuckDB re-derives the signatures/buckets/byte-folds bit-for-bit
+    * (ReplaySql, HyperplaneBuckets.planeBitString). q26/q45 hash-check
+    * a banded contract instead: the query emits exact anchors plus
+    * in-band booleans, the oracle answers TRUE. Every entry is
+    * oracle-checked — none are rows-only.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Pipeline.oracles ++

@@ -1134,7 +1134,10 @@ object Pipeline {
     // ---- d11: multimodal column plumbing — opaque binary payload +
     // typed metadata struct; batched per-partition stub decode (the real
     // image/audio decoder would slot into decodeBatch; Spark-side schema,
-    // partitioning and batch shape are the real, tested parts).
+    // partitioning and batch shape are the real, tested parts). The stub
+    // features are pure byte arithmetic, so even this entry carries a
+    // full replay oracle (ReplaySql.d11) — DuckDB re-derives the
+    // byte-fold checksum from the same UTF-8 payload.
     "d11_multimodal" -> { (s, dir) =>
       import s.implicits._
       val media = T(s, dir, "documents")
@@ -1149,7 +1152,8 @@ object Pipeline {
               // STUB decode: deterministic fake features standing in for
               // image/audio feature extraction (libs absent in container).
               val checksum = bytes.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L)
-              (id, bytes.length, if (bytes.isEmpty) -1 else bytes(0) & 0xff, checksum)
+              (id, bytes.length.toLong,
+                if (bytes.isEmpty) -1L else (bytes(0) & 0xff).toLong, checksum)
             }
           }
         }.toDF("doc_id", "n_bytes", "head_byte", "checksum")
@@ -2053,6 +2057,7 @@ object Pipeline {
     // four hash-dependent rows-only entries.
     "d2_minhash_lsh" -> ReplaySql.d2,
     "d3_simhash" -> ReplaySql.d3,
+    "d11_multimodal" -> ReplaySql.d11,
     "d15_jaccard_lsh" -> ReplaySql.d15,
     "d23_minhash_estimate" -> ReplaySql.d23,
 

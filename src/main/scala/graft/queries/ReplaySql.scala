@@ -231,6 +231,30 @@ private[queries] object ReplaySql {
        |UNION ALL
        |SELECT doc_a, doc_b, jaccard FROM within""".stripMargin
 
+  /** d11: the multimodal stub decode is pure byte arithmetic over the
+    * UTF-8 payload (`(a*131 + byte) % 1e9+7` fold, head byte, length),
+    * so DuckDB replays it exactly from the same hex-decoded bytes —
+    * closing the last rows-only entry. The REAL decoder slot keeps the
+    * same contract: any deterministic feature extractor is replayable
+    * by construction, and a non-deterministic one would downgrade this
+    * entry back to rows-only, never silently diverge. BIGINT is safe:
+    * the accumulator stays < 1e9+7, so a*131 + 255 < 2^37. */
+  val d11: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS nb
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(nb AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN nb = 0 THEN -1
+      |       ELSE strpos('123456789ABCDEF', substr(hx, 1, 1)) * 16
+      |          + strpos('123456789ABCDEF', substr(hx, 2, 1)) END AS BIGINT) AS head_byte,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(range(nb),
+      |      i -> CAST(strpos('123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) * 16
+      |              + strpos('123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) AS BIGINT))),
+      |    (a, bb) -> (a * 131 + bb) % 1000000007) AS checksum
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** d23: signature-estimated Jaccard — fraction of agreeing signature
     * components (signed minima equality is representation-independent)
     * ≥ 0.7, expanded like d15. */
