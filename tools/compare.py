@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Engine-vs-engine timing comparison (the DUCKDB_COMPARE.json producer).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> <benchLog> <outJson> [round]
+
+- Times every oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB
+  (threads=32, same parquet tables) — median of 3 runs after 1 warmup.
+- Parses per-query Spark seconds from a Bench stdout log
+  (`[bench] <name>  <sec>s` lines).
+- Writes {sf, threads, round, comparable, rows:{name:{duckdb_sec,
+  spark_sec}}} to <outJson>.
+
+Methodology note (same as round 5): Spark seconds are full Bench action
+times (including any staging writes an entry performs); DuckDB seconds
+are oracle-query times over the same tables. This favors DuckDB on
+entries whose cost is a side-effecting write (a7/a11/a12/...), which is
+noted in BENCH_NOTES rather than corrected.
+"""
+import sys, os, json, re, time, statistics
+import duckdb
+
+def main():
+    sf_dir, out_dir, bench_log, out_json = sys.argv[1:5]
+    rnd = sys.argv[5] if len(sys.argv) > 5 else "?"
+    con = duckdb.connect()
+    con.sql("SET threads=32")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+
+    spark = {}
+    pat = re.compile(r"\[bench\]\s+(\S+)\s+([0-9.]+)s")
+    for line in open(bench_log, errors="replace"):
+        m = pat.search(line)
+        if m:
+            spark[m.group(1)] = float(m.group(2))
+
+    rows = {}
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            # adaptive runs: first (cold) measurement decides — anything
+            # over 3 s keeps its single cold time (d20's recursive CTE
+            # runs minutes; 4 repetitions would dominate the sweep),
+            # fast queries get warmup + median-of-3.
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            cold = time.perf_counter() - t0
+            if cold > 3.0:
+                dd = round(cold, 3)
+            else:
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.sql(sql).fetchall()
+                    ts.append(time.perf_counter() - t0)
+                dd = round(statistics.median(ts), 3)
+        except Exception as e:
+            print(f"{name:32s} DUCKDB-ERROR {str(e)[:80]}")
+            continue
+        sp = spark.get(name)
+        rows[name] = {"duckdb_sec": dd, "spark_sec": sp}
+        print(f"{name:32s} duckdb {dd:8.3f}s  spark {sp if sp is not None else float('nan'):8.3f}s")
+
+    comparable = {k: v for k, v in rows.items() if v["spark_sec"] is not None}
+    tot_d = round(sum(v["duckdb_sec"] for v in comparable.values()), 1)
+    tot_s = round(sum(v["spark_sec"] for v in comparable.values()), 1)
+    out = {"sf": float(sf_dir.rstrip('/').split('sf')[-1]) if 'sf' in sf_dir else None,
+           "threads": 32, "round": rnd, "comparable": len(comparable),
+           "duckdb_total_sec": tot_d, "spark_total_sec": tot_s,
+           "rows": rows}
+    json.dump(out, open(out_json, "w"), indent=1, sort_keys=True)
+    print(f"\n=== comparable={len(comparable)} duckdb={tot_d}s spark={tot_s}s "
+          f"ratio spark/duckdb={round(tot_s/max(tot_d,1e-9),2)} ===")
+
+if __name__ == "__main__":
+    main()
