@@ -88,8 +88,18 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("heavy_hitters(item, k) — k must be an int literal")
       }),
     ("hyperplane_buckets",
-      info("hyperplane_buckets", "hyperplane_buckets(vec) - multi-table sign-LSH bucket keys"),
-      (e: Seq[Expression]) => HyperplaneBuckets(e.head)),
+      info("hyperplane_buckets",
+        "hyperplane_buckets(vec[, tables, bits]) - multi-table sign-LSH bucket keys; " +
+          "tables/bits tune the occupancy-vs-recall trade (bits should grow ~log2(n) " +
+          "to hold per-bucket occupancy constant as the corpus scales)"),
+      (e: Seq[Expression]) => e match {
+        case Seq(c) => HyperplaneBuckets(c)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(t: Int, _),
+                    org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _)) =>
+          HyperplaneBuckets(c, t, b)
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_buckets(vec[, tables, bits]) — tables/bits must be int literals")
+      }),
     ("asof_on", info("asof_on",
       "asof_on(lkey, rkey, ltime, rtime) - AS-OF join marker: use as the ENTIRE condition " +
         "of a left/inner join; the AsOfJoinRewrite rule replaces the join with the native " +

@@ -31,6 +31,28 @@ object Pipeline {
   private val planeBits: String =
     graft.expressions.HyperplaneBuckets.planeBitString(48, 6, 64)
 
+  /** d13's plane matrix rendered at the adaptive-bits MAXIMUM width
+    * (stride 12): the sign at logical (t, b, j) is a pure hash of those
+    * indices — independent of the bits parameter — so the max-width
+    * rendering is a valid prefix table for ANY bits ≤ 12 and the oracle
+    * can replay whatever width [[adaptiveBits]] selects. */
+  private val planeBits12: String =
+    graft.expressions.HyperplaneBuckets.planeBitString(48, 12, 64)
+
+  /** Corpus-adaptive sign-LSH signature width: the smallest b in [6, 12]
+    * with 80·2^b ≥ n, i.e. bits grows with log2(n) so expected bucket
+    * occupancy (n/2^b ≤ 80) — and with it the quadratic within-bucket
+    * pair mass — stays CONSTANT as the corpus scales. With fixed bits the
+    * self-join candidate count grows n²/2^b (the sf1 stress sweep
+    * measured d13 at 97× cost for 10× rows); with adaptive bits it grows
+    * ~n·occupancy. Integer arithmetic only, replayed exactly by the
+    * DuckDB oracle from its own count(*). */
+  def adaptiveBits(n: Long): Int = {
+    var b = 6
+    while (b < 12 && (80L << b) < n) b += 1
+    b
+  }
+
   /** d42's portable polynomial bucket hash over a `word` column — the
     * ONE Scala spelling of the cross-engine feature-space contract
     * (each oracle spells the same arithmetic in SQL). d42/d43/d44/d48
@@ -619,17 +641,23 @@ object Pipeline {
     // τ≈0.95 — threshold and LSH params are per-call. Planted-pair
     // correctness is spec-verified (DedupSpec); the pair set is also
     // hash-checked against the same full LSH replay oracle as d6.
+    // Signature width is CORPUS-ADAPTIVE ([[adaptiveBits]]): a one-row
+    // cardinality probe picks bits ~ log2(n/80), holding per-bucket
+    // occupancy — and the quadratic within-bucket pair mass — constant
+    // as the corpus grows (the sf1 sweep measured fixed-width d13 at
+    // 97× cost for 10× rows; adaptive width restores ~linear growth).
     "d13_embed_neardup" -> { (s, dir) =>
       GraftExtensions.install(s)
       val emb = T(s, dir, "embeddings")
         .withColumn("vec", col("embedding").cast("array<double>"))
+      val bits = adaptiveBits(T(s, dir, "embeddings").count())
       // Id-only candidates + distinct BEFORE the kernel: with 48 tables
       // a true pair collides in many buckets, so deduping first cuts
       // kernel invocations ~5× — the opposite trade from d15, where the
       // dedup input was the dominant cost (both shapes were measured;
       // see BENCH_NOTES.md).
       val banded = emb.select(col("vec_id"),
-        explode(expr("hyperplane_buckets(vec)")).as("bkt"))
+        explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
         .persist() // both self-join sides; one bucket-build pass
       val a = banded.select(col("bkt"), col("vec_id").as("id_a"))
       val b = banded.select(col("bkt").as("bkt2"), col("vec_id").as("id_b"))
@@ -2117,18 +2145,21 @@ object Pipeline {
       ORDER BY qid, rn""",
 
     "d13_embed_neardup" -> s"""
-      WITH iv AS (SELECT vec_id,
+      WITH nb AS (SELECT COALESCE(MIN(b), 12) AS b
+                  FROM range(6, 13) r(b)
+                  WHERE (80::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
+      iv AS (SELECT vec_id,
                     list_transform(CAST(embedding AS DOUBLE[]),
                       x -> CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS ivec
                   FROM embeddings),
       keys AS (
         SELECT vec_id, CAST(t.t * 281474976710656 +
-          list_sum(list_transform(range(6), b ->
+          list_sum(list_transform(range(CAST(nb.b AS INTEGER)), b ->
             CASE WHEN list_sum(list_transform(range(64), j ->
-                   CASE WHEN get_bit(p.pb, CAST((t.t * 6 + b) * 64 + j AS INTEGER)) = 1
+                   CASE WHEN get_bit(p.pb, CAST((t.t * 12 + b) * 64 + j AS INTEGER)) = 1
                         THEN ivec[j + 1] ELSE -ivec[j + 1] END)) > 0
                  THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS bkt
-        FROM iv, range(48) t(t), (SELECT '${planeBits}'::BIT AS pb) p),
+        FROM iv, range(48) t(t), (SELECT '${planeBits12}'::BIT AS pb) p, nb),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM keys a JOIN keys b
                  ON a.bkt = b.bkt AND a.vec_id < b.vec_id),

@@ -47,7 +47,11 @@ object Sources {
     // explicit `file:` URL so the Hadoop FileSystem routing (identical
     // for hdfs://) is exercised rather than implied.
     "a1_scheme_routing" -> { (s, dir) =>
-      GraftReader.read(s, s"file:$dir/nation.parquet")
+      // a `file:` URI requires an absolute path (URI spec, and Hadoop
+      // Path rejects `file:relative/...`) — absolutize so the entry
+      // works for any sfDir spelling, not just the driver's absolute one
+      val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+      GraftReader.read(s, s"file:$abs/nation.parquet")
         .select(col("n_nationkey").cast("bigint").as("n_nationkey"), col("n_name"))
         .orderBy("n_nationkey")
     },
