@@ -59,7 +59,10 @@ object Bench {
       // round-5: Kneser-Ney bigram scoring (full bigram dictionary pass)
       "d49_kneser_ney",
       // round-5: banded edit-distance screen (6x DuckDB's full matrix)
-      "d52_edit_distance")
+      "d52_edit_distance",
+      // round-6: overlapping-8-gram substring dedup (full gram pass)
+      // and the corpus-wide kNN graph (LSH self-join + kernel)
+      "d53_substring_dedup", "d54_knn_graph")
     name match {
       case n if headliners(n) => 0
       case n if n.startsWith("d") => 1

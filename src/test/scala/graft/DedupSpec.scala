@@ -540,4 +540,69 @@ class DedupSpec extends SparkSpecBase {
     assert(got(20L) == ((10L, 1L, 1L, 0L)), s"short exact copy: ${got(20L)}")
     assert(got(25L) == ((9L, 0L, 0L, 1L)), s"short unique: ${got(25L)}")
   }
+
+  test("d53: substring dedup merges overlapping 8-gram marks into exact spans") {
+    import spark.implicits._
+    val dir = scratch("d53_planted")
+    def toks(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val shared = toks("s", 12) // planted cross-doc 12-token run
+    val rep = toks("c", 8)     // planted WITHIN-doc repeated 8-gram
+    val rows = Seq(
+      // doc 1: run at positions 10..21 → dup starts 10..14 merge to ONE
+      // span covering 12 tokens
+      (1L, (toks("u", 10) ++ shared ++ toks("v", 8)).mkString(" ")),
+      // doc 2: same run at positions 9..20 (boundary grams differ, so
+      // only the 5 fully-interior grams are duplicated)
+      (2L, (toks("p", 9) ++ shared ++ toks("q", 6)).mkString(" ")),
+      // doc 3: the SAME 8-gram twice within one doc — unlike d31's
+      // distinct-doc rule, self-repetition IS duplication here → two
+      // disjoint spans of 8
+      (3L, (rep ++ toks("m", 10) ++ rep).mkString(" ")),
+      // doc 4: fully unique → untouched
+      (4L, toks("z", 20).mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    val got = Pipeline.queries("d53_substring_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((30, 12L, 1L, 4000L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((27, 12L, 1L, 4444L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((26, 16L, 2L, 6154L)), s"doc3 (self-repeat): ${got(3L)}")
+    assert(got(4L) == ((20, 0L, 0L, 0L)), s"doc4: ${got(4L)}")
+  }
+
+  test("d54: kNN graph edges stay in-cluster on planted clustered vectors") {
+    // same clustered shape as d29/d45's corpora: tight 0.05 jitter
+    // around 20 well-separated centers — same-cluster cosine ≈ 1,
+    // cross-cluster ≈ 0, and sign-LSH collides same-cluster vectors in
+    // nearly every table, so the graph's top-5 must stay in-cluster.
+    val dir = scratch("planted-knn")
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def center(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val centers = Seq.fill(20)(center())
+    val rows = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      val v = c.map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.05f)
+      (i.toLong, v, i % 20)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Pipeline.queries("d54_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // corpus-wide coverage: (almost) every node contributes edges —
+    // this is the property d5/d6's 10-query entries cannot show
+    val nodes = got.map(_._1).distinct
+    assert(nodes.length >= 450, s"only ${nodes.length}/500 nodes have edges")
+    got.foreach { case (v, n, rn) =>
+      assert(v != n && rn >= 1 && rn <= 5, s"bad edge ($v,$n,rn=$rn)")
+    }
+    val inCluster = got.count { case (v, n, _) => v % 20 == n % 20 }
+    assert(inCluster.toDouble / got.length >= 0.9,
+      s"in-cluster fraction $inCluster/${got.length}")
+  }
 }
