@@ -345,4 +345,31 @@ class PlanAuditSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!p51.contains("BroadcastNestedLoopJoin"), s"d51 BNLJ:\n$p51")
   }
+
+  test("d53 substring dedup: span merge is one aggregate, no Window, semi-join membership") {
+    val opt = Pipeline.queries("d53_substring_dedup")(spark, sfTiny)
+      .queryExecution.optimizedPlan.toString
+    // the per-doc span fold must stay a map-combinable aggregate — a
+    // Window here would re-shuffle every gram start through a sort
+    assert("""\bWindow\b""".r.findAllIn(opt).isEmpty,
+      s"d53 span merge regressed to a Window sort:\n$opt")
+    val p = Pipeline.queries("d53_substring_dedup")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"dup-gram membership not a semi-join:\n$p")
+    assert(p.contains("partial_count"), s"dup-gram count has no map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d54 knn graph: candidate joins stay equi, exactly one top-k Window") {
+    val opt = Pipeline.queries("d54_knn_graph")(spark, sfTiny)
+      .queryExecution.optimizedPlan.toString
+    // one Window only — the per-node top-k over the occupancy-bounded
+    // LSH candidate set (NOT an n×k expansion; see d54's plan note)
+    assert("""\bWindow\b""".r.findAllIn(opt).length == 1,
+      s"d54: want exactly the top-k Window:\n$opt")
+    val p = Pipeline.queries("d54_knn_graph")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d54 candidate generation fell off the equi-join path:\n$p")
+  }
 }
