@@ -39,6 +39,36 @@ object Pipeline {
   private val planeBits12: String =
     graft.expressions.HyperplaneBuckets.planeBitString(48, 12, 64)
 
+  /** The d13/d54/d55 oracle replay core: CTE chain (nb..sc) that
+    * re-derives [[lshScoredPairs]] bit-for-bit in DuckDB — adaptive
+    * width from its own count(*), integer dot-product signs against
+    * the rendered plane matrix, distinct unordered candidate pairs,
+    * exact cosine at 4dp. Each consumer appends its own tail CTEs. */
+  private lazy val lshScoredSql: String = s"""
+      nb AS (SELECT COALESCE(MIN(b), 12) AS b
+                  FROM range(6, 13) r(b)
+                  WHERE (80::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
+      iv AS (SELECT vec_id,
+                    list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS ivec
+                  FROM embeddings),
+      keys AS (
+        SELECT vec_id, CAST(t.t * 281474976710656 +
+          list_sum(list_transform(range(CAST(nb.b AS INTEGER)), b ->
+            CASE WHEN list_sum(list_transform(range(64), j ->
+                   CASE WHEN get_bit(p.pb, CAST((t.t * 12 + b) * 64 + j AS INTEGER)) = 1
+                        THEN ivec[j + 1] ELSE -ivec[j + 1] END)) > 0
+                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS bkt
+        FROM iv, range(48) t(t), (SELECT '$planeBits12'::BIT AS pb) p, nb),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM keys a JOIN keys b
+                 ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      sc AS (SELECT id_a, id_b,
+                    round(list_cosine_similarity(a.ve, b.ve), 4) AS cos_sim
+             FROM cand JOIN e a ON a.vec_id = cand.id_a
+                       JOIN e b ON b.vec_id = cand.id_b)"""
+
   /** Corpus-adaptive sign-LSH signature width: the smallest b in [6, 12]
     * with 80·2^b ≥ n, i.e. bits grows with log2(n) so expected bucket
     * occupancy (n/2^b ≤ 80) — and with it the quadratic within-bucket
@@ -133,6 +163,47 @@ object Pipeline {
       .join(emb.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
+  }
+
+  /** One alternating round of Kiveris et al.'s star-contraction
+    * connected components ("Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the 100 TB-scale complement to d20's
+    * union-find: d20 is exact because d4's edges never cross its
+    * blocking key so one task can hold a block's node set; LSH edges
+    * (d55) respect no blocking key, and star contraction needs NO
+    * per-task node set at all. Each step is one map-combinable min
+    * aggregate plus one id-keyed equi-join over the edge list —
+    * constant state per row, converges in O(log n) rounds.
+    *
+    * large-star: for every node u, hook each strictly-LARGER neighbor
+    * to m = min(Γ(u) ∪ {u}). Every edge is processed once, via its
+    * smaller endpoint; output edges are (larger, smaller)-oriented.
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val bi = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = bi.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    bi.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** small-star: orient every edge large→small, then for every node u
+    * hook u and all its smaller neighbors to m = min(Γ⁻(u)). Same
+    * shape as [[largeStar]]: min aggregate + equi-join, no node sets.
+    */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = or.groupBy("u").agg(min("v").as("m"))
+    or.join(mins, "u")
+      .select(col("v").as("a"), col("m").as("b"))
+      .union(mins.select(col("u").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
   }
 
   /** d4's blocking key. d20's per-block union-find is only globally
@@ -711,6 +782,54 @@ object Pipeline {
       bi.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .orderBy("vec_id", "rn")
+    },
+
+    // ---- d55: globally-exact SEMANTIC-DEDUP COMPONENTS — connected
+    // components over the d13 near-dup graph (same edges, same 0.4
+    // threshold, so the d13 replay oracle certifies the edge set and a
+    // recursive-CTE closure certifies the components). This is the
+    // decision layer the d54 kNN structure feeds: every vector gets a
+    // component root (min id), a component size, and a keep flag
+    // (root representative survives).
+    //
+    // Why NOT d20's scheme here: d20's per-block union-find holds a
+    // block's node set in one task — exact only because d4's edges
+    // never cross the blocking key. LSH edges respect no blocking key
+    // and semantic components can span the entire corpus, so d55 runs
+    // alternating large-star/small-star contraction ([[largeStar]] /
+    // [[smallStar]]): O(log n) rounds, each round two map-combinable
+    // min aggregates + id-keyed equi-joins, constant memory per row,
+    // NO Window, NO per-task node set — the shape that survives a
+    // billion-node near-dup graph. Each round is localCheckpoint'd to
+    // truncate the doubling lineage (on a cluster: sc.setCheckpointDir
+    // + reliable checkpoint instead). Convergence = edge-set fixpoint,
+    // checked with two except-counts per round; the 20-round guard is
+    // 2×log2(1e6) headroom over the paper's bound.
+    "d55_semdedup_components" -> { (s, dir) =>
+      val thr = 0.4 // d13's near-dup threshold: identical edge set
+      var cur = lshScoredPairs(s, dir).filter(col("cos_sim") >= thr)
+        .select(col("id_b").as("u"), col("id_a").as("v")) // id_a < id_b
+        .distinct().localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val next = smallStar(largeStar(cur)).localCheckpoint()
+        converged = next.count() == cur.count() && next.except(cur).isEmpty
+        cur = next
+        rounds += 1
+      }
+      require(converged, s"star contraction did not converge in $rounds rounds")
+      // at fixpoint the graph is a forest of stars: every non-root has
+      // exactly one outgoing (node → root) edge, roots have none
+      val lbl = T(s, dir, "embeddings").select(col("vec_id"))
+        .join(cur.select(col("u").as("vec_id"), col("v").as("rt")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("rt"), col("vec_id")).as("root"))
+      val sizes = lbl.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+      lbl.join(sizes, "root")
+        .select(col("vec_id"), col("root"), col("cluster_size"),
+          (col("vec_id") === col("root")).as("keep"))
+        .orderBy("vec_id")
     },
 
     // ---- d7: heuristic language ID by marker-word counts, deterministic
@@ -2239,29 +2358,7 @@ object Pipeline {
       ORDER BY qid, rn""",
 
     "d13_embed_neardup" -> s"""
-      WITH nb AS (SELECT COALESCE(MIN(b), 12) AS b
-                  FROM range(6, 13) r(b)
-                  WHERE (80::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
-      iv AS (SELECT vec_id,
-                    list_transform(CAST(embedding AS DOUBLE[]),
-                      x -> CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS ivec
-                  FROM embeddings),
-      keys AS (
-        SELECT vec_id, CAST(t.t * 281474976710656 +
-          list_sum(list_transform(range(CAST(nb.b AS INTEGER)), b ->
-            CASE WHEN list_sum(list_transform(range(64), j ->
-                   CASE WHEN get_bit(p.pb, CAST((t.t * 12 + b) * 64 + j AS INTEGER)) = 1
-                        THEN ivec[j + 1] ELSE -ivec[j + 1] END)) > 0
-                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS bkt
-        FROM iv, range(48) t(t), (SELECT '${planeBits12}'::BIT AS pb) p, nb),
-      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-               FROM keys a JOIN keys b
-                 ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-      sc AS (SELECT id_a, id_b,
-                    round(list_cosine_similarity(a.ve, b.ve), 4) AS cos_sim
-             FROM cand JOIN e a ON a.vec_id = cand.id_a
-                       JOIN e b ON b.vec_id = cand.id_b)
+      WITH $lshScoredSql
       SELECT id_a, id_b, cos_sim FROM sc WHERE cos_sim >= 0.4
       ORDER BY id_a, id_b""",
 
@@ -2270,29 +2367,7 @@ object Pipeline {
     // bit-for-bit, so the candidate graph matches exactly and the
     // (cos_sim DESC, nid) tie-break pins the top-k on both engines.
     "d54_knn_graph" -> s"""
-      WITH nb AS (SELECT COALESCE(MIN(b), 12) AS b
-                  FROM range(6, 13) r(b)
-                  WHERE (80::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
-      iv AS (SELECT vec_id,
-                    list_transform(CAST(embedding AS DOUBLE[]),
-                      x -> CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS ivec
-                  FROM embeddings),
-      keys AS (
-        SELECT vec_id, CAST(t.t * 281474976710656 +
-          list_sum(list_transform(range(CAST(nb.b AS INTEGER)), b ->
-            CASE WHEN list_sum(list_transform(range(64), j ->
-                   CASE WHEN get_bit(p.pb, CAST((t.t * 12 + b) * 64 + j AS INTEGER)) = 1
-                        THEN ivec[j + 1] ELSE -ivec[j + 1] END)) > 0
-                 THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS bkt
-        FROM iv, range(48) t(t), (SELECT '${planeBits12}'::BIT AS pb) p, nb),
-      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-               FROM keys a JOIN keys b
-                 ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-      sc AS (SELECT id_a, id_b,
-                    round(list_cosine_similarity(a.ve, b.ve), 4) AS cos_sim
-             FROM cand JOIN e a ON a.vec_id = cand.id_a
-                       JOIN e b ON b.vec_id = cand.id_b),
+      WITH $lshScoredSql,
       bi AS (SELECT id_a AS vec_id, id_b AS nid, cos_sim FROM sc
              UNION ALL
              SELECT id_b, id_a, cos_sim FROM sc),
@@ -2302,6 +2377,28 @@ object Pipeline {
             FROM bi)
       SELECT vec_id, nid, cos_sim, rn FROM r WHERE rn <= 5
       ORDER BY vec_id, rn""",
+
+    // d55: the d13 replay certifies the edge set, then an exact
+    // recursive-CTE transitive closure (d20's idiom) certifies the
+    // min-label components — so the star-contraction = global-closure
+    // equivalence is itself oracle-verified.
+    "d55_semdedup_components" -> s"""
+      WITH RECURSIVE $lshScoredSql,
+      ed AS (SELECT id_a, id_b FROM sc WHERE cos_sim >= 0.4),
+      und AS (SELECT id_a AS src, id_b AS dst FROM ed
+              UNION ALL
+              SELECT id_b, id_a FROM ed),
+      reach(node, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+        WHERE r.lbl < u.dst),
+      comp AS (SELECT node AS vec_id, min(lbl) AS root FROM reach GROUP BY node)
+      SELECT c.vec_id, c.root, CAST(n.sz AS BIGINT) AS cluster_size,
+             (c.vec_id = c.root) AS keep
+      FROM comp c JOIN (SELECT root, count(*) AS sz FROM comp GROUP BY root) n
+        USING (root)
+      ORDER BY vec_id""",
 
     "d5_knn_cosine" -> """
       WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

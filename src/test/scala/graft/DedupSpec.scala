@@ -605,4 +605,76 @@ class DedupSpec extends SparkSpecBase {
     assert(inCluster.toDouble / got.length >= 0.9,
       s"in-cluster fraction $inCluster/${got.length}")
   }
+
+  test("d55: star-contraction components equal a union-find over d13's edges") {
+    // same planted-cluster corpus as d54; the check is mechanical
+    // self-consistency: d55's distributed large-star/small-star result
+    // must equal an in-memory union-find over EXACTLY the edges d13
+    // emits (same threshold), including min-root canonicalization and
+    // component sizes — independent of how lucky the seed was.
+    val dir = scratch("planted-knn-cc")
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def center(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val centers = Seq.fill(20)(center())
+    val rows = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      val v = c.map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.05f)
+      (i.toLong, v, i % 20)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val edges = Pipeline.queries("d13_embed_neardup")(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    (0L until 500L).foreach(i => parent(i) = i)
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val root = (0L until 500L).map(i => i -> find(i)).toMap
+    val sz = root.values.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+    val got = Pipeline.queries("d55_semdedup_components")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == 500, s"expected 500 labeled nodes, got ${got.length}")
+    got.foreach { case (v, r, n, keep) =>
+      assert(r == root(v), s"node $v: root $r, union-find says ${root(v)}")
+      assert(n == sz(root(v)), s"node $v: size $n, union-find says ${sz(root(v))}")
+      assert(keep == (v == r), s"node $v: keep flag $keep with root $r")
+    }
+    // the corpus is 20 planted clusters: the labeling must be non-trivial
+    assert(sz.count(_._2 > 1) >= 15, s"too few multi-node components: $sz")
+  }
+
+  test("d55: labels propagate across multi-hop chains (transitivity)") {
+    // a 4-node path graph: unit vectors rotated 55° apart in a 2D plane
+    // of the 64-dim space — adjacent cosine cos(55°)=0.574 ≥ 0.4 (edge),
+    // two hops cos(110°)=-0.34 < 0.4 (no edge). One component {0,1,2,3}
+    // exists ONLY via 3-hop label propagation; a single-round min-of-
+    // neighbors would leave node 3 mislabeled.
+    val dir = scratch("chain-cc")
+    import spark.implicits._
+    val rows = (0 until 4).map { i =>
+      val th = math.toRadians(55.0 * i)
+      val v = Array.fill(64)(0f)
+      v(0) = math.cos(th).toFloat; v(1) = math.sin(th).toFloat
+      (i.toLong, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val edges = Pipeline.queries("d13_embed_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((0L, 1L), (1L, 2L), (2L, 3L)),
+      s"chain fixture expected exactly the adjacent pairs, got $edges")
+    val got = Pipeline.queries("d55_semdedup_components")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == Set((0L, 0L, 4L, true), (1L, 0L, 4L, false),
+      (2L, 0L, 4L, false), (3L, 0L, 4L, false)), s"chain components: $got")
+  }
 }

@@ -372,4 +372,29 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"d54 candidate generation fell off the equi-join path:\n$p")
   }
+
+  test("d55 star rounds: map-combinable min aggregate, equi-joins, no Window") {
+    // audit ONE contraction round directly (the d55 entry executes
+    // many, each localCheckpoint'd, so the final plan hides them): the
+    // per-node min must carry a map-side partial — that partial is the
+    // whole point of star contraction vs a sort-based argmin — and the
+    // hook-up join must stay an id-keyed equi-join.
+    import spark.implicits._
+    val e = Seq((5L, 1L), (7L, 1L), (9L, 7L), (4L, 2L))
+      .toDF("u", "v")
+    for ((step, df) <- Seq("largeStar" -> Pipeline.largeStar(e),
+                           "smallStar" -> Pipeline.smallStar(e))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("partial_min"), s"$step min has no map-side partial:\n$p")
+      assert("""\bWindow\b""".r.findAllIn(p).isEmpty, s"$step uses a Window:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$step hook-up join is not equi:\n$p")
+    }
+    // and the round itself is semantically right on a known graph:
+    // {1,5,7,9} ∪ {2,4} contract to stars on the min node
+    val fix = Pipeline.smallStar(Pipeline.largeStar(e))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fix == Set((5L, 1L), (7L, 1L), (9L, 1L), (4L, 2L)),
+      s"one round on the test graph gave $fix")
+  }
 }
