@@ -807,17 +807,30 @@ object Pipeline {
     // 2×log2(1e6) headroom over the paper's bound.
     "d55_semdedup_components" -> { (s, dir) =>
       val thr = 0.4 // d13's near-dup threshold: identical edge set
+      // the contraction loop runs on the EDGE set — orders of magnitude
+      // smaller than the corpus — so it gets the streaming entries'
+      // low-partition recipe (session default restored after): at 32
+      // partitions the ~1-job-per-round loop is pure task-launch floor.
+      // On a real cluster this stays at the session default.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
       var cur = lshScoredPairs(s, dir).filter(col("cos_sim") >= thr)
         .select(col("id_b").as("u"), col("id_a").as("v")) // id_a < id_b
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 20) {
-        val next = smallStar(largeStar(cur)).localCheckpoint()
-        converged = next.count() == cur.count() && next.except(cur).isEmpty
-        cur = next
-        rounds += 1
-      }
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        while (!converged && rounds < 20) {
+          val next = smallStar(largeStar(cur)).localCheckpoint(false)
+          // fixpoint in ONE action: both sides are distinct sets, so
+          // next == cur ⟺ every edge appears exactly twice in the
+          // union (this also materializes next's lazy checkpoint)
+          converged = next.unionByName(cur).groupBy("u", "v")
+            .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).isEmpty
+          cur = next
+          rounds += 1
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       require(converged, s"star contraction did not converge in $rounds rounds")
       // at fixpoint the graph is a forest of stars: every non-root has
       // exactly one outgoing (node → root) edge, roots have none
