@@ -25,6 +25,22 @@ object Pipeline {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("words", split(trim(col("text")), "\\s+"))
 
+  /** d8's quality formula (ratios rounded to 4dp BEFORE the weighted
+    * sum, the engine-portable idiom from BENCH_NOTES), shared with
+    * d57's representative selection so both entries rank identical
+    * values. Expects a `words` column ([[withWords]]). */
+  private def withQuality(df: DataFrame): DataFrame =
+    df.withColumn("n_chars_m", length(col("text")).cast("int"))
+      .withColumn("n_tokens", size(col("words")).cast("int"))
+      .withColumn("punct_ratio", round(
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+          col("n_chars_m"), 4))
+      .withColumn("uniq_ratio", round(
+        size(array_distinct(col("words"))).cast("double") / col("n_tokens"), 4))
+      .withColumn("quality_score", round(
+        lit(0.4) * col("uniq_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 50.0), 4))
+
   /** d6/d13 oracle replay constant: the deterministic Rademacher plane
     * matrix at the testdata's embedding dim, rendered for DuckDB's
     * get_bit. See HyperplaneBuckets.planeBitString. */
@@ -845,6 +861,111 @@ object Pipeline {
         .orderBy("vec_id")
     },
 
+    // ---- d56: SEQUENCE PACKING — GPT-style concat-and-chunk: per
+    // source, documents are concatenated in doc_id order and split into
+    // fixed context-length (L=512 ws-token) training sequences;
+    // documents MAY span sequence boundaries. Each doc's first/last
+    // sequence id and a boundary-crossing flag fall out of the running
+    // token count BEFORE the doc. The running count is a TWO-LEVEL
+    // distributed prefix sum — the shape that survives a source with
+    // billions of docs, where a single per-source Window sort would
+    // serialize the whole source through one task:
+    //  1. docs shard by doc_id range (monotone in the pack order, so
+    //     shard-local order + shard offsets = global order); a Window
+    //     cumsum runs per (source, shard) — parallel across shards.
+    //  2. per-shard token totals (one tiny row per shard) get their own
+    //     running sum per source, then broadcast-join back as offsets.
+    // No single-partition exchange anywhere (PlanAuditSpec pins this).
+    "d56_sequence_pack" -> { (s, dir) =>
+      val L = 512
+      val toks = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          size(col("words")).cast("long").as("n_tokens"))
+        .withColumn("shard", expr("doc_id div 1000"))
+      val w1 = Window.partitionBy("source", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = toks.withColumn("local_before",
+        coalesce(sum("n_tokens").over(w1), lit(0L)))
+      // level 2: one row per (source, shard) — thousands of rows at
+      // 100 TB, so the per-source running sum over shards is trivially
+      // cheap, and the join back is a broadcast
+      val w2 = Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = toks.groupBy("source", "shard")
+        .agg(sum("n_tokens").as("shard_total"))
+        .withColumn("shard_before", coalesce(sum("shard_total").over(w2), lit(0L)))
+        .select("source", "shard", "shard_before")
+      local.join(broadcast(offsets), Seq("source", "shard"))
+        .withColumn("cum_before", col("local_before") + col("shard_before"))
+        .withColumn("seq_first", expr(s"cum_before div $L"))
+        .withColumn("seq_last", expr(s"(cum_before + n_tokens - 1) div $L"))
+        .select(col("doc_id"), col("source"), col("n_tokens").cast("int").as("n_tokens"),
+          col("seq_first"), col("seq_last"),
+          (col("seq_last") > col("seq_first")).as("crosses"))
+        .orderBy("doc_id")
+    },
+
+    // ---- d57: near-dup cluster REPRESENTATIVE SELECTION — the
+    // canonicalization decision a dedup pipeline runs after clustering:
+    // docs sharing an identical simhash64 signature (exact 64-bit
+    // collision ⇒ near-identical token multisets) form a cluster; the
+    // survivor is the max-quality doc (d8's exact rounded formula via
+    // [[withQuality]]), ties to the lowest doc_id. ONE map-combinable
+    // aggregate — max_by over a (quality, -doc_id) struct — so partials
+    // collapse map-side and only one row per cluster shuffles: no
+    // Window, no sort, no per-cluster row expansion (PlanAuditSpec pins
+    // the no-Window shape). The oracle replays the signature bit-for-bit
+    // (ReplaySql.d57) and re-ranks with an explicit window, so the
+    // argmax contract is hash-checked end to end.
+    "d57_cluster_rep" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val scored = withQuality(withWords(T(s, dir, "documents")))
+        .withColumn("sig", expr("simhash64(words)"))
+      scored.groupBy("sig")
+        .agg(count(lit(1)).as("cluster_size"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+          max_by(struct(col("doc_id"), col("quality_score")),
+            struct(col("quality_score"), (-col("doc_id")).as("inv_id"))).as("rep"))
+        .filter(col("cluster_size") >= 2)
+        .select(col("min_doc"), col("max_doc"), col("cluster_size"),
+          (col("cluster_size") - 1).as("n_dropped"),
+          col("rep.doc_id").as("rep_doc_id"),
+          col("rep.quality_score").as("rep_quality"))
+        .orderBy("min_doc")
+    },
+
+    // ---- d58: DETERMINISTIC TRAINING-ORDER SHUFFLE — a seeded global
+    // permutation of the corpus WITHOUT a global sort, the standard
+    // 100 TB trick: every doc gets a cryptographic sort key
+    // md5(seed || doc_id), the key's first two hex digits pick one of
+    // 256 shards, rows sort WITHIN their shard (Window per shard —
+    // parallel), and the global position is shard-local position plus
+    // the running total of earlier shards' counts (a 256-row prefix
+    // sum, broadcast back). The result is a reproducible bijection
+    // corpus → [1..n] — same seed, same order, any cluster size — with
+    // per-shard output files a trainer can stream independently. At
+    // 100 TB the shard count widens with the corpus (4 hex digits →
+    // 65536 shards); the offsets table stays metadata-sized.
+    "d58_train_shuffle" -> { (s, dir) =>
+      val keyed = T(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("graft-shuffle-42:"), col("doc_id").cast("string")))
+            .as("skey"))
+        .withColumn("shard", conv(substring(col("skey"), 1, 2), 16, 10).cast("int"))
+      val wp = Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))
+      val pos = keyed.withColumn("pos", row_number().over(wp).cast("long"))
+      // 256 rows: the one intentionally single-partition window in the
+      // repo — it runs over the shard COUNT table, never the corpus
+      val wo = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+      val offs = keyed.groupBy("shard").agg(count(lit(1)).as("cnt"))
+        .withColumn("shard_before", coalesce(sum("cnt").over(wo), lit(0L)))
+        .select("shard", "shard_before")
+      pos.join(broadcast(offs), Seq("shard"))
+        .withColumn("global_pos", col("shard_before") + col("pos"))
+        .select("doc_id", "shard", "pos", "global_pos")
+        .orderBy("doc_id")
+    },
+
     // ---- d7: heuristic language ID by marker-word counts, deterministic
     // argmax tie-break (en > de > fr > es).
     "d7_langid" -> { (s, dir) =>
@@ -873,17 +994,7 @@ object Pipeline {
 
     // ---- d8: document quality scoring (length/punct/uniqueness ratios).
     "d8_quality" -> { (s, dir) =>
-      withWords(T(s, dir, "documents"))
-        .withColumn("n_chars_m", length(col("text")).cast("int"))
-        .withColumn("n_tokens", size(col("words")).cast("int"))
-        .withColumn("punct_ratio", round(
-          length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
-            col("n_chars_m"), 4))
-        .withColumn("uniq_ratio", round(
-          size(array_distinct(col("words"))).cast("double") / col("n_tokens"), 4))
-        .withColumn("quality_score", round(
-          lit(0.4) * col("uniq_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
-            lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 50.0), 4))
+      withQuality(withWords(T(s, dir, "documents")))
         .select("doc_id", "n_chars_m", "n_tokens", "punct_ratio", "uniq_ratio", "quality_score")
         .orderBy("doc_id")
     },
@@ -2314,6 +2425,50 @@ object Pipeline {
     "d11_multimodal" -> ReplaySql.d11,
     "d15_jaccard_lsh" -> ReplaySql.d15,
     "d23_minhash_estimate" -> ReplaySql.d23,
+    "d57_cluster_rep" -> ReplaySql.d57,
+
+    // d56: the oracle collapses the two-level prefix sum back to the
+    // textbook single window per source — identical results, which is
+    // exactly the decomposition claim under test.
+    "d56_sequence_pack" -> """
+      WITH w AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM w)
+      SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+             cum_before // 512 AS seq_first,
+             (cum_before + n_tokens - 1) // 512 AS seq_last,
+             (cum_before + n_tokens - 1) // 512 > cum_before // 512 AS crosses
+      FROM c ORDER BY doc_id""",
+
+    // d58: same two-level scheme as Spark's (the 256-row offsets window
+    // is trivial in both engines); hex-pair → shard uses the d11 strpos
+    // idiom since DuckDB has no base-16 conv().
+    "d58_train_shuffle" -> """
+      WITH k AS (
+        SELECT doc_id, md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents),
+      s AS (
+        SELECT doc_id, skey,
+               CAST(strpos('123456789abcdef', substr(skey, 1, 1)) * 16
+                  + strpos('123456789abcdef', substr(skey, 2, 1)) AS INT) AS shard
+        FROM k),
+      p AS (
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+        FROM s),
+      o AS (SELECT shard, count(*) AS cnt FROM s GROUP BY shard),
+      oo AS (
+        SELECT shard, coalesce(sum(cnt) OVER (ORDER BY shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_before
+        FROM o)
+      SELECT p.doc_id, p.shard, p.pos, oo.shard_before + p.pos AS global_pos
+      FROM p JOIN oo USING (shard)
+      ORDER BY p.doc_id""",
 
     "d1_exact_dedup" -> """
       SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id

@@ -141,11 +141,13 @@ private[queries] object ReplaySql {
   /** d3: full SimHash replay — mix(fnv1a(word)) per distinct word,
     * bit-majority vote weighted by occurrence count, 16-bit chunk
     * banding, exact hamming (bit_count over signed-bits xor) ≤ 3. */
-  val d3: String = {
+  /** SimHash signature replay prefix: CTE chain ending in
+    * sig(doc_id, sig) — the unsigned 64-bit SimHash64 signature as
+    * HUGEINT, bit-for-bit Spark's. Shared by d3 (chunk banding +
+    * hamming pairs) and d57 (identical-signature cluster
+    * representative selection). */
+  private val simhashSigPrefix: String = {
     val pow2 = hugeArr((0 until 64).map(k => 1L << k)) // k=63 renders unsigned 2^63
-    val chpow = hugeArr((0 until 4).map(c => 1L << (16 * c)))
-    val sigSigned =
-      s"CASE WHEN %s.sig >= 9223372036854775808::HUGEINT THEN %s.sig - $M64 ELSE %s.sig END"
     s"""WITH $wordsCte,
        |wc AS (SELECT doc_id, tok, count(*) AS cnt
        |       FROM (SELECT doc_id, unnest(words) AS tok FROM docs) GROUP BY doc_id, tok),
@@ -160,7 +162,14 @@ private[queries] object ReplaySql {
        |         GROUP BY wc.doc_id, b.k),
        |sig AS (SELECT doc_id,
        |               sum(CASE WHEN vote > 0 THEN ($pow2)[k + 1] ELSE 0::HUGEINT END) AS sig
-       |        FROM bits GROUP BY doc_id),
+       |        FROM bits GROUP BY doc_id)""".stripMargin
+  }
+
+  val d3: String = {
+    val chpow = hugeArr((0 until 4).map(c => 1L << (16 * c)))
+    val sigSigned =
+      s"CASE WHEN %s.sig >= 9223372036854775808::HUGEINT THEN %s.sig - $M64 ELSE %s.sig END"
+    s"""$simhashSigPrefix,
        |ch AS (SELECT doc_id, sig, CAST(c.c AS INTEGER) AS c,
        |              (sig // ($chpow)[CAST(c.c AS INTEGER) + 1]) % 65536::HUGEINT AS cv
        |       FROM sig, range(4) c(c)),
@@ -175,6 +184,38 @@ private[queries] object ReplaySql {
        |SELECT doc_a, doc_b, hamming FROM sp WHERE hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** d57: full SimHash replay + d8's exact quality formula, with the
+    * Spark side's map-combinable max_by argmax re-expressed as an
+    * explicit window rank (quality DESC, doc_id ASC) — the argmax
+    * contract is hash-checked end to end. */
+  val d57: String =
+    s"""$simhashSigPrefix,
+       |q0 AS (SELECT d.doc_id, d.text, CAST(length(d.text) AS INT) AS n_chars_m,
+       |              docs.words
+       |       FROM documents d JOIN docs USING (doc_id)),
+       |q1 AS (SELECT doc_id, n_chars_m, CAST(len(words) AS INT) AS n_tokens,
+       |              round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
+       |              round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS uniq_ratio
+       |       FROM q0),
+       |q AS (SELECT doc_id,
+       |             round(0.4 * uniq_ratio + 0.3 * (1.0 - punct_ratio) +
+       |                   0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) AS quality_score
+       |      FROM q1),
+       |cl AS (SELECT sig.doc_id, sig.sig AS s64, q.quality_score
+       |       FROM sig JOIN q USING (doc_id)),
+       |grp AS (SELECT s64, count(*) AS cluster_size,
+       |               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |        FROM cl GROUP BY s64 HAVING count(*) >= 2),
+       |rnk AS (SELECT cl.s64, cl.doc_id, cl.quality_score,
+       |               row_number() OVER (PARTITION BY cl.s64
+       |                 ORDER BY cl.quality_score DESC, cl.doc_id) AS rn
+       |        FROM cl JOIN grp USING (s64))
+       |SELECT g.min_doc, g.max_doc, g.cluster_size,
+       |       g.cluster_size - 1 AS n_dropped,
+       |       r.doc_id AS rep_doc_id, r.quality_score AS rep_quality
+       |FROM grp g JOIN rnk r ON r.s64 = g.s64 AND r.rn = 1
+       |ORDER BY g.min_doc""".stripMargin
 
   /** Shared d15/d23 prefix: exact-collapse to word-set group reps
     * (mirrors Pipeline.collapsedWordSets: sorted-distinct words, md5

@@ -397,4 +397,37 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(fix == Set((5L, 1L), (7L, 1L), (9L, 1L), (4L, 2L)),
       s"one round on the test graph gave $fix")
   }
+
+  test("d56 sequence pack: no single-partition exchange — the prefix sum stays sharded") {
+    // the whole point of the two-level decomposition: neither the
+    // corpus cumsum nor the shard-offset cumsum may serialize the data
+    // through one partition (the final presentation orderBy is range-
+    // partitioned, which is fine)
+    val p = plan("d56_sequence_pack")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"d56 prefix sum collapsed to a single partition:\n$p")
+    assert(p.contains("partial_sum"), s"shard totals lost the map-side partial:\n$p")
+  }
+
+  test("d57 cluster rep: one map-combinable argmax aggregate, no Window, no sort before shuffle") {
+    // the r5 VERDICT's crossJoin+row_number hazard, pinned in reverse:
+    // representative selection must plan as partial max_by partials
+    // (one row per cluster shuffles), never a per-cluster Window rank
+    val p = plan("d57_cluster_rep")
+    assert("""\bWindow\b""".r.findAllIn(p).isEmpty,
+      s"d57 argmax degraded to a Window rank:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"d57 max_by has no map-side partial:\n$p")
+  }
+
+  test("d58 train shuffle: corpus window is shard-partitioned; only the 256-row offsets collapse") {
+    val p = plan("d58_train_shuffle")
+    // exactly ONE single-partition exchange — the shard-count offsets
+    // table (bounded by shard fan-out, metadata-sized at any SF)
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single == 1, s"want exactly 1 single-partition exchange (offsets), got $single:\n$p")
+    // the per-shard rank must run over hash-partitioned shards
+    assert(p.contains("hashpartitioning(shard"),
+      s"d58 per-shard rank is not shard-partitioned:\n$p")
+  }
 }

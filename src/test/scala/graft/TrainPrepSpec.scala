@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.Pipeline
+import graft.sources.GraftWriter
+
+/** SURVEY §2 D specs for the training-prep decision layer added in
+  * round 6: d56 sequence packing (planted packing arithmetic + the
+  * two-level-prefix-sum ≡ single-window decomposition claim), d57
+  * cluster representative selection (planted clusters, quality argmax,
+  * tie-break), d58 deterministic training shuffle (bijection,
+  * reproducibility, shard-order consistency). */
+class TrainPrepSpec extends SparkSpecBase {
+
+  private def toks(n: Int, tag: String): String =
+    (0 until n).map(j => s"$tag$j").mkString(" ")
+
+  /** Three 300-token docs per source (L=512): doc 2 must straddle the
+    * first sequence boundary, doc 3 must land wholly in sequence 1.
+    * doc_ids span the 1000 shard boundary so the planted case also
+    * exercises a level-2 offset (shard 0 → shard 1 carry). */
+  private lazy val packDir: String = {
+    val dir = scratch("trainprep-pack")
+    import spark.implicits._
+    val rows = Seq(
+      (998L, "a", toks(300, "w")),
+      (999L, "a", toks(300, "x")),
+      (1001L, "a", toks(300, "y")), // other side of the doc_id div 1000 shard split
+      (500L, "b", toks(300, "p")),  // second source: independent numbering
+      (501L, "b", toks(300, "q")),
+      (502L, "b", toks(300, "r")))
+    val df = rows.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d56: planted packing — boundary crossing and per-source isolation") {
+    val got = Pipeline.queries("d56_sequence_pack")(spark, packDir)
+      .select("doc_id", "seq_first", "seq_last", "crosses")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val want = Set(
+      (998L, 0L, 0L, false),  // cum 0..299
+      (999L, 0L, 1L, true),   // cum 300..599 — straddles token 512, ACROSS the shard split
+      (1001L, 1L, 1L, false), // cum 600..899
+      (500L, 0L, 0L, false), (501L, 0L, 1L, true), (502L, 1L, 1L, false))
+    assert(got == want, s"got $got")
+  }
+
+  test("d56: two-level prefix sum ≡ single-window cumsum on real corpus") {
+    val out = Pipeline.queries("d56_sequence_pack")(spark, sfTiny)
+    // reference: the textbook one-window-per-source formulation
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = Tables.load(spark, sfTiny, "documents")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), expr("cum_before div 512").as("seq_first"),
+        expr("(cum_before + n_tokens - 1) div 512").as("seq_last"))
+    val diff = out.select("doc_id", "seq_first", "seq_last")
+      .exceptAll(ref).count() + ref.exceptAll(out.select("doc_id", "seq_first", "seq_last")).count()
+    assert(diff == 0, s"two-level decomposition diverges from single window on $diff rows")
+    assert(out.count() == ref.count())
+  }
+
+  /** d57 plant: {1,2} exact-dup pair (tie → min doc_id), {4,5,6} triple,
+    * {10,11} same word multiset but doc 11 uses doubled inter-word
+    * spacing — same simhash (words identical), LOWER punct_ratio (same
+    * punct chars over more chars), hence HIGHER quality: the argmax must
+    * pick id 11 over the smaller id 10. Docs 3 and 20 are singletons. */
+  private lazy val repDir: String = {
+    val dir = scratch("trainprep-rep")
+    import spark.implicits._
+    val base = toks(40, "m") + " punct!!!end"
+    val rows = Seq(
+      (1L, toks(30, "a")), (2L, toks(30, "a")),
+      (3L, toks(30, "c")),
+      (4L, toks(30, "d")), (5L, toks(30, "d")), (6L, toks(30, "d")),
+      (10L, base), (11L, base.replace(" ", "  ")),
+      (20L, toks(30, "z")))
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d57: planted clusters — sizes, quality argmax, min-id tie-break, no singletons") {
+    val got = Pipeline.queries("d57_cluster_rep")(spark, repDir)
+      .select("min_doc", "max_doc", "cluster_size", "n_dropped", "rep_doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val want = Set(
+      (1L, 2L, 2L, 1L, 1L),   // equal quality → min doc_id wins
+      (4L, 6L, 3L, 2L, 4L),
+      (10L, 11L, 2L, 1L, 11L)) // strictly higher quality beats lower id
+    assert(got == want, s"got $got")
+  }
+
+  test("d58: global_pos is a deterministic bijection consistent with (shard, pos)") {
+    val out1 = Pipeline.queries("d58_train_shuffle")(spark, sfTiny)
+    val rows = out1.collect()
+    val n = rows.length
+    assert(n > 0)
+    val gp = rows.map(_.getAs[Long]("global_pos"))
+    assert(gp.toSet == (1L to n.toLong).toSet, "global_pos must be a bijection onto 1..n")
+    // global order = shard-major, pos-minor (the two-level claim)
+    val triples = rows.map(r =>
+      (r.getAs[Int]("shard"), r.getAs[Long]("pos"), r.getAs[Long]("global_pos")))
+    assert(triples.sortBy(t => (t._1, t._2)).map(_._3).toSeq == (1L to n.toLong).toSeq)
+    // reproducibility: a second run yields the identical permutation
+    val out2 = Pipeline.queries("d58_train_shuffle")(spark, sfTiny)
+    assert(out2.exceptAll(out1).count() == 0 && out1.exceptAll(out2).count() == 0)
+  }
+}
