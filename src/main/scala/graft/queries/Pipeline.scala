@@ -92,7 +92,15 @@ object Pipeline {
     * self-join candidate count grows n²/2^b (the sf1 stress sweep
     * measured d13 at 97× cost for 10× rows); with adaptive bits it grows
     * ~n·occupancy. Integer arithmetic only, replayed exactly by the
-    * DuckDB oracle from its own count(*). */
+    * DuckDB oracle from its own count(*).
+    *
+    * The 12 cap is an ORACLE constraint, not a scale ceiling: the
+    * replay's plane table ([[planeBits12]]) is rendered at stride 12,
+    * and the sign at (t, b, j) is a pure index hash, so any bits ≤ 12
+    * replays from the same prefix table. At 100 TB (n ≫ 80·2^12 ≈
+    * 328 k vectors) keep occupancy constant by raising the cap and
+    * re-rendering the prefix table at the wider stride — the
+    * Expression itself takes arbitrary bits. */
   def adaptiveBits(n: Long): Int = {
     var b = 6
     while (b < 12 && (80L << b) < n) b += 1
