@@ -62,7 +62,10 @@ object Bench {
       "d52_edit_distance",
       // round-6: overlapping-8-gram substring dedup (full gram pass)
       // and the corpus-wide kNN graph (LSH self-join + kernel)
-      "d53_substring_dedup", "d54_knn_graph")
+      "d53_substring_dedup", "d54_knn_graph",
+      // round-6: star-contraction components (the second closure
+      // headline next to d20) and simhash cluster canonicalization
+      "d55_semdedup_components", "d57_cluster_rep")
     name match {
       case n if headliners(n) => 0
       case n if n.startsWith("d") => 1
