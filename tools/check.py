@@ -29,14 +29,17 @@ def norm(v):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
-        # driver testdata ships single files; Spark-written stress sets
-        # (e.g. target/sf1) are multi-part directories — glob those
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    def connect():
+        c = duckdb.connect()
+        for t in ["region","nation","customer","supplier","part","orders",
+                  "lineitem","events","documents","embeddings"]:
+            # driver testdata ships single files; Spark-written stress sets
+            # (e.g. target/sf1) are multi-part directories — glob those
+            p = f"{sf_dir}/{t}.parquet"
+            src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        return c
+    con = connect()
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = n_rowsonly = 0
     for d in sorted(os.listdir(out_dir)):
@@ -63,20 +66,28 @@ def main():
             # category, not a correctness fail, and the sweep moves on
             timeout = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_SEC", "0"))
             box = {}
+            qcon = con
             def run():
                 try:
-                    res = con.sql(oracles[d])
+                    res = qcon.sql(oracles[d])
                     box["cols"] = res.columns
                     box["rows"] = res.fetchall()
                 except Exception as e:
                     box["err"] = e
             if timeout > 0:
                 import threading
-                th = threading.Thread(target=run); th.start()
+                th = threading.Thread(target=run, daemon=True); th.start()
                 th.join(timeout)
                 if th.is_alive():
-                    con.interrupt()
-                    th.join()
+                    qcon.interrupt()
+                    # DuckDB occasionally ignores the interrupt inside a
+                    # large materialization (seen on the d15 replay at
+                    # sf1) — never wait forever on it: give it 30 s, then
+                    # ABANDON the daemon thread + its connection and
+                    # reconnect, so one stuck oracle can't hang the sweep
+                    th.join(30)
+                    if th.is_alive():
+                        con = connect()
                     print(f"{d:24s} ORACLE-TIMEOUT >{int(timeout)}s (not counted as fail)")
                     n_rowsonly += 1
                     continue
