@@ -41,12 +41,71 @@ def main():
         return c
     con = connect()
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+
+    def run_with_timeout(c, sql):
+        """Run sql on c under GRAFT_ORACLE_TIMEOUT_SEC. Returns "timeout",
+        an Exception, or (columns, rows). On a stuck interrupt the daemon
+        thread (and its connection) is abandoned — caller reconnects."""
+        timeout = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_SEC", "0"))
+        box = {}
+        def go():
+            try:
+                res = c.sql(sql)
+                box["cols"] = res.columns
+                box["rows"] = res.fetchall()
+            except Exception as e:
+                box["err"] = e
+        if timeout > 0:
+            import threading
+            th = threading.Thread(target=go, daemon=True); th.start()
+            th.join(timeout)
+            if th.is_alive():
+                c.interrupt()
+                th.join(30)
+                return "timeout"
+        else:
+            go()
+        if "err" in box:
+            return box["err"]
+        return (box["cols"], box["rows"])
     n_pass = n_fail = n_rowsonly = 0
     for d in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, d)
         if not os.path.isdir(path):
             continue
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # Huge outputs (stress scales can push pair sets past 100M rows)
+        # would OOM the Python-side canonicalization — compare them
+        # entirely inside DuckDB instead: columns sorted by name, EXCEPT
+        # ALL both directions (same per-oracle timeout applies).
+        big_rows = int(os.environ.get("GRAFT_BIG_ROWS", "2000000"))
+        n_sp = sum(pq.read_metadata(f).num_rows for f in files) if files else 0
+        if files and n_sp > big_rows and d in oracles:
+            cols = sorted(pq.read_schema(files[0]).names)
+            collist = ", ".join(cols)
+            flist = "[" + ", ".join(f"'{f}'" for f in files) + "]"
+            bigq = (f"WITH o AS ({oracles[d]}), "
+                    f"s AS (SELECT {collist} FROM read_parquet({flist})), "
+                    f"o2 AS (SELECT {collist} FROM o) "
+                    f"SELECT (SELECT count(*) FROM (SELECT * FROM o2 EXCEPT ALL SELECT * FROM s)) AS miss, "
+                    f"(SELECT count(*) FROM (SELECT * FROM s EXCEPT ALL SELECT * FROM o2)) AS extra")
+            res = run_with_timeout(con, bigq)
+            if res == "timeout":
+                con = connect()
+                print(f"{d:24s} ORACLE-TIMEOUT >{int(float(os.environ.get('GRAFT_ORACLE_TIMEOUT_SEC', '0')))}s (big-output compare, not counted as fail)")
+                n_rowsonly += 1
+            elif isinstance(res, Exception):
+                print(f"{d:24s} ORACLE-ERROR {str(res)[:120]}")
+                n_fail += 1
+            else:
+                miss, extra = res[1][0]
+                if miss == 0 and extra == 0:
+                    n_pass += 1
+                    print(f"{d:24s} PASS rows={n_sp} (duckdb-side compare)")
+                else:
+                    n_fail += 1
+                    print(f"{d:24s} FAIL miss={miss} extra={extra} of {n_sp} rows")
+            continue
         if files:
             import pyarrow as pa
             tbl = pa.concat_tables([pq.read_table(f) for f in files])
