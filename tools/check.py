@@ -145,8 +145,11 @@ def main():
                     # ABANDON the daemon thread + its connection and
                     # reconnect, so one stuck oracle can't hang the sweep
                     th.join(30)
-                    if th.is_alive():
-                        con = connect()
+                    # ALWAYS reconnect after an interrupt: even when the
+                    # thread dies promptly, the interrupt flag can leak
+                    # into the connection's NEXT query ("Interrupted!"
+                    # on an innocent oracle — seen after d55 at sf1)
+                    con = connect()
                     print(f"{d:24s} ORACLE-TIMEOUT >{int(timeout)}s (not counted as fail)")
                     n_rowsonly += 1
                     continue
