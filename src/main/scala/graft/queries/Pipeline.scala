@@ -913,6 +913,61 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- d59: WHOLE-DOCUMENT GREEDY PACKING (next-fit) — the other
+    // standard packing mode next to d56's concat-and-chunk: each doc
+    // goes WHOLLY into one fixed-length bin (no cross-document
+    // attention contamination — the SFT/instruction-tuning shape);
+    // docs are packed in doc_id order, a doc that would overflow the
+    // open bin closes it and opens the next; docs longer than L are
+    // truncated to L (flagged). Greedy per-stream packing is
+    // inherently sequential, so the distributed shape is SHARDED
+    // sequential: per (source, doc_id-range shard) the ordered doc
+    // list folds through ONE aggregate() lambda (shard-bounded arrays,
+    // ≤1000 structs — no Window, no row_number, no per-task corpus
+    // state), and shard-local bin ids globalize through the same
+    // tiny per-shard-totals prefix sum as d56. The fold is replayed
+    // exactly by a recursive-CTE oracle.
+    "d59_doc_pack" -> { (s, dir) =>
+      val L = 512
+      val toks = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          size(col("words")).cast("int").as("n_tokens"))
+        .withColumn("n", least(col("n_tokens"), lit(L)))
+        .withColumn("shard", expr("doc_id div 1000"))
+      // one corpus scan: n_tokens rides the fold struct, so nothing
+      // joins back against the documents table afterwards
+      val folded = toks.groupBy("source", "shard")
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("n"), col("n_tokens")))).as("ds"))
+        .withColumn("packed", expr(
+          s"""aggregate(ds,
+                named_struct(
+                  'out', cast(array() as array<struct<doc_id:bigint,n_tokens:int,bin:int,off:int>>),
+                  'bin', 0, 'fill', 0),
+                (acc, x) -> named_struct(
+                  'out', array_append(acc.out, named_struct(
+                    'doc_id', x.doc_id, 'n_tokens', x.n_tokens,
+                    'bin', if(acc.fill + x.n <= $L, acc.bin, acc.bin + 1),
+                    'off', if(acc.fill + x.n <= $L, acc.fill, 0))),
+                  'bin', if(acc.fill + x.n <= $L, acc.bin, acc.bin + 1),
+                  'fill', if(acc.fill + x.n <= $L, acc.fill + x.n, x.n)))"""))
+        .select(col("source"), col("shard"),
+          (col("packed.bin") + 1).cast("long").as("nbins"),
+          explode(col("packed.out")).as("p"))
+        .persist() // the offsets aggregate and the output both read it
+      val w2 = Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = folded.select("source", "shard", "nbins").distinct()
+        .withColumn("bin_off", coalesce(sum("nbins").over(w2), lit(0L)))
+        .select("source", "shard", "bin_off")
+      folded.join(broadcast(offs), Seq("source", "shard"))
+        .select(col("p.doc_id").as("doc_id"), col("source"),
+          col("p.n_tokens").as("n_tokens"),
+          (col("p.n_tokens") > L).as("truncated"),
+          (col("bin_off") + col("p.bin")).as("bin"), col("p.off").as("off"))
+        .orderBy("doc_id")
+    },
+
     // ---- d57: near-dup cluster REPRESENTATIVE SELECTION — the
     // canonicalization decision a dedup pipeline runs after clustering:
     // docs sharing an identical simhash64 signature (exact 64-bit
@@ -2452,6 +2507,43 @@ object Pipeline {
              (cum_before + n_tokens - 1) // 512 AS seq_last,
              (cum_before + n_tokens - 1) // 512 > cum_before // 512 AS crosses
       FROM c ORDER BY doc_id""",
+
+    // d59: the greedy next-fit fold replayed exactly as a recursive
+    // CTE — one iteration per rank advances every (source, shard)
+    // stream by one doc; bin ids then globalize through the same
+    // per-source prefix sum as the Spark side.
+    "d59_doc_pack" -> """
+      WITH RECURSIVE w AS (
+        SELECT doc_id, source, doc_id // 1000 AS shard,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+        FROM documents),
+      t AS (
+        SELECT *, least(n_tokens, 512) AS n,
+               CAST(row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS INT) AS rn
+        FROM w),
+      r AS (
+        SELECT source, shard, rn, doc_id, n_tokens, n,
+               0 AS bin, n AS fill, 0 AS off
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.source, t.shard, t.rn, t.doc_id, t.n_tokens, t.n,
+               CASE WHEN r.fill + t.n <= 512 THEN r.bin ELSE r.bin + 1 END,
+               CASE WHEN r.fill + t.n <= 512 THEN r.fill + t.n ELSE t.n END,
+               CASE WHEN r.fill + t.n <= 512 THEN r.fill ELSE 0 END
+        FROM r JOIN t ON t.source = r.source AND t.shard = r.shard
+                     AND t.rn = r.rn + 1),
+      bps AS (SELECT source, shard, max(bin) + 1 AS nbins
+              FROM r GROUP BY source, shard),
+      offs AS (
+        SELECT source, shard,
+               coalesce(sum(nbins) OVER (PARTITION BY source ORDER BY shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_off
+        FROM bps)
+      SELECT r.doc_id, r.source, r.n_tokens,
+             r.n_tokens > 512 AS truncated,
+             CAST(offs.bin_off + r.bin AS BIGINT) AS bin, r.off
+      FROM r JOIN offs ON offs.source = r.source AND offs.shard = r.shard
+      ORDER BY r.doc_id""",
 
     // d58: same two-level scheme as Spark's (the 256-row offsets window
     // is trivial in both engines); hex-pair → shard uses the d11 strpos

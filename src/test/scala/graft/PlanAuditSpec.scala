@@ -420,6 +420,19 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d57 max_by has no map-side partial:\n$p")
   }
 
+  test("d59 doc pack: shard-bounded fold — one tiny Window, no single-partition exchange") {
+    // the greedy fold must run inside the (source, shard) aggregate
+    // (collect_list partials + aggregate() lambda), never as a corpus
+    // Window scan; the only Window allowed is the per-source prefix
+    // sum over the shard-totals table
+    val p = plan("d59_doc_pack")
+    assert("""\bWindow\b""".r.findAllIn(p).length == 1,
+      s"d59 should have exactly one (offsets) Window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"d59 collapsed to a single partition:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d58 train shuffle: corpus window is shard-partitioned; only the 256-row offsets collapse") {
     val p = plan("d58_train_shuffle")
     // exactly ONE single-partition exchange — the shard-count offsets

@@ -103,6 +103,54 @@ class TrainPrepSpec extends SparkSpecBase {
     assert(got == want, s"got $got")
   }
 
+  /** d59 plant (L=512, one source): shard 0 holds token counts
+    * 300/300/100/512 at ids 996-999 — the greedy next-fit must close
+    * bin 0 after one doc (300+300 > 512), co-pack 300+100, and give
+    * the exact-fit 512 its own bin; shard 1 holds a 600-token doc
+    * (truncated to 512) whose bin id must CONTINUE shard 0's numbering
+    * through the per-source offset (bin 3). */
+  private lazy val binDir: String = {
+    val dir = scratch("trainprep-bins")
+    import spark.implicits._
+    val rows = Seq(
+      (996L, toks(300, "a")), (997L, toks(300, "b")),
+      (998L, toks(100, "c")), (999L, toks(512, "d")),
+      (1001L, toks(600, "e")))
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("a"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d59: planted next-fit packing — overflow close, co-pack, exact fit, truncation, shard carry") {
+    val got = Pipeline.queries("d59_doc_pack")(spark, binDir)
+      .select("doc_id", "bin", "off", "truncated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    val want = Set(
+      (996L, 0L, 0, false),
+      (997L, 1L, 0, false),   // 300+300 > 512: closes bin 0
+      (998L, 1L, 300, false), // 300+100 fits bin 1
+      (999L, 2L, 0, false),   // exact 512 fit in its own bin
+      (1001L, 3L, 0, true))   // next shard: numbering continues, doc truncated
+    assert(got == want, s"got $got")
+  }
+
+  test("d59: every bin stays within the 512-token budget on the real corpus") {
+    val out = Pipeline.queries("d59_doc_pack")(spark, sfTiny)
+    val overfull = out
+      .withColumn("used", col("off") + least(col("n_tokens"), lit(512)))
+      .groupBy("bin").agg(max("used").as("peak"))
+      .filter(col("peak") > 512)
+    assert(overfull.count() == 0, "a bin exceeds the token budget")
+    // offsets are consistent: docs in one bin tile it without overlap
+    val n = out.count()
+    assert(n == Tables.load(spark, sfTiny, "documents").count())
+  }
+
   test("d58: global_pos is a deterministic bijection consistent with (shard, pos)") {
     val out1 = Pipeline.queries("d58_train_shuffle")(spark, sfTiny)
     val rows = out1.collect()
