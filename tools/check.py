@@ -27,6 +27,63 @@ def norm(v):
         return tuple(norm(x) for x in v)
     return v
 
+def arrow_type_tag(t):
+    """Collapse a pyarrow type to a comparable class tag."""
+    import pyarrow as pa
+    if pa.types.is_boolean(t): return "bool"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}" + ("u" if not pa.types.is_signed_integer(t) else "")
+    if pa.types.is_floating(t): return "float"
+    if pa.types.is_decimal(t): return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "bin"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_timestamp(t): return "ts"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<" + arrow_type_tag(t.value_type) + ">"
+    if pa.types.is_struct(t): return "struct"
+    if pa.types.is_map(t): return "map"
+    return str(t)
+
+def duck_type_tag(t):
+    """Collapse a DuckDB type string to the same tag space."""
+    s = str(t).upper()
+    if s.startswith("DECIMAL"): return "decimal"
+    base = {"BOOLEAN": "bool", "TINYINT": "int8", "SMALLINT": "int16",
+            "INTEGER": "int32", "BIGINT": "int64", "HUGEINT": "int128",
+            "UTINYINT": "int8u", "USMALLINT": "int16u", "UINTEGER": "int32u",
+            "UBIGINT": "int64u", "UHUGEINT": "int128u",
+            "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str",
+            "BLOB": "bin", "DATE": "date"}
+    if s in base: return base[s]
+    if s.startswith("TIMESTAMP"): return "ts"
+    if s.endswith("[]"): return "list<" + duck_type_tag(s[:-2]) + ">"
+    if s.startswith("STRUCT"): return "struct"
+    if s.startswith("MAP"): return "map"
+    return s
+
+def type_skew(spark_schema, ora_cols, ora_types):
+    """The driver hashes TYPED values, so an oracle column whose DuckDB
+    result type differs in class from the Spark parquet type (classic:
+    sum(BIGINT) promoting to HUGEINT) hash-fails at the driver even when
+    every value matches numerically. Return [(col, spark_tag, duck_tag)]
+    for mismatched columns so the local gate catches this class."""
+    by_name = {f.name: arrow_type_tag(f.type) for f in spark_schema}
+    skews = []
+    for c, t in zip(ora_cols, ora_types):
+        if c not in by_name:
+            continue
+        st, dt = by_name[c], duck_type_tag(t)
+        if st == dt:
+            continue
+        # float-vs-decimal and float-width differences are absorbed by
+        # norm()'s 6dp rounding on the driver's value canon too — only
+        # integer-class / temporal / bool / string skew is fatal.
+        if st == "float" and dt in ("float", "decimal"):
+            continue
+        skews.append((c, st, dt))
+    return skews
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     def connect():
@@ -81,8 +138,40 @@ def main():
         big_rows = int(os.environ.get("GRAFT_BIG_ROWS", "2000000"))
         n_sp = sum(pq.read_metadata(f).num_rows for f in files) if files else 0
         if files and n_sp > big_rows and d in oracles:
-            cols = sorted(pq.read_schema(files[0]).names)
-            collist = ", ".join(cols)
+            schema = pq.read_schema(files[0])
+            cols = sorted(schema.names)
+            # The oracle relation is lazy in DuckDB — .columns/.types only
+            # bind, they don't execute — so the schema checks the normal
+            # path does (column-set equality + result-type skew) run here
+            # too before the expensive EXCEPT ALL compare.
+            try:
+                orel = con.sql(oracles[d])
+                ora_cols, ora_types = list(orel.columns), list(orel.types)
+            except Exception as e:
+                print(f"{d:24s} ORACLE-ERROR {str(e)[:120]}")
+                n_fail += 1
+                continue
+            if sorted(ora_cols) != cols:
+                print(f"{d:24s} FAIL cols spark={cols} oracle={sorted(ora_cols)}")
+                n_fail += 1
+                continue
+            skews = type_skew(schema, ora_cols, ora_types)
+            if skews:
+                print(f"{d:24s} FAIL type-skew " +
+                      ", ".join(f"{c}: spark={st} oracle={dt}" for c, st, dt in skews) +
+                      " (driver hashes typed values — CAST the oracle)")
+                n_fail += 1
+                continue
+            # EXCEPT ALL is exact bit equality; round floating columns to
+            # 6dp on BOTH sides so the big path matches norm()'s tolerance
+            # (Spark round() and DuckDB round() can differ 1 ULP raw).
+            import pyarrow as pa
+            def sel(c):
+                t = schema.field(c).type
+                if pa.types.is_floating(t):
+                    return f"round({c}, 6) AS {c}"
+                return c
+            collist = ", ".join(sel(c) for c in cols)
             flist = "[" + ", ".join(f"'{f}'" for f in files) + "]"
             bigq = (f"WITH o AS ({oracles[d]}), "
                     f"s AS (SELECT {collist} FROM read_parquet({flist})), "
@@ -130,6 +219,7 @@ def main():
                 try:
                     res = qcon.sql(oracles[d])
                     box["cols"] = res.columns
+                    box["types"] = res.types
                     box["rows"] = res.fetchall()
                 except Exception as e:
                     box["err"] = e
@@ -164,8 +254,14 @@ def main():
             continue
         sc, sr = canon(spark_rows, list(spark_cols))
         oc, orr = canon(ora_rows, list(ora_cols))
+        skews = type_skew(tbl.schema, ora_cols, box.get("types", [])) if tbl is not None else []
         if sc != oc:
             print(f"{d:24s} FAIL cols spark={sc} oracle={oc}")
+            n_fail += 1
+        elif skews:
+            print(f"{d:24s} FAIL type-skew " +
+                  ", ".join(f"{c}: spark={st} oracle={dt}" for c, st, dt in skews) +
+                  " (driver hashes typed values — CAST the oracle)")
             n_fail += 1
         elif sr != orr:
             n_fail += 1
