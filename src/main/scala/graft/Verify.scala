@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
@@ -25,6 +26,44 @@ object Verify {
   // driver's outer wall budget.
   val PerQueryTimeoutSec: Long =
     sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "60").toLong
+
+  /** Stress-sweep contract mode (SPARK_GRAFT_STRESS_CONTRACT=clusters):
+    * d15/d23's outputs are linear in the PAIR set — at sf1 ~90% of
+    * their wall time is Verify serializing 300-470 M pair rows, the
+    * dump contract rather than the plan (BENCH_NOTES r6). In clusters
+    * mode BOTH sides (the Spark dump and the dumped oracle SQL) are
+    * wrapped in the same per-doc aggregate — pair count, partner-id
+    * sum, and a sim×partner checksum — so the certified object is an
+    * order-free fingerprint of the full pair set at O(docs) rows.
+    * The official gate never sets the env, so the contract there stays
+    * the raw pair dump. */
+  private val pairContractSim: Map[String, String] = Map(
+    "d15_jaccard_lsh" -> "jaccard",
+    "d23_minhash_estimate" -> "est_jaccard")
+
+  private def contractMode: String =
+    sys.env.getOrElse("SPARK_GRAFT_STRESS_CONTRACT", "")
+
+  private[graft] def pairClusterContract(df: DataFrame, simCol: String): DataFrame = {
+    val u = df.select(col("doc_a").as("doc"), col("doc_b").as("other"), col(simCol).as("s"))
+      .unionAll(df.select(col("doc_b").as("doc"), col("doc_a").as("other"), col(simCol).as("s")))
+    u.groupBy("doc").agg(
+      count(lit(1)).as("n_pairs"),
+      sum("other").as("partner_sum"),
+      sum(expr("cast(round(s * 10000) as bigint) * ((other % 97) + 1)")).as("sim_check"))
+      .orderBy("doc")
+  }
+
+  private def pairClusterContractSql(sql: String, simCol: String): String =
+    s"""WITH graft_pairs AS ($sql),
+       |graft_u AS (
+       |  SELECT doc_a AS doc, doc_b AS other, $simCol AS s FROM graft_pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc, doc_a AS other, $simCol AS s FROM graft_pairs)
+       |SELECT doc, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(other) AS BIGINT) AS partner_sum,
+       |       CAST(sum(CAST(round(s * 10000) AS BIGINT) * ((other % 97) + 1)) AS BIGINT) AS sim_check
+       |FROM graft_u GROUP BY doc ORDER BY doc""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -51,7 +90,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles =
+      if (contractMode == "clusters")
+        SparkEntry.oracleSql.map { case (k, v) =>
+          k -> pairContractSim.get(k).map(pairClusterContractSql(v, _)).getOrElse(v)
+        }
+      else SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
@@ -68,9 +113,15 @@ object Verify {
       val fut = pool.submit(new Runnable {
         override def run(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          finally spark.sparkContext.clearJobGroup()
+          try {
+            val raw = fn(spark, sfDir)
+            val out =
+              if (contractMode == "clusters" && pairContractSim.contains(name))
+                pairClusterContract(raw, pairContractSim(name))
+              else raw
+            out.repartition(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          } finally spark.sparkContext.clearJobGroup()
         }
       })
       try {

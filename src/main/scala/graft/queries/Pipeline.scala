@@ -32,14 +32,60 @@ object Pipeline {
   private def withQuality(df: DataFrame): DataFrame =
     df.withColumn("n_chars_m", length(col("text")).cast("int"))
       .withColumn("n_tokens", size(col("words")).cast("int"))
-      .withColumn("punct_ratio", round(
+      // empty/whitespace-only docs: n_chars_m = 0 would NULL the ratio
+      // (and poison d57's max_by ordering struct) — define "no chars ⇒
+      // no punctuation" so quality_score is total; mirrored in the d8
+      // oracle and ReplaySql.d57 so both engines agree on degenerates
+      .withColumn("punct_ratio", when(col("n_chars_m") > 0, round(
         length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
-          col("n_chars_m"), 4))
+          col("n_chars_m"), 4)).otherwise(lit(0.0)))
       .withColumn("uniq_ratio", round(
         size(array_distinct(col("words"))).cast("double") / col("n_tokens"), 4))
       .withColumn("quality_score", round(
         lit(0.4) * col("uniq_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
           lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 50.0), 4))
+
+  /** Equi-depth monotone doc_id-range sharding, shared by d56/d59's
+    * prefix-sum decompositions (round 7 — replaces the fixed
+    * `doc_id div 1000` shard, whose shard count tracked the size of the
+    * ID SPACE: a sparse id space — real crawl ids — blew the "tiny"
+    * offsets table up to O(id_space/1000) one-doc shards and, for d59,
+    * collapsed packing density to one doc per bin). Scheme:
+    * bucket = doc_id div 64 (ids are unique, so a bucket holds ≤64
+    * docs); shard = (#docs in strictly-earlier buckets) div target.
+    * Monotone in doc_id per source (all the decompositions need),
+    * ≤ target+63 docs per shard and ~target average occupancy, so both
+    * the per-shard state and the offsets table track CORPUS size under
+    * arbitrarily sparse or hot id distributions. The bucket cum-count
+    * itself runs as the same two-level prefix sum (chunk = bucket div
+    * 4096) — no single-task window at any level. All-integer arithmetic
+    * ⇒ exactly replayable in portable oracle SQL, which
+    * approx_percentile-style bounds (engine-specific sketches) are not.
+    * Cost: one extra equi-join shuffle of id-sized rows against the
+    * (source, bucket) → shard map.
+    *
+    * `target` comes from session conf `graft.shard.target` (default
+    * 1000) so planted specs can exercise multi-shard carry on tiny
+    * corpora; the driver/oracle contract always runs the default. */
+  private[graft] def equiDepthShard(s: SparkSession, toks: DataFrame): DataFrame = {
+    val target = s.conf.get("graft.shard.target", "1000").toInt
+    val bucketed = toks.withColumn("bucket", expr("doc_id div 64"))
+    val bc = bucketed.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("chunk", expr("bucket div 4096"))
+    val w1 = Window.partitionBy("source", "chunk").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bc.withColumn("lb", coalesce(sum("bn").over(w1), lit(0L)))
+    val w2 = Window.partitionBy("source").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val coffs = bc.groupBy("source", "chunk").agg(sum("bn").as("ct"))
+      .withColumn("cb", coalesce(sum("ct").over(w2), lit(0L)))
+      .select("source", "chunk", "cb")
+    val shardOf = local.join(broadcast(coffs), Seq("source", "chunk"))
+      .select(col("source"), col("bucket"),
+        expr(s"(lb + cb) div $target").as("shard"))
+    bucketed.join(shardOf, Seq("source", "bucket")).drop("bucket")
+  }
 
   /** d6/d13 oracle replay constant: the deterministic Rademacher plane
     * matrix at the testdata's embedding dim, rendered for DuckDB's
@@ -48,12 +94,14 @@ object Pipeline {
     graft.expressions.HyperplaneBuckets.planeBitString(48, 6, 64)
 
   /** d13's plane matrix rendered at the adaptive-bits MAXIMUM width
-    * (stride 12): the sign at logical (t, b, j) is a pure hash of those
-    * indices — independent of the bits parameter — so the max-width
-    * rendering is a valid prefix table for ANY bits ≤ 12 and the oracle
-    * can replay whatever width [[adaptiveBits]] selects. */
-  private val planeBits12: String =
-    graft.expressions.HyperplaneBuckets.planeBitString(48, 12, 64)
+    * (stride 16, lifted from 12 in round 7): the sign at logical
+    * (t, b, j) is a pure hash of those indices — independent of the
+    * bits parameter — so the max-width rendering is a valid prefix
+    * table for ANY bits ≤ 16 and the oracle can replay whatever width
+    * [[adaptiveBits]] selects. 16 covers n up to 80·2^16 ≈ 5.2 M
+    * vectors per replay; the Expression itself takes arbitrary bits. */
+  private val planeBits16: String =
+    graft.expressions.HyperplaneBuckets.planeBitString(48, 16, 64)
 
   /** The d13/d54/d55 oracle replay core: CTE chain (nb..sc) that
     * re-derives [[lshScoredPairs]] bit-for-bit in DuckDB — adaptive
@@ -61,8 +109,8 @@ object Pipeline {
     * the rendered plane matrix, distinct unordered candidate pairs,
     * exact cosine at 4dp. Each consumer appends its own tail CTEs. */
   private lazy val lshScoredSql: String = s"""
-      nb AS (SELECT COALESCE(MIN(b), 12) AS b
-                  FROM range(6, 13) r(b)
+      nb AS (SELECT COALESCE(MIN(b), 16) AS b
+                  FROM range(6, 17) r(b)
                   WHERE (80::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
       iv AS (SELECT vec_id,
                     list_transform(CAST(embedding AS DOUBLE[]),
@@ -72,10 +120,10 @@ object Pipeline {
         SELECT vec_id, CAST(t.t * 281474976710656 +
           list_sum(list_transform(range(CAST(nb.b AS INTEGER)), b ->
             CASE WHEN list_sum(list_transform(range(64), j ->
-                   CASE WHEN get_bit(p.pb, CAST((t.t * 12 + b) * 64 + j AS INTEGER)) = 1
+                   CASE WHEN get_bit(p.pb, CAST((t.t * 16 + b) * 64 + j AS INTEGER)) = 1
                         THEN ivec[j + 1] ELSE -ivec[j + 1] END)) > 0
                  THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS bkt
-        FROM iv, range(48) t(t), (SELECT '$planeBits12'::BIT AS pb) p, nb),
+        FROM iv, range(48) t(t), (SELECT '$planeBits16'::BIT AS pb) p, nb),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM keys a JOIN keys b
                  ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
@@ -94,16 +142,21 @@ object Pipeline {
     * ~n·occupancy. Integer arithmetic only, replayed exactly by the
     * DuckDB oracle from its own count(*).
     *
-    * The 12 cap is an ORACLE constraint, not a scale ceiling: the
-    * replay's plane table ([[planeBits12]]) is rendered at stride 12,
-    * and the sign at (t, b, j) is a pure index hash, so any bits ≤ 12
-    * replays from the same prefix table. At 100 TB (n ≫ 80·2^12 ≈
-    * 328 k vectors) keep occupancy constant by raising the cap and
+    * The 16 cap is an ORACLE constraint, not a scale ceiling: the
+    * replay's plane table ([[planeBits16]]) is rendered at stride 16,
+    * and the sign at (t, b, j) is a pure index hash, so any bits ≤ 16
+    * replays from the same prefix table (certified at bits=13 by a
+    * one-off occupancy-1 oracle run — BENCH_NOTES r7). Past n ≈ 5.2 M
+    * vectors, keep occupancy constant by raising the cap and
     * re-rendering the prefix table at the wider stride — the
-    * Expression itself takes arbitrary bits. */
-  def adaptiveBits(n: Long): Int = {
+    * Expression itself takes arbitrary bits.
+    *
+    * `occupancy` (default 80) is the expected per-bucket row count the
+    * width targets; specs shrink it (session conf graft.lsh.occupancy)
+    * to exercise wide signatures on small planted corpora. */
+  def adaptiveBits(n: Long, occupancy: Long = 80L): Int = {
     var b = 6
-    while (b < 12 && (80L << b) < n) b += 1
+    while (b < 16 && (occupancy << b) < n) b += 1
     b
   }
 
@@ -170,7 +223,11 @@ object Pipeline {
     GraftExtensions.install(s)
     val emb = T(s, dir, "embeddings")
       .withColumn("vec", col("embedding").cast("array<double>"))
-    val bits = adaptiveBits(T(s, dir, "embeddings").count())
+    // occupancy knob: session conf (specs), env (one-off oracle
+    // certification runs through Verify), default 80 (the contract)
+    val bits = adaptiveBits(T(s, dir, "embeddings").count(),
+      s.conf.get("graft.lsh.occupancy",
+        sys.env.getOrElse("GRAFT_LSH_OCCUPANCY", "80")).toLong)
     // Id-only candidates + distinct BEFORE the kernel: with 48 tables
     // a true pair collides in many buckets, so deduping first cuts
     // kernel invocations ~5× — the opposite trade from d15, where the
@@ -842,16 +899,30 @@ object Pipeline {
         .distinct().localCheckpoint(false)
       var converged = false
       var rounds = 0
+      // fixpoint via one-row edge-set signatures: (count, xor of
+      // xxhash64, decimal sum of xxhash64) — all map-combinable, so
+      // the only "shuffle" is 32 one-row partials, vs the old
+      // unionByName+groupBy check that re-shuffled the full edge set
+      // a third time per round. Both sides are distinct sets, so
+      // signature equality ⟺ set equality up to a 2⁻¹²⁸ collision.
+      // The signature action doubles as next's checkpoint
+      // materialization, and next's signature is reused as cur's the
+      // following round — one pass over the edge set per round, total.
+      def edgeSig(e: DataFrame): (Long, Long, String) = {
+        val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+          .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)),
+            coalesce(sum(col("h").cast("decimal(38,0)")), lit(0L)).cast("string")).head()
+        (r.getLong(0), r.getLong(1), r.getString(2))
+      }
       try {
         s.conf.set("spark.sql.shuffle.partitions", 8)
+        var curSig = edgeSig(cur) // materializes cur's lazy checkpoint
         while (!converged && rounds < 20) {
           val next = smallStar(largeStar(cur)).localCheckpoint(false)
-          // fixpoint in ONE action: both sides are distinct sets, so
-          // next == cur ⟺ every edge appears exactly twice in the
-          // union (this also materializes next's lazy checkpoint)
-          converged = next.unionByName(cur).groupBy("u", "v")
-            .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).isEmpty
+          val nextSig = edgeSig(next)
+          converged = nextSig == curSig
           cur = next
+          curSig = nextSig
           rounds += 1
         }
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -878,18 +949,19 @@ object Pipeline {
     // distributed prefix sum — the shape that survives a source with
     // billions of docs, where a single per-source Window sort would
     // serialize the whole source through one task:
-    //  1. docs shard by doc_id range (monotone in the pack order, so
-    //     shard-local order + shard offsets = global order); a Window
+    //  1. docs shard by doc_id range via [[equiDepthShard]] (monotone
+    //     in the pack order, so shard-local order + shard offsets =
+    //     global order; equi-depth, so shard fullness AND shard count
+    //     track corpus size under sparse/hot id spaces); a Window
     //     cumsum runs per (source, shard) — parallel across shards.
     //  2. per-shard token totals (one tiny row per shard) get their own
     //     running sum per source, then broadcast-join back as offsets.
     // No single-partition exchange anywhere (PlanAuditSpec pins this).
     "d56_sequence_pack" -> { (s, dir) =>
       val L = 512
-      val toks = withWords(T(s, dir, "documents"))
+      val toks = equiDepthShard(s, withWords(T(s, dir, "documents"))
         .select(col("doc_id"), col("source"),
-          size(col("words")).cast("long").as("n_tokens"))
-        .withColumn("shard", expr("doc_id div 1000"))
+          size(col("words")).cast("long").as("n_tokens")))
       val w1 = Window.partitionBy("source", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val local = toks.withColumn("local_before",
@@ -921,19 +993,19 @@ object Pipeline {
     // open bin closes it and opens the next; docs longer than L are
     // truncated to L (flagged). Greedy per-stream packing is
     // inherently sequential, so the distributed shape is SHARDED
-    // sequential: per (source, doc_id-range shard) the ordered doc
-    // list folds through ONE aggregate() lambda (shard-bounded arrays,
-    // ≤1000 structs — no Window, no row_number, no per-task corpus
-    // state), and shard-local bin ids globalize through the same
-    // tiny per-shard-totals prefix sum as d56. The fold is replayed
-    // exactly by a recursive-CTE oracle.
+    // sequential: per (source, equi-depth doc_id-range shard — see
+    // [[equiDepthShard]]) the ordered doc list folds through ONE
+    // aggregate() lambda (shard-bounded arrays, ≤ target+63 structs —
+    // no Window, no row_number, no per-task corpus state), and
+    // shard-local bin ids globalize through the same tiny
+    // per-shard-totals prefix sum as d56. The fold AND the equi-depth
+    // shard derivation are replayed exactly by a recursive-CTE oracle.
     "d59_doc_pack" -> { (s, dir) =>
       val L = 512
-      val toks = withWords(T(s, dir, "documents"))
+      val toks = equiDepthShard(s, withWords(T(s, dir, "documents"))
         .select(col("doc_id"), col("source"),
           size(col("words")).cast("int").as("n_tokens"))
-        .withColumn("n", least(col("n_tokens"), lit(L)))
-        .withColumn("shard", expr("doc_id div 1000"))
+        .withColumn("n", least(col("n_tokens"), lit(L))))
       // one corpus scan: n_tokens rides the fold struct, so nothing
       // joins back against the documents table afterwards
       val folded = toks.groupBy("source", "shard")
@@ -954,7 +1026,11 @@ object Pipeline {
         .select(col("source"), col("shard"),
           (col("packed.bin") + 1).cast("long").as("nbins"),
           explode(col("packed.out")).as("p"))
-        .persist() // the offsets aggregate and the output both read it
+        // the offsets aggregate and the output both read it; a
+        // localCheckpoint (unlike persist/CacheManager, whose entries
+        // outlive the query) is GC-cleaned with the RDD, so repeated
+        // invocations (bench sweeps, tests) don't accumulate storage
+        .localCheckpoint(false)
       val w2 = Window.partitionBy("source").orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offs = folded.select("source", "shard", "nbins").distinct()
@@ -2503,20 +2579,34 @@ object Pipeline {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         FROM w)
       SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
-             cum_before // 512 AS seq_first,
-             (cum_before + n_tokens - 1) // 512 AS seq_last,
+             CAST(cum_before // 512 AS BIGINT) AS seq_first,
+             CAST((cum_before + n_tokens - 1) // 512 AS BIGINT) AS seq_last,
              (cum_before + n_tokens - 1) // 512 > cum_before // 512 AS crosses
       FROM c ORDER BY doc_id""",
 
     // d59: the greedy next-fit fold replayed exactly as a recursive
     // CTE — one iteration per rank advances every (source, shard)
     // stream by one doc; bin ids then globalize through the same
-    // per-source prefix sum as the Spark side.
+    // per-source prefix sum as the Spark side. The equi-depth shard
+    // (bucket = doc_id // 64, shard = docs-in-earlier-buckets // 1000,
+    // see equiDepthShard) is all-integer, so the oracle re-derives it
+    // bit-for-bit with one bucket-count window.
     "d59_doc_pack" -> """
-      WITH RECURSIVE w AS (
-        SELECT doc_id, source, doc_id // 1000 AS shard,
+      WITH RECURSIVE w0 AS (
+        SELECT doc_id, source,
                CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
         FROM documents),
+      bc AS (
+        SELECT source, doc_id // 64 AS bucket, count(*) AS bn
+        FROM w0 GROUP BY 1, 2),
+      sh AS (
+        SELECT source, bucket,
+               coalesce(sum(bn) OVER (PARTITION BY source ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS shard
+        FROM bc),
+      w AS (
+        SELECT w0.doc_id, w0.source, sh.shard, w0.n_tokens
+        FROM w0 JOIN sh ON sh.source = w0.source AND sh.bucket = w0.doc_id // 64),
       t AS (
         SELECT *, least(n_tokens, 512) AS n,
                CAST(row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS INT) AS rn
@@ -2566,7 +2656,7 @@ object Pipeline {
         SELECT shard, coalesce(sum(cnt) OVER (ORDER BY shard
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_before
         FROM o)
-      SELECT p.doc_id, p.shard, p.pos, oo.shard_before + p.pos AS global_pos
+      SELECT p.doc_id, p.shard, p.pos, CAST(oo.shard_before + p.pos AS BIGINT) AS global_pos
       FROM p JOIN oo USING (shard)
       ORDER BY p.doc_id""",
 
@@ -2710,7 +2800,7 @@ object Pipeline {
       m AS (
         SELECT doc_id, n_chars_m,
                CAST(len(words) AS INT) AS n_tokens,
-               round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
+               CASE WHEN n_chars_m > 0 THEN round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / n_chars_m, 4) ELSE 0.0 END AS punct_ratio,
                round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS uniq_ratio
         FROM base)
       SELECT doc_id, n_chars_m, n_tokens, punct_ratio, uniq_ratio,

@@ -195,7 +195,7 @@ private[queries] object ReplaySql {
        |              docs.words
        |       FROM documents d JOIN docs USING (doc_id)),
        |q1 AS (SELECT doc_id, n_chars_m, CAST(len(words) AS INT) AS n_tokens,
-       |              round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
+       |              CASE WHEN n_chars_m > 0 THEN round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / n_chars_m, 4) ELSE 0.0 END AS punct_ratio,
        |              round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS uniq_ratio
        |       FROM q0),
        |q AS (SELECT doc_id,

@@ -376,6 +376,36 @@ class DedupSpec extends SparkSpecBase {
     assert(!got.exists { case (x, y) => x < 20 && y < 20 })
   }
 
+  test("d13/adaptiveBits: wide signatures (bits > 12) keep recall on a 5k corpus at occupancy 1") {
+    // r7: the oracle prefix table is rendered at stride 16, lifting the
+    // old 12-bit replay cap; exercise the >12-bit regime by shrinking
+    // the occupancy target so a 5k corpus selects bits = 13
+    assert(Pipeline.adaptiveBits(5005, 1) == 13)
+    assert(Pipeline.adaptiveBits(Long.MaxValue) == 16) // cap
+    assert(Pipeline.adaptiveBits(500) == 6)            // floor
+    val dir = scratch("planted-emb-wide")
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 5000).map(i => (i.toLong, vec()))
+    val dups = (0 until 5).map { i =>
+      (10000L + i, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    GraftWriter.write(df, s"$dir/embeddings.parquet")
+    val got = try {
+      spark.conf.set("graft.lsh.occupancy", "1")
+      Pipeline.queries("d13_embed_neardup")(spark, dir)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally spark.conf.unset("graft.lsh.occupancy")
+    // 48 tables × 13 bits at cos > 0.99: per-bit p ≈ 0.955, table hit
+    // p^13 ≈ 0.55, miss probability (1-p^13)^48 ≈ 1e-17 — all planted
+    // pairs must surface
+    val want = (0 until 5).map(i => (i.toLong, 10000L + i)).toSet
+    assert(want.subsetOf(got), s"missing: ${want -- got}")
+  }
+
   test("d36: semdedup drops the higher id of planted near-dup pairs") {
     val dir = scratch("planted-semdedup")
     import spark.implicits._

@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.{Pipeline, Relational}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** SURVEY §4 regression guards: the scale-critical plan properties the
   * bench notes claim (broadcast dimensions, pushdown, partial
@@ -420,17 +421,40 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d57 max_by has no map-side partial:\n$p")
   }
 
-  test("d59 doc pack: shard-bounded fold — one tiny Window, no single-partition exchange") {
+  test("d59 doc pack: shard-bounded fold — only tiny Windows, no single-partition exchange") {
     // the greedy fold must run inside the (source, shard) aggregate
     // (collect_list partials + aggregate() lambda), never as a corpus
-    // Window scan; the only Window allowed is the per-source prefix
-    // sum over the shard-totals table
+    // Window scan; the only Windows allowed are the per-source prefix
+    // sum over the shard-totals table plus equiDepthShard's two
+    // bucket-table prefix sums (r7) — all three over aggregate-
+    // collapsed tiny tables, none over corpus rows
+    // the fold (and equiDepthShard's bucket-table windows) sit behind
+    // the localCheckpoint's RDD-scan boundary — audited separately in
+    // the equiDepthShard test below; the outer plan may only carry the
+    // per-source shard-offsets window
     val p = plan("d59_doc_pack")
     assert("""\bWindow\b""".r.findAllIn(p).length == 1,
-      s"d59 should have exactly one (offsets) Window:\n$p")
+      s"d59 should have exactly one (offsets) Window past the fold checkpoint:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"d59 collapsed to a single partition:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("equiDepthShard: bucket-table windows stay partitioned, shard map joins back broadcast-free of single partitions") {
+    // the r7 de-skew helper (d56/d59): both prefix-sum levels must be
+    // partitioned Windows over aggregate-collapsed bucket/chunk tables —
+    // never a per-source single-task corpus window — and the corpus ⋈
+    // shard-map join must be an equi-join (no cartesian)
+    val toks = Tables.load(spark, sfTiny, "documents")
+      .select(col("doc_id"), col("source"), lit(1L).as("n_tokens"))
+    val p = Pipeline.equiDepthShard(spark, toks).queryExecution.executedPlan.toString
+    assert("""\bWindow\b""".r.findAllIn(p).length == 2,
+      s"equiDepthShard should plan exactly two prefix-sum Windows:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"equiDepthShard collapsed to a single partition:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"),
+      s"bucket counts lost the map-side partial:\n$p")
   }
 
   test("d58 train shuffle: corpus window is shard-partitioned; only the 256-row offsets collapse") {

@@ -16,9 +16,18 @@ class TrainPrepSpec extends SparkSpecBase {
   private def toks(n: Int, tag: String): String =
     (0 until n).map(j => s"$tag$j").mkString(" ")
 
+  /** Run `body` with the equi-depth shard target shrunk to `n` docs so
+    * a planted handful of docs still splits into multiple shards and
+    * exercises the level-2 offset carry (production default: 1000). */
+  private def withShardTarget[A](n: Int)(body: => A): A =
+    try { spark.conf.set("graft.shard.target", n.toString); body }
+    finally spark.conf.unset("graft.shard.target")
+
   /** Three 300-token docs per source (L=512): doc 2 must straddle the
     * first sequence boundary, doc 3 must land wholly in sequence 1.
-    * doc_ids span the 1000 shard boundary so the planted case also
+    * Source a's doc_ids span an equi-depth shard boundary (ids 998/999
+    * sit in id-bucket 15, id 1100 in bucket 17; with target=2 bucket 17
+    * starts at cum-count 2 → shard 1) so the planted case also
     * exercises a level-2 offset (shard 0 → shard 1 carry). */
   private lazy val packDir: String = {
     val dir = scratch("trainprep-pack")
@@ -26,7 +35,7 @@ class TrainPrepSpec extends SparkSpecBase {
     val rows = Seq(
       (998L, "a", toks(300, "w")),
       (999L, "a", toks(300, "x")),
-      (1001L, "a", toks(300, "y")), // other side of the doc_id div 1000 shard split
+      (1100L, "a", toks(300, "y")), // other side of the equi-depth shard split
       (500L, "b", toks(300, "p")),  // second source: independent numbering
       (501L, "b", toks(300, "q")),
       (502L, "b", toks(300, "r")))
@@ -39,14 +48,16 @@ class TrainPrepSpec extends SparkSpecBase {
   }
 
   test("d56: planted packing — boundary crossing and per-source isolation") {
-    val got = Pipeline.queries("d56_sequence_pack")(spark, packDir)
-      .select("doc_id", "seq_first", "seq_last", "crosses")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-      .toSet
+    val got = withShardTarget(2) {
+      Pipeline.queries("d56_sequence_pack")(spark, packDir)
+        .select("doc_id", "seq_first", "seq_last", "crosses")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+    }
     val want = Set(
       (998L, 0L, 0L, false),  // cum 0..299
-      (999L, 0L, 1L, true),   // cum 300..599 — straddles token 512, ACROSS the shard split
-      (1001L, 1L, 1L, false), // cum 600..899
+      (999L, 0L, 1L, true),   // cum 300..599 — straddles token 512
+      (1100L, 1L, 1L, false), // cum 600..899 — other side of the shard carry
       (500L, 0L, 0L, false), (501L, 0L, 1L, true), (502L, 1L, 1L, false))
     assert(got == want, s"got $got")
   }
@@ -104,18 +115,19 @@ class TrainPrepSpec extends SparkSpecBase {
   }
 
   /** d59 plant (L=512, one source): shard 0 holds token counts
-    * 300/300/100/512 at ids 996-999 — the greedy next-fit must close
-    * bin 0 after one doc (300+300 > 512), co-pack 300+100, and give
-    * the exact-fit 512 its own bin; shard 1 holds a 600-token doc
-    * (truncated to 512) whose bin id must CONTINUE shard 0's numbering
-    * through the per-source offset (bin 3). */
+    * 300/300/100/512 at ids 996-999 (id-bucket 15) — the greedy
+    * next-fit must close bin 0 after one doc (300+300 > 512), co-pack
+    * 300+100, and give the exact-fit 512 its own bin; shard 1 (id 1100
+    * = bucket 17, which with target=4 starts at cum-count 4) holds a
+    * 600-token doc (truncated to 512) whose bin id must CONTINUE
+    * shard 0's numbering through the per-source offset (bin 3). */
   private lazy val binDir: String = {
     val dir = scratch("trainprep-bins")
     import spark.implicits._
     val rows = Seq(
       (996L, toks(300, "a")), (997L, toks(300, "b")),
       (998L, toks(100, "c")), (999L, toks(512, "d")),
-      (1001L, toks(600, "e")))
+      (1100L, toks(600, "e")))
     val df = rows.toDF("doc_id", "text")
       .withColumn("lang", lit("en"))
       .withColumn("source", lit("a"))
@@ -126,17 +138,44 @@ class TrainPrepSpec extends SparkSpecBase {
   }
 
   test("d59: planted next-fit packing — overflow close, co-pack, exact fit, truncation, shard carry") {
-    val got = Pipeline.queries("d59_doc_pack")(spark, binDir)
-      .select("doc_id", "bin", "off", "truncated")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
-      .toSet
+    val got = withShardTarget(4) {
+      Pipeline.queries("d59_doc_pack")(spark, binDir)
+        .select("doc_id", "bin", "off", "truncated")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+        .toSet
+    }
     val want = Set(
       (996L, 0L, 0, false),
       (997L, 1L, 0, false),   // 300+300 > 512: closes bin 0
       (998L, 1L, 300, false), // 300+100 fits bin 1
       (999L, 2L, 0, false),   // exact 512 fit in its own bin
-      (1001L, 3L, 0, true))   // next shard: numbering continues, doc truncated
+      (1100L, 3L, 0, true))   // next shard: numbering continues, doc truncated
     assert(got == want, s"got $got")
+  }
+
+  /** The round-7 de-skew contract (VERDICT r6 #4): a hot dense id range
+    * next to an extremely sparse tail — the adversarial case for the
+    * old fixed-width `doc_id div 1000` shard, which gave the sparse
+    * tail one SHARD PER DOC (offsets table tracking id-space size, and
+    * for d59 one BIN per doc — no packing at all). Equi-depth sharding
+    * must keep shard fullness ≤ target+63 (bucket width) and shard
+    * count ~ n/target, independent of the id distribution. */
+  test("equi-depth shard: bounded fullness and shard count under a hot+sparse id space") {
+    import spark.implicits._
+    val hot = (0L until 2000L).map(i => (i, "s"))                       // dense: ids 0..1999
+    val sparse = (0L until 2000L).map(i => (1000000000L + i * 50000L, "s")) // ~1 id per 50k
+    val toksDf = (hot ++ sparse).toDF("doc_id", "source")
+      .withColumn("n_tokens", lit(10L))
+    val sharded = Pipeline.equiDepthShard(spark, toksDf)
+    val per = sharded.groupBy("shard").count().collect()
+    val n = 4000L
+    val maxShard = per.map(_.getLong(1)).max
+    assert(maxShard <= 1000 + 63, s"max shard holds $maxShard docs (> target+bucket)")
+    assert(per.length <= n / 1000 + 2, s"${per.length} shards for $n docs — shard count must track corpus, not id space")
+    // monotone in doc_id: the property the prefix-sum decompositions need
+    val rows = sharded.select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.sliding(2).forall(p => p.head._2 <= p.last._2), "shard not monotone in doc_id")
   }
 
   test("d59: every bin stays within the 512-token budget on the real corpus") {
