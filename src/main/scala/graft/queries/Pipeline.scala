@@ -2552,6 +2552,142 @@ object Pipeline {
         .withColumn("dup_ratio_1e4",
           expr("cast(round(dup_tokens * 1e4 / n_tokens) as bigint)"))
         .orderBy("doc_id")
+    },
+
+    // ---- d60: Gopher rule-based quality filter (Rae et al. 2021,
+    // "Scaling Language Models", Table A1) — the RULE-BATTERY
+    // complement to d8's weighted score: a doc is admitted only if it
+    // passes every hard bound. Rules adapted to the corpus (no
+    // line structure): word count in [50, 100k]; mean word length in
+    // [3, 10] (held in integer form, 3·n ≤ Σlen ≤ 10·n — no float
+    // ratio, no rounding boundary); ≥80% of words contain an
+    // alphabetic character (5·n_alpha ≥ 4·n); ≥2 distinct stopwords
+    // present (the "closed-class words" evidence-of-prose rule); and
+    // duplicate-bigram rate ≤ 300‰ (the repetition family of Gopher's
+    // duplicate-line/ngram rules, d24's exact integer formula).
+    // Shape for 100 TB: pure per-row column expressions — zero
+    // shuffles beyond the scan, whole-stage codegen end to end, and
+    // ALL-INTEGER/boolean output so the oracle is exact.
+    "d60_gopher_rules" -> { (s, dir) =>
+      val stops = Seq("the", "and", "of", "to", "in", "a", "with")
+        .map(w => s"'$w'").mkString(", ")
+      withWords(T(s, dir, "documents"))
+        .withColumn("n_words", size(col("words")).cast("long"))
+        .withColumn("sum_wlen", expr(
+          "aggregate(words, cast(0 as bigint), (a, x) -> a + length(x))"))
+        .withColumn("n_alpha", expr(
+          "cast(size(filter(words, x -> x rlike '[a-zA-Z]')) as bigint)"))
+        .withColumn("n_stop", expr(
+          s"cast(size(array_intersect(array_distinct(words), array($stops))) as bigint)"))
+        .withColumn("n_grams", expr(
+          """cast(CASE WHEN size(words) >= 2 THEN size(words) - 1
+                       ELSE 0 END as bigint)"""))
+        .withColumn("dup_pm", expr(
+          """CASE WHEN size(words) >= 2 THEN
+               (size(words) - 1 - size(array_distinct(
+                  transform(sequence(0, size(words) - 2),
+                    i -> concat_ws(' ', words[i], words[i + 1])))))
+                 * 1000 div (size(words) - 1)
+             ELSE cast(0 as bigint) END"""))
+        .withColumn("r_wordcount", col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("r_meanlen",
+          col("sum_wlen") >= col("n_words") * 3 && col("sum_wlen") <= col("n_words") * 10)
+        .withColumn("r_alpha", col("n_alpha") * 5 >= col("n_words") * 4)
+        .withColumn("r_stop", col("n_stop") >= 2)
+        .withColumn("r_rep", col("dup_pm") <= 300)
+        .withColumn("admitted",
+          col("r_wordcount") && col("r_meanlen") && col("r_alpha") &&
+            col("r_stop") && col("r_rep"))
+        .select("doc_id", "n_words", "sum_wlen", "n_alpha", "n_stop", "dup_pm",
+          "r_wordcount", "r_meanlen", "r_alpha", "r_stop", "r_rep", "admitted")
+        .orderBy("doc_id")
+    },
+
+    // ---- d61: WINNOWING fingerprint selection (Schleimer, Wilkerson &
+    // Aiken, SIGMOD 2003 — the MOSS algorithm): hash every overlapping
+    // k=3-word gram, slide a w=4 window over the gram-hash sequence and
+    // keep each window's minimum (rightmost on ties — the "robust
+    // winnowing" rule), giving a position-subsampled fingerprint set
+    // with the guarantee that any match of ≥ k+w-1 tokens shares a
+    // selected fingerprint. The cross-doc step then surfaces, per doc,
+    // how many of its selected fingerprints some OTHER doc also
+    // selected — the d10 whole-doc fingerprint generalized to robust
+    // partial-overlap detection. Scale shape: gram hashing and window
+    // minima are PER-ROW array expressions (gram hash + rightmost-pos
+    // tie-break packed into one orderable string, array_min over a
+    // slice — no per-position explode, no Window, stays in codegen);
+    // only the selected fingerprints explode, and they shuffle as md5
+    // hex — text never shuffles. The tie-break packing (md5 ‖
+    // zero-padded 9999−pos) and every list op have exact DuckDB
+    // spellings, so the oracle replays the selection bit-for-bit.
+    "d61_winnowing" -> { (s, dir) =>
+      val k = 3; val w = 4
+      val docs = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("words"))
+      // per-doc selected set: distinct window minima of the packed keys
+      val sel = docs
+        .withColumn("cks", expr(
+          s"""CASE WHEN size(words) >= $k THEN
+                transform(sequence(0, size(words) - $k),
+                  i -> concat(md5(concat_ws(' ', slice(words, i + 1, $k))),
+                              lpad(cast(9999 - i as string), 4, '0')))
+              ELSE array() END"""))
+        .withColumn("n_grams", size(col("cks")).cast("long"))
+        .withColumn("mins", expr(
+          s"""CASE WHEN size(cks) = 0 THEN array()
+              ELSE array_distinct(transform(
+                sequence(0, greatest(size(cks) - $w, 0)),
+                i -> array_min(slice(cks, i + 1, $w)))) END"""))
+        .select(col("doc_id"), col("n_grams"),
+          size(col("mins")).cast("long").as("n_selected"), col("mins"))
+      val fps = sel.select(col("doc_id"),
+          explode(col("mins")).as("ck"))
+        .select(col("doc_id"), substring(col("ck"), 1, 32).as("fp"))
+        .distinct()
+      val shared = fps.groupBy("fp")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+      val perDoc = fps.join(shared, Seq("fp"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_fp"))
+      sel.select("doc_id", "n_grams", "n_selected")
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_shared_fp", coalesce(col("n_shared_fp"), lit(0L)))
+        .orderBy("doc_id")
+    },
+
+    // ---- d62: TEMPERATURE-SCALED mixture sampling (the multilingual
+    // rebalancing rule of mBERT/XLM-R/mT5: sample language l with
+    // probability ∝ p_l^τ so low-resource languages are upsampled;
+    // here τ = 1/2, whose p^τ ∝ √tokens has an EXACT integer form —
+    // floor(√x) of a BIGINT is exact in IEEE double for x < 2^52
+    // because sqrt is correctly rounded, so both engines land on the
+    // same integers with no libm/rounding skew, unlike ln/exp-based
+    // τ). Given per-language token counts, emit the smoothed weight,
+    // the normalized sampling rate (ppm), the token allocation under a
+    // half-corpus training budget, and the implied repeat factor
+    // (>1000‰ = the language is upsampled/repeated — the d34
+    // bookkeeping under a principled smoothing rule). Shape: one
+    // map-combinable per-lang sum (5 groups), totals join in as a
+    // broadcast one-row aggregate — the corpus never reshuffles.
+    // Overflow headroom: budget·w fits BIGINT while Σtokens ≲ 3·10¹²;
+    // beyond that the same arithmetic runs in DECIMAL(38,0) on both
+    // engines (a spelling change, not a shape change).
+    "d62_temperature_mix" -> { (s, dir) =>
+      val byLang = withWords(T(s, dir, "documents"))
+        .select(col("lang"), size(col("words")).cast("long").as("n_tok"))
+        .groupBy("lang").agg(sum("n_tok").as("lang_tokens"))
+        .withColumn("weight", expr(
+          "cast(floor(sqrt(cast(lang_tokens * 1000000 as double))) as bigint)"))
+      val tot = byLang.agg(sum("lang_tokens").as("total_tokens"),
+        sum("weight").as("total_weight"))
+      byLang.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm", expr("weight * 1000000 div total_weight"))
+        .withColumn("budget", expr("total_tokens div 2"))
+        .withColumn("sampled_tokens", expr("budget * weight div total_weight"))
+        .withColumn("repeat_milli", expr("sampled_tokens * 1000 div lang_tokens"))
+        .select("lang", "lang_tokens", "weight", "rate_ppm",
+          "sampled_tokens", "repeat_milli")
+        .orderBy("lang")
     }
   )
 
@@ -3855,6 +3991,106 @@ object Pipeline {
              CAST(round(coalesce(a.dup_tokens, 0) * 1e4 / b.n_tokens) AS BIGINT)
                AS dup_ratio_1e4
       FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
-      ORDER BY b.doc_id"""
+      ORDER BY b.doc_id""",
+
+    // d60: every rule is integer/boolean arithmetic — exact in both
+    // engines; the bigram dup rate reuses d24's integer formula in its
+    // `div` form.
+    "d60_gopher_rules" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+                 AS sum_wlen,
+               CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                 AS BIGINT) AS n_alpha,
+               CAST(len(list_intersect(list_distinct(words),
+                 ['the', 'and', 'of', 'to', 'in', 'a', 'with'])) AS BIGINT)
+                 AS n_stop,
+               CASE WHEN len(words) >= 2 THEN
+                 CAST((len(words) - 1 - len(list_distinct(
+                    list_transform(range(len(words) - 1),
+                      i -> words[i + 1] || ' ' || words[i + 2]))))
+                   * 1000 // (len(words) - 1) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS dup_pm
+        FROM w)
+      SELECT doc_id, n_words, sum_wlen, n_alpha, n_stop, dup_pm,
+             (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+             (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10) AS r_meanlen,
+             (n_alpha * 5 >= n_words * 4) AS r_alpha,
+             (n_stop >= 2) AS r_stop,
+             (dup_pm <= 300) AS r_rep,
+             ((n_words >= 50 AND n_words <= 100000)
+              AND (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10)
+              AND (n_alpha * 5 >= n_words * 4)
+              AND (n_stop >= 2) AND (dup_pm <= 300)) AS admitted
+      FROM m
+      ORDER BY doc_id""",
+
+    // d61: full selection replay — same packed key (md5 hex ‖
+    // zero-padded 9999−pos, so lexicographic min = (min hash,
+    // rightmost pos)), same per-window list minima, same distinct +
+    // cross-doc sharing. Pure list arithmetic; no engine-specific
+    // hashing anywhere.
+    "d61_winnowing" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 3 THEN
+                 list_transform(range(len(words) - 2),
+                   i -> md5(words[i + 1] || ' ' || words[i + 2] || ' ' ||
+                            words[i + 3]) ||
+                        lpad(CAST(9999 - i AS VARCHAR), 4, '0'))
+               ELSE [] END AS cks
+        FROM w),
+      s AS (
+        SELECT doc_id, CAST(len(cks) AS BIGINT) AS n_grams,
+               CASE WHEN len(cks) = 0 THEN []
+                    ELSE list_distinct(list_transform(
+                      range(greatest(len(cks) - 4, 0) + 1),
+                      i -> list_min(cks[i + 1 : i + 4]))) END AS mins
+        FROM c),
+      fps AS (
+        SELECT DISTINCT doc_id, substr(ck, 1, 32) AS fp
+        FROM (SELECT doc_id, unnest(mins) AS ck FROM s)),
+      sh AS (SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+      pd AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+        FROM fps JOIN sh USING (fp) GROUP BY doc_id)
+      SELECT s.doc_id, s.n_grams, CAST(len(s.mins) AS BIGINT) AS n_selected,
+             coalesce(pd.n_shared_fp, 0) AS n_shared_fp
+      FROM s LEFT JOIN pd USING (doc_id)
+      ORDER BY s.doc_id""",
+
+    // d62: floor(sqrt(BIGINT)) is exact in both engines (correctly
+    // rounded IEEE sqrt, arguments < 2^52); everything after is
+    // integer division.
+    "d62_temperature_mix" -> """
+      WITH t AS (
+        SELECT lang,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS lang_tokens
+        FROM documents GROUP BY lang),
+      ww AS (
+        SELECT lang, lang_tokens,
+               CAST(floor(sqrt(CAST(lang_tokens * 1000000 AS DOUBLE))) AS BIGINT)
+                 AS weight
+        FROM t),
+      tot AS (
+        SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(weight) AS BIGINT) AS total_weight
+        FROM ww)
+      SELECT lang, lang_tokens, weight,
+             weight * 1000000 // total_weight AS rate_ppm,
+             (total_tokens // 2) * weight // total_weight AS sampled_tokens,
+             ((total_tokens // 2) * weight // total_weight) * 1000 // lang_tokens
+               AS repeat_milli
+      FROM ww CROSS JOIN tot
+      ORDER BY lang"""
   )
 }
