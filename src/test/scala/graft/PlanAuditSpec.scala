@@ -467,4 +467,45 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("hashpartitioning(shard"),
       s"d58 per-shard rank is not shard-partitioned:\n$p")
   }
+
+  test("d60 gopher rules: per-row battery — stopword dim broadcasts, no hash shuffle") {
+    // the rule battery is pure per-row arithmetic plus ONE broadcast
+    // hash join against the ~5-row per-lang stopword dimension; at
+    // 100 TB the corpus must never reshuffle — the only exchanges are
+    // the broadcast and the deterministic output sort
+    val p = plan("d60_gopher_rules")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1,
+      s"stopword dimension must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"d60 reshuffled the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d61 winnowing: explode reads the persisted selection, text stays out of shuffles") {
+    // gram hashing + window minima are per-row array expressions; only
+    // the SELECTED fingerprints explode, and they explode from the
+    // cached (doc_id, n_grams, n_selected, mins) frame — never by
+    // re-evaluating the hash chain per generated row (measured 43×
+    // at sf0.01, r8). Sharing joins stay equi on the md5 key.
+    val p = plan("d61_winnowing")
+    assert(p.contains("InMemoryTableScan"),
+      s"d61 explode re-derives the selection instead of reading the cache:\n$p")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in fingerprint sharing:\n$p")
+  }
+
+  test("d62 temperature mix: one partial-agg shuffle, totals broadcast back") {
+    // the corpus collapses map-side to per-lang sums (one hash
+    // exchange); the one-row totals join back as a broadcast — the
+    // 5-row language table never range/hash-partitions the corpus
+    val p = plan("d62_temperature_mix")
+    assert(p.contains("partial_sum"),
+      s"d62 per-lang sum lost its map-side partial:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"totals must broadcast (one-row side):\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"d62 shuffled more than the lang aggregate:\n$p")
+  }
 }

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Pipeline
+import graft.sources.GraftWriter
+
+/** SURVEY §2 D specs for the round-7/8 quality-filter layer: d60 Gopher
+  * rule battery (per-rule boundary docs + the per-lang stopword
+  * dimension), d61 winnowing fingerprints (shared-span guarantee,
+  * rightmost-tie rule, and the >10k-gram doc that r7's 4-digit
+  * position packing silently broke), d62 temperature-scaled mixture
+  * sampling (hand-computed √-smoothing fixture). */
+class QualityWinnowSpec extends SparkSpecBase {
+
+  private def doc(id: Long, text: String, lang: String = "en") =
+    (id, text, lang, "spec", text.length.toLong)
+
+  private def writeDocs(name: String, rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    GraftWriter.write(
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---------------------------------------------------------------- d60
+
+  /** 50 mid-length alphabetic words with ≥2 English stopwords and no
+    * repeated bigram — passes every rule (the admitted baseline). */
+  private def goodText: String =
+    (Seq("the", "and") ++ (0 until 48).map(i => s"word$i")).mkString(" ")
+
+  test("d60: boundary battery — each rule flips exactly at its bound") {
+    val dir = writeDocs("d60-bounds", Seq(
+      doc(1, goodText),                                    // all rules pass
+      doc(2, (Seq("the", "and") ++ (0 until 47).map(i => s"word$i")).mkString(" ")), // 49 words
+      doc(3, (Seq("the", "and", "of") ++ (0 until 47).map(_ => "ab")).mkString(" ")), // mean len 2.06 < 3
+      doc(4, (Seq("the", "and") ++ (0 until 48).map(i => f"extraordinarily$i%03d")).mkString(" ")), // mean len > 10
+      doc(5, (Seq("the", "and") ++ (0 until 38).map(i => s"word$i") ++ (0 until 10).map(i => s"$i$i$i")).mkString(" ")), // 40/50 alpha — edge passes
+      doc(6, (Seq("the", "and") ++ (0 until 37).map(i => s"word$i") ++ (0 until 11).map(i => s"$i$i$i")).mkString(" ")), // 39/50 alpha — fails
+      doc(7, (Seq("the") ++ (0 until 49).map(i => s"word$i")).mkString(" ")), // 1 stopword — fails
+      doc(8, (0 until 25).flatMap(_ => Seq("the", "and")).mkString(" ")))) // max repetition
+    val out = Pipeline.queries("d60_gopher_rules")(spark, dir)
+      .select("doc_id", "r_wordcount", "r_meanlen", "r_alpha", "r_stop", "r_rep", "admitted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    assert(out(1L) === ((true, true, true, true, true, true)))
+    assert(out(2L)._1 === false, "49 words must fail r_wordcount")
+    assert(out(3L)._2 === false, "mean word length < 3 must fail r_meanlen")
+    assert(out(4L)._2 === false, "mean word length > 10 must fail r_meanlen")
+    assert(out(5L)._3 === true, "exactly 80% alphabetic words passes r_alpha")
+    assert(out(6L)._3 === false, "39/50 alphabetic words fails r_alpha")
+    assert(out(7L)._4 === false, "a single distinct stopword fails r_stop")
+    assert(out(8L)._5 === false, "a two-token loop must fail r_rep")
+    assert(out(8L)._4 === true, "…but 'the'/'and' still count as stopwords")
+  }
+
+  test("d60: dup_pm sits exactly on the 300‰ admission edge") {
+    // 51 words = 50 bigrams; the 9×(p q) loop plus a 33-word distinct
+    // tail yields 35 distinct bigrams → dup_pm = 15·1000 div 50 = 300.
+    val edge = ((0 until 9).flatMap(_ => Seq("p", "q")) ++
+      (0 until 33).map(i => s"d$i")).mkString(" ")
+    // one more loop iteration (k=10, 31-word tail) → 17/50 dup = 340‰.
+    val over = ((0 until 10).flatMap(_ => Seq("p", "q")) ++
+      (0 until 31).map(i => s"d$i")).mkString(" ")
+    val dir = writeDocs("d60-rep", Seq(doc(1, edge), doc(2, over)))
+    val out = Pipeline.queries("d60_gopher_rules")(spark, dir)
+      .select("doc_id", "dup_pm", "r_rep")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) === ((300L, true)), s"edge doc: $out")
+    assert(out(2L) === ((340L, false)), s"over doc: $out")
+  }
+
+  test("d60: stopword rule is per-lang — non-English prose is admitted") {
+    val dePre = Seq("der", "die", "und") // German closed-class words
+    val deText = (dePre ++ (0 until 47).map(i => s"wort$i")).mkString(" ")
+    val dir = writeDocs("d60-lang", Seq(
+      doc(1, deText, "de"),  // German prose under its own stopword list
+      doc(2, deText, "en"),  // same text judged as English — no en stopwords
+      doc(3, goodText, "xx"))) // unregistered lang falls back to English
+    val out = Pipeline.queries("d60_gopher_rules")(spark, dir)
+      .select("doc_id", "n_stop", "r_stop", "admitted")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(1L) === ((3L, true, true)), "German prose must be admitted via the de list")
+    assert(out(2L)._2 === false, "the same text under lang=en has no en stopwords")
+    assert(out(3L) === ((2L, true, true)), "unknown lang falls back to the English list")
+  }
+
+  // ---------------------------------------------------------------- d61
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Reference winnowing (k=3, w=4): packed keys md5(gram) ‖
+    * lpad(999999999−pos, 9), per-window lexicographic minima,
+    * distinct — the exact algorithm both engines replay. */
+  private def winnowKeys(words: Seq[String], k: Int = 3, w: Int = 4): Seq[String] = {
+    if (words.length < k) return Seq.empty
+    val keys = (0 to words.length - k).map(i =>
+      md5hex(words.slice(i, i + k).mkString(" ")) + f"${999999999 - i}%09d")
+    (0 to math.max(keys.length - w, 0)).map(i => keys.slice(i, i + w).min).distinct
+  }
+
+  test("d61: a shared span of k+w-1 = 6 tokens guarantees a shared fingerprint") {
+    val shared = Seq("s1", "s2", "s3", "s4", "s5", "s6")
+    val d1 = (0 until 12).map(i => s"x$i") ++ shared ++ (0 until 12).map(i => s"y$i")
+    val d2 = (0 until 9).map(i => s"u$i") ++ shared ++ (0 until 15).map(i => s"v$i")
+    val d3 = (0 until 20).map(i => s"z$i") // no overlap with anyone
+    val dir = writeDocs("d61-span", Seq(
+      doc(1, d1.mkString(" ")), doc(2, d2.mkString(" ")), doc(3, d3.mkString(" "))))
+    val out = Pipeline.queries("d61_winnowing")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._3 >= 1, s"doc 1 must share a fingerprint: $out")
+    assert(out(2L)._3 >= 1, s"doc 2 must share a fingerprint: $out")
+    assert(out(3L)._3 === 0, s"doc 3 shares nothing: $out")
+    // n_grams and n_selected replay the reference algorithm exactly
+    assert(out(1L)._1 === (d1.length - 2).toLong)
+    assert(out(1L)._2 === winnowKeys(d1).length.toLong)
+    assert(out(2L)._2 === winnowKeys(d2).length.toLong)
+  }
+
+  test("d61: identical grams in one window tie to the rightmost position") {
+    // "a b c" recurs at positions 0 and 3 — both inside window 0; the
+    // packed key makes the RIGHTMOST copy the minimum (999999999−3 <
+    // 999999999−0 lexicographically), the robust-winnowing rule.
+    val words = Seq("a", "b", "c", "a", "b", "c", "d", "e", "f", "g")
+    val dir = writeDocs("d61-tie", Seq(doc(1, words.mkString(" "))))
+    val out = Pipeline.queries("d61_winnowing")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(out._1 === 8L)
+    assert(out._2 === winnowKeys(words).length.toLong,
+      "selection must match the rightmost-tie reference")
+    // the reference itself must have exercised a tie: the two "a b c"
+    // copies hash equal, and window 0 contains both
+    val keys = (0 to words.length - 3).map(i =>
+      md5hex(words.slice(i, i + 3).mkString(" ")) + f"${999999999 - i}%09d")
+    assert(keys(0).take(32) === keys(3).take(32), "planted tie missing")
+    assert(keys.slice(0, 4).min === keys(3).take(32) + f"${999999999 - 3}%09d",
+      "window 0's minimum must be the rightmost copy")
+  }
+
+  test("d61: >10k-gram docs keep the rightmost-min rule (9-digit packing)") {
+    // 10 beyond-the-cap docs built over a 41-token vocabulary so gram
+    // recurrence (and thus position tie-breaks) is pervasive PAST
+    // position 9999 — under r7's 4-digit packing 9999−i went negative
+    // there and n_selected deviated from the reference.
+    val n = 12000
+    val rows = (0 until 2).map { d =>
+      val words = (0 until n).map(i => s"t${(i * (d + 3) + i * i % 7) % 41}")
+      doc(d + 1, words.mkString(" "))
+    }
+    val dir = writeDocs("d61-long", rows)
+    val out = Pipeline.queries("d61_winnowing")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0 until 2).foreach { d =>
+      val words = (0 until n).map(i => s"t${(i * (d + 3) + i * i % 7) % 41}")
+      assert(out(d + 1L)._1 === (n - 2).toLong)
+      assert(out(d + 1L)._2 === winnowKeys(words).length.toLong,
+        s"doc ${d + 1}: selection diverged from the reference past 10k grams")
+    }
+  }
+
+  // ---------------------------------------------------------------- d62
+
+  test("d62: hand-computed √-smoothing fixture — low-resource lang upsampled") {
+    // lang a: 400 tokens, lang b: 100 tokens.
+    //   weight_a = floor(√(400e6)) = 20000, weight_b = floor(√(100e6)) = 10000
+    //   total_tokens = 500, total_weight = 30000, budget = 250
+    //   rate_ppm:        a 666666,  b 333333
+    //   sampled_tokens:  a 166,     b 83
+    //   repeat_milli:    a 415,     b 830  (b is upsampled 2× relative to a)
+    val dir = writeDocs("d62-fix", Seq(
+      doc(1, (0 until 250).map(i => s"a$i").mkString(" "), "aa"),
+      doc(2, (0 until 150).map(i => s"b$i").mkString(" "), "aa"),
+      doc(3, (0 until 100).map(i => s"c$i").mkString(" "), "bb")))
+    val out = Pipeline.queries("d62_temperature_mix")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("aa") === ((400L, 20000L, 666666L, 166L, 415L)), s"got $out")
+    assert(out("bb") === ((100L, 10000L, 333333L, 83L, 830L)), s"got $out")
+    assert(out("bb")._5 > out("aa")._5, "temperature must upsample the low-resource lang")
+  }
+}
