@@ -2730,6 +2730,97 @@ object Pipeline {
         .select("lang", "lang_tokens", "weight", "rate_ppm",
           "sampled_tokens", "repeat_milli")
         .orderBy("lang")
+    },
+
+    // ---- d63: LINE-level dedup (CCNet §3.1 / FineWeb's line filter) —
+    // the granularity rung between d31's fixed 10-token chunks and
+    // d53's arbitrary substrings: hash every newline-delimited line,
+    // keep ONLY the globally-first occurrence of each distinct line
+    // (first = smallest doc_id, then smallest in-doc position — the
+    // deterministic "keep one copy" rule), and account per doc for how
+    // much text survives; a doc that keeps < 20% of its tokens is
+    // dropped (5·tok_kept ≥ tok_total, integer form). The keeper
+    // argmin is deliberately TWO map-combinable mins (min doc_id per
+    // hash, then min idx within that doc) — the same two-step spelling
+    // in both engines, no struct-ordering dependence. Scale shape:
+    // lines reduce to (md5, doc_id, idx, n_tok) at the scan — text
+    // never shuffles — the keeper table is hash-keyed and joins equi,
+    // and every aggregate is map-side combinable. This corpus is
+    // single-line-per-doc (so here it degenerates toward d1's
+    // whole-text dedup); multi-line behavior is pinned by planted
+    // specs.
+    "d63_line_dedup" -> { (s, dir) =>
+      val lines = T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(expr(
+            "filter(transform(split(text, '\n'), x -> trim(x)), x -> x <> '')"))
+            .as(Seq("idx", "line")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          md5(col("line")).as("h"),
+          expr("cast(size(split(line, '\\\\s+')) as bigint)").as("n_tok"))
+        .persist() // keeper argmin + flagging join read one line pass
+      val kd = lines.groupBy("h").agg(min("doc_id").as("kdoc"))
+      val keeper = lines.select("h", "doc_id", "idx")
+        .join(kd, Seq("h")).filter(col("doc_id") === col("kdoc"))
+        .groupBy("h", "kdoc").agg(min("idx").as("kidx"))
+      lines.join(keeper, Seq("h"))
+        .withColumn("kept",
+          col("doc_id") === col("kdoc") && col("idx") === col("kidx"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum("n_tok").as("tok_total"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tok_kept"))
+        .withColumn("admitted", col("tok_kept") * 5 >= col("tok_total"))
+        .orderBy("doc_id")
+    },
+
+    // ---- d64: URL canonicalization + per-domain crawl caps — the
+    // bookkeeping layer a 100 TB pipeline runs BEFORE text dedup:
+    // collapse scheme/www/trailing-slash/query-order variants of the
+    // crawl origin to one canonical key (lowercase; strip http(s)://
+    // and www.; strip trailing slashes; sort query parameters), take
+    // the domain (authority segment), and admit at most K = 20 docs
+    // per domain, deterministically the K SMALLEST doc_ids. The cap
+    // is computed skew-safely: a heavy-hitter domain never serializes
+    // through one partition — rank runs in two bounded stages (d59's
+    // two-level idiom): a salted (domain, doc_id mod 64) row_number
+    // keeps ≤ K per salt (≤ 64·K survivors per domain), then the true
+    // per-domain rank runs over survivors only; the K-th smallest
+    // doc_id joins back as an equi-keyed threshold. This corpus's
+    // `source` column plays the crawl origin (canonicalization is a
+    // no-op on its srcN values — the planted spec certifies the real
+    // URL variants); output carries the canonical key so the oracle
+    // hash-checks the normalization itself.
+    "d64_domain_cap" -> { (s, dir) =>
+      val K = 20L
+      val canon = T(s, dir, "documents")
+        .withColumn("c1", regexp_replace(lower(trim(col("source"))),
+          "^(https?://)?(www\\.)?", ""))
+        .withColumn("c2", regexp_replace(col("c1"), "/+$", ""))
+        .withColumn("path", expr("split_part(c2, '?', 1)"))
+        .withColumn("qs", expr("split_part(c2, '?', 2)"))
+        .withColumn("canon_url", when(col("qs") === "", col("path"))
+          .otherwise(concat(col("path"), lit("?"),
+            array_join(array_sort(split(col("qs"), "&")), "&"))))
+        .withColumn("domain", expr("split_part(path, '/', 1)"))
+        .select("doc_id", "domain", "canon_url")
+        .persist() // rank chain, domain counts, and final join share it
+      val salted = canon
+        .withColumn("rs", row_number().over(
+          Window.partitionBy(col("domain"), pmod(col("doc_id"), lit(64L)))
+            .orderBy("doc_id")))
+        .filter(col("rs") <= K)
+      val ranked = salted
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("domain").orderBy("doc_id")))
+        .filter(col("rn") <= K)
+      val thresh = ranked.groupBy("domain").agg(max("doc_id").as("kth"))
+      val nDom = canon.groupBy("domain").agg(count(lit(1)).as("n_dom"))
+      canon.join(thresh, Seq("domain")).join(nDom, Seq("domain"))
+        .withColumn("admitted", col("doc_id") <= col("kth"))
+        .select("doc_id", "domain", "canon_url", "n_dom", "admitted")
+        .orderBy("doc_id")
     }
   )
 
@@ -4143,6 +4234,64 @@ object Pipeline {
              ((total_tokens // 2) * weight // total_weight) * 1000 // lang_tokens
                AS repeat_milli
       FROM ww CROSS JOIN tot
-      ORDER BY lang"""
+      ORDER BY lang""",
+
+    // d63: same line unit (newline split, trimmed, empties dropped),
+    // same two-step keeper argmin (min doc_id per hash, min idx within
+    // that doc), same integer survival accounting.
+    "d63_line_dedup" -> """
+      WITH l0 AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                 x -> trim(x)), x -> x <> '') AS ls
+        FROM documents),
+      l AS (
+        SELECT doc_id, CAST(generate_subscripts(ls, 1) - 1 AS BIGINT) AS idx,
+               md5(unnest(ls)) AS h,
+               CAST(len(string_split_regex(unnest(ls), '\s+')) AS BIGINT) AS n_tok
+        FROM l0),
+      kd AS (SELECT h, min(doc_id) AS kdoc FROM l GROUP BY h),
+      kp AS (SELECT l.h, min(l.idx) AS kidx
+             FROM l JOIN kd ON l.h = kd.h AND l.doc_id = kd.kdoc
+             GROUP BY l.h),
+      f AS (SELECT l.doc_id, l.n_tok,
+                   (l.doc_id = kd.kdoc AND l.idx = kp.kidx) AS kept
+            FROM l JOIN kd ON l.h = kd.h JOIN kp ON l.h = kp.h)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
+             sum(CASE WHEN kept THEN n_tok ELSE 0 END) * 5 >= sum(n_tok) AS admitted
+      FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+    // d64: the oracle states the SEMANTICS directly (one window rank
+    // per domain — DuckDB has no skew problem at oracle scale); the
+    // Spark side's salted two-stage rank must land on the identical
+    // K-smallest admission set, which is exactly the decomposition
+    // claim under test. Canonicalization is replayed spelling-for-
+    // spelling so the hash check covers the normalization itself.
+    "d64_domain_cap" -> """
+      WITH c0 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(lower(trim(source)),
+                 '^(https?://)?(www\.)?', ''), '/+$', '') AS cu
+        FROM documents),
+      cp AS (SELECT doc_id, split_part(cu, '?', 1) AS path,
+                    split_part(cu, '?', 2) AS qs
+             FROM c0),
+      cc AS (SELECT doc_id, split_part(path, '/', 1) AS domain,
+                    CASE WHEN qs = '' THEN path
+                         ELSE path || '?' ||
+                              array_to_string(list_sort(string_split(qs, '&')), '&')
+                    END AS canon_url
+             FROM cp),
+      r AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn,
+                   CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n_dom
+            FROM cc),
+      k AS (SELECT domain, max(doc_id) AS kth FROM r WHERE rn <= 20 GROUP BY domain)
+      SELECT r.doc_id, r.domain, r.canon_url, r.n_dom,
+             r.doc_id <= k.kth AS admitted
+      FROM r JOIN k USING (domain) ORDER BY r.doc_id"""
   )
 }

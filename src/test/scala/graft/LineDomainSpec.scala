@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Pipeline
+import graft.sources.GraftWriter
+
+/** SURVEY §2 D specs for the round-8 crawl-bookkeeping layer: d63
+  * line-level dedup (keep-first across the corpus, within-doc dups,
+  * empty-line handling, the 20%-survival admission edge) and d64 URL
+  * canonicalization + per-domain caps (scheme/www/slash/query-order
+  * variants collapse, exact K-smallest admission through the salted
+  * two-stage rank). */
+class LineDomainSpec extends SparkSpecBase {
+
+  private def writeDocs(name: String, rows: Seq[(Long, String, String)]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    GraftWriter.write(
+      rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---------------------------------------------------------------- d63
+
+  test("d63: keep-first line dedup — cross-doc, within-doc, empties, admission edge") {
+    val dir = writeDocs("d63-plant", Seq(
+      (0L, "C1 C2 C3 C4 C5", "s"),                       // keeper of the C line
+      (1L, "alpha beta\nB1 B2 B3 B4\ngamma", "s"),       // all first occurrences
+      (2L, "B1 B2 B3 B4\ndelta epsilon", "s"),           // B line dropped here
+      (3L, "B1 B2 B3 B4\nB1 B2 B3 B4", "s"),             // nothing survives
+      (4L, "dupline here\ndupline here\ntail", "s"),     // within-doc: first kept
+      (5L, "a b\n\n   \nc d", "s"),                      // blank lines vanish
+      (6L, "zz\nB1 B2 B3 B4", "s"),                      // kept 1 of 5 tok — exactly 20%
+      (7L, "yy\nC1 C2 C3 C4 C5", "s")))                  // kept 1 of 6 tok — under 20%
+    val out = Pipeline.queries("d63_line_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(out(0L) === ((1L, 1L, 5L, 5L, true)))
+    assert(out(1L) === ((3L, 3L, 7L, 7L, true)))
+    assert(out(2L) === ((2L, 1L, 6L, 2L, true)))
+    assert(out(3L) === ((2L, 0L, 8L, 0L, false)), "a fully-duplicated doc must drop")
+    assert(out(4L) === ((3L, 2L, 5L, 3L, true)), "within-doc dup keeps the first copy")
+    assert(out(5L) === ((2L, 2L, 4L, 4L, true)), "blank/whitespace lines are not lines")
+    assert(out(6L) === ((2L, 1L, 5L, 1L, true)), "exactly 20% survival is admitted")
+    assert(out(7L) === ((2L, 1L, 6L, 1L, false)), "under 20% survival is dropped")
+  }
+
+  test("d63: single-line corpus degenerates to whole-text keep-first (d1's shape)") {
+    // three exact-dup single-line docs: only the smallest doc_id keeps
+    val dir = writeDocs("d63-single", Seq(
+      (10L, "same text here", "s"), (11L, "same text here", "s"),
+      (12L, "same text here", "s"), (13L, "different text", "s")))
+    val out = Pipeline.queries("d63_line_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(5))).toMap
+    assert(out(10L) === ((1L, true)))
+    assert(out(11L) === ((0L, false)))
+    assert(out(12L) === ((0L, false)))
+    assert(out(13L) === ((1L, true)))
+  }
+
+  // ---------------------------------------------------------------- d64
+
+  test("d64: scheme/www/slash/query-order variants collapse to one canonical URL") {
+    val dir = writeDocs("d64-canon", Seq(
+      (1L, "t", "HTTPS://WWW.Example.COM/path"),
+      (2L, "t", "http://example.com/path/"),
+      (3L, "t", "example.com/path"),
+      (4L, "t", "example.com/p?b=2&a=1"),
+      (5L, "t", "WWW.example.com/p?a=1&b=2"),
+      (6L, "t", "news.site.org/x/y?z=1")))
+    val out = Pipeline.queries("d64_domain_cap")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(out(1L) === (("example.com", "example.com/path", 5L)))
+    assert(out(2L)._2 === "example.com/path", "trailing slash must strip")
+    assert(out(3L)._2 === "example.com/path", "bare authority is already canonical")
+    assert(out(4L)._2 === "example.com/p?a=1&b=2", "query params must sort")
+    assert(out(5L)._2 === "example.com/p?a=1&b=2", "www + query order collapse")
+    assert(out(6L) === (("news.site.org", "news.site.org/x/y?z=1", 1L)))
+  }
+
+  test("d64: per-domain cap admits exactly the 20 smallest doc_ids, skew-safely") {
+    // 30 docs on one domain, half stacked on ONE salt class (ids ≡ 0
+    // mod 64) so the first-stage rank must genuinely truncate, plus a
+    // 3-doc domain that stays fully admitted
+    val bigIds = (0 until 15).map(i => 64L * (i + 1)) ++ (1L to 15L)
+    val dir = writeDocs("d64-cap",
+      bigIds.map(id => (id, "t", "big.com/x")) ++
+        Seq((1000L, "t", "tiny.org"), (1001L, "t", "tiny.org"), (1002L, "t", "tiny.org")))
+    val out = Pipeline.queries("d64_domain_cap")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getBoolean(4)))
+    val big = out.filter(_._2 == "big.com").map(t => t._1 -> t._4).toMap
+    val want = bigIds.sorted.take(20).toSet
+    assert(big.size === 30 && big.forall { case (id, adm) => adm === want.contains(id) },
+      s"admission must be exactly the 20 smallest ids; got $big")
+    assert(out.filter(_._2 == "tiny.org").forall(t => t._3 == 3L && t._4),
+      "domains under the cap stay fully admitted")
+  }
+}

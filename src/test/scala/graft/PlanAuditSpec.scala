@@ -508,4 +508,32 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
       s"d62 shuffled more than the lang aggregate:\n$p")
   }
+
+  test("d63 line dedup: lines shuffle as hashes off the cached pass, argmins combine map-side") {
+    // text reduces to (md5, doc_id, idx, n_tok) at the scan and the
+    // line pass is persisted (three consumers); the keeper argmin is
+    // two map-combinable mins and every join is hash-keyed equi
+    val p = plan("d63_line_dedup")
+    assert(p.contains("InMemoryTableScan"),
+      s"d63 re-derives the line pass instead of reading the cache:\n$p")
+    assert(p.contains("partial_min"),
+      s"d63 keeper argmin lost its map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in line flagging:\n$p")
+  }
+
+  test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
+    // the per-domain rank must run as the salted two-stage pair (a
+    // heavy-hitter domain never serializes through one partition) off
+    // the persisted canonical table; threshold/count join back equi
+    val p = plan("d64_domain_cap")
+    assert("""\bWindow\b""".r.findAllIn(p).length == 2,
+      s"d64 must rank in exactly two (salted, survivor) stages:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"d64 collapsed to a single partition:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"d64 re-derives canonicalization per consumer:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
