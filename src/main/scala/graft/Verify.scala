@@ -47,10 +47,17 @@ object Verify {
   private[graft] def pairClusterContract(df: DataFrame, simCol: String): DataFrame = {
     val u = df.select(col("doc_a").as("doc"), col("doc_b").as("other"), col(simCol).as("s"))
       .unionAll(df.select(col("doc_b").as("doc"), col("doc_a").as("other"), col(simCol).as("s")))
+    // DECIMAL(38,0) sums, dumped as strings: BIGINT sums wrap silently
+    // in Spark but raise in DuckDB's HUGEINT→BIGINT cast, so at the
+    // 10⁸-pair scales this mode exists for an overflow would fail
+    // ASYMMETRICALLY instead of comparing (ADVICE r7). The per-row
+    // product stays BIGINT (bounded ≤ 97·10⁶); only accumulation
+    // widens — the d55 edge-signature idiom.
     u.groupBy("doc").agg(
       count(lit(1)).as("n_pairs"),
-      sum("other").as("partner_sum"),
-      sum(expr("cast(round(s * 10000) as bigint) * ((other % 97) + 1)")).as("sim_check"))
+      sum(col("other").cast("decimal(38,0)")).cast("string").as("partner_sum"),
+      sum(expr("cast(round(s * 10000) as bigint) * ((other % 97) + 1)")
+        .cast("decimal(38,0)")).cast("string").as("sim_check"))
       .orderBy("doc")
   }
 
@@ -61,8 +68,8 @@ object Verify {
        |  UNION ALL
        |  SELECT doc_b AS doc, doc_a AS other, $simCol AS s FROM graft_pairs)
        |SELECT doc, CAST(count(*) AS BIGINT) AS n_pairs,
-       |       CAST(sum(other) AS BIGINT) AS partner_sum,
-       |       CAST(sum(CAST(round(s * 10000) AS BIGINT) * ((other % 97) + 1)) AS BIGINT) AS sim_check
+       |       CAST(sum(CAST(other AS DECIMAL(38,0))) AS VARCHAR) AS partner_sum,
+       |       CAST(sum(CAST(CAST(round(s * 10000) AS BIGINT) * ((other % 97) + 1) AS DECIMAL(38,0))) AS VARCHAR) AS sim_check
        |FROM graft_u GROUP BY doc ORDER BY doc""".stripMargin
 
   def main(args: Array[String]): Unit = {
