@@ -65,7 +65,10 @@ object Bench {
       "d53_substring_dedup", "d54_knn_graph",
       // round-6: star-contraction components (the second closure
       // headline next to d20) and simhash cluster canonicalization
-      "d55_semdedup_components", "d57_cluster_rep")
+      "d55_semdedup_components", "d57_cluster_rep",
+      // round-8: winnowing (full gram-hash + window-minima pass) and
+      // line-level dedup (full line hash pass + keeper argmin)
+      "d61_winnowing", "d63_line_dedup")
     name match {
       case n if headliners(n) => 0
       case n if n.startsWith("d") => 1
