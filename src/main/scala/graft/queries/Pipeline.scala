@@ -2821,6 +2821,88 @@ object Pipeline {
         .withColumn("admitted", col("doc_id") <= col("kth"))
         .select("doc_id", "domain", "canon_url", "n_dom", "admitted")
         .orderBy("doc_id")
+    },
+
+    // ---- d65: admit-rate CALIBRATION — the "choose τ to hit the
+    // budget" step of classifier-score filtering (FineWeb-Edu,
+    // quality-classifier pipelines): given a target admit rate (40%
+    // here), find the score threshold whose admitted mass first
+    // reaches ⌈0.4·n⌉ and flag every doc against it. The d8 quality
+    // score quantizes to an integer milli-scale histogram (score_m =
+    // round(q·10⁴) ∈ [0, 10⁴] — both engines compute the identical
+    // double, the d57-argmax precedent, so the integer bucket replays
+    // exactly), which turns the global order statistic into: one
+    // map-combinable per-score count, a cumulative sum over the
+    // ≤10⁴-row SCORE-SPACE table (single-partition by design —
+    // metadata-sized at any corpus size, the d58-offsets precedent),
+    // and a one-row threshold broadcast back. Whole tie classes admit
+    // together (admitted = score ≥ τ, so the admitted count is the
+    // smallest class-aligned count ≥ target — deterministic, no
+    // doc-level tie-break). The corpus is scanned once (persisted
+    // score frame) and never reshuffled.
+    "d65_admit_calibration" -> { (s, dir) =>
+      val q = withQuality(withWords(T(s, dir, "documents")))
+        .select(col("doc_id"),
+          expr("cast(round(quality_score * 10000) as bigint)").as("score_m"))
+        .persist() // histogram + count + final flagging: one quality pass
+      val hist = q.groupBy("score_m").agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum("c").over(Window.orderBy(desc("score_m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nRow = q.agg(count(lit(1)).as("n"))
+      // threshold = the HIGHEST score class whose descending cumulative
+      // count reaches the target (every class below it also satisfies
+      // cum ≥ target — max picks the first-reaching one)
+      val tn = cum.crossJoin(broadcast(nRow))
+        .withColumn("target_n", expr("(2 * n + 4) div 5"))
+        .filter(col("cum") >= col("target_n"))
+        .groupBy("target_n").agg(max("score_m").as("thresh_m"))
+      q.crossJoin(broadcast(tn))
+        .withColumn("admitted", col("score_m") >= col("thresh_m"))
+        .select("doc_id", "score_m", "target_n", "thresh_m", "admitted")
+        .orderBy("doc_id")
+    },
+
+    // ---- d66: BOILERPLATE line classification (jusText/trafilatura-
+    // lite, corpus-adapted — no markup, so the structural cues reduce
+    // to the two text rules): main-content extraction accounting, the
+    // crawl-pipeline step BEFORE d63's line dedup. A line is CONTENT
+    // iff it has ≥4 whitespace tokens (the "short line" rule — nav
+    // items, buttons, headings) AND ≥80% of its tokens contain an
+    // alphabetic character (5·n_alpha ≥ 4·n_tok, d60's integer form —
+    // menus of dates/prices/counters fail it); everything else is
+    // boilerplate. Per doc: line/token counts both ways, content
+    // per-mille, and admission iff content holds a majority of tokens
+    // (2·tok_content ≥ tok_total). Scale shape: the ENTIRE operator
+    // is per-row list arithmetic — lines never explode, nothing
+    // shuffles beyond the scan and the output sort; all-integer
+    // output so the oracle is exact.
+    "d66_boilerplate_lines" -> { (s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("ls", expr(
+          "filter(transform(split(text, '\n'), x -> trim(x)), x -> x <> '')"))
+        .withColumn("lt", expr(
+          """transform(ls, l -> struct(
+               size(split(l, '\\s+')) as n_tok,
+               size(split(l, '\\s+')) >= 4 AND
+                 5 * size(filter(split(l, '\\s+'), w -> w rlike '[a-zA-Z]')) >=
+                 4 * size(split(l, '\\s+')) as content))"""))
+        .withColumn("n_lines", size(col("ls")).cast("long"))
+        .withColumn("n_content", expr(
+          "cast(size(filter(lt, x -> x.content)) as bigint)"))
+        .withColumn("tok_total", expr(
+          "aggregate(lt, cast(0 as bigint), (a, x) -> a + x.n_tok)"))
+        .withColumn("tok_content", expr(
+          """aggregate(lt, cast(0 as bigint),
+               (a, x) -> a + CASE WHEN x.content THEN x.n_tok ELSE 0 END)"""))
+        .withColumn("content_pm", expr(
+          """CASE WHEN tok_total > 0 THEN tok_content * 1000 div tok_total
+             ELSE cast(0 as bigint) END"""))
+        .withColumn("admitted",
+          col("tok_total") > 0 && col("tok_content") * 2 >= col("tok_total"))
+        .select("doc_id", "n_lines", "n_content", "tok_total", "tok_content",
+          "content_pm", "admitted")
+        .orderBy("doc_id")
     }
   )
 
@@ -4292,6 +4374,76 @@ object Pipeline {
       k AS (SELECT domain, max(doc_id) AS kth FROM r WHERE rn <= 20 GROUP BY domain)
       SELECT r.doc_id, r.domain, r.canon_url, r.n_dom,
              r.doc_id <= k.kth AS admitted
-      FROM r JOIN k USING (domain) ORDER BY r.doc_id"""
+      FROM r JOIN k USING (domain) ORDER BY r.doc_id""",
+
+    // d65: the d8 quality chain verbatim (the shared-formula contract),
+    // quantized to the same integer milli-score, same descending
+    // cumulative histogram, same ⌈0.4n⌉ = (2n+4)//5 target, same
+    // class-aligned threshold.
+    "d65_admit_calibration" -> """
+      WITH base AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS INT) AS n_chars_m,
+               string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      m AS (
+        SELECT doc_id, n_chars_m,
+               CAST(len(words) AS INT) AS n_tokens,
+               CASE WHEN n_chars_m > 0 THEN round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / n_chars_m, 4) ELSE 0.0 END AS punct_ratio,
+               round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS uniq_ratio
+        FROM base),
+      q AS (
+        SELECT doc_id,
+               CAST(round(round(0.4 * uniq_ratio + 0.3 * (1.0 - punct_ratio) +
+                 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) * 10000)
+                 AS BIGINT) AS score_m
+        FROM m),
+      h AS (SELECT score_m, count(*) AS c FROM q GROUP BY score_m),
+      cum AS (SELECT score_m,
+                     sum(c) OVER (ORDER BY score_m DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM h),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+      t AS (SELECT (2 * nn.n + 4) // 5 AS target_n,
+                   max(score_m) AS thresh_m
+            FROM cum, nn WHERE cum.cum >= (2 * nn.n + 4) // 5
+            GROUP BY 1)
+      SELECT q.doc_id, q.score_m, t.target_n, t.thresh_m,
+             q.score_m >= t.thresh_m AS admitted
+      FROM q CROSS JOIN t ORDER BY q.doc_id""",
+
+    // d66: same line unit as d63, same two content rules in the same
+    // integer forms, same per-mille/majority accounting — pure list
+    // arithmetic per row.
+    "d66_boilerplate_lines" -> """
+      WITH l0 AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                 x -> trim(x)), x -> x <> '') AS ls
+        FROM documents),
+      lt AS (
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               list_transform(ls, l -> struct_pack(
+                 n_tok := len(string_split_regex(l, '\s+')),
+                 content := len(string_split_regex(l, '\s+')) >= 4 AND
+                   5 * len(list_filter(string_split_regex(l, '\s+'),
+                         w -> regexp_matches(w, '[a-zA-Z]'))) >=
+                   4 * len(string_split_regex(l, '\s+')))) AS st
+        FROM l0),
+      m AS (
+        SELECT doc_id, n_lines,
+               CAST(len(list_filter(st, x -> x.content)) AS BIGINT) AS n_content,
+               CAST(coalesce(list_sum(list_transform(st, x -> x.n_tok)), 0)
+                 AS BIGINT) AS tok_total,
+               CAST(coalesce(list_sum(list_transform(st,
+                 x -> CASE WHEN x.content THEN x.n_tok ELSE 0 END)), 0)
+                 AS BIGINT) AS tok_content
+        FROM lt)
+      SELECT doc_id, n_lines, n_content, tok_total, tok_content,
+             CASE WHEN tok_total > 0 THEN tok_content * 1000 // tok_total
+                  ELSE CAST(0 AS BIGINT) END AS content_pm,
+             (tok_total > 0 AND tok_content * 2 >= tok_total) AS admitted
+      FROM m ORDER BY doc_id"""
   )
 }

@@ -98,4 +98,25 @@ class LineDomainSpec extends SparkSpecBase {
     assert(out.filter(_._2 == "tiny.org").forall(t => t._3 == 3L && t._4),
       "domains under the cap stay fully admitted")
   }
+
+  // ---------------------------------------------------------------- d66
+
+  test("d66: boilerplate line rules — short/numeric lines drop, edges flip exactly") {
+    val dir = writeDocs("d66-plant", Seq(
+      (1L, "the quick brown fox jumps\nover the lazy sleeping dog", "s"),
+      (2L, "Home\nAbout us\nContact\nthis is the real article text here", "s"),
+      (3L, "1 2 3 4 5\nreal text right here", "s"),
+      (4L, "w1 w2 w3 w4\na b c\nx1 x2 x3 x4 55\nx y 12 34 56", "s")))
+    val out = Pipeline.queries("d66_boilerplate_lines")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    assert(out(1L) === ((2L, 2L, 10L, 10L, 1000L, true)), "pure prose is all content")
+    assert(out(2L) === ((4L, 1L, 11L, 7L, 636L, true)),
+      "nav stubs drop, the article line carries the doc")
+    assert(out(3L) === ((2L, 1L, 9L, 4L, 444L, false)),
+      "a numeric menu line fails the alpha rule; content loses the majority")
+    // edges: 4 tokens is content, 3 is not; 4/5 alpha passes, 2/5 fails
+    assert(out(4L) === ((4L, 2L, 17L, 9L, 529L, true)), s"edge lines: $out")
+  }
 }

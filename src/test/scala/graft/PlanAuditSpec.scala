@@ -536,4 +536,32 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d64 re-derives canonicalization per consumer:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d65 calibration: corpus scans once, only score-space tables collapse") {
+    // the corpus reduces to a persisted (doc_id, score_m) frame read by
+    // histogram, count, and flagging; the ONLY single-partition
+    // collapses are over metadata-sized inputs (the ≤10⁴-row score
+    // histogram cumsum and the one-row corpus count), and the
+    // threshold/count ride back as one-row broadcasts
+    val p = plan("d65_admit_calibration")
+    assert(p.contains("InMemoryTableScan"),
+      s"d65 re-derives the quality pass per consumer:\n$p")
+    assert(p.contains("partial_count"),
+      s"d65 histogram lost its map-side partial:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 2,
+      s"d65 collapsed more than the score-space tables:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 2,
+      s"count and threshold must broadcast as one-row sides:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d66 boilerplate: pure per-row classification — no shuffle, no join, no explode") {
+    // the whole operator is list arithmetic inside the scan projection;
+    // the only exchange permitted is the deterministic output sort
+    val p = plan("d66_boilerplate_lines")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"d66 reshuffled the corpus:\n$p")
+    assert(!p.contains("Generate"), s"d66 exploded lines it never needed to:\n$p")
+    assert(!p.contains("Join"), s"d66 grew a join:\n$p")
+  }
 }

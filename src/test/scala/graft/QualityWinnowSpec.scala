@@ -183,4 +183,43 @@ class QualityWinnowSpec extends SparkSpecBase {
     assert(out("bb") === ((100L, 10000L, 333333L, 83L, 830L)), s"got $out")
     assert(out("bb")._5 > out("aa")._5, "temperature must upsample the low-resource lang")
   }
+
+  // ---------------------------------------------------------------- d65
+
+  test("d65: threshold lands on the first class-aligned count >= ceil(0.4n), ties admit whole") {
+    // scores (desc): one 10000-doc, a 4-way tie at 7400 straddling the
+    // target of ceil(0.4·10) = 4, five 4000-docs — admitted must be the
+    // full tie class (5 docs), threshold 7400
+    val high = (0 until 60).map(i => s"w$i").mkString(" ")              // q = 1.0
+    val mid = ((0 until 20) ++ (0 until 20)).map(i => s"m$i").mkString(" ") // q = 0.74
+    val low = (0 until 10).map(_ => "x").mkString(" ")                  // q = 0.40
+    val dir = writeDocs("d65-cal", Seq(doc(1, high)) ++
+      (2 to 5).map(i => doc(i, mid)) ++ (6 to 10).map(i => doc(i, low)))
+    val out = Pipeline.queries("d65_admit_calibration")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out.size === 10)
+    assert(out.values.forall(v => v._2 === 4L && v._3 === 7400L),
+      s"target_n/thresh wrong: $out")
+    assert(out(1L) === ((10000L, 4L, 7400L, true)))
+    (2L to 5L).foreach(i => assert(out(i) === ((7400L, 4L, 7400L, true)),
+      s"tie class must admit whole: $out"))
+    (6L to 10L).foreach(i => assert(out(i) === ((4000L, 4L, 7400L, false)),
+      s"below-threshold docs must reject: $out"))
+    assert(out.values.count(_._4) === 5,
+      "admitted count is the smallest class-aligned count >= target")
+  }
+
+  test("d65: real-corpus invariants — admitted mass >= target, scores separate cleanly") {
+    val rows = Pipeline.queries("d65_admit_calibration")(spark, sfTiny)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val n = rows.length
+    val target = (2L * n + 4) / 5
+    assert(rows.forall(_._2 === target))
+    assert(rows.count(_._4) >= target, "admitted mass must reach the target")
+    val minAdm = rows.filter(_._4).map(_._1).min
+    assert(rows.forall(r => r._4 === (r._1 >= r._3)), "flag must match the threshold rule")
+    assert(minAdm === rows.head._3, "threshold is the minimum admitted score")
+    assert(rows.filterNot(_._4).forall(_._1 < minAdm), "no rejected score reaches an admitted one")
+  }
 }
