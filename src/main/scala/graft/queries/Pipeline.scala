@@ -2903,6 +2903,69 @@ object Pipeline {
         .select("doc_id", "n_lines", "n_content", "tok_total", "tok_content",
           "content_pm", "admitted")
         .orderBy("doc_id")
+    },
+
+    // ---- d67: BPE first-merge PAIR STATISTICS — the inner loop of
+    // byte-pair-encoding tokenizer training (Sennrich et al. 2016):
+    // count adjacent character pairs over the corpus weighted by word
+    // frequency and rank merge candidates with a deterministic
+    // (count desc, pair asc) tie-break. Scale shape — the part worth
+    // getting right at 100 TB: the corpus collapses to the WORD
+    // FREQUENCY TABLE first (one map-combinable groupBy — the token
+    // stream never explodes into characters), pairs then explode from
+    // DISTINCT words only (vocabulary-sized, ≪ corpus), and pair
+    // counts are Σ word_freq × in-word multiplicity. The top-k rank
+    // runs over the char-pair table (≤ charset² rows — metadata-sized
+    // by construction, the d58-offsets precedent for its single
+    // partition). All-integer output.
+    "d67_bpe_pair_stats" -> { (s, dir) =>
+      val wf = withWords(T(s, dir, "documents"))
+        .select(explode(col("words")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wf"))
+      val pairs = wf
+        .withColumn("p", explode(expr(
+          """CASE WHEN length(word) >= 2
+               THEN transform(sequence(1, length(word) - 1),
+                      i -> substring(word, i, 2))
+               ELSE array() END""")))
+        .groupBy("p").agg(sum("wf").as("cnt"))
+      pairs
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("cnt"), asc("p"))))
+        .filter(col("rank") <= 20)
+        .select("rank", "p", "cnt")
+        .orderBy("rank")
+    },
+
+    // ---- d68: CHARACTER-COVERAGE selection — sentencepiece's charset
+    // step (the `character_coverage=0.9995` knob): rank characters by
+    // corpus frequency, keep the smallest prefix covering ≥99.95% of
+    // all character occurrences (integer form: cum·10⁴ vs 9995·total —
+    // a char is kept iff the coverage BEFORE it is still short of the
+    // bar, so the set is exactly the minimal reaching prefix). Scale
+    // shape: characters explode per doc but collapse map-side to the
+    // ~charset-sized key space before the one shuffle (d33's zipf
+    // idiom at character granularity); the ranked charset table is
+    // metadata-sized, its window single-partition by design; totals
+    // ride a one-row broadcast. All-integer output.
+    "d68_char_coverage" -> { (s, dir) =>
+      val cf = T(s, dir, "documents")
+        .select(explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+          .as("ch"))
+        .filter(col("ch") =!= " ")
+        .groupBy("ch").agg(count(lit(1)).as("cnt"))
+      val tot = cf.agg(sum("cnt").as("total"))
+      cf.withColumn("rank", row_number().over(
+          Window.orderBy(desc("cnt"), asc("ch"))))
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy(desc("cnt"), asc("ch"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_pm", expr("cum * 10000 div total"))
+        .withColumn("kept", (col("cum") - col("cnt")) * 10000 < col("total") * 9995)
+        .select("rank", "ch", "cnt", "cum", "cum_pm", "kept")
+        .orderBy("rank")
     }
   )
 
@@ -4444,6 +4507,50 @@ object Pipeline {
              CASE WHEN tok_total > 0 THEN tok_content * 1000 // tok_total
                   ELSE CAST(0 AS BIGINT) END AS content_pm,
              (tok_total > 0 AND tok_content * 2 >= tok_total) AS admitted
-      FROM m ORDER BY doc_id"""
+      FROM m ORDER BY doc_id""",
+
+    // d67: same corpus→word-frequency collapse, same distinct-word
+    // pair expansion, same (count desc, pair asc) tie-break. Single
+    // chars compare byte-wise in both engines (binary collation), so
+    // the rank replays exactly.
+    "d67_bpe_pair_stats" -> """
+      WITH wf AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wf
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents)
+        GROUP BY word),
+      pr AS (
+        SELECT unnest(CASE WHEN length(word) >= 2
+                 THEN list_transform(range(length(word) - 1),
+                        i -> substr(word, i + 1, 2))
+                 ELSE [] END) AS p,
+               wf
+        FROM wf),
+      pc AS (SELECT p, CAST(sum(wf) AS BIGINT) AS cnt FROM pr GROUP BY p),
+      r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, p) AS INT) AS rank,
+                   p, cnt
+            FROM pc)
+      SELECT rank, p, cnt FROM r WHERE rank <= 20 ORDER BY rank""",
+
+    // d68: same per-char expansion (space excluded), same binary-
+    // collation (cnt desc, ch asc) rank, same integer coverage bar.
+    "d68_char_coverage" -> """
+      WITH cs AS (
+        SELECT unnest(list_transform(range(length(text)),
+                 i -> substr(text, i + 1, 1))) AS ch
+        FROM documents),
+      cf AS (SELECT ch, CAST(count(*) AS BIGINT) AS cnt
+             FROM cs WHERE ch <> ' ' GROUP BY ch),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cf),
+      r AS (SELECT ch, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, ch) AS INT) AS rank,
+                   CAST(sum(cnt) OVER (ORDER BY cnt DESC, ch
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+            FROM cf)
+      SELECT rank, ch, cnt, cum,
+             cum * 10000 // total AS cum_pm,
+             (cum - cnt) * 10000 < total * 9995 AS kept
+      FROM r CROSS JOIN tot ORDER BY rank"""
   )
 }

