@@ -2955,6 +2955,7 @@ object Pipeline {
           .as("ch"))
         .filter(col("ch") =!= " ")
         .groupBy("ch").agg(count(lit(1)).as("cnt"))
+        .persist() // charset-sized; totals + rank read it without a 2nd corpus pass
       val tot = cf.agg(sum("cnt").as("total"))
       cf.withColumn("rank", row_number().over(
           Window.orderBy(desc("cnt"), asc("ch"))))

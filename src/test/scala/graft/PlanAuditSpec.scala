@@ -588,8 +588,8 @@ class PlanAuditSpec extends SparkSpecBase {
 
   test("d68 char coverage: chars combine map-side, only charset tables collapse") {
     val p = plan("d68_char_coverage")
-    assert(p.contains("partial_count"),
-      s"d68 char counts lost their map-side partial:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"d68 re-runs the corpus char pass for the totals:\n$p")
     assert("Exchange SinglePartition".r.findAllIn(p).length <= 2,
       s"d68 collapsed more than the charset table + totals:\n$p")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
