@@ -2720,6 +2720,7 @@ object Pipeline {
         .groupBy("lang").agg(sum("n_tok").as("lang_tokens"))
         .withColumn("weight", expr(
           "cast(floor(sqrt(cast(lang_tokens * 1000000 as double))) as bigint)"))
+        .persist() // per-lang table; totals + rates read it, not the corpus twice
       val tot = byLang.agg(sum("lang_tokens").as("total_tokens"),
         sum("weight").as("total_weight"))
       byLang.crossJoin(broadcast(tot))

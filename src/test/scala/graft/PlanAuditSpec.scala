@@ -501,8 +501,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // exchange); the one-row totals join back as a broadcast — the
     // 5-row language table never range/hash-partitions the corpus
     val p = plan("d62_temperature_mix")
+    assert(p.contains("InMemoryTableScan"),
+      s"d62 re-runs the corpus pass for the totals:\n$p")
     assert(p.contains("partial_sum"),
-      s"d62 per-lang sum lost its map-side partial:\n$p")
+      s"d62 totals lost their map-side partial:\n$p")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
       s"totals must broadcast (one-row side):\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
