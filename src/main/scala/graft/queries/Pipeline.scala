@@ -180,6 +180,23 @@ object Pipeline {
     s"""pmod(ascii(word) * 31 + length(word) * 7 +
          ascii(substring(word, length(word), 1)), $b)""")
 
+  /** d64/d69's shared URL canonicalization: lowercase, strip
+    * http(s):// and www., strip trailing slashes, sort query params;
+    * `domain` = the authority segment of the canonical key. One
+    * spelling in Scala, one in each consumer's oracle — the split and
+    * the cap must agree on what "same domain" means or the leakage
+    * guard is fiction. */
+  private def withCanonDomain(df: DataFrame): DataFrame =
+    df.withColumn("c1", regexp_replace(lower(trim(col("source"))),
+        "^(https?://)?(www\\.)?", ""))
+      .withColumn("c2", regexp_replace(col("c1"), "/+$", ""))
+      .withColumn("path", expr("split_part(c2, '?', 1)"))
+      .withColumn("qs", expr("split_part(c2, '?', 2)"))
+      .withColumn("canon_url", when(col("qs") === "", col("path"))
+        .otherwise(concat(col("path"), lit("?"),
+          array_join(array_sort(split(col("qs"), "&")), "&"))))
+      .withColumn("domain", expr("split_part(path, '/', 1)"))
+
   /** One tokenize + sort + dedup + group-hash pass per doc, PERSISTED —
     * every consumer (rep aggregation, banding, membership expansion)
     * reads it without re-scanning the corpus. Review finding: d15/d23's
@@ -2795,16 +2812,7 @@ object Pipeline {
     // hash-checks the normalization itself.
     "d64_domain_cap" -> { (s, dir) =>
       val K = 20L
-      val canon = T(s, dir, "documents")
-        .withColumn("c1", regexp_replace(lower(trim(col("source"))),
-          "^(https?://)?(www\\.)?", ""))
-        .withColumn("c2", regexp_replace(col("c1"), "/+$", ""))
-        .withColumn("path", expr("split_part(c2, '?', 1)"))
-        .withColumn("qs", expr("split_part(c2, '?', 2)"))
-        .withColumn("canon_url", when(col("qs") === "", col("path"))
-          .otherwise(concat(col("path"), lit("?"),
-            array_join(array_sort(split(col("qs"), "&")), "&"))))
-        .withColumn("domain", expr("split_part(path, '/', 1)"))
+      val canon = withCanonDomain(T(s, dir, "documents"))
         .select("doc_id", "domain", "canon_url")
         .persist() // rank chain, domain counts, and final join share it
       val salted = canon
@@ -2968,6 +2976,32 @@ object Pipeline {
         .withColumn("kept", (col("cum") - col("cnt")) * 10000 < col("total") * 9995)
         .select("rank", "ch", "cnt", "cum", "cum_pm", "kept")
         .orderBy("rank")
+    },
+
+    // ---- d69: LEAKAGE-SAFE holdout split — deterministic 80/10/10
+    // train/valid/test assignment keyed by CANONICAL DOMAIN, not by
+    // doc: near-duplicate and boilerplate-sharing pages cluster within
+    // a site, so a doc-keyed split leaks them across train and eval
+    // (the classic contamination-by-split bug); hashing the d64
+    // canonical domain puts every page of a site — including all its
+    // scheme/www/query-order URL variants — in ONE split. The bucket
+    // is the first byte of md5('graft-split-7:' ‖ domain) mod 100
+    // (seeded, stable under corpus growth: a domain's split never
+    // changes as pages arrive — the property incremental pipelines
+    // need). Scale shape: pure per-row expressions, zero shuffle
+    // beyond the scan and the output sort; the hex→int arithmetic has
+    // an exact DuckDB spelling (d58's strpos idiom).
+    "d69_holdout_split" -> { (s, dir) =>
+      withCanonDomain(T(s, dir, "documents"))
+        .withColumn("bucket", expr(
+          """cast(conv(substring(md5(concat('graft-split-7:', domain)), 1, 2),
+               16, 10) as bigint) % 100"""))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test"))
+        .select("doc_id", "domain", "bucket", "split")
+        .orderBy("doc_id")
     }
   )
 
@@ -4553,6 +4587,32 @@ object Pipeline {
       SELECT rank, ch, cnt, cum,
              cum * 10000 // total AS cum_pm,
              (cum - cnt) * 10000 < total * 9995 AS kept
-      FROM r CROSS JOIN tot ORDER BY rank"""
+      FROM r CROSS JOIN tot ORDER BY rank""",
+
+    // d69: the d64 canonicalization verbatim, then the first md5 byte
+    // via d58's strpos hex arithmetic mod 100 — same seed string, same
+    // 80/10/10 bands.
+    "d69_holdout_split" -> """
+      WITH c0 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(lower(trim(source)),
+                 '^(https?://)?(www\.)?', ''), '/+$', '') AS cu
+        FROM documents),
+      cc AS (SELECT doc_id,
+                    split_part(split_part(cu, '?', 1), '/', 1) AS domain
+             FROM c0),
+      b AS (
+        SELECT doc_id, domain,
+               CAST((strpos('123456789abcdef',
+                       substr(md5('graft-split-7:' || domain), 1, 1)) * 16
+                   + strpos('123456789abcdef',
+                       substr(md5('graft-split-7:' || domain), 2, 1))) % 100
+                 AS BIGINT) AS bucket
+        FROM cc)
+      SELECT doc_id, domain, bucket,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""
   )
 }

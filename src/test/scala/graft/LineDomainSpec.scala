@@ -119,4 +119,52 @@ class LineDomainSpec extends SparkSpecBase {
     // edges: 4 tokens is content, 3 is not; 4/5 alpha passes, 2/5 fails
     assert(out(4L) === ((4L, 2L, 17L, 9L, 529L, true)), s"edge lines: $out")
   }
+
+  // ---------------------------------------------------------------- d69
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The reference split arithmetic: first md5 byte of the seeded
+    * domain key, mod 100, 80/10/10 bands. */
+  private def refSplit(domain: String): (Long, String) = {
+    val b = Integer.parseInt(md5hex("graft-split-7:" + domain).take(2), 16) % 100
+    (b.toLong, if (b < 80) "train" else if (b < 90) "valid" else "test")
+  }
+
+  test("d69: all URL variants of a site land in ONE split; buckets match the reference") {
+    val dir = writeDocs("d69-plant", Seq(
+      (1L, "t", "HTTPS://WWW.Example.COM/a"),
+      (2L, "t", "example.com/b?x=1"),
+      (3L, "t", "http://example.com/"),
+      (4L, "t", "news.site.org/x"),
+      (5L, "t", "WWW.news.site.org/y")))
+    val out = Pipeline.queries("d69_holdout_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(Set(1L, 2L, 3L).map(out(_)).size === 1,
+      s"example.com variants split apart: $out")
+    assert(Set(4L, 5L).map(out(_)).size === 1,
+      s"news.site.org variants split apart: $out")
+    out.values.foreach { case (dom, bucket, split) =>
+      assert((bucket, split) === refSplit(dom),
+        s"$dom: bucket/split diverged from the reference arithmetic")
+    }
+  }
+
+  test("d69: real-corpus leakage guard — a domain never straddles splits, split is total") {
+    val rows = Pipeline.queries("d69_holdout_split")(spark, sfTiny)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val byDomain = rows.groupBy(_._1)
+    byDomain.foreach { case (dom, rs) =>
+      assert(rs.map(_._3).distinct.length === 1, s"$dom straddles splits")
+      assert(rs.map(_._2).distinct.length === 1, s"$dom has unstable buckets")
+    }
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 100))
+    rows.foreach { case (dom, b, sp) =>
+      assert((b, sp) === refSplit(dom), s"$dom diverged from reference")
+    }
+  }
 }

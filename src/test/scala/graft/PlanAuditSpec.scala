@@ -588,6 +588,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"d67 grew a join:\n$p")
   }
 
+  test("d69 holdout split: pure per-row hashing — no shuffle, no join") {
+    // the whole point at 100 TB: split assignment rides the scan; the
+    // only exchange is the deterministic output sort
+    val p = plan("d69_holdout_split")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"d69 reshuffled the corpus:\n$p")
+    assert(!p.contains("Join"), s"d69 grew a join:\n$p")
+    assert(!p.contains("Generate"), p)
+  }
+
   test("d68 char coverage: chars combine map-side, only charset tables collapse") {
     val p = plan("d68_char_coverage")
     assert(p.contains("InMemoryTableScan"),

@@ -163,6 +163,42 @@ class QualityWinnowSpec extends SparkSpecBase {
     }
   }
 
+  test("d61: randomized — every >=6-token shared span yields a shared fingerprint") {
+    // the winnowing guarantee (any match of >= k+w-1 tokens shares a
+    // selected fingerprint) exercised over 20 random pairs with random
+    // span placement and doc lengths, plus 5 loner docs that must
+    // share nothing. Fixed seed — failures reproduce.
+    val rnd = new scala.util.Random(20260814)
+    val rows = scala.collection.mutable.Buffer[(Long, String, String, String, Long)]()
+    var id = 0L
+    val pairIds = (0 until 20).map { p =>
+      val span = (0 until 6 + rnd.nextInt(5)).map(j => s"s${p}x$j")
+      def docWith(tag: String): Seq[String] = {
+        val pre = (0 until rnd.nextInt(30)).map(j => s"$tag-p$j")
+        val post = (0 until rnd.nextInt(30)).map(j => s"$tag-q$j")
+        pre ++ span ++ post
+      }
+      val (a, b) = (id, id + 1); id += 2
+      rows += doc(a, docWith(s"a$p").mkString(" "))
+      rows += doc(b, docWith(s"b$p").mkString(" "))
+      (a, b)
+    }
+    val lonerIds = (0 until 5).map { l =>
+      val words = (0 until 20 + rnd.nextInt(20)).map(j => s"z${l}w$j")
+      val i = id; id += 1
+      rows += doc(i, words.mkString(" "))
+      i
+    }
+    val dir = writeDocs("d61-rand", rows.toSeq)
+    val out = Pipeline.queries("d61_winnowing")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    pairIds.foreach { case (a, b) =>
+      assert(out(a) >= 1 && out(b) >= 1,
+        s"pair ($a,$b) shares a >=6-token span but no fingerprint")
+    }
+    lonerIds.foreach(l => assert(out(l) === 0L, s"loner $l shares a fingerprint"))
+  }
+
   // ---------------------------------------------------------------- d62
 
   test("d62: hand-computed √-smoothing fixture — low-resource lang upsampled") {
