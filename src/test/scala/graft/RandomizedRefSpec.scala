@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Pipeline
+import graft.sources.GraftWriter
+
+/** Randomized reference-equality suites for the round-8 crawl layer:
+  * seeded random corpora, full outputs compared row-for-row against
+  * independent Scala implementations of the declared semantics (not
+  * the Spark code's own decomposition) — the same idiom as d61's
+  * winnowing reference. Fixed seeds, so failures reproduce. */
+class RandomizedRefSpec extends SparkSpecBase {
+
+  private def writeDocs(name: String, rows: Seq[(Long, String, String)]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    GraftWriter.write(
+      rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d63 randomized: keep-first line dedup matches the reference on 25 random docs") {
+    val rnd = new scala.util.Random(8191)
+    val pool = (0 until 18).map(i =>
+      (0 to rnd.nextInt(4)).map(j => s"p${i}t$j").mkString(" "))
+    val docs = (0 until 25).map { d =>
+      val nShared = 1 + rnd.nextInt(4)
+      val shared = Seq.fill(nShared)(pool(rnd.nextInt(pool.length)))
+      val unique = (0 until rnd.nextInt(3)).map(u =>
+        (0 to rnd.nextInt(3)).map(j => s"d${d}u${u}w$j").mkString(" "))
+      val lines = rnd.shuffle(shared ++ unique)
+      (d.toLong, lines.mkString("\n"), "s")
+    }
+    // reference: keeper of each distinct line = lexicographic min (doc, idx)
+    val all = docs.flatMap { case (id, text, _) =>
+      text.split("\n").map(_.trim).filter(_.nonEmpty).zipWithIndex
+        .map { case (l, i) => (l, id, i.toLong) }
+    }
+    val keeper = all.groupBy(_._1).map { case (l, occ) =>
+      l -> occ.map(o => (o._2, o._3)).min
+    }
+    val want = all.groupBy(_._2).map { case (id, ls) =>
+      val toks = ls.map(l => l._1.split("\\s+").length.toLong)
+      val kept = ls.map(l => keeper(l._1) == ((l._2, l._3)))
+      val tokKept = ls.zip(kept).filter(_._2).map(l => l._1._1.split("\\s+").length.toLong).sum
+      id -> (ls.size.toLong, kept.count(identity).toLong, toks.sum, tokKept,
+        tokKept * 5 >= toks.sum)
+    }
+    val dir = writeDocs("d63-rand", docs)
+    val got = Pipeline.queries("d63_line_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got === want, "d63 diverged from the keep-first reference")
+  }
+
+  test("d64 randomized: canonicalization + cap match the reference on 120 random URLs") {
+    val rnd = new scala.util.Random(524287)
+    val schemes = Seq("", "http://", "https://", "HTTP://", "HTTPS://")
+    val hosts = Seq("example.com", "news.site.org", "data.io", "a-b.net")
+    def randUrl(): String = {
+      val s = schemes(rnd.nextInt(schemes.length))
+      val w = if (rnd.nextBoolean()) "www." else ""
+      val host = {
+        val h = hosts(rnd.nextInt(hosts.length))
+        if (rnd.nextBoolean()) h.toUpperCase else h
+      }
+      val path = (0 until rnd.nextInt(3)).map(i => s"/p$i").mkString
+      val qs = rnd.shuffle(Seq("a=1", "b=2", "c=3").take(rnd.nextInt(4))) match {
+        case Nil => ""
+        case ps => "?" + ps.mkString("&")
+      }
+      val slash = if (qs.isEmpty && rnd.nextBoolean()) "/" else ""
+      s + w + host + path + qs + slash
+    }
+    val docs = (0 until 120).map(i => (i.toLong, "t", randUrl()))
+    // reference canonicalization — the DECLARED semantics
+    def canon(src: String): (String, String) = {
+      val c1 = src.trim.toLowerCase
+        .replaceFirst("^(https?://)?(www\\.)?", "")
+      val c2 = c1.replaceFirst("/+$", "")
+      val (path, qs) = c2.indexOf('?') match {
+        case -1 => (c2, "")
+        case i => (c2.take(i), c2.drop(i + 1))
+      }
+      val cu = if (qs.isEmpty) path else path + "?" + qs.split("&").sorted.mkString("&")
+      (cu.takeWhile(_ != '/').takeWhile(_ != '?'), cu)
+    }
+    val ref = docs.map { case (id, _, src) => (id, canon(src)._1, canon(src)._2) }
+    val byDom = ref.groupBy(_._2)
+    val want = ref.map { case (id, dom, cu) =>
+      val ids = byDom(dom).map(_._1).sorted
+      val kth = ids.take(20).last
+      id -> (dom, cu, ids.length.toLong, id <= kth)
+    }.toMap
+    val dir = writeDocs("d64-rand", docs)
+    val got = Pipeline.queries("d64_domain_cap")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got === want, "d64 diverged from the canonicalization/cap reference")
+  }
+}
