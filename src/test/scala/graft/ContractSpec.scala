@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Meta-invariants of the driver contract — the checklist-sync bugs
+  * that bit round 7 (operators shipped without SURVEY §2 rows), made
+  * mechanically impossible:
+  *  - queries ⇄ oracleSql key parity (a dangling oracle is dead SQL; a
+  *    query without an oracle silently downgrades to rows-only);
+  *  - every query id appears in SURVEY §2, and every §2 id resolves to
+  *    a queries entry or a documented spec-only extension row. */
+class ContractSpec extends AnyFunSuite {
+
+  private val specOnly = Set("e1_extensions", "e2_codegen_exprs", "e9_bloom_functions")
+
+  test("queries and oracleSql carry exactly the same keys") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+  }
+
+  test("every key follows the block naming convention") {
+    val bad = SparkEntry.queries.keySet.filterNot(_.matches("[aqsde]\\d+_[a-z0-9_]+"))
+    assert(bad.isEmpty, s"unconventional keys: ${bad.toSeq.sorted}")
+  }
+
+  test("SURVEY §2 and the queries map list the same operators") {
+    val survey = scala.io.Source.fromFile("SURVEY.md")("UTF-8").getLines()
+      .flatMap("""^\| ([aqsde]\d+_[a-z0-9_]+) \|""".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    val q = SparkEntry.queries.keySet
+    val undocumented = q -- survey
+    assert(undocumented.isEmpty,
+      s"queries missing a SURVEY §2 row: ${undocumented.toSeq.sorted}")
+    val phantom = survey -- q -- specOnly
+    assert(phantom.isEmpty,
+      s"SURVEY §2 rows with no queries entry: ${phantom.toSeq.sorted}")
+    assert(specOnly.subsetOf(survey), "spec-only extension rows must stay documented")
+  }
+}
