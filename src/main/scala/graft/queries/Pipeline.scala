@@ -3002,6 +3002,162 @@ object Pipeline {
             .otherwise("test"))
         .select("doc_id", "domain", "bucket", "split")
         .orderBy("doc_id")
+    },
+
+    // ---- d70: benchmark n-gram SPAN EXCISION — the GPT-3/PaLM-style
+    // decontamination rung ABOVE d25's shingle counting: any 5-gram a
+    // training doc shares with the held-out benchmark subset (doc_id %
+    // 97 == 0, d25's convention) marks its 5 tokens contaminated;
+    // overlapping/adjacent marked ranges merge into maximal spans
+    // (d53's sorted-position fold — cov += min(W, gap), new span iff
+    // gap > W), and the doc reports excision accounting: contaminated
+    // tokens, span count, clean per-mille, admission iff <10% of
+    // tokens are contaminated (decontamination thresholds are
+    // aggressive — d25's flag, here on token mass). Shape for 100 TB:
+    // the benchmark gram set is tiny by construction (eval sets are
+    // thousands of docs) → broadcast left-semi against the exploded
+    // training grams; only MATCHED positions reach the per-doc fold —
+    // the corpus never shuffles, text never leaves the scan (grams
+    // travel as md5). ALL-INTEGER output, exact oracle.
+    "d70_decontam_spans" -> { (s, dir) =>
+      val W = 5
+      val w = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("words"), size(col("words")).as("n_tokens"))
+      def grams(d: DataFrame): DataFrame = d.filter(col("n_tokens") >= W)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, n_tokens - $W),
+                i -> md5(concat_ws(' ', slice(words, i + 1, $W))))"""))
+          .as(Seq("pos", "h")))
+      val bench = grams(w.filter(col("doc_id") % 97 === 0))
+        .select("h").distinct()
+      val train = w.filter(col("doc_id") % 97 =!= 0)
+      val spans = grams(train)
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy("doc_id")
+        .agg(expr(
+          s"""aggregate(sort_array(collect_list(pos)),
+                struct(cast(0 as bigint) AS cov, cast(0 as bigint) AS sp,
+                       cast(${-W - 1} as int) AS prev),
+                (a, p) -> struct(
+                  a.cov + least($W, p - a.prev),
+                  a.sp + CASE WHEN p - a.prev > $W THEN 1 ELSE 0 END,
+                  p))""").as("acc"))
+        .select(col("doc_id"), col("acc.cov").as("contam_tokens"),
+          col("acc.sp").as("n_spans"))
+      train.select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"))
+        .join(spans, Seq("doc_id"), "left")
+        .withColumn("contam_tokens", coalesce(col("contam_tokens"), lit(0L)))
+        .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+        .withColumn("clean_pm",
+          expr("(n_tokens - contam_tokens) * 1000 div n_tokens"))
+        .withColumn("admitted", col("contam_tokens") * 10 < col("n_tokens"))
+        .select("doc_id", "n_tokens", "contam_tokens", "n_spans",
+          "clean_pm", "admitted")
+        .orderBy("doc_id")
+    },
+
+    // ---- d71: LENGTH-GROUPED BATCHING — the dynamic-batching step of
+    // training-data prep (sort by length so same-batch sequences pad
+    // to similar maxima; the padding-waste accounting that motivates
+    // it): docs rank globally by (n_tokens DESC, doc_id ASC), batch =
+    // (rank−1) div 32, and each batch reports its padding waste
+    // (n·max − Σ len) and waste per-mille. The global rank is the
+    // scale problem — a single ORDER BY window serializes the corpus —
+    // so it decomposes into three bounded stages: (1) the LENGTH-SPACE
+    // histogram (map-combinable; the table is bounded by max doc
+    // length, not corpus rows — metadata-sized, its descending cumsum
+    // single-partition by design, the d65 precedent) gives each class
+    // its global offset; (2) WITHIN a length class, sub-buckets
+    // (doc_id div 64) carry ≤64 docs each, and their per-class offsets
+    // run as equiDepthShard's two-level chunked prefix sum — so a
+    // pathological corpus where every doc has THE SAME length (the
+    // all-ties worst case) still never puts more than 4096 rows in one
+    // window partition; (3) row_number inside a (class, bucket) cell
+    // ranks ≤64 rows. rank = class_off + bucket_off + cell_rank. The
+    // oracle states the single-window semantics directly — equality IS
+    // the decomposition claim (the d64 precedent). All-integer output.
+    "d71_length_batches" -> { (s, dir) =>
+      val B = 32L
+      val toks = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), size(col("words")).cast("long").as("n_tok"))
+        .persist() // class histogram + bucket counts + cell ranks: one pass
+      val offL = toks.groupBy("n_tok").agg(count(lit(1)).as("c"))
+        .withColumn("off",
+          coalesce(sum("c").over(Window.orderBy(desc("n_tok"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("n_tok", "off")
+      val bk = toks.withColumn("b", expr("doc_id div 64"))
+      val bc = bk.groupBy("n_tok", "b").agg(count(lit(1)).as("bn"))
+        .withColumn("chunk", expr("b div 4096"))
+      val w1 = Window.partitionBy("n_tok", "chunk").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = bc.withColumn("lb", coalesce(sum("bn").over(w1), lit(0L)))
+      val w2 = Window.partitionBy("n_tok").orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val coffs = bc.groupBy("n_tok", "chunk").agg(sum("bn").as("ct"))
+        .withColumn("cb", coalesce(sum("ct").over(w2), lit(0L)))
+        .select("n_tok", "chunk", "cb")
+      val boff = local.join(coffs, Seq("n_tok", "chunk"))
+        .select(col("n_tok"), col("b"), (col("lb") + col("cb")).as("boff"))
+      val ranked = bk
+        .withColumn("rnb", row_number().over(
+          Window.partitionBy("n_tok", "b").orderBy("doc_id")).cast("long"))
+        .join(boff, Seq("n_tok", "b"))
+        .join(broadcast(offL), Seq("n_tok"))
+        .withColumn("batch", expr(s"(off + boff + rnb - 1) div $B"))
+      ranked.groupBy("batch").agg(
+          count(lit(1)).as("n_docs"),
+          max("n_tok").as("max_tok"),
+          sum("n_tok").as("sum_tok"))
+        .withColumn("pad_tokens", col("n_docs") * col("max_tok") - col("sum_tok"))
+        .withColumn("waste_pm", expr(
+          """CASE WHEN n_docs * max_tok > 0
+               THEN pad_tokens * 1000 div (n_docs * max_tok)
+               ELSE cast(0 as bigint) END"""))
+        .select("batch", "n_docs", "max_tok", "sum_tok", "pad_tokens", "waste_pm")
+        .orderBy("batch")
+    },
+
+    // ---- d72: TEXT NORMALIZATION + mojibake accounting — the
+    // canonicalization pass every crawl pipeline runs before hashing
+    // (CCNet's normalization, C4's cleanup): CR/CRLF → LF, control
+    // chars stripped (except \n, \t), typographic punctuation mapped
+    // to ASCII (curly quotes → '/" , en/em-dash → -, NBSP → space,
+    // ellipsis → ...), horizontal whitespace runs collapsed, outer
+    // spaces trimmed. The doc reports encoding-health counters off the
+    // RAW text (control chars, U+FFFD replacement chars — the mojibake
+    // signal, typographic chars) and the md5 of the normalized text —
+    // the hash check certifies the normalization char-for-char (the
+    // d64 canon_url precedent). Admission: no replacement chars and
+    // ≤1% control chars. Shape for 100 TB: pure per-row string
+    // kernels, zero shuffle beyond scan + output sort, whole-stage
+    // codegen. Every rule is spelled identically in both engines
+    // (Java regex ↔ RE2 agree on these classes; counters are
+    // length-difference integers).
+    "d72_text_normalize" -> { (s, dir) =>
+      val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+      val typo = "[’‘“”–— …]"
+      T(s, dir, "documents")
+        .withColumn("t1", regexp_replace(col("text"), "\r\n?", "\n"))
+        .withColumn("t2", regexp_replace(col("t1"), ctrl, ""))
+        .withColumn("t3", translate(col("t2"),
+          "’‘“”–— ", "''\"\"-- "))
+        .withColumn("t4", expr("replace(t3, '…', '...')"))
+        .withColumn("norm", trim(regexp_replace(col("t4"), "[ \\t]+", " ")))
+        .select(col("doc_id"),
+          length(col("text")).cast("bigint").as("n_chars_raw"),
+          (length(col("t1")) - length(regexp_replace(col("t1"), ctrl, "")))
+            .cast("bigint").as("n_ctrl"),
+          (length(col("text")) -
+            length(expr("replace(text, '�', '')")))
+            .cast("bigint").as("n_repl"),
+          (length(col("text")) - length(regexp_replace(col("text"), typo, "")))
+            .cast("bigint").as("n_typo"),
+          length(col("norm")).cast("bigint").as("n_chars_norm"),
+          md5(col("norm")).as("norm_h"))
+        .withColumn("admitted",
+          col("n_repl") === 0 && col("n_ctrl") * 100 <= col("n_chars_raw"))
+        .orderBy("doc_id")
     }
   )
 
@@ -4613,6 +4769,114 @@ object Pipeline {
              CASE WHEN bucket < 80 THEN 'train'
                   WHEN bucket < 90 THEN 'valid'
                   ELSE 'test' END AS split
-      FROM b ORDER BY doc_id"""
+      FROM b ORDER BY doc_id""",
+
+    // d70: same gram unit as d53's oracle at W=5, same lag-based span
+    // fold (SUM of min(W, gap) with a new span iff gap > W replays the
+    // Spark sorted-position aggregate exactly), same %97 benchmark
+    // convention as d25.
+    "d70_decontam_spans" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      base AS (
+        SELECT doc_id, words, CAST(len(words) AS INT) AS n_tokens FROM w),
+      g AS (
+        SELECT doc_id, unnest(range(n_tokens - 4)) AS pos, words
+        FROM base WHERE n_tokens >= 5),
+      gh AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(words[pos + 1 : pos + 5], ' ')) AS h
+        FROM g),
+      bh AS (SELECT DISTINCT h FROM gh WHERE doc_id % 97 = 0),
+      mk AS (
+        SELECT gh.doc_id, gh.pos,
+               lag(gh.pos) OVER (PARTITION BY gh.doc_id ORDER BY gh.pos) AS prev
+        FROM gh JOIN bh USING (h) WHERE gh.doc_id % 97 <> 0),
+      agg AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN prev IS NULL THEN 5
+                             ELSE least(5, pos - prev) END) AS BIGINT)
+                 AS contam_tokens,
+               CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > 5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+        FROM mk GROUP BY doc_id)
+      SELECT b.doc_id, b.n_tokens,
+             coalesce(a.contam_tokens, 0) AS contam_tokens,
+             coalesce(a.n_spans, 0) AS n_spans,
+             CAST((b.n_tokens - coalesce(a.contam_tokens, 0)) * 1000
+               // b.n_tokens AS BIGINT) AS clean_pm,
+             coalesce(a.contam_tokens, 0) * 10 < b.n_tokens AS admitted
+      FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+      WHERE b.doc_id % 97 <> 0
+      ORDER BY b.doc_id""",
+
+    // d71: the oracle states the single-window rank directly — the
+    // Spark side's three-stage decomposition must land on the
+    // identical batch assignment, which is exactly the claim under
+    // test (the d64 precedent).
+    "d71_length_batches" -> """
+      WITH w AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_tok,
+               row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk
+        FROM w),
+      b AS (SELECT *, (rnk - 1) // 32 AS batch FROM r)
+      SELECT CAST(batch AS BIGINT) AS batch,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(n_tok) AS BIGINT) AS max_tok,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+             CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_tokens,
+             CASE WHEN count(*) * max(n_tok) > 0
+                  THEN CAST((count(*) * max(n_tok) - sum(n_tok)) * 1000
+                    // (count(*) * max(n_tok)) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS waste_pm
+      FROM b GROUP BY batch ORDER BY batch""",
+
+    // d72: every rule replayed char-for-char (chr() spellings so the
+    // oracle carries no raw non-ASCII); DuckDB regexp_replace takes
+    // the 'g' flag where Spark's replaces all matches by default;
+    // trim() is spaces-only in BOTH engines. The norm_h md5 certifies
+    // the whole normalization chain.
+    "d72_text_normalize" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '\r\n?', chr(10), 'g') AS t1
+        FROM documents),
+      u AS (
+        SELECT doc_id, text, t1,
+               regexp_replace(t1, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS t2
+        FROM t),
+      v AS (
+        SELECT doc_id, text, t1,
+               replace(translate(t2,
+                 chr(8217) || chr(8216) || chr(8220) || chr(8221) ||
+                 chr(8211) || chr(8212) || chr(160),
+                 '''' || '''' || '"' || '"' || '-' || '-' || ' '),
+                 chr(8230), '...') AS t4
+        FROM u),
+      n AS (
+        SELECT doc_id, text, t1,
+               trim(regexp_replace(t4, '[ \t]+', ' ', 'g')) AS norm
+        FROM v)
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_raw,
+             CAST(length(t1) - length(regexp_replace(t1,
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS n_ctrl,
+             CAST(length(text) - length(replace(text, chr(65533), ''))
+               AS BIGINT) AS n_repl,
+             CAST(length(text) - length(regexp_replace(text,
+               '[\x{2019}\x{2018}\x{201C}\x{201D}\x{2013}\x{2014}\x{00A0}\x{2026}]',
+               '', 'g')) AS BIGINT) AS n_typo,
+             CAST(length(norm) AS BIGINT) AS n_chars_norm,
+             md5(norm) AS norm_h,
+             (length(text) - length(replace(text, chr(65533), '')) = 0 AND
+              (length(t1) - length(regexp_replace(t1,
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))) * 100
+                <= length(text)) AS admitted
+      FROM n ORDER BY doc_id"""
   )
 }
