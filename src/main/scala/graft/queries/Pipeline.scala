@@ -3158,6 +3158,84 @@ object Pipeline {
         .withColumn("admitted",
           col("n_repl") === 0 && col("n_ctrl") * 100 <= col("n_chars_raw"))
         .orderBy("doc_id")
+    },
+
+    // ---- d73: INVERTED-INDEX construction — the retrieval-side
+    // artifact d37's BM25 scores imply but never materializes: for the
+    // top-50 terms by document frequency (df desc, term asc — binary
+    // collation, the d67 tie-break), emit df, collection frequency,
+    // and the posting list CAPPED at the 5 smallest doc_ids (rendered
+    // "doc:tf,doc:tf,…" so the oracle hash-checks the list itself).
+    // Scale shape: the corpus collapses to the (term, doc) tf table in
+    // one map-combinable shuffle; the top-50 selection over the
+    // vocab-sized stats table runs as a TWO-STAGE rank (per-hash-
+    // bucket row_number keeps ≤50 per bucket, true rank over ≤64·50
+    // survivors — the d64 idiom, so no vocab-sized single partition);
+    // posting lists build ONLY for the 50 winners (broadcast semi-join
+    // first), and the per-term first-5 rank is salted (term, id mod
+    // 64) → ≤5 per salt → true rank, so "the"-scale terms never
+    // serialize their full posting stream through one task.
+    "d73_postings" -> { (s, dir) =>
+      val K = 5
+      val TOP = 50
+      val tf = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), explode(col("words")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .persist() // term stats + winner postings read one (term,doc) pass
+      val st = tf.groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      val top = st
+        .withColumn("bk", pmod(crc32(col("term")), lit(64)))
+        .withColumn("rb", row_number().over(
+          Window.partitionBy("bk").orderBy(desc("df"), asc("term"))))
+        .filter(col("rb") <= TOP)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("df"), asc("term"))).cast("int"))
+        .filter(col("rank") <= TOP)
+        .select("rank", "term", "df", "cf")
+      val firstK = tf
+        .join(broadcast(top.select("term")), Seq("term"), "left_semi")
+        .withColumn("rs", row_number().over(
+          Window.partitionBy(col("term"), pmod(col("doc_id"), lit(64L)))
+            .orderBy("doc_id")))
+        .filter(col("rs") <= K)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("term").orderBy("doc_id")))
+        .filter(col("rn") <= K)
+      val pl = firstK.groupBy("term").agg(expr(
+        """concat_ws(',', transform(sort_array(collect_list(struct(doc_id, tf))),
+             x -> concat(x.doc_id, ':', x.tf)))""").as("postings"))
+      pl.join(broadcast(top), Seq("term"))
+        .select("rank", "term", "df", "cf", "postings")
+        .orderBy("rank")
+    },
+
+    // ---- d74: CORPUS SNAPSHOT DIFF — the change-data-capture
+    // bookkeeping of an INCREMENTAL re-crawl (the batch complement of
+    // d32's asymmetric incremental dedup): snapshot A (docs with
+    // doc_id % 7 ≠ 3) vs snapshot B (docs with doc_id % 5 ≠ 2, where
+    // every 11th doc's text gained a revision suffix), classified per
+    // doc as added / removed / changed / unchanged by md5 compare over
+    // a FULL OUTER equi-join on doc_id. Shape for 100 TB: text never
+    // leaves its scan (both sides reduce to (id, md5) before the
+    // join); the join is equi-keyed on the id — co-partitioned, and
+    // bucketed snapshot storage would make it shuffle-free. The dumped
+    // hashes make the check cover content identity, not just status.
+    "d74_snapshot_diff" -> { (s, dir) =>
+      val base = T(s, dir, "documents")
+      val a = base.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("old_h"))
+      val b = base.filter(col("doc_id") % 5 =!= 2)
+        .select(col("doc_id"), md5(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("new_h"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_h").isNull, "added")
+            .when(col("new_h").isNull, "removed")
+            .when(col("old_h") === col("new_h"), "unchanged")
+            .otherwise("changed"))
+        .select("doc_id", "old_h", "new_h", "status")
+        .orderBy("doc_id")
     }
   )
 
@@ -4877,6 +4955,57 @@ object Pipeline {
               (length(t1) - length(regexp_replace(t1,
                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))) * 100
                 <= length(text)) AS admitted
-      FROM n ORDER BY doc_id"""
+      FROM n ORDER BY doc_id""",
+
+    // d73: the oracle states the single-window semantics (one rank
+    // over term stats, one per-term posting rank) — the Spark side's
+    // two-stage/salted decompositions must land on the identical
+    // top-50 and identical first-5 posting lists. string_agg with
+    // ORDER BY renders the same "doc:tf" list.
+    "d73_postings" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM w GROUP BY term, doc_id),
+      st AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS cf
+        FROM tf GROUP BY term),
+      r AS (
+        SELECT term, df, cf,
+               CAST(row_number() OVER (ORDER BY df DESC, term) AS INT) AS rank
+        FROM st),
+      pk AS (
+        SELECT term, doc_id, tf,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM tf),
+      pl AS (
+        SELECT term, string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+                 AS postings
+        FROM pk WHERE rn <= 5 GROUP BY term)
+      SELECT r.rank, r.term, r.df, r.cf, pl.postings
+      FROM r JOIN pl USING (term)
+      WHERE r.rank <= 50 ORDER BY r.rank""",
+
+    // d74: same snapshot predicates, same revision suffix, same md5
+    // classification over a full outer join.
+    "d74_snapshot_diff" -> """
+      WITH a AS (
+        SELECT doc_id, md5(text) AS old_h
+        FROM documents WHERE doc_id % 7 <> 3),
+      b AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+                        ELSE text END) AS new_h
+        FROM documents WHERE doc_id % 5 <> 2)
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.old_h, b.new_h,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.old_h = b.new_h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      ORDER BY doc_id"""
   )
 }
