@@ -3192,6 +3192,7 @@ object Pipeline {
           Window.orderBy(desc("df"), asc("term"))).cast("int"))
         .filter(col("rank") <= TOP)
         .select("rank", "term", "df", "cf")
+        .persist() // 50 rows, read twice: the semi-gate and the stats join
       val firstK = tf
         .join(broadcast(top.select("term")), Seq("term"), "left_semi")
         .withColumn("rs", row_number().over(
@@ -3236,8 +3237,177 @@ object Pipeline {
             .otherwise("changed"))
         .select("doc_id", "old_h", "new_h", "status")
         .orderBy("doc_id")
+    },
+
+    // ---- d75: ITERATIVE BPE MERGE TRAINING — the actual tokenizer-
+    // training loop (Sennrich et al. 2016) that d67's single-round
+    // pair statistics feed: THREE full merge rounds, each (1) counting
+    // adjacent symbol pairs weighted by word frequency, (2) electing
+    // the best merge with the deterministic (count desc, a asc, b asc)
+    // tie-break, (3) applying it to every word with the canonical
+    // GREEDY LEFTMOST NON-OVERLAPPING replacement — "aaaa" under (a,a)
+    // merges positions 0 and 2, never 1. The greedy scan is a per-word
+    // sorted fold over match positions (take p iff p ≠ last_taken+1 —
+    // equivalently, even offsets within runs of consecutive matches,
+    // which is how the oracle spells it in windowed SQL; the
+    // randomized spec certifies both against an independent Scala
+    // reference). Output: the three merge rules plus the top-15
+    // post-merge symbols by weighted frequency. Scale shape: the
+    // corpus collapses ONCE to the word-frequency table (d67's
+    // argument — the token stream never explodes into characters);
+    // each round then touches only vocab-sized frames: one pair-count
+    // shuffle, a ONE-ROW broadcast argmax (min over a (−cnt, a, b)
+    // struct — no driver collect), and a map-side higher-order merge.
+    // Every round's frame is persisted WITH its pair array so the
+    // explode reads the cache — never re-evaluating the inline
+    // transform per generated row (the d61 lesson); a production run
+    // would unpersist round k−1 after round k materializes. The
+    // symbol top-15 runs the d73 two-stage rank (no vocab-sized
+    // single partition).
+    "d75_bpe_merges" -> { (s, dir) =>
+      val R = 3
+      val pairExpr = expr(
+        """CASE WHEN size(syms) >= 2
+             THEN transform(sequence(0, size(syms) - 2),
+                    i -> named_struct('a', syms[i], 'b', syms[i + 1]))
+             ELSE array() END""")
+      var wf = withWords(T(s, dir, "documents"))
+        .select(explode(col("words")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wf"))
+        .withColumn("syms", expr(
+          """CASE WHEN length(word) >= 1
+               THEN transform(sequence(1, length(word)), i -> substring(word, i, 1))
+               ELSE array() END"""))
+        .withColumn("prs", pairExpr)
+        .persist()
+      var recs = Seq.empty[DataFrame]
+      for (r <- 1 to R) {
+        val best = wf.select(col("wf"), explode(col("prs")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("wf").as("cnt"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("m"))
+          .select(col("m.a").as("best_a"), col("m.b").as("best_b"),
+            (-col("m.nc")).as("best_cnt"))
+          .persist() // one row; the merge AND the rule record read it
+        recs = recs :+ best.filter(col("best_a").isNotNull)
+          .select(lit("merge").as("kind"), lit(r).cast("int").as("rank"),
+            concat(col("best_a"), lit(" "), col("best_b")).as("piece"),
+            col("best_cnt").as("cnt"))
+        wf = wf.crossJoin(broadcast(best))
+          .withColumn("mt", expr(
+            """CASE WHEN size(syms) >= 2
+                 THEN filter(sequence(0, size(syms) - 2),
+                        i -> syms[i] = best_a AND syms[i + 1] = best_b)
+                 ELSE array() END"""))
+          .withColumn("tk", expr(
+            """aggregate(mt,
+                 named_struct('arr', cast(array() as array<int>), 'last', -2),
+                 (ac, p) -> CASE WHEN p = ac.last + 1 THEN ac
+                   ELSE named_struct('arr', concat(ac.arr, array(p)), 'last', p)
+                 END).arr"""))
+          .withColumn("syms", expr(
+            """CASE WHEN size(tk) > 0 THEN
+                 filter(transform(sequence(0, size(syms) - 1),
+                   j -> CASE
+                     WHEN array_contains(tk, j) THEN concat(best_a, best_b)
+                     WHEN j > 0 AND array_contains(tk, j - 1) THEN NULL
+                     ELSE syms[j] END),
+                   x -> x IS NOT NULL)
+               ELSE syms END"""))
+          .select(col("word"), col("wf"), col("syms"))
+          .withColumn("prs", pairExpr)
+          .persist()
+      }
+      val syTop = wf.select(col("wf"), explode(col("syms")).as("piece"))
+        .groupBy("piece").agg(sum("wf").as("cnt"))
+        .withColumn("bk", pmod(crc32(col("piece")), lit(64)))
+        .withColumn("rb", row_number().over(
+          Window.partitionBy("bk").orderBy(desc("cnt"), asc("piece"))))
+        .filter(col("rb") <= 15)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("cnt"), asc("piece"))).cast("int"))
+        .filter(col("rank") <= 15)
+        .select(lit("symbol").as("kind"), col("rank"), col("piece"), col("cnt"))
+      (recs :+ syTop).reduce(_ unionAll _)
+        .select("kind", "rank", "piece", "cnt")
+        .orderBy("kind", "rank")
     }
   )
+
+  /** One d75 BPE round as DuckDB CTEs, input wf{k} → output wf{k+1}.
+    * The greedy leftmost non-overlapping merge is spelled as the
+    * gaps-and-islands parity rule (take a match iff its offset within
+    * a run of consecutive match positions is even) — provably the
+    * same selection as the Spark side's sorted fold (take p iff
+    * p ≠ last_taken+1); the randomized spec checks both against an
+    * independent reference. Generated per round so the three rounds
+    * cannot drift apart. */
+  private def d75RoundSql(k: Int): String = s"""
+      pairs$k AS (
+        SELECT p[1] AS a, p[2] AS b, CAST(sum(wf) AS BIGINT) AS cnt
+        FROM (SELECT wf,
+                     unnest(CASE WHEN len(syms) >= 2
+                       THEN list_transform(range(len(syms) - 1),
+                              i -> [syms[i + 1], syms[i + 2]])
+                       ELSE [] END) AS p
+              FROM wf$k)
+        GROUP BY 1, 2),
+      best$k AS (SELECT a, b, cnt FROM pairs$k ORDER BY cnt DESC, a, b LIMIT 1),
+      mt$k AS (
+        SELECT w.word,
+               unnest(list_filter(range(len(w.syms) - 1),
+                 i -> w.syms[i + 1] = bb.a AND w.syms[i + 2] = bb.b)) AS p
+        FROM wf$k w, best$k bb),
+      tk$k AS (
+        SELECT word, p FROM (
+          SELECT word, p, p - min(p) OVER (PARTITION BY word, grp) AS off
+          FROM (SELECT word, p,
+                       p - CAST(row_number() OVER (PARTITION BY word ORDER BY p)
+                         AS BIGINT) AS grp
+                FROM mt$k))
+        WHERE off % 2 = 0),
+      tka$k AS (SELECT word, list(p ORDER BY p) AS tk FROM tk$k GROUP BY word),
+      wf${k + 1} AS (
+        SELECT w.word, w.wf,
+               CASE WHEN t.tk IS NULL THEN w.syms ELSE
+                 list_filter(list_transform(range(len(w.syms)),
+                   j -> CASE WHEN list_contains(t.tk, j) THEN bb.a || bb.b
+                             WHEN j > 0 AND list_contains(t.tk, j - 1) THEN NULL
+                             ELSE w.syms[j + 1] END),
+                   x -> x IS NOT NULL) END AS syms
+        FROM wf$k w LEFT JOIN tka$k t USING (word)
+                    LEFT JOIN best$k bb ON TRUE)"""
+
+  private lazy val d75OracleSql: String = s"""
+      WITH wf0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wf,
+               CASE WHEN length(word) >= 1
+                    THEN list_transform(range(length(word)),
+                           i -> substr(word, i + 1, 1))
+                    ELSE [] END AS syms
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents)
+        GROUP BY word),
+      ${(0 until 3).map(d75RoundSql).mkString(",\n")},
+      sy AS (
+        SELECT s AS piece, CAST(sum(wf) AS BIGINT) AS cnt
+        FROM (SELECT wf, unnest(syms) AS s FROM wf3)
+        GROUP BY 1),
+      syr AS (
+        SELECT 'symbol' AS kind,
+               CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,
+               piece, cnt
+        FROM sy)
+      SELECT kind, rank, piece, cnt FROM (
+        SELECT 'merge' AS kind, CAST(1 AS INT) AS rank,
+               a || ' ' || b AS piece, cnt FROM best0
+        UNION ALL
+        SELECT 'merge', CAST(2 AS INT), a || ' ' || b, cnt FROM best1
+        UNION ALL
+        SELECT 'merge', CAST(3 AS INT), a || ' ' || b, cnt FROM best2
+        UNION ALL
+        SELECT kind, rank, piece, cnt FROM syr WHERE rank <= 15)
+      ORDER BY kind, rank"""
 
   val oracles: Map[String, String] = Map(
     // Full hash-family replay oracles (ReplaySql): DuckDB re-derives
@@ -5006,6 +5176,11 @@ object Pipeline {
                   WHEN a.old_h = b.new_h THEN 'unchanged'
                   ELSE 'changed' END AS status
       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // d75: three generated round blocks (d75RoundSql) — same pair
+    // counts, same (cnt desc, a, b) election, same greedy-leftmost
+    // merge selection via the islands-parity spelling.
+    "d75_bpe_merges" -> d75OracleSql
   )
 }

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Pipeline
+import graft.sources.GraftWriter
+
+/** SURVEY §2 D specs for the round-8 curation/batching layer: d70
+  * decontamination span excision (span merge over benchmark 5-gram
+  * marks, the exact-10% admission edge), d71 length-grouped batching
+  * (reference-equality ranks incl. the all-ties worst case), d72 text
+  * normalization (each rule char-for-char, mojibake/control admission
+  * edges), d73 capped postings (first-5 cap, df tie-break), and d74
+  * snapshot diff (every CDC class, absent-from-both exclusion). */
+class CurationBatchSpec extends SparkSpecBase {
+
+  private def writeDocs(name: String, rows: Seq[(Long, String)]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    GraftWriter.write(
+      rows.map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    dir
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // ---------------------------------------------------------------- d70
+
+  test("d70: benchmark 5-gram marks merge into exact spans; 10% admission edge") {
+    val fill = (p: String, n: Int) => (1 to n).map(i => s"$p$i").mkString(" ")
+    val dir = writeDocs("d70-plant", Seq(
+      (0L, "B1 B2 B3 B4 B5 B6"),                               // benchmark (0 % 97 == 0)
+      (1L, "x1 x2 B1 B2 B3 B4 B5 B6 y1 y2"),                   // overlapping grams, one span
+      (2L, "B1 B2 B3 B4 B5 " + fill("z", 7) + " B2 B3 B4 B5 B6 w1 w2 w3"), // two spans
+      (3L, "clean doc entirely unique tokens here today"),      // no contamination
+      (4L, "tiny doc"),                                         // under gram width
+      (5L, fill("p", 45) + " B1 B2 B3 B4 B5"),                  // exactly 10% → rejected
+      (6L, fill("q", 46) + " B1 B2 B3 B4 B5"),                  // just under 10% → admitted
+      (7L, "B1 B2 B3 B4 B5 B1 B2 B3 B4 B5")))                  // gap == 5: adjacent spans merge
+    val out = Pipeline.queries("d70_decontam_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(!out.contains(0L), "the benchmark doc must not appear as training")
+    assert(out(1L) === ((10, 6L, 1L, 400L, false)),
+      "two overlapping gram marks must merge to one 6-token span")
+    assert(out(2L) === ((20, 10L, 2L, 500L, false)))
+    assert(out(3L) === ((7, 0L, 0L, 1000L, true)))
+    assert(out(4L) === ((2, 0L, 0L, 1000L, true)), "sub-gram docs carry no marks")
+    assert(out(5L) === ((50, 5L, 1L, 900L, false)), "exactly 10% contaminated is rejected")
+    assert(out(6L) === ((51, 5L, 1L, 901L, true)), "under 10% contaminated is admitted")
+    assert(out(7L) === ((10, 10L, 1L, 0L, false)),
+      "marks at gap exactly 5 fuse into one fully-covering span")
+  }
+
+  // ---------------------------------------------------------------- d71
+
+  private def d71Reference(lens: Seq[(Long, Long)]): Map[Long, (Long, Long, Long, Long, Long)] = {
+    // the declared single-window semantics: rank by (n_tok desc, id asc)
+    lens.sortBy { case (id, n) => (-n, id) }.zipWithIndex
+      .map { case ((_, n), i) => (i / 32, n) }
+      .groupBy(_._1).map { case (b, xs) =>
+        val ns = xs.map(_._2)
+        val (nd, mx, sm) = (ns.size.toLong, ns.max, ns.sum)
+        val pad = nd * mx - sm
+        b.toLong -> (nd, mx, sm, pad,
+          if (nd * mx > 0) pad * 1000 / (nd * mx) else 0L)
+      }
+  }
+
+  private def d71Collect(dir: String): Map[Long, (Long, Long, Long, Long, Long)] =
+    Pipeline.queries("d71_length_batches")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+  test("d71: randomized lengths with heavy ties match the single-window reference") {
+    val rnd = new scala.util.Random(40961)
+    val docs = (0 until 75).map { i =>
+      val n = 1 + rnd.nextInt(10) // 10 length classes over 75 docs: dense ties
+      (i * 7L + 3, (1 to n).map(j => s"t$j").mkString(" ")) // sparse ids
+    }
+    val want = d71Reference(docs.map { case (id, t) =>
+      (id, t.split("\\s+").length.toLong) })
+    val got = d71Collect(writeDocs("d71-rand", docs))
+    assert(got === want, "d71 diverged from the single-window batching reference")
+  }
+
+  test("d71: the all-same-length worst case batches purely by doc id") {
+    // 80 docs, every one 4 tokens long — the degenerate corpus the
+    // three-stage rank exists for (one length class holds everything)
+    val docs = (0 until 80).map(i => (i.toLong, "a b c d"))
+    val got = d71Collect(writeDocs("d71-ties", docs))
+    assert(got === Map(
+      0L -> ((32L, 4L, 128L, 0L, 0L)),
+      1L -> ((32L, 4L, 128L, 0L, 0L)),
+      2L -> ((16L, 4L, 64L, 0L, 0L))))
+  }
+
+  // ---------------------------------------------------------------- d72
+
+  test("d72: each normalization rule lands char-for-char; counters and admission edges hold") {
+    val dir = writeDocs("d72-plant", Seq(
+      (0L, "a\r\nb\rc"),                                    // CR/CRLF → LF, no counters
+      (1L, "abc"),                              // 2 ctrl in 5 chars → rejected
+      (2L, "“q” ‘x’ – — …"), // typographic battery
+      (3L, "ok � bad"),                                 // mojibake → rejected
+      (4L, ("a" * 99) + ""),                           // exactly 1% ctrl → admitted
+      (5L, ("b" * 98) + ""),                           // just over 1% → rejected
+      (6L, "  a\t\t b  c ")))                                // whitespace collapse + trim
+    val out = Pipeline.queries("d72_text_normalize")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(6), r.getBoolean(7)))
+      .toMap
+    assert(out(0L) === ((6L, 0L, 0L, 0L, 5L, md5Hex("a\nb\nc"), true)))
+    assert(out(1L) === ((5L, 2L, 0L, 0L, 3L, md5Hex("abc"), false)))
+    assert(out(2L) === ((13L, 0L, 0L, 8L, 15L, md5Hex("\"q\" 'x' - - ..."), true)),
+      "curly quotes/dashes/NBSP/ellipsis must map to ASCII")
+    assert(out(3L) === ((8L, 0L, 1L, 0L, 8L, md5Hex("ok � bad"), false)),
+      "a replacement char rejects the doc but survives normalization")
+    assert(out(4L)._7 === true, "exactly 1% control chars is admitted")
+    assert(out(5L)._7 === false, "over 1% control chars is rejected")
+    assert(out(6L) === ((11L, 0L, 0L, 0L, 5L, md5Hex("a b c"), true)),
+      "tab/space runs collapse and outer spaces trim")
+  }
+
+  // ---------------------------------------------------------------- d73
+
+  test("d73: posting lists cap at the 5 smallest ids; df ties order by term") {
+    val dir = writeDocs("d73-plant",
+      (0L to 7L).map { i =>
+        val bb = if (i <= 3) " bb bb" else ""
+        val cc = if (i <= 3) " cc" else ""
+        (i, s"aa$bb$cc")
+      })
+    val out = Pipeline.queries("d73_postings")(spark, dir)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(out === Seq(
+      (1, "aa", 8L, 8L, "0:1,1:1,2:1,3:1,4:1"),
+      (2, "bb", 4L, 8L, "0:2,1:2,2:2,3:2"),
+      (3, "cc", 4L, 4L, "0:1,1:1,2:1,3:1")),
+      s"got $out")
+  }
+
+  // ---------------------------------------------------------------- d74
+
+  test("d74: every CDC class lands; docs absent from both snapshots never appear") {
+    val dir = writeDocs("d74-plant",
+      Seq(0L, 1L, 2L, 3L, 7L, 10L, 11L, 17L, 22L).map(i => (i, s"text of $i")))
+    val out = Pipeline.queries("d74_snapshot_diff")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)), r.getString(3)))
+      .toMap
+    assert(out(0L)._3 === "changed")   // 0%11==0: revision suffix in B
+    assert(out(0L)._1.isDefined && out(0L)._2.isDefined && out(0L)._1 != out(0L)._2)
+    assert(out(1L)._3 === "unchanged")
+    assert(out(1L)._1 === out(1L)._2)
+    assert(out(2L) === ((Some(md5Hex("text of 2")), None, "removed")))  // 2%5==2
+    assert(out(3L) === ((None, Some(md5Hex("text of 3")), "added")))    // 3%7==3
+    assert(out(7L)._3 === "removed")
+    assert(out(10L)._3 === "added")
+    assert(out(11L)._3 === "changed")  // 11%11==0
+    assert(out(22L)._3 === "removed")
+    assert(!out.contains(17L), "17 is in neither snapshot (17%7==3 and 17%5==2)")
+  }
+}

@@ -608,4 +608,87 @@ class PlanAuditSpec extends SparkSpecBase {
       s"totals must ride back as a one-row broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d70 decontam spans: benchmark grams broadcast, span fold stays an aggregate") {
+    // the eval-set gram side must reach the training grams as a
+    // BROADCAST left-semi (a shuffled join would move the full
+    // exploded training gram stream at 100 TB); the span merge is the
+    // d53 sorted fold — an aggregate, never a per-gram Window sort
+    val opt = Pipeline.queries("d70_decontam_spans")(spark, sfTiny)
+      .queryExecution.optimizedPlan.toString
+    assert("""\bWindow\b""".r.findAllIn(opt).isEmpty,
+      s"d70 span merge regressed to a Window sort:\n$opt")
+    val p = plan("d70_decontam_spans")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark gram set is not a broadcast semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d71 length batches: three bounded rank stages, only length-space collapses") {
+    // stage windows: chunk-local prefix (n_tok, chunk), chunk offsets
+    // (n_tok), cell row_number (n_tok, b) — all key-partitioned; the
+    // ONLY single-partition collapse is the length-space histogram
+    // cumsum (metadata-sized), plus the output sort's range exchange
+    val p = plan("d71_length_batches")
+    assert(p.contains("InMemoryTableScan"),
+      s"d71 re-derives the token-count pass per consumer:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"d71 collapsed more than the length-space histogram:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"d71 lost its key-partitioned rank stages:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d72 normalization: pure per-row kernels — no shuffle, no join, no explode") {
+    val p = plan("d72_text_normalize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"d72 must not shuffle beyond the output sort:\n$p")
+    assert(!p.contains("Join"), s"d72 must not join:\n$p")
+    assert(!p.contains("Generate"), s"d72 must not explode:\n$p")
+  }
+
+  test("d73 postings: winners broadcast back, posting ranks run salted") {
+    // top-50 election: two bucketed rank stages over term stats; the
+    // winner set then gates the tf table as a BROADCAST semi-join and
+    // the final stats attach as a broadcast equi-join — the vocab-sized
+    // side never hash-shuffles against the 50-row side
+    val p = plan("d73_postings")
+    assert(p.contains("InMemoryTableScan"),
+      s"d73 re-derives the (term, doc) tf pass per consumer:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"winner set must broadcast for both the semi-gate and the stats join:\n$p")
+    assert(p.contains("LeftSemi"), s"tf gating lost its semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // 2 live Windows (salted rs + survivor rn over the gated tf) plus
+    // the top-50 election's 2 Windows printed inside the cached-plan
+    // text of BOTH InMemoryRelation consumers = 6; a 7th would mean a
+    // rank stage regressed to an unbounded window
+    assert("""\bWindow\b""".r.findAllIn(
+      Pipeline.queries("d73_postings")(spark, sfTiny)
+        .queryExecution.optimizedPlan.toString).length <= 6,
+      "d73 must rank in 2+2 bounded stages (term top-k, posting first-k)")
+  }
+
+  test("d74 snapshot diff: hashes reduce at the scan, the diff is one equi full-outer") {
+    val p = plan("d74_snapshot_diff")
+    assert(p.contains("FullOuter"), s"d74 lost its full-outer classification:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"d74 diff join must stay equi-keyed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d75 bpe rounds: explodes read caches, elections broadcast as one-row sides") {
+    // every round's pair explode must read the persisted round frame
+    // (the d61 lesson — an inline transform under Generate re-evaluates
+    // per generated row), and each round's argmax joins back as a
+    // one-row broadcast, never a shuffle of the vocab
+    val p = plan("d75_bpe_merges")
+    assert(p.contains("InMemoryTableScan"),
+      s"d75 explode re-derives the round frame instead of reading the cache:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 3,
+      s"three rounds must each broadcast their one-row election:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"),
+      s"d75 pair counts lost their map-side partial:\n$p")
+  }
 }

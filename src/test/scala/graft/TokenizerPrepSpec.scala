@@ -73,4 +73,84 @@ class TokenizerPrepSpec extends SparkSpecBase {
     assert(out2("z") === true,
       "a char starting under the bar is the one that completes the prefix")
   }
+
+  // ---------------------------------------------------------------- d75
+
+  test("d75: three hand-computed merge rounds with the ab/c election tie") {
+    // wf: abab=3, cd=3.
+    //  round 1: ab=6 (two per occurrence), ba=3, cd=3 → merge (a,b)
+    //  round 2: (ab,ab)=3 vs (c,d)=3 — tie; 'ab' < 'c' → merge (ab,ab)
+    //  round 3: only (c,d)=3 remains → merge (c,d)
+    //  symbols: abab=3, cd=3 (tie → 'abab' first)
+    val dir = writeDocs("d75-plant", Seq("abab abab cd", "abab cd cd"))
+    val out = Pipeline.queries("d75_bpe_merges")(spark, dir)
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out === Seq(
+      ("merge", 1, "a b", 6L), ("merge", 2, "ab ab", 3L), ("merge", 3, "c d", 3L),
+      ("symbol", 1, "abab", 3L), ("symbol", 2, "cd", 3L)), s"got $out")
+  }
+
+  test("d75: greedy leftmost non-overlap — aaaa merges to (aa,aa), never (a,aa,a)") {
+    // single word "aaaa": round 1 (a,a)=3 → greedy takes positions 0
+    // and 2 (1 overlaps the taken 0); round 2 merges (aa,aa); round 3
+    // has NO pairs left — no third merge row, symbols = [aaaa]
+    val dir = writeDocs("d75-greedy", Seq("aaaa"))
+    val out = Pipeline.queries("d75_bpe_merges")(spark, dir)
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out === Seq(
+      ("merge", 1, "a a", 3L), ("merge", 2, "aa aa", 1L),
+      ("symbol", 1, "aaaa", 1L)), s"got $out")
+  }
+
+  /** Independent reference BPE (the classic imperative greedy scan —
+    * not the fold or the islands-parity spelling either engine uses). */
+  private def refBpe(words: Seq[String], rounds: Int)
+      : (Seq[(Int, String, Long)], Map[String, Long]) = {
+    val wf = words.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    var syms: Map[String, Vector[String]] =
+      wf.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    var merges = Vector.empty[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val cnt = collection.mutable.Map.empty[(String, String), Long]
+      for ((w, f) <- wf; Seq(a, b) <- syms(w).sliding(2) if syms(w).size >= 2)
+        cnt((a, b)) = cnt.getOrElse((a, b), 0L) + f
+      if (cnt.nonEmpty) {
+        val ((ba, bb), bc) = cnt.minBy { case ((a, b), c) => (-c, a, b) }
+        merges :+= ((r, s"$ba $bb", bc))
+        syms = syms.map { case (w, ss) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i < ss.length - 1 && ss(i) == ba && ss(i + 1) == bb) {
+              out += ba + bb; i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+    }
+    val symCnt = syms.toSeq.flatMap { case (w, ss) => ss.map(_ -> wf(w)) }
+      .groupBy(_._1).map { case (s, o) => s -> o.map(_._2).sum }
+    (merges, symCnt)
+  }
+
+  test("d75 randomized: merges and symbol table match the imperative reference") {
+    val rnd = new scala.util.Random(121393)
+    for (trial <- 0 until 3) {
+      val words = (0 until 40).map { _ =>
+        (0 to rnd.nextInt(5)).map(_ => "abcd" (rnd.nextInt(4))).mkString
+      }
+      val (refMerges, refSyms) = refBpe(words, 3)
+      val refTop = refSyms.toSeq.sortBy { case (s, c) => (-c, s) }.take(15)
+        .zipWithIndex.map { case ((s, c), i) => ("symbol", i + 1, s, c) }
+      val want = refMerges.map { case (r, p, c) => ("merge", r, p, c) } ++ refTop
+      val dir = writeDocs(s"d75-rand$trial", Seq(words.mkString(" ")))
+      val got = Pipeline.queries("d75_bpe_merges")(spark, dir)
+        .collect().map(r =>
+          (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got === want, s"trial $trial diverged from the reference BPE")
+    }
+  }
 }
