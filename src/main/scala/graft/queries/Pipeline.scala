@@ -3331,6 +3331,65 @@ object Pipeline {
       (recs :+ syTop).reduce(_ unionAll _)
         .select("kind", "rank", "piece", "cnt")
         .orderBy("kind", "rank")
+    },
+
+    // ---- d76: VAD-STYLE SEGMENTATION — the audio rung of the
+    // multimodal block (d14 samples frames; d76 CLASSIFIES them and
+    // merges runs into segments, the voice-activity-detection shape
+    // every speech-data pipeline runs before transcription): the
+    // payload splits into 160-byte frames (10 ms at 16 kHz/8-bit), a
+    // frame is "speech" iff its energy (exact byte sum) exceeds
+    // 96·frame_bytes (mean byte above lowercase-ASCII floor — the
+    // deterministic stand-in for a real energy threshold), and
+    // consecutive speech frames fuse into segments counted by the
+    // rising-edge rule (speech ∧ ¬prev — the d53/d70 islands family on
+    // frame sequences). Per doc: frame/speech/segment counts +
+    // speech per-mille. Shape for 100 TB: the decoder is the d11/d14
+    // batched mapPartitions stub (binaries never driver-collected,
+    // fixed-size batches — the vectorized-decoder contract); frames
+    // shuffle ONCE keyed by doc as (id, idx, 2 ints) — payload bytes
+    // never shuffle; the segment fold is a map-combinable aggregate,
+    // not a per-frame Window. Byte accounting is exact → full oracle
+    // (hex/strpos byte replay, the d11 idiom).
+    "d76_vad_segments" -> { (s, dir) =>
+      import s.implicits._
+      val frameLen = 160
+      val frames = T(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.grouped(32).flatMap { batch =>
+            batch.flatMap { case (id, bytes) =>
+              graft.functions.Media.frameSample(bytes, frameLen).zipWithIndex.map {
+                case (fr, idx) =>
+                  val energy = fr.foldLeft(0L)((a, b) => a + (b & 0xff))
+                  (id, idx, fr.length, energy, energy > 96L * fr.length)
+              }
+            }
+          }
+        }.toDF("doc_id", "idx", "fb", "energy", "speech")
+      val perDoc = frames.groupBy("doc_id").agg(
+        count(lit(1)).as("nf"),
+        sum(when(col("speech"), 1L).otherwise(0L)).as("ns"),
+        expr(
+          """aggregate(
+               sort_array(collect_list(named_struct(
+                 'idx', idx, 'sp', CASE WHEN speech THEN 1 ELSE 0 END))),
+               named_struct('segs', cast(0 as bigint), 'prev', 0),
+               (a, f) -> named_struct(
+                 'segs', a.segs + CASE WHEN f.sp = 1 AND a.prev = 0
+                                       THEN 1 ELSE 0 END,
+                 'prev', f.sp)).segs""").as("nseg"))
+      T(s, dir, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nf"), lit(0L)).as("n_frames"),
+          coalesce(col("ns"), lit(0L)).as("n_speech"),
+          coalesce(col("nseg"), lit(0L)).as("n_segments"))
+        .withColumn("speech_pm", expr(
+          """CASE WHEN n_frames > 0 THEN n_speech * 1000 div n_frames
+             ELSE cast(0 as bigint) END"""))
+        .orderBy("doc_id")
     }
   )
 
@@ -5181,6 +5240,50 @@ object Pipeline {
     // d75: three generated round blocks (d75RoundSql) — same pair
     // counts, same (cnt desc, a, b) election, same greedy-leftmost
     // merge selection via the islands-parity spelling.
-    "d75_bpe_merges" -> d75OracleSql
+    "d75_bpe_merges" -> d75OracleSql,
+
+    // d76: full byte replay via the d11 hex/strpos idiom — DuckDB
+    // re-derives every frame's exact energy from the UTF-8 octets,
+    // applies the same 96·fb threshold, and counts segments with the
+    // rising-edge lag window (the fold's selection).
+    "d76_vad_segments" -> """
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents),
+      f AS (
+        SELECT doc_id, unnest(range((nb + 159) // 160)) AS idx, hx, nb
+        FROM b WHERE nb > 0),
+      e AS (
+        SELECT doc_id, idx,
+               CAST(least(160, nb - idx * 160) AS BIGINT) AS fb,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(least(160, nb - idx * 160)),
+                   i -> CAST(strpos('123456789ABCDEF',
+                          substr(hx, CAST(2 * (idx * 160 + i) + 1 AS INTEGER), 1)) * 16
+                        + strpos('123456789ABCDEF',
+                          substr(hx, CAST(2 * (idx * 160 + i) + 2 AS INTEGER), 1))
+                        AS BIGINT))),
+                 (a, bb) -> a + bb) AS energy
+        FROM f),
+      s AS (
+        SELECT doc_id, idx, fb, energy > 96 * fb AS speech,
+               lag(energy > 96 * fb) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+        FROM e),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(CASE WHEN speech THEN 1 ELSE 0 END) AS BIGINT) AS n_speech,
+               CAST(sum(CASE WHEN speech AND (prev IS NULL OR NOT prev)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
+        FROM s GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(a.n_frames, 0) AS n_frames,
+             coalesce(a.n_speech, 0) AS n_speech,
+             coalesce(a.n_segments, 0) AS n_segments,
+             CASE WHEN coalesce(a.n_frames, 0) > 0
+                  THEN CAST(a.n_speech * 1000 // a.n_frames AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS speech_pm
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""
   )
 }

@@ -48,4 +48,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.columns.toSeq ==
       Seq("doc_id", "lang", "n_bytes", "head_byte", "checksum"))
   }
+
+  test("d76: frame energy threshold, rising-edge segments, exact-threshold edge") {
+    import org.apache.spark.sql.functions._
+    val dir = scratch("d76-plant")
+    import spark.implicits._
+    graft.sources.GraftWriter.write(Seq(
+      (0L, "z" * 200),                                        // 2 speech frames, 1 segment
+      (1L, "z" * 160 + " " * 160 + "z" * 160),                // s,n,s → 2 segments
+      (2L, " " * 100),                                        // silent frame
+      (3L, "`" * 100),                                        // energy == 96·fb exactly → NOT speech
+      (4L, "`" * 99 + "a"),                                   // one byte over → speech
+      (5L, ""),                                               // empty payload → zero frames
+      (6L, "z" * 160 + " " * 160 + "z" * 160 + " " * 160 + "z" * 30)) // s,n,s,n,s → 3 segments
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = graft.queries.Pipeline.queries("d76_vad_segments")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) === ((2L, 2L, 1L, 1000L)), "adjacent speech frames fuse")
+    assert(out(1L) === ((3L, 2L, 2L, 666L)), "a silent gap splits segments")
+    assert(out(2L) === ((1L, 0L, 0L, 0L)))
+    assert(out(3L) === ((1L, 0L, 0L, 0L)), "energy exactly 96·fb is not speech")
+    assert(out(4L) === ((1L, 1L, 1L, 1000L)), "one byte over the bar is speech")
+    assert(out(5L) === ((0L, 0L, 0L, 0L)), "an empty payload still reports a row")
+    assert(out(6L) === ((5L, 3L, 3L, 600L)))
+  }
 }

@@ -691,4 +691,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_sum"),
       s"d75 pair counts lost their map-side partial:\n$p")
   }
+
+  test("d76 vad: batched decode feeds one doc-keyed shuffle, segment fold stays an aggregate") {
+    // frames leave the mapPartitions stub as (id, idx, ints) — payload
+    // bytes never shuffle; the rising-edge segment count is the d53
+    // fold family, never a per-frame Window sort
+    val opt = Pipeline.queries("d76_vad_segments")(spark, sfTiny)
+      .queryExecution.optimizedPlan.toString
+    assert("""\bWindow\b""".r.findAllIn(opt).isEmpty,
+      s"d76 segment fold regressed to a Window:\n$opt")
+    val p = plan("d76_vad_segments")
+    assert(p.contains("MapPartitions"), s"d76 lost its batched decode stage:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
