@@ -3390,6 +3390,93 @@ object Pipeline {
           """CASE WHEN n_frames > 0 THEN n_speech * 1000 div n_frames
              ELSE cast(0 as bigint) END"""))
         .orderBy("doc_id")
+    },
+
+    // ---- d77: ROUGE-L / LCS overlap kernel — the sequence-alignment
+    // rung of the pair-similarity family (d51 BLEU n-gram precision,
+    // d52 banded edit distance, d77 longest-common-SUBSEQUENCE — the
+    // metric decontamination analyses quote for train/eval overlap):
+    // on d52's banded candidate pairs (adjacent ids, same lang, token
+    // counts within 30), compute token-level LCS over the first
+    // W=32 tokens of each side (the constant kernel bound — d52 caps
+    // via its levenshtein threshold; a production run windows longer
+    // docs) and report ROUGE-L F1 in exact integer per-mille:
+    // f_pm = 2·lcs·1000 div (la+lb), since P = l/la, R = l/lb.
+    // The DP runs as a NESTED higher-order fold (outer over wa rows,
+    // inner building each row left-to-right so new[j−1] feeds new[j])
+    // with the prefix-max recurrence new[j] = max(max(row[j],
+    // row[j−1]+eq), new[j−1]) — provably the textbook 3-way LCS
+    // recurrence (row[j] ≤ row[j−1]+1 in any LCS table); the oracle
+    // spells the same rows as a recursive CTE with list prefix-maxima
+    // and the randomized spec checks both against an independent 2-D
+    // DP reference. Shape for 100 TB: candidate generation is d52's
+    // equi-join (no quadratic fallback), the kernel is per-pair
+    // codegen'd array arithmetic bounded by W² — cost scales with the
+    // PAIR count, never with doc length.
+    "d77_lcs_rouge" -> { (s, dir) =>
+      val W = 32
+      val d = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          size(col("words")).cast("long").as("n_tok"),
+          expr(s"slice(words, 1, $W)").as("wcap"))
+      val a = d.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+          col("n_tok").as("na"), col("wcap").as("wa"))
+        .select(col("*"), explode(array(lit(1L), lit(2L))).as("off"))
+        .withColumn("doc_b", col("doc_a") + col("off"))
+      val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("n_tok").as("nb"), col("wcap").as("wb"))
+      a.join(b, Seq("doc_b"))
+        .filter(col("lang_a") === col("lang_b") &&
+          abs(col("na") - col("nb")) <= 30)
+        .withColumn("la", size(col("wa")))
+        .withColumn("lb", size(col("wb")))
+        .withColumn("lcs_len", expr(
+          """CASE WHEN la = 0 OR lb = 0 THEN 0 ELSE
+               element_at(
+                 aggregate(wa, array_repeat(0, lb + 1),
+                   (row, x) -> aggregate(sequence(1, lb), array(0),
+                     (acc, j) -> concat(acc, array(greatest(
+                       element_at(acc, j),
+                       greatest(element_at(row, j + 1),
+                         element_at(row, j) +
+                           CASE WHEN x = element_at(wb, j)
+                                THEN 1 ELSE 0 END)))))),
+                 lb + 1)
+             END""").cast("long"))
+        .withColumn("f_pm", expr(
+          """CASE WHEN la + lb > 0 THEN lcs_len * 2000 div (la + lb)
+             ELSE cast(0 as bigint) END"""))
+        .withColumn("near_dup", col("f_pm") >= 500)
+        .select(col("doc_a"), col("doc_b"), col("off"),
+          col("la").cast("int").as("la"), col("lb").cast("int").as("lb"),
+          col("lcs_len"), col("f_pm"), col("near_dup"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- d78: SHARD INTEGRITY MANIFEST — the data-governance
+    // artifact a 100 TB pipeline publishes with every dataset drop
+    // (and re-validates after every copy): per 64-doc id shard, the
+    // doc count, byte total, id range, and an ORDER-FREE content
+    // checksum (bit_xor of the first 8 md5 hex digits of each doc —
+    // commutative, so the manifest is independent of scan order and
+    // re-computable shard-by-shard on any worker; the Verify
+    // clusters-contract fingerprint idiom). One map-combinable
+    // groupBy on the id-derived shard key — no window, no join;
+    // validation at the other end of a transfer is the same
+    // aggregation re-run. All-integer output, exact oracle.
+    "d78_shard_manifest" -> { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), expr("doc_id div 64").as("shard"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("nb"),
+          expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)")
+            .as("h32"))
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          min("doc_id").as("id_min"),
+          max("doc_id").as("id_max"),
+          sum("nb").as("bytes_total"),
+          expr("bit_xor(h32)").as("content_xor"))
+        .orderBy("shard")
     }
   )
 
@@ -5284,6 +5371,78 @@ object Pipeline {
                   THEN CAST(a.n_speech * 1000 // a.n_frames AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS speech_pm
       FROM documents d LEFT JOIN agg a USING (doc_id)
-      ORDER BY d.doc_id"""
+      ORDER BY d.doc_id""",
+
+    // d77: same banded pairs, same capped sequences; the DP rows
+    // advance through a recursive CTE — tmp[j] = max(row[j],
+    // row[j−1]+eq) then the row rebuilds as [0] ++ prefix-maxima of
+    // tmp, the same prefix-max recurrence the Spark nested fold
+    // computes left-to-right.
+    "d77_lcs_rouge" -> """
+      WITH RECURSIVE w AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      base AS (
+        SELECT doc_id, lang, words[1:32] AS wcap,
+               CAST(len(words) AS BIGINT) AS n_tok
+        FROM w),
+      pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               b.doc_id - a.doc_id AS off,
+               a.wcap AS wa, b.wcap AS wb,
+               CAST(len(a.wcap) AS INT) AS la, CAST(len(b.wcap) AS INT) AS lb
+        FROM base a JOIN base b
+          ON (b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2)
+         AND a.lang = b.lang AND abs(a.n_tok - b.n_tok) <= 30),
+      r AS (
+        SELECT doc_a, doc_b, off, wa, wb, la, lb, 0 AS i,
+               list_transform(range(lb + 1), x -> 0) AS dp
+        FROM pr
+        UNION ALL
+        SELECT doc_a, doc_b, off, wa, wb, la, lb, i + 1,
+               list_prepend(0, list_transform(range(lb),
+                 j -> list_max(list_slice(tmp, 1, CAST(j + 1 AS INTEGER)))))
+        FROM (SELECT *,
+                     list_transform(range(lb),
+                       j -> greatest(dp[CAST(j + 2 AS INTEGER)],
+                              dp[CAST(j + 1 AS INTEGER)] +
+                                CASE WHEN wa[i + 1] = wb[CAST(j + 1 AS INTEGER)]
+                                     THEN 1 ELSE 0 END)) AS tmp
+              FROM r WHERE i < la)),
+      f AS (
+        SELECT doc_a, doc_b, off, la, lb,
+               CAST(dp[lb + 1] AS BIGINT) AS lcs_len
+        FROM r WHERE i = la)
+      SELECT doc_a, doc_b, off, la, lb, lcs_len,
+             CASE WHEN la + lb > 0
+                  THEN CAST(lcs_len * 2000 // (la + lb) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS f_pm,
+             CASE WHEN la + lb > 0
+                  THEN lcs_len * 2000 // (la + lb) >= 500
+                  ELSE FALSE END AS near_dup
+      FROM f ORDER BY doc_a, doc_b""",
+
+    // d78: same shard key, byte length, and first-8-hex-digit fold
+    // (the d58 strpos idiom, generalized to 8 digits via list_reduce);
+    // bit_xor is commutative in both engines, which is the point.
+    "d78_shard_manifest" -> """
+      WITH h AS (
+        SELECT doc_id, doc_id // 64 AS shard,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(8),
+                   i -> CAST(strpos('123456789abcdef',
+                          substr(md5(text), CAST(i + 1 AS INTEGER), 1))
+                        AS BIGINT))),
+                 (a, d) -> a * 16 + d) AS h32
+        FROM documents)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS id_min,
+             CAST(max(doc_id) AS BIGINT) AS id_max,
+             CAST(sum(nb) AS BIGINT) AS bytes_total,
+             CAST(bit_xor(h32) AS BIGINT) AS content_xor
+      FROM h GROUP BY shard ORDER BY shard"""
   )
 }

@@ -169,4 +169,92 @@ class CurationBatchSpec extends SparkSpecBase {
     assert(out(22L)._3 === "removed")
     assert(!out.contains(17L), "17 is in neither snapshot (17%7==3 and 17%5==2)")
   }
+
+  // ---------------------------------------------------------------- d77
+
+  private def writeDocsLang(name: String, rows: Seq[(Long, String, String)]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    GraftWriter.write(
+      rows.map { case (id, text, lang) => (id, text, lang, "s", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Textbook 2-D LCS table — independent of both engines' row-fold /
+    * prefix-max spellings. */
+  private def refLcs(a: Seq[String], b: Seq[String]): Long = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length)
+  }
+
+  test("d77: hand-computed LCS pairs, banding rules, and the 32-token cap") {
+    val long1 = (1 to 40).map(i => s"c$i").mkString(" ")
+    val long2 = (1 to 32).map(i => s"c$i").mkString(" ") + " " +
+      (1 to 8).map(i => s"z$i").mkString(" ")
+    val dir = writeDocsLang("d77-plant", Seq(
+      (1L, "a b c d e", "en"), (2L, "a x c y e", "en"),   // LCS a,c,e = 3
+      (3L, "z1 z2 z3 z4 z5", "en"),                       // vs 1: LCS 0; vs 2: LCS 0
+      (10L, "a a b a", "en"), (11L, "a b a a", "en"),     // repetition: LCS 3
+      (20L, "same tokens here", "en"), (21L, "same tokens here", "de"), // lang mismatch
+      (30L, long1, "en"), (31L, long2, "en")))            // shared 32-prefix → capped LCS
+    val out = Pipeline.queries("d77_lcs_rouge")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+      .toMap
+    assert(out((1L, 2L)) === ((5, 5, 3L, 600L, true)))
+    assert(out((1L, 3L)) === ((5, 5, 0L, 0L, false)), "disjoint pair scores zero")
+    assert(out((10L, 11L)) === ((4, 4, 3L, 750L, true)), "repeated tokens align correctly")
+    assert(!out.contains((20L, 21L)), "cross-lang pairs are out of band")
+    assert(out((30L, 31L)) === ((32, 32, 32L, 1000L, true)),
+      "the kernel sees only the first 32 tokens of each side")
+  }
+
+  test("d77 randomized: banded pairs match the textbook 2-D DP reference") {
+    val rnd = new scala.util.Random(65537)
+    val docs = (0 until 40).map { i =>
+      val n = 1 + rnd.nextInt(45)
+      (i.toLong, (1 to n).map(_ => "w" + rnd.nextInt(6)).mkString(" "), "en")
+    }
+    val byId = docs.map { case (id, t, _) => id -> t.split("\\s+").toSeq }.toMap
+    val want = (for {
+      (ida, ta) <- byId.toSeq; off <- Seq(1L, 2L)
+      tb <- byId.get(ida + off)
+      if math.abs(ta.length - tb.length) <= 30
+    } yield {
+      val (wa, wb) = (ta.take(32), tb.take(32))
+      val l = refLcs(wa, wb)
+      val f = l * 2000 / (wa.length + wb.length)
+      (ida, ida + off) -> ((wa.length, wb.length, l, f, f >= 500))
+    }).toMap
+    val got = Pipeline.queries("d77_lcs_rouge")(spark, writeDocsLang("d77-rand", docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6), r.getBoolean(7))))
+      .toMap
+    assert(got === want, "d77 diverged from the 2-D DP reference")
+  }
+
+  // ---------------------------------------------------------------- d78
+
+  test("d78: shard manifest counts, ranges, byte totals and order-free xor") {
+    val rows = Seq(0L, 1L, 2L, 64L, 65L, 200L).map(i => (i, s"doc number $i"))
+    val dir = writeDocs("d78-plant", rows)
+    def h32(t: String): Long =
+      java.lang.Long.parseLong(md5Hex(t).take(8), 16)
+    val want = rows.groupBy(_._1 / 64).map { case (sh, rs) =>
+      sh -> ((rs.size.toLong, rs.map(_._1).min, rs.map(_._1).max,
+        rs.map(_._2.getBytes("UTF-8").length.toLong).sum,
+        rs.map(r => h32(r._2)).reduce(_ ^ _)))
+    }
+    val got = Pipeline.queries("d78_shard_manifest")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === want, "d78 diverged from the manifest reference")
+  }
 }

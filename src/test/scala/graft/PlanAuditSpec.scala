@@ -704,4 +704,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("MapPartitions"), s"d76 lost its batched decode stage:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d77 lcs kernel: candidate join stays equi, DP is per-row — no Window, no BNLJ") {
+    val opt = Pipeline.queries("d77_lcs_rouge")(spark, sfTiny)
+      .queryExecution.optimizedPlan.toString
+    assert("""\bWindow\b""".r.findAllIn(opt).isEmpty,
+      s"d77 DP regressed to a Window:\n$opt")
+    val p = plan("d77_lcs_rouge")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"d77 pair generation lost its equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d78 manifest: one map-combinable shuffle, no join, no window") {
+    val p = plan("d78_shard_manifest")
+    assert(p.contains("partial_count") && p.contains("partial_min"),
+      s"d78 manifest lost its map-side partials:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"d78 must shuffle exactly once on the shard key:\n$p")
+    assert(!p.contains("Join"), s"d78 must not join:\n$p")
+  }
 }
