@@ -2621,8 +2621,17 @@ object Pipeline {
           "aggregate(words, cast(0 as bigint), (a, x) -> a + length(x))"))
         .withColumn("n_alpha", expr(
           "cast(size(filter(words, x -> x rlike '[a-zA-Z]')) as bigint)"))
+        // zh prose is UNSEGMENTED — whitespace tokenization turns it
+        // into one long token that can never EQUAL a single-char
+        // stopword, so the closed-class evidence rule is checked by
+        // SUBSTRING containment for zh (r8 advisor finding; correct
+        // for segmented and unsegmented zh alike) and by distinct-
+        // token intersection for space-delimited languages.
         .withColumn("n_stop", expr(
-          "cast(size(array_intersect(array_distinct(words), stopwords)) as bigint)"))
+          """cast(CASE WHEN lang = 'zh'
+                    THEN size(filter(stopwords, w -> contains(text, w)))
+                    ELSE size(array_intersect(array_distinct(words), stopwords))
+                  END as bigint)"""))
         .withColumn("n_grams", expr(
           """cast(CASE WHEN size(words) >= 2 THEN size(words) - 1
                        ELSE 0 END as bigint)"""))
@@ -2958,9 +2967,16 @@ object Pipeline {
     // metadata-sized, its window single-partition by design; totals
     // ride a one-row broadcast. All-integer output.
     "d68_char_coverage" -> { (s, dir) =>
+      // Guard the sequence: Spark's sequence(1, 0) auto-DESCENDS to
+      // [1, 0] on empty text, minting two phantom empty-string "chars"
+      // the DuckDB range(0) side never produces (r8 advisor finding) —
+      // empty docs are in-contract throughout the pipeline block.
       val cf = T(s, dir, "documents")
         .select(explode(expr(
-          "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+          """CASE WHEN length(text) >= 1
+               THEN transform(sequence(1, length(text)),
+                      i -> substring(text, i, 1))
+               ELSE array() END"""))
           .as("ch"))
         .filter(col("ch") =!= " ")
         .groupBy("ch").agg(count(lit(1)).as("cnt"))
@@ -4862,7 +4878,8 @@ object Pipeline {
     // `div` form.
     "d60_gopher_rules" -> """
       WITH w AS (
-        SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS words
+        SELECT doc_id, lang, text,
+               string_split_regex(trim(text), '\s+') AS words
         FROM documents),
       sw AS (
         SELECT * FROM (VALUES
@@ -4879,10 +4896,15 @@ object Pipeline {
                  AS sum_wlen,
                CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
                  AS BIGINT) AS n_alpha,
-               CAST(len(list_intersect(list_distinct(words),
-                 coalesce(sw.stopwords,
-                   ['the', 'and', 'of', 'to', 'in', 'a', 'with']))) AS BIGINT)
-                 AS n_stop,
+               CAST(CASE WHEN w.lang = 'zh'
+                 THEN len(list_filter(
+                   coalesce(sw.stopwords,
+                     ['the', 'and', 'of', 'to', 'in', 'a', 'with']),
+                   s -> contains(text, s)))
+                 ELSE len(list_intersect(list_distinct(words),
+                   coalesce(sw.stopwords,
+                     ['the', 'and', 'of', 'to', 'in', 'a', 'with'])))
+               END AS BIGINT) AS n_stop,
                CASE WHEN len(words) >= 2 THEN
                  CAST((len(words) - 1 - len(list_distinct(
                     list_transform(range(len(words) - 1),

@@ -88,6 +88,24 @@ class QualityWinnowSpec extends SparkSpecBase {
     assert(out(3L) === ((2L, true, true)), "unknown lang falls back to the English list")
   }
 
+  test("d60: zh stopwords detected by substring containment — unsegmented prose fires r_stop") {
+    // Unsegmented zh prose is ONE whitespace token, so the r7/r8
+    // token-intersection rule could never see a single-char stopword
+    // inside it (r8 advisor finding). Containment counts the distinct
+    // closed-class chars PRESENT: 我/在/有/的/了 → n_stop = 5.
+    val zhProse = "我在这里有很多朋友的故事了"
+    val zhOne = "山河湖海森林草原沙漠我"        // only 我 present → r_stop fails
+    val zhSeg = "我 在 这里 有 很多 朋友 的 故事" // segmented zh also works (我在有的 = 4)
+    val dir = writeDocs("d60-zh", Seq(
+      doc(1, zhProse, "zh"), doc(2, zhOne, "zh"), doc(3, zhSeg, "zh")))
+    val out = Pipeline.queries("d60_gopher_rules")(spark, dir)
+      .select("doc_id", "n_stop", "r_stop")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) === ((5L, true)), s"unsegmented zh must count contained stopwords: $out")
+    assert(out(2L) === ((1L, false)), s"one contained stopword still fails r_stop: $out")
+    assert(out(3L) === ((4L, true)), s"segmented zh counts contained chars too: $out")
+  }
+
   // ---------------------------------------------------------------- d61
 
   private def md5hex(s: String): String =

@@ -74,6 +74,17 @@ class TokenizerPrepSpec extends SparkSpecBase {
       "a char starting under the bar is the one that completes the prefix")
   }
 
+  test("d68: empty text contributes no characters (sequence guard)") {
+    // Spark's sequence(1, 0) auto-descends to [1, 0] — unguarded, an
+    // empty doc would mint two phantom ''-chars DuckDB's range(0)
+    // never produces (r8 advisor finding). Empty docs are in-contract.
+    val dir = writeDocs("d68-empty", Seq("", "ab"))
+    val out = Pipeline.queries("d68_char_coverage")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq(("a", 1L), ("b", 1L)),
+      s"empty text must add zero chars (and no '' key): $out")
+  }
+
   // ---------------------------------------------------------------- d75
 
   test("d75: three hand-computed merge rounds with the ab/c election tie") {
