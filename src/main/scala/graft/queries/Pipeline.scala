@@ -25,6 +25,18 @@ object Pipeline {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("words", split(trim(col("text")), "\\s+"))
 
+  /** d79: the 32 fixed 32-bit window-hash coefficients — first 8 md5
+    * hex digits of "graft-cdc-k" for k = 0..31, computed once here and
+    * rendered as LITERALS into both the Spark plan and the DuckDB
+    * oracle, so the content-defined boundary rule is identical by
+    * construction (no engine hash anywhere in the contract). */
+  private lazy val cdcK: IndexedSeq[Long] = (0 until 32).map { k =>
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-cdc-$k".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+  }
+
   /** d8's quality formula (ratios rounded to 4dp BEFORE the weighted
     * sum, the engine-portable idiom from BENCH_NOTES), shared with
     * d57's representative selection so both entries rank identical
@@ -3493,6 +3505,96 @@ object Pipeline {
           sum("nb").as("bytes_total"),
           expr("bit_xor(h32)").as("content_xor"))
         .orderBy("shard")
+    },
+
+    // ---- d79: CONTENT-DEFINED CHUNKING + chunk-level dedup accounting
+    // — the storage-dedup layer under every petabyte corpus store
+    // (Muthitacharoen et al., LBFS SOSP'01; Xia et al., FastCDC
+    // ATC'16): chunk boundaries are declared by the CONTENT (a rolling
+    // window hash hitting a divisor), not by fixed offsets, so
+    // inserting one byte re-chunks only until the next boundary and
+    // every downstream chunk keeps its identity — the property that
+    // makes chunk stores dedup re-crawls and near-identical docs at
+    // byte granularity. Here: per-char 16-bit codes (first 4 md5 hex
+    // digits — engine-portable for any charset), window hash over the
+    // last W=32 chars as a FIXED-COEFFICIENT dot product
+    // h(i) = Σₖ code(c₍ᵢ₋ₖ₎)·K[k] mod 2³² (the 32 constants are the
+    // first 8 md5 hex digits of "graft-cdc-k", rendered as literals
+    // into BOTH engines — no fold, no recursion, exact in int64),
+    // boundary after position i iff h(i) % 64 = 0 (expected chunk
+    // ~64 chars) and i ≥ W (full window — FastCDC's min-size skip);
+    // doc end always closes the last chunk. Chunks then dedup
+    // CORPUS-WIDE by md5 with d63's two-step keeper argmin (min
+    // doc_id, then min idx — map-combinable both steps); per doc:
+    // chunk count, duplicated bytes, dup per-mille, and an order-free
+    // bit_xor fingerprint of its chunk hashes (the d78 idiom) so the
+    // oracle hash covers every chunk identity. Shape for 100 TB: the
+    // whole boundary/hash chain is per-row array arithmetic inside
+    // codegen; the per-doc chunk frame is PERSISTED and the explode
+    // reads the cache (the d61 lesson — never re-evaluate the hash
+    // chain per generated row); only (md5, idx, len) rows shuffle —
+    // text never does; keeper joins are equi on the chunk hash.
+    "d79_cdc_chunks" -> { (s, dir) =>
+      val W = 32
+      val ksLit = cdcK.mkString(", ")
+      val docs = T(s, dir, "documents")
+        .withColumn("n", length(col("text")).cast("int"))
+        .withColumn("ks", expr(s"array(${ksLit})"))
+        .withColumn("codes", expr(
+          """CASE WHEN length(text) >= 1
+               THEN transform(sequence(1, length(text)),
+                      i -> cast(conv(substring(md5(substring(text, i, 1)), 1, 4),
+                                     16, 10) as bigint))
+               ELSE cast(array() as array<bigint>) END"""))
+        .withColumn("bnd", expr(
+          s"""CASE WHEN n >= $W THEN
+                filter(sequence($W, n),
+                  i -> aggregate(sequence(0, ${W - 1}), cast(0 as bigint),
+                         (a, k) -> a + element_at(codes, i - k) * element_at(ks, k + 1))
+                       % 4294967296 % 64 = 0)
+              ELSE cast(array() as array<int>) END"""))
+        .withColumn("ends", expr(
+          """CASE WHEN n = 0 THEN cast(array() as array<int>)
+                  WHEN size(bnd) > 0 AND element_at(bnd, -1) = n THEN bnd
+                  ELSE concat(bnd, array(n)) END"""))
+        .withColumn("chunks", expr(
+          """CASE WHEN size(ends) = 0
+               THEN cast(array() as array<struct<idx:int,len:int,ch:string>>)
+             ELSE transform(sequence(1, size(ends)),
+               j -> named_struct(
+                 'idx', j - 1,
+                 'len', element_at(ends, j) -
+                        CASE WHEN j = 1 THEN 0 ELSE element_at(ends, j - 1) END,
+                 'ch', md5(substring(text,
+                        CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END,
+                        element_at(ends, j) -
+                        CASE WHEN j = 1 THEN 0 ELSE element_at(ends, j - 1) END))))
+             END"""))
+        .select(col("doc_id"), col("n"), col("chunks"))
+        .persist() // the explode AND the final doc join read one hash pass
+      val occ = docs.select(col("doc_id"), expr("inline(chunks)"))
+      val kd = occ.groupBy("ch").agg(min("doc_id").as("kdoc"))
+      val keeper = occ.join(kd, Seq("ch")).filter(col("doc_id") === col("kdoc"))
+        .groupBy("ch", "kdoc").agg(min("idx").as("kidx"))
+      val perDoc = occ.join(keeper, Seq("ch"))
+        .withColumn("is_dup",
+          !(col("doc_id") === col("kdoc") && col("idx") === col("kidx")))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("is_dup"), col("len").cast("long")).otherwise(0L))
+            .as("bytes_dup"),
+          expr("bit_xor(cast(conv(substring(ch, 1, 8), 16, 10) as bigint))")
+            .as("chunks_xor"))
+      docs.select(col("doc_id"), col("n").cast("long").as("n_chars"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_chunks", coalesce(col("n_chunks"), lit(0L)))
+        .withColumn("bytes_dup", coalesce(col("bytes_dup"), lit(0L)))
+        .withColumn("dup_pm", expr(
+          """CASE WHEN n_chars > 0 THEN bytes_dup * 1000 div n_chars
+             ELSE cast(0 as bigint) END"""))
+        .withColumn("chunks_xor", coalesce(col("chunks_xor"), lit(0L)))
+        .select("doc_id", "n_chars", "n_chunks", "bytes_dup", "dup_pm", "chunks_xor")
+        .orderBy("doc_id")
     }
   )
 
@@ -5465,6 +5567,81 @@ object Pipeline {
              CAST(max(doc_id) AS BIGINT) AS id_max,
              CAST(sum(nb) AS BIGINT) AS bytes_total,
              CAST(bit_xor(h32) AS BIGINT) AS content_xor
-      FROM h GROUP BY shard ORDER BY shard"""
+      FROM h GROUP BY shard ORDER BY shard""",
+
+    // d79: full boundary replay — same per-char md5 codes (4-digit
+    // strpos fold), same 32 literal coefficients, same h % 2³² % 64
+    // divisor rule and ≥W full-window skip, same end-of-doc close,
+    // same two-step keeper argmin, same 8-digit xor fingerprint.
+    "d79_cdc_chunks" -> s"""
+      WITH c AS (
+        SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n,
+               CASE WHEN length(text) >= 1 THEN
+                 list_transform(range(length(text)),
+                   i -> list_reduce(list_prepend(0::BIGINT,
+                          list_transform(range(4),
+                            d -> CAST(strpos('123456789abcdef',
+                                   substr(md5(substr(text, CAST(i + 1 AS INTEGER), 1)),
+                                          CAST(d + 1 AS INTEGER), 1)) AS BIGINT))),
+                          (a, d) -> a * 16 + d))
+               ELSE [] END AS codes
+        FROM documents),
+      e AS (
+        SELECT doc_id, text, n,
+               CASE WHEN n = 0 THEN []
+                    WHEN len(bnd) > 0 AND bnd[-1] = n THEN bnd
+                    ELSE list_concat(bnd, [n]) END AS ends
+        FROM (
+          SELECT doc_id, text, n, codes,
+                 CASE WHEN n >= 32 THEN
+                   list_filter(range(32, n + 1),
+                     i -> list_sum(list_transform(range(32),
+                            k -> codes[CAST(i - k AS INTEGER)] *
+                                 ([${cdcK.mkString(", ")}])[CAST(k + 1 AS INTEGER)]))
+                          % 4294967296 % 64 = 0)
+                 ELSE [] END AS bnd
+          FROM c)),
+      occ AS (
+        SELECT doc_id, CAST(j - 1 AS INTEGER) AS idx,
+               CAST(ends[CAST(j AS INTEGER)] -
+                 CASE WHEN j = 1 THEN 0 ELSE ends[CAST(j - 1 AS INTEGER)] END
+                 AS INTEGER) AS len,
+               md5(substr(text,
+                 CAST(CASE WHEN j = 1 THEN 1
+                           ELSE ends[CAST(j - 1 AS INTEGER)] + 1 END AS INTEGER),
+                 CAST(ends[CAST(j AS INTEGER)] -
+                   CASE WHEN j = 1 THEN 0
+                        ELSE ends[CAST(j - 1 AS INTEGER)] END AS INTEGER))) AS ch
+        FROM (SELECT doc_id, text, ends,
+                     generate_subscripts(ends, 1) AS j
+              FROM e)),
+      kd AS (SELECT ch, min(doc_id) AS kdoc FROM occ GROUP BY ch),
+      keeper AS (
+        SELECT o.ch, k.kdoc, min(o.idx) AS kidx
+        FROM occ o JOIN kd k USING (ch)
+        WHERE o.doc_id = k.kdoc
+        GROUP BY o.ch, k.kdoc),
+      pd AS (
+        SELECT o.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN NOT (o.doc_id = k.kdoc AND o.idx = k.kidx)
+                             THEN o.len ELSE 0 END) AS BIGINT) AS bytes_dup,
+               CAST(bit_xor(list_reduce(list_prepend(0::BIGINT,
+                      list_transform(range(8),
+                        d -> CAST(strpos('123456789abcdef',
+                               substr(o.ch, CAST(d + 1 AS INTEGER), 1)) AS BIGINT))),
+                      (a, d) -> a * 16 + d)) AS BIGINT) AS chunks_xor
+        FROM occ o JOIN keeper k USING (ch)
+        GROUP BY o.doc_id)
+      SELECT d.doc_id,
+             CAST(length(d.text) AS BIGINT) AS n_chars,
+             coalesce(p.n_chunks, 0) AS n_chunks,
+             coalesce(p.bytes_dup, 0) AS bytes_dup,
+             CASE WHEN length(d.text) > 0
+                  THEN CAST(coalesce(p.bytes_dup, 0) * 1000 // length(d.text) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS dup_pm,
+             coalesce(p.chunks_xor, 0) AS chunks_xor
+      FROM documents d LEFT JOIN pd p USING (doc_id)
+      ORDER BY d.doc_id"""
   )
 }

@@ -1,0 +1,125 @@
+package graft
+
+import graft.queries.Pipeline
+import graft.sources.GraftWriter
+
+/** SURVEY §2 D spec for d79 content-defined chunking: exact equality
+  * against an independent imperative Scala reference (codes → window
+  * hash → boundaries → chunk md5s → keeper dedup accounting), the
+  * shift-robustness property that DEFINES CDC (a one-char insertion
+  * re-chunks only until the next boundary — every later chunk keeps
+  * its identity), whole-doc duplicate accounting, and the short-doc /
+  * empty-doc edges. */
+class ChunkingSpec extends SparkSpecBase {
+
+  private val W = 32
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The 32 coefficients, re-derived independently of Pipeline. */
+  private val ks: IndexedSeq[Long] =
+    (0 until 32).map(k => java.lang.Long.parseLong(md5hex(s"graft-cdc-$k").take(8), 16))
+
+  private def code(c: Char): Long =
+    java.lang.Long.parseLong(md5hex(c.toString).take(4), 16)
+
+  /** Reference chunker: 1-based boundary positions, then chunk substrings. */
+  private def refChunks(text: String): Seq[String] = {
+    val n = text.length
+    if (n == 0) return Seq.empty
+    val codes = text.map(code)
+    val bnd = (W to n).filter { i =>
+      val h = (0 until W).map(k => codes(i - 1 - k) * ks(k)).sum
+      h % 4294967296L % 64 == 0
+    }
+    val ends = if (bnd.nonEmpty && bnd.last == n) bnd else bnd :+ n
+    ends.zip(0 +: ends.init).map { case (e, s) => text.substring(s, e) }
+  }
+
+  /** Reference per-doc accounting over a corpus: (n_chunks, bytes_dup, xor). */
+  private def refAccounting(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    val occ = docs.flatMap { case (id, t) =>
+      refChunks(t).zipWithIndex.map { case (c, i) => (id, i, c.length, md5hex(c)) }
+    }
+    val keeper = occ.groupBy(_._4).map { case (h, os) =>
+      val kdoc = os.map(_._1).min
+      h -> (kdoc, os.filter(_._1 == kdoc).map(_._2).min)
+    }
+    docs.map { case (id, _) =>
+      val mine = occ.filter(_._1 == id)
+      val dup = mine.filter { case (d, i, _, h) => keeper(h) != ((d, i)) }
+      id -> ((mine.size.toLong,
+        dup.map(_._3.toLong).sum,
+        mine.map(o => java.lang.Long.parseLong(o._4.take(8), 16)).foldLeft(0L)(_ ^ _)))
+    }.toMap
+  }
+
+  private def writeDocs(name: String, texts: Seq[(Long, String)]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    GraftWriter.write(
+      texts.map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(dir: String): Map[Long, (Long, Long, Long, Long)] =
+    Pipeline.queries("d79_cdc_chunks")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+
+  /** Deterministic pseudo-text: enough length for several boundaries. */
+  private def fakeText(seed: Int, len: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+  }
+
+  test("d79: exact equality with the independent reference on planted + random docs") {
+    val docs = Seq[(Long, String)](
+      (1L, fakeText(7, 400)),
+      (2L, fakeText(8, 251)),
+      (3L, fakeText(7, 400)),   // exact duplicate of doc 1 — all chunks dup
+      (4L, "x" * 31),           // shorter than the window: single chunk, no boundary
+      (5L, ""),                 // empty: zero chunks
+      (6L, "y"))
+    val dir = writeDocs("d79-ref", docs)
+    val out = run(dir)
+    val ref = refAccounting(docs)
+    for ((id, t) <- docs) {
+      val (rc, rd, rx) = ref(id)
+      assert(out(id) === ((rc, rd, rd * 1000 / math.max(t.length, 1), rx)),
+        s"doc $id: got ${out(id)}, want ($rc, $rd, _, $rx)")
+    }
+    assert(out(3L)._2 === docs.head._2.length.toLong,
+      "an exact duplicate doc must have every byte duplicated")
+    assert(out(4L)._1 === 1L, "sub-window doc is one whole-text chunk")
+    assert(out(5L) === ((0L, 0L, 0L, 0L)), "empty doc: all zeros")
+  }
+
+  test("d79: shift robustness — one inserted char re-chunks only until the next boundary") {
+    val base = fakeText(42, 600)
+    val shifted = "Z" + base
+    val cb = refChunks(base)
+    val cs = refChunks(shifted)
+    // the reference itself must show re-sync: the chunk sequences share
+    // an identical suffix (boundaries are content-positioned, so every
+    // boundary whose window clears the inserted char survives)
+    val common = cb.reverse.zip(cs.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(common >= 1 && cb.length >= 3,
+      s"seed must yield a multi-chunk doc that re-syncs (chunks=${cb.length}, common=$common)")
+    // and the engine agrees with the reference on both variants
+    val docs = Seq((1L, base), (2L, shifted))
+    val out = run(writeDocs("d79-shift", docs))
+    val ref = refAccounting(docs)
+    for (id <- Seq(1L, 2L))
+      assert((out(id)._1, out(id)._2, out(id)._4) === ref(id), s"doc $id diverged")
+    // the shared suffix chunks dedup across the pair: the shifted doc
+    // carries at least the common-suffix bytes as duplicates
+    val commonBytes = cb.takeRight(common).map(_.length).sum.toLong
+    assert(out(2L)._2 >= commonBytes,
+      s"shifted doc must dedup the re-synced suffix ($commonBytes bytes): ${out(2L)}")
+  }
+}

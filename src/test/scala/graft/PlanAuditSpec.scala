@@ -525,6 +525,20 @@ class PlanAuditSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), s"no equi-join in line flagging:\n$p")
   }
 
+  test("d79 cdc chunks: explode reads the cached hash pass, dedup joins stay equi") {
+    // the boundary/hash chain is expensive per-row array arithmetic —
+    // the chunk explode MUST read the persisted frame (the d61
+    // lesson), only (md5, idx, len) rows shuffle, the keeper argmin
+    // combines map-side, and no join degrades to a cartesian
+    val p = plan("d79_cdc_chunks")
+    assert(p.contains("InMemoryTableScan"),
+      s"d79 re-derives the chunk/hash chain instead of reading the cache:\n$p")
+    assert(p.contains("partial_min"),
+      s"d79 keeper argmin lost its map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"d79 must not use a Window:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off
