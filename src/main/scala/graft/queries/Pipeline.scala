@@ -37,6 +37,68 @@ object Pipeline {
         .take(4).map("%02x".format(_)).mkString, 16)
   }
 
+  /** d75/d80 shared BPE trainer (Sennrich et al. 2016): R merge rounds
+    * over a (word, wf) frequency table — pair count → (cnt desc, a, b)
+    * election via a one-row broadcast argmax → canonical greedy
+    * leftmost non-overlapping merge as a per-word sorted fold. Returns
+    * the per-round merge-rule records and the final symbolized vocab
+    * (word, wf, syms). Every round frame persists WITH its pair array
+    * so downstream explodes read the cache (the d61 lesson); a
+    * production run would unpersist round k−1 after round k. */
+  private def bpeTrain(wordFreq: DataFrame, rounds: Int): (Seq[DataFrame], DataFrame) = {
+    val pairExpr = expr(
+      """CASE WHEN size(syms) >= 2
+           THEN transform(sequence(0, size(syms) - 2),
+                  i -> named_struct('a', syms[i], 'b', syms[i + 1]))
+           ELSE array() END""")
+    var wf = wordFreq
+      .withColumn("syms", expr(
+        """CASE WHEN length(word) >= 1
+             THEN transform(sequence(1, length(word)), i -> substring(word, i, 1))
+             ELSE array() END"""))
+      .withColumn("prs", pairExpr)
+      .persist()
+    var recs = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = wf.select(col("wf"), explode(col("prs")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wf").as("cnt"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("m"))
+        .select(col("m.a").as("best_a"), col("m.b").as("best_b"),
+          (-col("m.nc")).as("best_cnt"))
+        .persist() // one row; the merge AND the rule record read it
+      recs = recs :+ best.filter(col("best_a").isNotNull)
+        .select(lit("merge").as("kind"), lit(r).cast("int").as("rank"),
+          concat(col("best_a"), lit(" "), col("best_b")).as("piece"),
+          col("best_cnt").as("cnt"))
+      wf = wf.crossJoin(broadcast(best))
+        .withColumn("mt", expr(
+          """CASE WHEN size(syms) >= 2
+               THEN filter(sequence(0, size(syms) - 2),
+                      i -> syms[i] = best_a AND syms[i + 1] = best_b)
+               ELSE array() END"""))
+        .withColumn("tk", expr(
+          """aggregate(mt,
+               named_struct('arr', cast(array() as array<int>), 'last', -2),
+               (ac, p) -> CASE WHEN p = ac.last + 1 THEN ac
+                 ELSE named_struct('arr', concat(ac.arr, array(p)), 'last', p)
+               END).arr"""))
+        .withColumn("syms", expr(
+          """CASE WHEN size(tk) > 0 THEN
+               filter(transform(sequence(0, size(syms) - 1),
+                 j -> CASE
+                   WHEN array_contains(tk, j) THEN concat(best_a, best_b)
+                   WHEN j > 0 AND array_contains(tk, j - 1) THEN NULL
+                   ELSE syms[j] END),
+                 x -> x IS NOT NULL)
+             ELSE syms END"""))
+        .select(col("word"), col("wf"), col("syms"))
+        .withColumn("prs", pairExpr)
+        .persist()
+    }
+    (recs, wf)
+  }
+
   /** d8's quality formula (ratios rounded to 4dp BEFORE the weighted
     * sum, the engine-portable idiom from BENCH_NOTES), shared with
     * d57's representative selection so both entries rank identical
@@ -3293,59 +3355,9 @@ object Pipeline {
     // symbol top-15 runs the d73 two-stage rank (no vocab-sized
     // single partition).
     "d75_bpe_merges" -> { (s, dir) =>
-      val R = 3
-      val pairExpr = expr(
-        """CASE WHEN size(syms) >= 2
-             THEN transform(sequence(0, size(syms) - 2),
-                    i -> named_struct('a', syms[i], 'b', syms[i + 1]))
-             ELSE array() END""")
-      var wf = withWords(T(s, dir, "documents"))
+      val (recs, wf) = bpeTrain(withWords(T(s, dir, "documents"))
         .select(explode(col("words")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("wf"))
-        .withColumn("syms", expr(
-          """CASE WHEN length(word) >= 1
-               THEN transform(sequence(1, length(word)), i -> substring(word, i, 1))
-               ELSE array() END"""))
-        .withColumn("prs", pairExpr)
-        .persist()
-      var recs = Seq.empty[DataFrame]
-      for (r <- 1 to R) {
-        val best = wf.select(col("wf"), explode(col("prs")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("wf").as("cnt"))
-          .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("m"))
-          .select(col("m.a").as("best_a"), col("m.b").as("best_b"),
-            (-col("m.nc")).as("best_cnt"))
-          .persist() // one row; the merge AND the rule record read it
-        recs = recs :+ best.filter(col("best_a").isNotNull)
-          .select(lit("merge").as("kind"), lit(r).cast("int").as("rank"),
-            concat(col("best_a"), lit(" "), col("best_b")).as("piece"),
-            col("best_cnt").as("cnt"))
-        wf = wf.crossJoin(broadcast(best))
-          .withColumn("mt", expr(
-            """CASE WHEN size(syms) >= 2
-                 THEN filter(sequence(0, size(syms) - 2),
-                        i -> syms[i] = best_a AND syms[i + 1] = best_b)
-                 ELSE array() END"""))
-          .withColumn("tk", expr(
-            """aggregate(mt,
-                 named_struct('arr', cast(array() as array<int>), 'last', -2),
-                 (ac, p) -> CASE WHEN p = ac.last + 1 THEN ac
-                   ELSE named_struct('arr', concat(ac.arr, array(p)), 'last', p)
-                 END).arr"""))
-          .withColumn("syms", expr(
-            """CASE WHEN size(tk) > 0 THEN
-                 filter(transform(sequence(0, size(syms) - 1),
-                   j -> CASE
-                     WHEN array_contains(tk, j) THEN concat(best_a, best_b)
-                     WHEN j > 0 AND array_contains(tk, j - 1) THEN NULL
-                     ELSE syms[j] END),
-                   x -> x IS NOT NULL)
-               ELSE syms END"""))
-          .select(col("word"), col("wf"), col("syms"))
-          .withColumn("prs", pairExpr)
-          .persist()
-      }
+        .groupBy("word").agg(count(lit(1)).as("wf")), 3)
       val syTop = wf.select(col("wf"), explode(col("syms")).as("piece"))
         .groupBy("piece").agg(sum("wf").as("cnt"))
         .withColumn("bk", pmod(crc32(col("piece")), lit(64)))
@@ -3595,6 +3607,49 @@ object Pipeline {
         .withColumn("chunks_xor", coalesce(col("chunks_xor"), lit(0L)))
         .select("doc_id", "n_chars", "n_chunks", "bytes_dup", "dup_pm", "chunks_xor")
         .orderBy("doc_id")
+    },
+
+    // ---- d80: TOKENIZER APPLICATION + per-language FERTILITY — the
+    // inference half of the BPE layer (d67 computes first-merge stats,
+    // d75 TRAINS the merges, d80 APPLIES the trained tokenizer to the
+    // corpus and reports the number every multilingual-data paper
+    // quotes: fertility, i.e. pieces per word, per language — the
+    // diagnostic that shows which languages a tokenizer under-serves
+    // (high fertility = more pieces per word = shorter effective
+    // context and higher training cost for that language). Pipeline:
+    // train 3 merge rounds on the GLOBAL word-frequency table (one
+    // tokenizer for the whole corpus — the d75 loop, shared code),
+    // then join the symbolized vocab back to per-(lang, word) counts
+    // and aggregate: words, pieces, chars, pieces-per-word per-mille,
+    // chars-per-piece per-mille (all-integer — exact oracle). Scale
+    // shape: the corpus collapses ONCE to (lang, word) counts and once
+    // to global (word) counts — both map-combinable; training touches
+    // only vocab-sized frames (d75's argument); the apply step is a
+    // vocab-sized equi join on word, NOT a corpus re-scan — exactly
+    // how a production pipeline ships a trained tokenizer (the vocab
+    // table is the artifact, the corpus joins against it).
+    "d80_bpe_fertility" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val (_, wfF) = bpeTrain(withWords(docs)
+        .select(explode(col("words")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wf")), 3)
+      val lw = withWords(docs)
+        .select(col("lang"), explode(col("words")).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("lwf"))
+      lw.join(wfF.select(col("word"), size(col("syms")).cast("long").as("np")),
+          Seq("word"))
+        .withColumn("nc", length(col("word")).cast("long"))
+        .groupBy("lang").agg(
+          sum("lwf").as("n_words"),
+          sum(col("lwf") * col("np")).as("n_pieces"),
+          sum(col("lwf") * col("nc")).as("n_chars"))
+        .withColumn("pieces_pm", expr("n_pieces * 1000 div n_words"))
+        .withColumn("chars_per_piece_pm", expr(
+          """CASE WHEN n_pieces > 0 THEN n_chars * 1000 div n_pieces
+             ELSE cast(0 as bigint) END"""))
+        .select("lang", "n_words", "n_pieces", "n_chars", "pieces_pm",
+          "chars_per_piece_pm")
+        .orderBy("lang")
     }
   )
 
@@ -3642,8 +3697,11 @@ object Pipeline {
         FROM wf$k w LEFT JOIN tka$k t USING (word)
                     LEFT JOIN best$k bb ON TRUE)"""
 
-  private lazy val d75OracleSql: String = s"""
-      WITH wf0 AS (
+  /** Shared d75/d80 training prefix: wf0 (char-symbolized word
+    * frequencies) plus the three generated merge-round blocks ending
+    * in wf3 — the same CTEs feed the merge-rule dump (d75) and the
+    * fertility application (d80), so the two oracles cannot drift. */
+  private lazy val bpeTrainCtes: String = s"""wf0 AS (
         SELECT word, CAST(count(*) AS BIGINT) AS wf,
                CASE WHEN length(word) >= 1
                     THEN list_transform(range(length(word)),
@@ -3652,7 +3710,10 @@ object Pipeline {
         FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
               FROM documents)
         GROUP BY word),
-      ${(0 until 3).map(d75RoundSql).mkString(",\n")},
+      ${(0 until 3).map(d75RoundSql).mkString(",\n")}"""
+
+  private lazy val d75OracleSql: String = s"""
+      WITH $bpeTrainCtes,
       sy AS (
         SELECT s AS piece, CAST(sum(wf) AS BIGINT) AS cnt
         FROM (SELECT wf, unnest(syms) AS s FROM wf3)
@@ -5642,6 +5703,35 @@ object Pipeline {
                   ELSE CAST(0 AS BIGINT) END AS dup_pm,
              coalesce(p.chunks_xor, 0) AS chunks_xor
       FROM documents d LEFT JOIN pd p USING (doc_id)
-      ORDER BY d.doc_id"""
+      ORDER BY d.doc_id""",
+
+    // d80: the SAME generated training CTEs as d75 (shared prefix —
+    // the oracles cannot drift), then the vocab joins back to
+    // per-(lang, word) counts; all-integer fertility arithmetic.
+    "d80_bpe_fertility" -> s"""
+      WITH $bpeTrainCtes,
+      lw AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS lwf
+        FROM (SELECT lang,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents)
+        GROUP BY 1, 2),
+      j AS (
+        SELECT l.lang, l.lwf,
+               CAST(len(w.syms) AS BIGINT) AS np,
+               CAST(length(l.word) AS BIGINT) AS nc
+        FROM lw l JOIN wf3 w ON l.word = w.word),
+      a AS (
+        SELECT lang,
+               CAST(sum(lwf) AS BIGINT) AS n_words,
+               CAST(sum(lwf * np) AS BIGINT) AS n_pieces,
+               CAST(sum(lwf * nc) AS BIGINT) AS n_chars
+        FROM j GROUP BY lang)
+      SELECT lang, n_words, n_pieces, n_chars,
+             CAST(n_pieces * 1000 // n_words AS BIGINT) AS pieces_pm,
+             CASE WHEN n_pieces > 0
+                  THEN CAST(n_chars * 1000 // n_pieces AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS chars_per_piece_pm
+      FROM a ORDER BY lang"""
   )
 }

@@ -706,6 +706,23 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d75 pair counts lost their map-side partial:\n$p")
   }
 
+  test("d80 fertility: trained vocab applies as an equi join, rounds keep the d75 shape") {
+    // the apply step must join (lang, word) counts to the vocab on the
+    // word key — an equi join, never a re-scan of the corpus per round
+    // — and the three training rounds keep d75's cached-explode +
+    // one-row-broadcast-election shape
+    val p = plan("d80_bpe_fertility")
+    assert(p.contains("InMemoryTableScan"),
+      s"d80 training re-derives a round frame instead of reading the cache:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 3,
+      s"three rounds must each broadcast their one-row election:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join in the apply step:\n$p")
+    assert(p.contains("partial_sum"),
+      s"d80 aggregates lost their map-side partials:\n$p")
+  }
+
   test("d76 vad: batched decode feeds one doc-keyed shuffle, segment fold stays an aggregate") {
     // frames leave the mapPartitions stub as (id, idx, ints) — payload
     // bytes never shuffle; the rising-edge segment count is the d53

@@ -85,6 +85,47 @@ class TokenizerPrepSpec extends SparkSpecBase {
       s"empty text must add zero chars (and no '' key): $out")
   }
 
+  // ---------------------------------------------------------------- d80
+
+  private def writeLangDocs(name: String, rows: Seq[(String, String)]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    GraftWriter.write(
+      rows.zipWithIndex.map { case ((t, l), i) =>
+        (i.toLong, t, l, "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d80: hand-computed fertility — the trained merges apply per language") {
+    // Corpus: en "abab abab cd", de "abab cd cd ax". Global training
+    // elects (a,b) → (ab,ab) → (c,d) (the d75 fixture; 'ax' adds only
+    // pair (a,x)=1, never elected), so abab→[abab], cd→[cd], ax→[a,x].
+    //   en: 3 words, 3 pieces, 10 chars → pieces_pm 1000, cpp 3333
+    //   de: 4 words, 5 pieces, 10 chars → pieces_pm 1250, cpp 2000
+    val dir = writeLangDocs("d80-plant", Seq(
+      ("abab abab cd", "en"), ("abab cd cd ax", "de")))
+    val out = Pipeline.queries("d80_bpe_fertility")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out === Seq(
+      ("de", 4L, 5L, 10L, 1250L, 2000L),
+      ("en", 3L, 3L, 10L, 1000L, 3333L)), s"got $out")
+  }
+
+  test("d80: real-corpus invariants — fertility bounded by chars, every lang present") {
+    val out = Pipeline.queries("d80_bpe_fertility")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length >= 2, "corpus has multiple languages")
+    for ((lang, nw, np, nc, ppm, cpp) <- out) {
+      assert(np >= nw && np <= nc, s"$lang: 1 <= pieces/word <= chars/word violated")
+      assert(ppm >= 1000L && ppm == np * 1000 / nw, s"$lang: pieces_pm wrong")
+      assert(cpp == (if (np > 0) nc * 1000 / np else 0L), s"$lang: cpp wrong")
+    }
+  }
+
   // ---------------------------------------------------------------- d75
 
   test("d75: three hand-computed merge rounds with the ab/c election tie") {
