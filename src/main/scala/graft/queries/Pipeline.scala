@@ -3650,6 +3650,74 @@ object Pipeline {
         .select("lang", "n_words", "n_pieces", "n_chars", "pieces_pm",
           "chars_per_piece_pm")
         .orderBy("lang")
+    },
+
+    // ---- d81: PERCEPTUAL-HASH IMAGE DEDUP (dHash + banded Hamming
+    // join) — the IMAGE rung of the dedup family (d2/d3 dedup text by
+    // MinHash/SimHash; large multimodal corpora dedup images by a
+    // perceptual hash — pHash/dHash — robust to re-encode/resize,
+    // which byte-identity d1 cannot see): the payload "decodes"
+    // through the d11/d14/d21 batched mapPartitions stub (here:
+    // nearest-neighbor resample to a 9×8 grayscale grid — the real
+    // dHash recipe), each cell pair yields one gradient bit
+    // (g[r][c+1] > g[r][c] → 64 bits), and the hash splits into FOUR
+    // 16-bit BANDS. Near-dup candidates are pairs sharing a band
+    // (pigeonhole: Hamming ≤ 3 GUARANTEES a shared band — exact
+    // recall at that radius; candidates then rerank by exact Hamming
+    // ≤ 10 via bit_count(xor)). Per doc: the four band values (the
+    // oracle hash covers every hash bit), candidate count, near-dup
+    // count. Shape for 100 TB: payload bytes never leave the scan —
+    // only (doc_id, 4 ints) shuffle; the candidate join is equi on
+    // (band_idx, band_value) with bounded buckets (65 536 values per
+    // band); Hamming rerank is per-pair integer codegen. The decode
+    // is the documented deterministic stub — a production build swaps
+    // in a real decoder without touching the plan.
+    "d81_image_phash" -> { (s, dir) =>
+      import s.implicits._
+      val hashes = T(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.grouped(32).flatMap { batch =>
+            batch.map { case (id, bytes) =>
+              val g = graft.functions.Media.resizeStub(bytes, 72).map(_ & 0xff)
+              val bits = Array.tabulate(64) { t =>
+                val r = t / 8; val c = t % 8
+                if (g.nonEmpty && g(r * 9 + c + 1) > g(r * 9 + c)) 1 else 0
+              }
+              val b = Array.tabulate(4)(k =>
+                (0 until 16).foldLeft(0)((a, j) => a | (bits(16 * k + j) << j)))
+              (id, b(0), b(1), b(2), b(3))
+            }
+          }
+        }.toDF("doc_id", "b0", "b1", "b2", "b3")
+        .persist() // band explode + pair rerank + final join read one decode pass
+      val bands = hashes.select(col("doc_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+            .as(Seq("k", "bv")))
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+        .join(hashes.select(col("doc_id").as("da"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("da"))
+        .join(hashes.select(col("doc_id").as("db"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("db"))
+        .withColumn("hamming", expr(
+          """bit_count(a0 ^ c0) + bit_count(a1 ^ c1) +
+             bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"""))
+        .persist() // both direction counts read one candidate pass
+      val perDoc = pairs.select(col("da").as("doc_id"), col("hamming"))
+        .unionAll(pairs.select(col("db").as("doc_id"), col("hamming")))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_cand"),
+          sum(when(col("hamming") <= 10, 1L).otherwise(0L)).as("n_near"))
+      hashes.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy("doc_id")
     }
   )
 
@@ -3711,6 +3779,20 @@ object Pipeline {
               FROM documents)
         GROUP BY word),
       ${(0 until 3).map(d75RoundSql).mkString(",\n")}"""
+
+  /** d81: one 16-bit dHash band as DuckDB SQL — bit j of band k is the
+    * gradient compare at grid cell t = 16k+j (row t/8, col t%8) over
+    * the 1-based resampled list `gl`. Generated per band so the four
+    * spellings cannot drift. */
+  private def d81BandSql(k: Int): String = s"""
+         CASE WHEN nb = 0 THEN 0 ELSE
+           CAST(list_sum(list_transform(range(16),
+             j -> CASE WHEN gl[CAST(((j + ${16 * k}) // 8) * 9
+                                    + ((j + ${16 * k}) % 8) + 2 AS INTEGER)] >
+                            gl[CAST(((j + ${16 * k}) // 8) * 9
+                                    + ((j + ${16 * k}) % 8) + 1 AS INTEGER)]
+                       THEN (1::BIGINT << CAST(j AS INTEGER))
+                       ELSE 0::BIGINT END)) AS INTEGER) END AS b$k"""
 
   private lazy val d75OracleSql: String = s"""
       WITH $bpeTrainCtes,
@@ -5732,6 +5814,57 @@ object Pipeline {
              CASE WHEN n_pieces > 0
                   THEN CAST(n_chars * 1000 // n_pieces AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS chars_per_piece_pm
-      FROM a ORDER BY lang"""
+      FROM a ORDER BY lang""",
+
+    // d81: full bit replay — the stub resample is pure index
+    // arithmetic ((i·nb) div 72, the d11/d21 byte idiom via
+    // hex/strpos), the gradient bits and band packing are generated
+    // per band, and the banded join + bit_count(xor) rerank mirror
+    // the Spark plan exactly.
+    "d81_image_phash" -> s"""
+      WITH raw AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        FROM documents),
+      g AS (
+        SELECT doc_id, nb,
+               CASE WHEN nb = 0 THEN [] ELSE
+                 list_transform(range(72),
+                   i -> CAST(strpos('123456789ABCDEF',
+                          substr(hx, CAST(2 * ((i * nb) // 72) + 1 AS INTEGER), 1)) * 16
+                        + strpos('123456789ABCDEF',
+                          substr(hx, CAST(2 * ((i * nb) // 72) + 2 AS INTEGER), 1))
+                        AS BIGINT)) END AS gl
+        FROM raw),
+      h AS (
+        SELECT doc_id,
+${(0 until 4).map(d81BandSql).mkString(",\n")}
+        FROM g),
+      bands AS (
+        SELECT doc_id, t.k, [b0, b1, b2, b3][CAST(t.k + 1 AS INTEGER)] AS bv
+        FROM h, (SELECT unnest(range(4)) AS k) t),
+      pr AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bands x JOIN bands y
+          ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      ph AS (
+        SELECT p.da, p.db,
+               bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1)) +
+               bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+                 AS hamming
+        FROM pr p JOIN h ha ON ha.doc_id = p.da
+                  JOIN h hb ON hb.doc_id = p.db),
+      pd AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cand,
+               CAST(sum(CASE WHEN hamming <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_near
+        FROM (SELECT da AS doc_id, hamming FROM ph
+              UNION ALL SELECT db AS doc_id, hamming FROM ph)
+        GROUP BY doc_id)
+      SELECT h.doc_id, h.b0, h.b1, h.b2, h.b3,
+             coalesce(pd.n_cand, 0) AS n_cand,
+             coalesce(pd.n_near, 0) AS n_near
+      FROM h LEFT JOIN pd USING (doc_id)
+      ORDER BY h.doc_id"""
   )
 }

@@ -75,4 +75,55 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(5L) === ((0L, 0L, 0L, 0L)), "an empty payload still reports a row")
     assert(out(6L) === ((5L, 3L, 3L, 600L)))
   }
+
+  // ---------------------------------------------------------------- d81
+
+  /** Independent dHash reference: resample → 9×8 grid → gradient bits
+    * → four 16-bit bands (same recipe, separate code path). */
+  private def refBands(text: String): (Int, Int, Int, Int) = {
+    val bytes = text.getBytes("UTF-8")
+    val g =
+      if (bytes.isEmpty) Array.empty[Int]
+      else Array.tabulate(72)(i => bytes(((i.toLong * bytes.length) / 72).toInt) & 0xff)
+    val bits = Array.tabulate(64) { t =>
+      if (g.nonEmpty && g((t / 8) * 9 + (t % 8) + 1) > g((t / 8) * 9 + (t % 8))) 1 else 0
+    }
+    val b = Array.tabulate(4)(k =>
+      (0 until 16).foldLeft(0)((a, j) => a | (bits(16 * k + j) << j)))
+    (b(0), b(1), b(2), b(3))
+  }
+
+  test("d81: band values match the independent dHash reference; duplicates collide") {
+    val dir = scratch("d81-plant")
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 300).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // one changed char past the window: >72 bytes means each grid cell
+    // reads a distinct byte, so at most two gradient bits flip — the
+    // pair must stay band-candidate AND rerank as a near-dup
+    val tweaked = base.updated(150, 'Z')
+    val texts = Seq((0L, base), (1L, base), (2L, tweaked), (3L, ""),
+      (4L, (0 until 300).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString))
+    graft.sources.GraftWriter.write(
+      texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = graft.queries.Pipeline.queries("d81_image_phash")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)), r.getLong(5), r.getLong(6)))
+      .toMap
+    for ((id, t) <- texts)
+      assert(out(id)._1 === refBands(t), s"doc $id bands diverge from the reference")
+    assert(out(3L)._1 === ((0, 0, 0, 0)), "empty payload hashes to all-zero bands")
+    // identical docs 0/1: hamming 0 → candidates and near-dups both ways
+    assert(out(0L)._3 >= 1L && out(1L)._3 >= 1L, s"exact dup pair must be near: $out")
+    // the tweaked doc flips <= 2 bits in one band: 3 bands still equal
+    val hamming = {
+      val (a, b) = (refBands(base), refBands(tweaked))
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    }
+    assert(hamming <= 2, s"one changed byte must flip at most two bits, got $hamming")
+    assert(out(2L)._3 >= 1L, s"the tweaked doc must rerank as near-dup: ${out(2L)}")
+  }
 }

@@ -723,6 +723,20 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d80 aggregates lost their map-side partials:\n$p")
   }
 
+  test("d81 phash: decode pass cached, band join equi, rerank without a Window") {
+    // the mapPartitions decode is the expensive pass — bands, pair
+    // rerank, and the final doc join must all read the persisted
+    // hashes; candidates come from an equi join on (band, value),
+    // never a cross product; payload bytes reduce to 4 ints pre-shuffle
+    val p = plan("d81_image_phash")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"d81 lost its batched decode stage:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"d81 re-runs the decode instead of reading the cache:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"d81 must not use a Window:\n$p")
+  }
+
   test("d76 vad: batched decode feeds one doc-keyed shuffle, segment fold stays an aggregate") {
     // frames leave the mapPartitions stub as (id, idx, ints) — payload
     // bytes never shuffle; the rising-edge segment count is the d53
