@@ -3718,6 +3718,51 @@ object Pipeline {
           coalesce(col("n_cand"), lit(0L)).as("n_cand"),
           coalesce(col("n_near"), lit(0L)).as("n_near"))
         .orderBy("doc_id")
+    },
+
+    // ---- d82: TRUNCATION-DUPLICATE DETECTION (prefix dedup) — the
+    // dedup rung none of d1..d63 covers: scraped corpora are full of
+    // the SAME article captured at different cutoffs (paywall folds,
+    // RSS summaries, re-crawls with shorter extraction), where neither
+    // whole-doc hashing (d1) nor line/chunk dedup (d63/d31) flags the
+    // pair as one document. Detection: docs with ≥16 tokens group by
+    // the md5 of their FIRST 16 TOKENS (the prefix key — any
+    // truncation pair shares it); in a ≥2 group the keeper is the
+    // LONGEST doc (then min id, via the q58 max_by struct-comparator
+    // idiom), and each other member verifies the full prefix relation
+    // (keeper's first n tokens = member's tokens — exact, not just
+    // key-equal). The corpus has no native truncation pairs, so the
+    // entry synthesizes a re-crawl side the d74 way: every doc_id % 3
+    // = 0 doc re-enters as id+10⁶ truncated to its first ⌈n/2⌉ tokens
+    // — both engines replay the same synthesis. Shape for 100 TB: the
+    // prefix key is a hash — groups shuffle as (key, id, n_tok); the
+    // ONLY token arrays that move are one keeper candidate per
+    // (key, partition) inside the map-combined max_by partial, and
+    // members verify against the keeper via an equi join on the key.
+    "d82_prefix_dups" -> { (s, dir) =>
+      val base = T(s, dir, "documents")
+      val variants = withWords(base).filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("concat_ws(' ', slice(words, 1, (size(words) + 1) div 2))")
+            .as("text"))
+      val wd = withWords(base.select("doc_id", "text").unionAll(variants))
+        .withColumn("n_tok", size(col("words")).cast("long"))
+        .filter(col("n_tok") >= 16)
+        .withColumn("pkey", md5(expr("concat_ws(' ', slice(words, 1, 16))")))
+        .select("doc_id", "pkey", "n_tok", "words")
+        .persist() // group agg + member verification read one pass
+      val keepers = wd.groupBy("pkey").agg(
+          count(lit(1)).as("gsz"),
+          expr("""max_by(named_struct('kid', doc_id, 'kn', n_tok, 'kwords', words),
+                         named_struct('n', n_tok, 'ni', -doc_id))""").as("k"))
+        .filter(col("gsz") >= 2)
+        .select(col("pkey"), col("k.kid").as("keeper_id"),
+          col("k.kn").as("keeper_ntok"), col("k.kwords").as("kwords"))
+      wd.join(keepers, Seq("pkey"))
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .withColumn("is_prefix", expr("slice(kwords, 1, cast(n_tok as int)) = words"))
+        .select("doc_id", "keeper_id", "n_tok", "keeper_ntok", "is_prefix")
+        .orderBy("doc_id")
     }
   )
 
@@ -5865,6 +5910,39 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              coalesce(pd.n_cand, 0) AS n_cand,
              coalesce(pd.n_near, 0) AS n_near
       FROM h LEFT JOIN pd USING (doc_id)
-      ORDER BY h.doc_id"""
+      ORDER BY h.doc_id""",
+
+    // d82: same synthesized truncation side (id % 3, ⌈n/2⌉ tokens,
+    // +10⁶ suffix), same 16-token prefix key, keeper spelled as the
+    // single-window (n_tok desc, id) rank — equality with the Spark
+    // max_by struct comparator IS the claim — and the same exact
+    // list-equality prefix verification.
+    "d82_prefix_dups" -> """
+      WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               array_to_string(words[1 : (len(words) + 1) // 2], ' ')
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents WHERE doc_id % 3 = 0)),
+      wd AS (
+        SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_tok,
+               md5(array_to_string(words[1:16], ' ')) AS pkey
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM u)
+        WHERE len(words) >= 16),
+      k AS (
+        SELECT pkey, doc_id AS kid, n_tok AS kn, words AS kwords
+        FROM (SELECT pkey, doc_id, n_tok, words,
+                     row_number() OVER (PARTITION BY pkey
+                       ORDER BY n_tok DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY pkey) AS gsz
+              FROM wd)
+        WHERE rn = 1 AND gsz >= 2)
+      SELECT w.doc_id, k.kid AS keeper_id, w.n_tok, k.kn AS keeper_ntok,
+             (k.kwords[1 : CAST(w.n_tok AS INTEGER)] = w.words) AS is_prefix
+      FROM wd w JOIN k USING (pkey)
+      WHERE w.doc_id <> k.kid
+      ORDER BY w.doc_id"""
   )
 }

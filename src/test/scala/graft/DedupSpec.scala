@@ -707,4 +707,35 @@ class DedupSpec extends SparkSpecBase {
     assert(got == Set((0L, 0L, 4L, true), (1L, 0L, 4L, false),
       (2L, 0L, 4L, false), (3L, 0L, 4L, false)), s"chain components: $got")
   }
+
+  // ---------------------------------------------------------------- d82
+
+  test("d82: truncation chains resolve to the longest keeper; diverging tails flagged false") {
+    // ids avoid multiples of 3 so the operator's synthesized re-crawl
+    // side stays out of the planted groups.
+    val toks = (0 until 40).map(i => s"t$i")
+    val dir = scratch("d82-plant")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, toks.mkString(" ")),                                   // full, 40 tokens
+      (2L, toks.take(24).mkString(" ")),                          // truncation, 24
+      (4L, toks.take(16).mkString(" ")),                          // exactly the key, 16
+      (5L, (toks.take(16) ++ (0 until 14).map(i => s"x$i")).mkString(" ")), // same key, diverges
+      (7L, (0 until 20).map(i => s"u$i").mkString(" ")),          // twin pair —
+      (8L, (0 until 20).map(i => s"u$i").mkString(" ")),          //   same length
+      (10L, (0 until 15).map(i => s"s$i").mkString(" ")))         // sub-key: excluded
+    graft.sources.GraftWriter.write(
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = Pipeline.queries("d82_prefix_dups")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (2L, 1L, 24L, 40L, true),    // true truncation
+      (4L, 1L, 16L, 40L, true),    // key-length doc is still a prefix
+      (5L, 1L, 30L, 40L, false),   // shared key but diverging tail
+      (8L, 7L, 20L, 20L, true)),   // equal-length twin: min-id keeper
+      s"got $out")
+  }
 }

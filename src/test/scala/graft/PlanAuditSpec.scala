@@ -539,6 +539,23 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"d79 must not use a Window:\n$p")
   }
 
+  test("d82 prefix dups: keeper election map-combines, verification joins equi on the key") {
+    // the max_by keeper election must plan as partial/final pairs (one
+    // candidate words array per key per partition is all that
+    // shuffles), and the member verification is an equi join on the
+    // prefix key — never a cross product or a Window over the corpus
+    val p = plan("d82_prefix_dups")
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      ("max_by".r.findAllIn(p).length >= 2 && p.contains("partial_")),
+      s"d82 keeper election lost its map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"d82 must not use a Window:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join in verification:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"d82 re-tokenizes instead of reading the cached pass:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off
