@@ -3763,6 +3763,46 @@ object Pipeline {
         .withColumn("is_prefix", expr("slice(kwords, 1, cast(n_tok as int)) = words"))
         .select("doc_id", "keeper_id", "n_tok", "keeper_ntok", "is_prefix")
         .orderBy("doc_id")
+    },
+
+    // ---- d83: NOVELTY-RATE ACCOUNTING — the "new information per
+    // document" curve data-curation teams use to decide whether a
+    // source is still worth crawling (and the per-doc signal behind
+    // dedup-aware mixing): for each doc, the fraction of its DISTINCT
+    // 3-gram shingles whose corpus-wide FIRST occurrence (min doc_id —
+    // ingestion order) is this doc. A doc full of already-seen grams
+    // is redundant even when no single dedup rule fires; a source
+    // whose novelty curve decays is mined out. Output per doc:
+    // distinct grams, novel grams, novelty per-mille — all-integer.
+    // Shape for 100 TB: grams leave the scan as md5 hashes off a
+    // PERSISTED per-doc array (the d61 lesson — the explode reads the
+    // cache, never re-evaluating the gram-hash transform per output
+    // row); first-occurrence is one map-combinable min per gram
+    // (d63's keeper idiom at gram granularity); the flagging join is
+    // equi on the hash. Text never shuffles.
+    "d83_novelty_rate" -> { (s, dir) =>
+      val ga = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(words) >= 3
+               THEN array_distinct(transform(sequence(0, size(words) - 3),
+                      i -> md5(concat_ws(' ', words[i], words[i + 1], words[i + 2]))))
+               ELSE cast(array() as array<string>) END""").as("grams"))
+        .persist() // the explode AND the final all-docs join read one gram pass
+      val occ = ga.select(col("doc_id"), explode(col("grams")).as("g"))
+        .persist() // first-occurrence argmin + per-doc flagging read one explode
+      val fd = occ.groupBy("g").agg(min("doc_id").as("fdoc"))
+      val perDoc = occ.join(fd, Seq("g"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("fdoc"), 1L).otherwise(0L)).as("n_novel"))
+      ga.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+        .withColumn("novelty_pm", expr(
+          """CASE WHEN n_grams > 0 THEN n_novel * 1000 div n_grams
+             ELSE cast(0 as bigint) END"""))
+        .select("doc_id", "n_grams", "n_novel", "novelty_pm")
+        .orderBy("doc_id")
     }
   )
 
@@ -5943,6 +5983,38 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              (k.kwords[1 : CAST(w.n_tok AS INTEGER)] = w.words) AS is_prefix
       FROM wd w JOIN k USING (pkey)
       WHERE w.doc_id <> k.kid
-      ORDER BY w.doc_id"""
+      ORDER BY w.doc_id""",
+
+    // d83: same distinct-3-gram expansion (d4's shingle spelling),
+    // same min-doc first occurrence, same integer per-mille.
+    "d83_novelty_rate" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      occ AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 CASE WHEN len(words) >= 3 THEN
+                   list_transform(range(len(words) - 2),
+                     i -> md5(words[i + 1] || ' ' || words[i + 2] || ' ' ||
+                              words[i + 3]))
+                 ELSE [] END)) AS g
+        FROM w),
+      fd AS (SELECT g, min(doc_id) AS fdoc FROM occ GROUP BY g),
+      pd AS (
+        SELECT o.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN o.doc_id = f.fdoc THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel
+        FROM occ o JOIN fd f USING (g)
+        GROUP BY o.doc_id)
+      SELECT d.doc_id,
+             coalesce(p.n_grams, 0) AS n_grams,
+             coalesce(p.n_novel, 0) AS n_novel,
+             CASE WHEN coalesce(p.n_grams, 0) > 0
+                  THEN CAST(p.n_novel * 1000 // p.n_grams AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS novelty_pm
+      FROM documents d LEFT JOIN pd p USING (doc_id)
+      ORDER BY d.doc_id"""
   )
 }

@@ -738,4 +738,31 @@ class DedupSpec extends SparkSpecBase {
       (8L, 7L, 20L, 20L, true)),   // equal-length twin: min-id keeper
       s"got $out")
   }
+
+  // ---------------------------------------------------------------- d83
+
+  test("d83: novelty counts distinct grams whose first occurrence is this doc") {
+    val dir = scratch("d83-plant")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),          // grams {abc, bcd} — both novel → 1000‰
+      (2L, "a b c x"),          // {abc, bcx} — abc seen in doc 1 → 500‰
+      (3L, "a b c d"),          // exact repeat → 0 novel → 0‰
+      (4L, "z z"),              // < 3 tokens → zero grams
+      (5L, "p q r p q r"))      // repeats inside ONE doc are distinct-counted
+    graft.sources.GraftWriter.write(
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = Pipeline.queries("d83_novelty_rate")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((2L, 2L, 1000L)))
+    assert(out(2L) === ((2L, 1L, 500L)), "a seen gram is not novel")
+    assert(out(3L) === ((2L, 0L, 0L)), "an exact repeat has zero novelty")
+    assert(out(4L) === ((0L, 0L, 0L)), "sub-gram docs report zeros")
+    // "p q r p q r": 4 grams, distinct {pqr, qrp, rpq} = 3, all novel
+    assert(out(5L) === ((3L, 3L, 1000L)),
+      s"within-doc repeats count once: ${out(5L)}")
+  }
 }

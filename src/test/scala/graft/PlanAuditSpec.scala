@@ -556,6 +556,20 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d82 re-tokenizes instead of reading the cached pass:\n$p")
   }
 
+  test("d83 novelty: gram explode reads the cache, argmin combines map-side") {
+    // grams leave the scan as md5 hashes off the persisted per-doc
+    // array (the d61 lesson), first-occurrence is a map-combinable
+    // min, and the flagging join is equi on the hash — no Window, no
+    // cross product, text never shuffles
+    val p = plan("d83_novelty_rate")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"d83 re-derives the gram pass instead of reading the caches:\n$p")
+    assert(p.contains("partial_min"),
+      s"d83 first-occurrence argmin lost its map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"d83 must not use a Window:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off
