@@ -3803,6 +3803,46 @@ object Pipeline {
              ELSE cast(0 as bigint) END"""))
         .select("doc_id", "n_grams", "n_novel", "novelty_pm")
         .orderBy("doc_id")
+    },
+
+    // ---- d84: INT8 EMBEDDING QUANTIZATION — the serving/storage
+    // compression step between raw float vectors and the d45 PQ rung
+    // (symmetric per-dimension absmax scaling — the scheme faiss/
+    // vector stores ship as "SQ8"): per dim, scale = max |x| over the
+    // corpus; q = floor(x·127/absmax + 0.5) (half-away — floor is
+    // EXACT on doubles, so q is the identical integer in both
+    // engines; ±absmax maps to ±127, clamp can never bind but is kept
+    // for the contract); reconstruction error |x − q·absmax/127|.
+    // Output per dim: absmax, the EXACT integer Σq and saturation
+    // count (the hash check covers the quantization bit-for-bit), and
+    // max/avg reconstruction error at the d12 4-dp rounding. Shape
+    // for 100 TB: one posexplode off a PERSISTED pass feeds both the
+    // per-dim absmax (map-combinable max) and the quant pass; the
+    // 64-row scale table joins back as a BROADCAST — the classic
+    // two-pass normalize shape with nothing corpus-sized moving
+    // twice.
+    "d84_int8_quant" -> { (s, dir) =>
+      val ex = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"), col("x"))
+        .persist() // absmax AND the quant pass read one explode
+      val am = ex.groupBy("dim").agg(max(abs(col("x"))).as("absmax"))
+      ex.join(broadcast(am), Seq("dim"))
+        .withColumn("q", expr(
+          """CASE WHEN absmax = 0d THEN cast(0 as bigint)
+               ELSE greatest(cast(-127 as bigint), least(cast(127 as bigint),
+                    cast(floor(x * 127d / absmax + 0.5d) as bigint))) END"""))
+        .withColumn("err", expr(
+          """CASE WHEN absmax = 0d THEN 0d
+             ELSE abs(x - cast(q as double) * absmax / 127d) END"""))
+        .groupBy("dim").agg(
+          round(max(abs(col("x"))), 4).as("absmax_r"),
+          sum("q").as("sum_q"),
+          sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"),
+          round(max("err"), 4).as("max_err_r"),
+          round(avg("err"), 4).as("avg_err_r"))
+        .orderBy("dim")
     }
   )
 
@@ -6015,6 +6055,37 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                   THEN CAST(p.n_novel * 1000 // p.n_grams AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS novelty_pm
       FROM documents d LEFT JOIN pd p USING (doc_id)
-      ORDER BY d.doc_id"""
+      ORDER BY d.doc_id""",
+
+    // d84: float32 → double widening is exact, the quant integer is a
+    // floor (exact on doubles — identical in both engines), and the
+    // error terms spell the same left-assoc double chain; only the
+    // max/avg error columns round (the d12 4-dp precedent).
+    "d84_int8_quant" -> """
+      WITH ex AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      am AS (SELECT dim, max(abs(x)) AS absmax FROM ex GROUP BY dim),
+      q AS (
+        SELECT e.dim, e.x, am.absmax,
+               CASE WHEN am.absmax = 0 THEN 0
+                    ELSE greatest(-127, least(127,
+                         CAST(floor(e.x * 127 / am.absmax + 0.5) AS BIGINT)))
+               END AS q
+        FROM ex e JOIN am USING (dim))
+      SELECT dim,
+             round(max(abs(x)), 4) AS absmax_r,
+             CAST(sum(q) AS BIGINT) AS sum_q,
+             CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sat,
+             round(max(CASE WHEN absmax = 0 THEN 0
+                            ELSE abs(x - CAST(q AS DOUBLE) * absmax / 127) END), 4)
+               AS max_err_r,
+             round(avg(CASE WHEN absmax = 0 THEN 0
+                            ELSE abs(x - CAST(q AS DOUBLE) * absmax / 127) END), 4)
+               AS avg_err_r
+      FROM q GROUP BY dim ORDER BY dim"""
   )
 }

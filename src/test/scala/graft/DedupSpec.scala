@@ -765,4 +765,42 @@ class DedupSpec extends SparkSpecBase {
     assert(out(5L) === ((3L, 3L, 1000L)),
       s"within-doc repeats count once: ${out(5L)}")
   }
+
+  // ---------------------------------------------------------------- d84
+
+  test("d84: quantization matches an independent reference bit-for-bit; zero dim is total") {
+    val dir = scratch("d84-plant")
+    import spark.implicits._
+    val rnd = new scala.util.Random(84)
+    // dim 0: planted extremes; dim 1: all-zero (absmax = 0); dims 2-3: random
+    val vecs = (0 until 9).map { i =>
+      val v = new Array[Float](4)
+      v(0) = Seq(1.0f, -0.5f, 0.25f, -1.0f, 0.1f, 0f, 0.7f, -0.3f, 0.9f)(i)
+      v(1) = 0f
+      v(2) = rnd.nextFloat() * 2f - 1f
+      v(3) = (rnd.nextFloat() - 0.5f) * 0.01f
+      (i.toLong, v, 0)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Pipeline.queries("d84_int8_quant")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (d <- 0 until 4) {
+      val xs = vecs.map(_._2(d).toDouble)
+      val absmax = xs.map(math.abs).max
+      val qs = xs.map(x => if (absmax == 0) 0L
+        else math.max(-127L, math.min(127L, math.floor(x * 127d / absmax + 0.5d).toLong)))
+      val errs = xs.zip(qs).map { case (x, q) =>
+        if (absmax == 0) 0d else math.abs(x - q.toDouble * absmax / 127d) }
+      val want = (r4(absmax), qs.sum, qs.count(q => math.abs(q) == 127).toLong,
+        r4(errs.max), r4(errs.sum / errs.length))
+      assert(out(d.toLong) === want, s"dim $d: got ${out(d.toLong)}, want $want")
+    }
+    assert(out(1L) === ((0d, 0L, 0L, 0d, 0d)), "an all-zero dimension quantizes to zeros")
+    assert(out(0L)._3 === 2L, "both ±absmax extremes saturate")
+  }
 }

@@ -570,6 +570,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"d83 must not use a Window:\n$p")
   }
 
+  test("d84 int8 quant: one cached explode, scale table broadcasts back") {
+    // the two-pass normalize shape: the posexplode persists and feeds
+    // BOTH the per-dim absmax and the quant pass; the 64-row scale
+    // table must come back as a broadcast, never a corpus-sized
+    // shuffle join; the absmax is a map-combinable max
+    val p = plan("d84_int8_quant")
+    assert(p.contains("InMemoryTableScan"),
+      s"d84 re-explodes instead of reading the cache:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d84 scale table must broadcast:\n$p")
+    assert(p.contains("partial_max"),
+      s"d84 absmax lost its map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off
