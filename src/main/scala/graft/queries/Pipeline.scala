@@ -3843,6 +3843,60 @@ object Pipeline {
           round(max("err"), 4).as("max_err_r"),
           round(avg("err"), 4).as("avg_err_r"))
         .orderBy("dim")
+    },
+
+    // ---- d85: LSH RECALL EVALUATION — the measurement harness for
+    // the dedup stack itself (the empirical S-curve the b/r analysis
+    // in MMDS ch.3 predicts): over a DETERMINISTIC bounded ground-
+    // truth pair set (adjacent ids at offsets 1..2 — the d52/d77
+    // convention), bucket each pair by its EXACT word-set Jaccard
+    // into integer deciles (dec = min(9, 10·|∩| div |∪|) — all-
+    // integer, no float boundary) and measure what fraction the d15
+    // production scheme (128-perm MinHash, 16 bands × 8 rows over
+    // exact-collapsed reps) would have surfaced as candidates —
+    // shared band key, or same rep (identical sets collide in every
+    // band by construction). The output recall curve is the evidence
+    // behind d15's "≥95% at J ≥ 0.8" claim, measured on this corpus
+    // rather than assumed. Shape for 100 TB: the ground-truth set is
+    // O(N) pairs by construction; band keys are 16 small ints per
+    // rep; every join is equi (pair ids, rep ids, band keys) — the
+    // eval costs a constant factor of the dedup run it audits.
+    "d85_lsh_recall" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val w = collapsedWordSets(T(s, dir, "documents")) // persisted token pass
+      val reps = w.groupBy(col("gid"))
+        .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
+        .persist() // band keys + nothing else re-derives signatures
+      val keys = reps.select(col("rep_id"),
+          explode(expr("minhash_bands(wset, 16)")).as("bkey"))
+        .persist() // both sides of the shared-band semi read it
+      val side = w.select(col("doc_id"), col("gid"))
+        .join(reps.select(col("gid"), col("rep_id")), Seq("gid"))
+        .join(w.select(col("doc_id"), col("wset")), Seq("doc_id"))
+      val a = side.select(col("doc_id").as("da"), col("rep_id").as("ra"),
+          col("wset").as("sa"))
+        .select(col("*"), explode(array(lit(1L), lit(2L))).as("off"))
+        .withColumn("db", col("da") + col("off"))
+      val pairs = a.join(side.select(col("doc_id").as("db"),
+          col("rep_id").as("rb"), col("wset").as("sb")), Seq("db"))
+        .withColumn("inter", expr("cast(size(array_intersect(sa, sb)) as bigint)"))
+        .withColumn("uni", expr("cast(size(sa) + size(sb) as bigint) - inter"))
+        .withColumn("decile", expr("cast(least(9L, inter * 10 div uni) as int)"))
+        .select("da", "db", "ra", "rb", "decile")
+        .persist() // the shared-band probe and the decile agg read one pass
+      val shared = pairs.filter(col("ra") =!= col("rb"))
+        .join(keys.select(col("rep_id").as("ra"), col("bkey")), Seq("ra"))
+        .join(keys.select(col("rep_id").as("rb"), col("bkey")), Seq("rb", "bkey"))
+        .select("da", "db").distinct()
+        .withColumn("hit", lit(true))
+      pairs.join(shared, Seq("da", "db"), "left")
+        .withColumn("cand", col("ra") === col("rb") || coalesce(col("hit"), lit(false)))
+        .groupBy("decile").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("cand"), 1L).otherwise(0L)).as("n_cand"))
+        .withColumn("recall_pm", expr("n_cand * 1000 div n_pairs"))
+        .select("decile", "n_pairs", "n_cand", "recall_pm")
+        .orderBy("decile")
     }
   )
 
@@ -3947,6 +4001,7 @@ object Pipeline {
     // four hash-dependent rows-only entries.
     "d2_minhash_lsh" -> ReplaySql.d2,
     "d3_simhash" -> ReplaySql.d3,
+    "d85_lsh_recall" -> ReplaySql.d85,
     "d11_multimodal" -> ReplaySql.d11,
     "d15_jaccard_lsh" -> ReplaySql.d15,
     "d23_minhash_estimate" -> ReplaySql.d23,

@@ -272,6 +272,37 @@ private[queries] object ReplaySql {
        |UNION ALL
        |SELECT doc_a, doc_b, jaccard FROM within""".stripMargin
 
+  /** d85: the recall-eval harness replays the SAME rep/signature/band
+    * prefix as d15 (shared `repsPrefix` — the scheme under test cannot
+    * drift from the scheme being measured), then evaluates candidacy
+    * (shared band key, or same rep) over the deterministic adjacent-id
+    * pair set and buckets by the all-integer exact-Jaccard decile. */
+  val d85: String =
+    s"""$repsPrefix,
+       |sidew AS (SELECT g.doc_id, m.rep_id, g.wset FROM g JOIN m USING (doc_id)),
+       |pr AS (SELECT a.doc_id AS da, b.doc_id AS db,
+       |              a.rep_id AS ra, b.rep_id AS rb,
+       |              CAST(len(list_intersect(a.wset, b.wset)) AS BIGINT) AS inter,
+       |              CAST(len(a.wset) + len(b.wset) AS BIGINT) AS szsum
+       |       FROM sidew a JOIN sidew b
+       |         ON b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2),
+       |prd AS (SELECT da, db, ra, rb,
+       |               CAST(least(9, inter * 10 // (szsum - inter)) AS INTEGER)
+       |                 AS decile
+       |        FROM pr),
+       |sharedk AS (SELECT DISTINCT p.da, p.db
+       |            FROM prd p JOIN keys ka ON ka.rep_id = p.ra
+       |                       JOIN keys kb ON kb.rep_id = p.rb
+       |                                   AND kb.bkey = ka.bkey
+       |            WHERE p.ra <> p.rb),
+       |fin AS (SELECT p.decile, (p.ra = p.rb OR s.da IS NOT NULL) AS cand
+       |        FROM prd p LEFT JOIN sharedk s ON s.da = p.da AND s.db = p.db)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       |       CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) * 1000 // count(*)
+       |         AS BIGINT) AS recall_pm
+       |FROM fin GROUP BY decile ORDER BY decile""".stripMargin
+
   /** d11: the multimodal stub decode is pure byte arithmetic over the
     * UTF-8 payload (`(a*131 + byte) % 1e9+7` fold, head byte, length),
     * so DuckDB replays it exactly from the same hex-decoded bytes —

@@ -803,4 +803,43 @@ class DedupSpec extends SparkSpecBase {
     assert(out(1L) === ((0d, 0L, 0L, 0d, 0d)), "an all-zero dimension quantizes to zeros")
     assert(out(0L)._3 === 2L, "both ±absmax extremes saturate")
   }
+
+  // ---------------------------------------------------------------- d85
+
+  test("d85: identical pairs land in decile 9 with full recall; disjoint pairs in decile 0") {
+    val dir = scratch("d85-plant")
+    import spark.implicits._
+    val same = (0 until 30).map(i => s"w$i").mkString(" ")
+    // ids 0-3: one identical clique (adjacent pairs all J = 1, same rep);
+    // ids 10-13: pairwise-disjoint vocabularies (adjacent pairs J = 0)
+    val docs = (0L to 3L).map(id => (id, same)) ++
+      (10L to 13L).map(id => (id, (0 until 30).map(i => s"v${id}_$i").mkString(" ")))
+    graft.sources.GraftWriter.write(
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = Pipeline.queries("d85_lsh_recall")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // clique pairs: (0,1)(0,2)(1,2)(1,3)(2,3) = 5; disjoint: (10,11)(10,12)(11,12)(11,13)(12,13) = 5
+    assert(out(9) === ((5L, 5L, 1000L)),
+      s"identical adjacent pairs must be decile-9 candidates: $out")
+    assert(out(0)._1 === 5L && out(0)._2 === 0L,
+      s"disjoint pairs are decile 0 and (deterministically) never collide: $out")
+  }
+
+  test("d85: real-corpus recall curve is well-formed") {
+    val out = Pipeline.queries("d85_lsh_recall")(spark, sfTiny)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    for ((d, np, nc, rpm) <- out) {
+      assert(d >= 0 && d <= 9 && nc <= np, s"decile $d malformed")
+      assert(rpm == nc * 1000 / np, s"decile $d: recall_pm inconsistent")
+    }
+    // the high end of the S-curve: J >= 0.9 pairs are caught essentially
+    // always (theory: 1-(1-0.9^8)^16 ≈ 0.9996) — only asserted when the
+    // corpus provides a meaningful sample
+    for ((d, np, _, rpm) <- out if d == 9 && np >= 5)
+      assert(rpm >= 950, s"decile-9 recall collapsed: $out")
+  }
 }

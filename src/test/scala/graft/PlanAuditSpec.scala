@@ -585,6 +585,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
 
+  test("d85 lsh recall: signature passes cached, every probe join equi") {
+    // the eval must cost a constant factor of the dedup run it audits:
+    // rep signatures and band keys persist (never re-derived), the
+    // ground-truth pair set joins on ids, the shared-band probe joins
+    // on (rep, key) — no cartesian anywhere, no Window
+    val p = plan("d85_lsh_recall")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"d85 re-derives signatures instead of reading the caches:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"d85 must not use a Window:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join in the probe:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off
