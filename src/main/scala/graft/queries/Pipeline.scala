@@ -3548,10 +3548,16 @@ object Pipeline {
     // text never does; keeper joins are equi on the chunk hash.
     "d79_cdc_chunks" -> { (s, dir) =>
       val W = 32
-      val ksLit = cdcK.mkString(", ")
+      // the 32-term window dot product UNROLLED as one flat expression
+      // (the coefficients inlined as literals): a single interpreted
+      // expression tree per position instead of a per-position
+      // sequence+fold allocation — ~same math, far less interpreter
+      // overhead in the non-codegen higher-order path
+      val dot = cdcK.zipWithIndex
+        .map { case (c, k) => s"element_at(codes, i - $k) * ${c}L" }
+        .mkString(" + ")
       val docs = T(s, dir, "documents")
         .withColumn("n", length(col("text")).cast("int"))
-        .withColumn("ks", expr(s"array(${ksLit})"))
         .withColumn("codes", expr(
           """CASE WHEN length(text) >= 1
                THEN transform(sequence(1, length(text)),
@@ -3561,9 +3567,7 @@ object Pipeline {
         .withColumn("bnd", expr(
           s"""CASE WHEN n >= $W THEN
                 filter(sequence($W, n),
-                  i -> aggregate(sequence(0, ${W - 1}), cast(0 as bigint),
-                         (a, k) -> a + element_at(codes, i - k) * element_at(ks, k + 1))
-                       % 4294967296 % 64 = 0)
+                  i -> ($dot) % 4294967296 % 64 = 0)
               ELSE cast(array() as array<int>) END"""))
         .withColumn("ends", expr(
           """CASE WHEN n = 0 THEN cast(array() as array<int>)
@@ -3897,6 +3901,63 @@ object Pipeline {
         .withColumn("recall_pm", expr("n_cand * 1000 div n_pairs"))
         .select("decile", "n_pairs", "n_cand", "recall_pm")
         .orderBy("decile")
+    },
+
+    // ---- d86: BM25 TOP-K RETRIEVAL — the actual query-side run over
+    // the index d37 scores and d73 materializes (and the retrieval
+    // shape behind decontamination-by-search and RAG data curation):
+    // every benchmark doc (doc_id % 97 = 0 — d25's held-out
+    // convention) retrieves the top-5 OTHER corpus docs by BM25
+    // (k1 = 1.2, b = 0.75 — d37's constants verbatim) over its
+    // DISTINCT terms, each query term unweighted. Scoring floats
+    // round at d37's 4-dp contract BEFORE ranking, ties break on
+    // doc_id, so both engines rank identically. Shape for 100 TB: ONE
+    // corpus pass builds the (term, doc, tf) postings (persisted —
+    // the df aggregate and the probe join both read it); the query
+    // side explodes off a persisted per-query distinct-term frame
+    // (the d61 lesson); scoring joins are all equi on the term; the
+    // per-query top-5 runs the d64/d73 SALTED two-stage rank — a
+    // query whose terms touch the whole corpus never serializes
+    // through one partition.
+    "d86_bm25_topk" -> { (s, dir) =>
+      val docs = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("words"),
+          size(col("words")).cast("double").as("dl"))
+        .persist() // stats + postings + query side read one tokenize pass
+      val stats = docs
+        .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+        .withColumn("one", lit(1))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("words")).as("word"))
+        .groupBy("doc_id", "dl", "word")
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .persist() // document frequencies + the probe join read one pass
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).cast("double").as("dfreq"))
+      val qd = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"), array_distinct(col("words")).as("qw"))
+        .persist() // the explode reads the cache
+      val qterms = qd.select(col("query_id"), explode(col("qw")).as("word"))
+      val scored = qterms.join(tf, Seq("word"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dfreq, Seq("word"))
+        .withColumn("one", lit(1)).join(broadcast(stats), Seq("one"))
+        .withColumn("ts", expr(
+          """ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * cnt * 2.2 /
+             (cnt + 1.2 * (0.25 + 0.75 * dl / avgdl))"""))
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum(col("ts")), 4).as("score_r"),
+          count(lit(1)).as("n_terms"))
+      scored
+        .withColumn("rs", row_number().over(
+          Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(64L)))
+            .orderBy(desc("score_r"), asc("doc_id"))))
+        .filter(col("rs") <= 5)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(desc("score_r"), asc("doc_id"))).cast("int"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "score_r", "n_terms")
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -5897,18 +5958,22 @@ object Pipeline {
     // divisor rule and ≥W full-window skip, same end-of-doc close,
     // same two-step keeper argmin, same 8-digit xor fingerprint.
     "d79_cdc_chunks" -> s"""
-      WITH c AS (
+      WITH m0 AS (
         SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n,
                CASE WHEN length(text) >= 1 THEN
                  list_transform(range(length(text)),
-                   i -> list_reduce(list_prepend(0::BIGINT,
-                          list_transform(range(4),
-                            d -> CAST(strpos('123456789abcdef',
-                                   substr(md5(substr(text, CAST(i + 1 AS INTEGER), 1)),
-                                          CAST(d + 1 AS INTEGER), 1)) AS BIGINT))),
-                          (a, d) -> a * 16 + d))
-               ELSE [] END AS codes
+                   i -> md5(substr(text, CAST(i + 1 AS INTEGER), 1)))
+               ELSE [] END AS mds
         FROM documents),
+      c AS (
+        SELECT doc_id, text, n,
+               list_transform(mds,
+                 h -> CAST(strpos('123456789abcdef', substr(h, 1, 1)) * 4096
+                         + strpos('123456789abcdef', substr(h, 2, 1)) * 256
+                         + strpos('123456789abcdef', substr(h, 3, 1)) * 16
+                         + strpos('123456789abcdef', substr(h, 4, 1)) AS BIGINT))
+                 AS codes
+        FROM m0),
       e AS (
         SELECT doc_id, text, n,
                CASE WHEN n = 0 THEN []
@@ -5918,9 +5983,9 @@ object Pipeline {
           SELECT doc_id, text, n, codes,
                  CASE WHEN n >= 32 THEN
                    list_filter(range(32, n + 1),
-                     i -> list_sum(list_transform(range(32),
-                            k -> codes[CAST(i - k AS INTEGER)] *
-                                 ([${cdcK.mkString(", ")}])[CAST(k + 1 AS INTEGER)]))
+                     i -> (${cdcK.zipWithIndex.map { case (c, k) =>
+                             s"codes[CAST(i - $k AS INTEGER)] * $c" }
+                             .mkString(" + ")})
                           % 4294967296 % 64 = 0)
                  ELSE [] END AS bnd
           FROM c)),
@@ -6141,6 +6206,48 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              round(avg(CASE WHEN absmax = 0 THEN 0
                             ELSE abs(x - CAST(q AS DOUBLE) * absmax / 127) END), 4)
                AS avg_err_r
-      FROM q GROUP BY dim ORDER BY dim"""
+      FROM q GROUP BY dim ORDER BY dim""",
+
+    // d86: same postings/df/stats derivation, d37's BM25 constants and
+    // ln spelling, the 4-dp round BEFORE ranking, and the single-
+    // window (score desc, doc_id) rank — equality with the Spark
+    // salted two-stage rank IS the decomposition claim (the d64/d71
+    // precedent). avg(dl) is exact: integer-valued doubles sum
+    // exactly below 2^53, so both engines divide the same sum.
+    "d86_bm25_topk" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      docs AS (
+        SELECT doc_id, words, CAST(len(words) AS DOUBLE) AS dl FROM w),
+      st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+      tf AS (
+        SELECT doc_id, dl, word, CAST(count(*) AS DOUBLE) AS cnt
+        FROM (SELECT doc_id, dl, unnest(words) AS word FROM docs)
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT word, CAST(count(*) AS DOUBLE) AS dfreq FROM tf GROUP BY 1),
+      qt AS (
+        SELECT doc_id AS query_id, unnest(list_distinct(words)) AS word
+        FROM docs WHERE doc_id % 97 = 0),
+      sc AS (
+        SELECT q.query_id, t.doc_id,
+               ln((st.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+                 * t.cnt * 2.2 /
+                 (t.cnt + 1.2 * (0.25 + 0.75 * t.dl / st.avgdl)) AS ts
+        FROM qt q JOIN tf t USING (word) JOIN dfreq d USING (word) CROSS JOIN st
+        WHERE t.doc_id <> q.query_id),
+      agg AS (
+        SELECT query_id, doc_id, round(sum(ts), 4) AS score_r,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM sc GROUP BY 1, 2),
+      r AS (
+        SELECT query_id, doc_id, score_r, n_terms,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_r DESC, doc_id) AS INT) AS rank
+        FROM agg)
+      SELECT query_id, rank, doc_id, score_r, n_terms
+      FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""
   )
 }

@@ -599,6 +599,25 @@ class PlanAuditSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), s"no equi join in the probe:\n$p")
   }
 
+  test("d86 bm25 topk: postings cached, salted two-stage rank, probe joins equi") {
+    // one tokenize pass and one postings pass feed everything (both
+    // persisted); the per-query top-5 must run as the salted rank pair
+    // — a stopword-heavy query never serializes one partition; scoring
+    // joins stay equi on the term
+    val p = plan("d86_bm25_topk")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"d86 re-derives a pass instead of reading the caches:\n$p")
+    assert("Window".r.findAllIn(p).length >= 2,
+      s"d86 lost its two-stage rank:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONE BroadcastNestedLoopJoin allowed is the one-row corpus
+    // stats join (the legitimate broadcast-scalar idiom, d37's shape)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"d86 grew a second non-equi join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"d86 aggregates lost their map-side partials:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off

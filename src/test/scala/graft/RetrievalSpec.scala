@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.Pipeline
+import graft.sources.GraftWriter
+
+/** SURVEY §2 D spec for d86 BM25 top-k retrieval: a planted corpus
+  * whose ranking is decidable by BM25 dominance arguments (more rare
+  * matching terms beats one; higher tf beats lower at equal length;
+  * the query doc itself and no-hit docs are excluded), plus
+  * real-corpus well-formedness of the per-query result lists. */
+class RetrievalSpec extends SparkSpecBase {
+
+  private def writeDocs(name: String, rows: Seq[(Long, String)]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    GraftWriter.write(
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d86: ranking follows BM25 dominance on a planted corpus") {
+    // query doc 0 (0 % 97 = 0) has terms {qx, qy, qz}. Padding tokens
+    // are unique per doc so they never score. All candidate docs have
+    // identical length 10 (equal dl ⇒ equal saturation denominator):
+    //   doc 1: qx qy qz + 7 junk  → 3 rare terms — top
+    //   doc 2: qx ×5    + 5 junk  → one term, tf 5
+    //   doc 3: qx ×1    + 9 junk  → one term, tf 1 < doc 2's score
+    //   doc 4: junk only           → no hits, absent
+    val dir = writeDocs("d86-plant", Seq(
+      (0L, "qx qy qz"),
+      (1L, "qx qy qz j10 j11 j12 j13 j14 j15 j16"),
+      (2L, "qx qx qx qx qx j20 j21 j22 j23 j24"),
+      (3L, "qx j30 j31 j32 j33 j34 j35 j36 j37 j38"),
+      (4L, "j40 j41 j42 j43 j44 j45 j46 j47 j48 j49")))
+    val out = Pipeline.queries("d86_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((0L, 1, 1L), (0L, 2, 2L), (0L, 3, 3L)),
+      s"dominance order violated: ${out.toSeq}")
+    assert(out.map(_._4).toSeq === Seq(3L, 1L, 1L), "n_terms must count matched query terms")
+  }
+
+  test("d86: real-corpus result lists are well-formed top-5") {
+    val rows = Pipeline.queries("d86_bm25_topk")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "the %97 query set is non-empty at sfTiny")
+    val byQ = rows.groupBy(_._1)
+    for ((q, rs) <- byQ) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to rs.length), s"query $q ranks not dense")
+      assert(rs.length <= 5, s"query $q returned more than 5")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      }, s"query $q not ordered by (score desc, id)")
+      assert(!rs.exists(_._3 == q), s"query $q retrieved itself")
+    }
+  }
+}
