@@ -3958,6 +3958,46 @@ object Pipeline {
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "doc_id", "score_r", "n_terms")
         .orderBy("query_id", "rank")
+    },
+
+    // ---- d87: DATASET CARD — the per-source datasheet (Gebru et al.
+    // 2021) every dataset drop publishes and every mixing decision
+    // reads: per crawl source, doc and token counts, language spread,
+    // mean doc length, EXACT lower-median token count, and the mean
+    // d8 quality milli-score (d65's integer quantization — the score
+    // the admit calibration thresholds on). The median is the
+    // scale-honest spelling: NOT a per-source sort (one hot source =
+    // one hot partition) but the d65 HISTOGRAM idiom — a
+    // map-combinable (source, n_tokens) count table, an ascending
+    // cumulative over that metadata-sized table, median_lo = min
+    // token count whose cumulative reaches ⌈n/2⌉ — exact integer at
+    // any corpus size, where approx_percentile would be a
+    // rows-only check. One quality pass persisted; everything else
+    // is aggregates of it.
+    "d87_dataset_card" -> { (s, dir) =>
+      val q = withQuality(withWords(T(s, dir, "documents")))
+        .select(col("source"), col("lang"),
+          col("n_tokens").cast("long").as("nt"),
+          expr("cast(round(quality_score * 10000) as bigint)").as("score_m"))
+        .persist() // the card aggregate and the median histogram read one pass
+      val card = q.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        expr("sum(nt) div count(1)").as("mean_tok"),
+        expr("sum(score_m) div count(1)").as("q_mean_m"))
+      val hist = q.groupBy("source", "nt").agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum", sum("c").over(
+        Window.partitionBy("source").orderBy("nt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val med = cum
+        .join(broadcast(card.select(col("source"), col("n_docs"))), Seq("source"))
+        .filter(col("cum") >= expr("(n_docs + 1) div 2"))
+        .groupBy("source").agg(min("nt").as("p50_tok"))
+      card.join(med, Seq("source"))
+        .select("source", "n_docs", "n_tokens", "n_langs", "mean_tok",
+          "p50_tok", "q_mean_m")
+        .orderBy("source")
     }
   )
 
@@ -6248,6 +6288,51 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
         FROM agg)
       SELECT query_id, rank, doc_id, score_r, n_terms
       FROM r WHERE rank <= 5
-      ORDER BY query_id, rank"""
+      ORDER BY query_id, rank""",
+
+    // d87: the d8/d65 quality chain verbatim, the same integer
+    // milli-score, and the same histogram-cumulative lower median.
+    "d87_dataset_card" -> """
+      WITH base AS (
+        SELECT doc_id, source, lang, text,
+               CAST(length(text) AS INT) AS n_chars_m,
+               string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      m AS (
+        SELECT doc_id, source, lang,
+               CAST(len(words) AS BIGINT) AS nt,
+               CASE WHEN n_chars_m > 0 THEN round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / n_chars_m, 4) ELSE 0.0 END AS punct_ratio,
+               round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS uniq_ratio,
+               CAST(len(words) AS INT) AS n_tokens
+        FROM base),
+      q AS (
+        SELECT source, lang, nt,
+               CAST(round(round(0.4 * uniq_ratio + 0.3 * (1.0 - punct_ratio) +
+                 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) * 10000)
+                 AS BIGINT) AS score_m
+        FROM m),
+      card AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(nt) // count(*) AS BIGINT) AS mean_tok,
+               CAST(sum(score_m) // count(*) AS BIGINT) AS q_mean_m
+        FROM q GROUP BY source),
+      h AS (SELECT source, nt, count(*) AS c FROM q GROUP BY 1, 2),
+      cum AS (
+        SELECT source, nt,
+               sum(c) OVER (PARTITION BY source ORDER BY nt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM h),
+      med AS (
+        SELECT cum.source, CAST(min(cum.nt) AS BIGINT) AS p50_tok
+        FROM cum JOIN card ON card.source = cum.source
+        WHERE cum.cum >= (card.n_docs + 1) // 2
+        GROUP BY cum.source)
+      SELECT c.source, c.n_docs, c.n_tokens, c.n_langs, c.mean_tok,
+             m2.p50_tok, c.q_mean_m
+      FROM card c JOIN med m2 ON m2.source = c.source
+      ORDER BY c.source"""
   )
 }

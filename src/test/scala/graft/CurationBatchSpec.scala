@@ -257,4 +257,44 @@ class CurationBatchSpec extends SparkSpecBase {
       .toMap
     assert(got === want, "d78 diverged from the manifest reference")
   }
+
+  // ---------------------------------------------------------------- d87
+
+  test("d87: per-source card — counts, language spread, and the exact lower median") {
+    val dir = scratch("d87-plant")
+    import spark.implicits._
+    // srcA: 4 docs with token counts 1/2/3/9 (even n → LOWER median 2),
+    //       two languages; srcB: 1 doc (degenerate: median = its count)
+    val rows = Seq(
+      (1L, "a", "en", "srcA"),
+      (2L, "a b", "en", "srcA"),
+      (3L, "a b c", "de", "srcA"),
+      (4L, (1 to 9).map(i => s"t$i").mkString(" "), "en", "srcA"),
+      (5L, "x y z w", "fr", "srcB"))
+    GraftWriter.write(
+      rows.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = Pipeline.queries("d87_dataset_card")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // srcA: n=4, tokens=15, langs=2, mean=3, p50 = lower median = 2
+    assert(out("srcA") === ((4L, 15L, 2L, 3L, 2L)), s"srcA card wrong: $out")
+    assert(out("srcB") === ((1L, 4L, 1L, 4L, 4L)), s"srcB card wrong: $out")
+  }
+
+  test("d87: real-corpus card is complete and internally consistent") {
+    val out = Pipeline.queries("d87_dataset_card")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val nSources = Tables.load(spark, sfTiny, "documents")
+      .select("source").distinct().count()
+    assert(out.length.toLong === nSources, "one card row per source")
+    for ((src, nd, ntok, nl, mean, p50, qm) <- out) {
+      assert(mean === ntok / nd, s"$src mean inconsistent")
+      assert(nl >= 1 && nd >= 1 && qm >= 0 && qm <= 10000, s"$src bounds")
+      assert(p50 >= 0 && p50 <= ntok, s"$src median out of range")
+    }
+  }
 }

@@ -618,6 +618,22 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d86 aggregates lost their map-side partials:\n$p")
   }
 
+  test("d87 dataset card: median runs on the histogram, never a per-source doc sort") {
+    // the lower median must come from the d65 histogram idiom — the
+    // Window runs over the metadata-sized (source, n_tokens) count
+    // table, so a hot source never serializes its DOCS through one
+    // partition; the quality pass persists and feeds both aggregates
+    val p = plan("d87_dataset_card")
+    assert(p.contains("InMemoryTableScan"),
+      s"d87 re-runs the quality pass instead of reading the cache:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"d87 histogram lost its map-side partial:\n$p")
+    // exactly one Window (the histogram cumulative), partitioned by source
+    assert("Window".r.findAllIn(p).length == 1 && p.contains("partition"),
+      s"d87 must run one partitioned histogram cumulative:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off
