@@ -3998,6 +3998,68 @@ object Pipeline {
         .select("source", "n_docs", "n_tokens", "n_langs", "mean_tok",
           "p50_tok", "q_mean_m")
         .orderBy("source")
+    },
+
+    // ---- d88: HARD-NEGATIVE MINING — the contrastive-training data
+    // prep step (triplet/InfoNCE pipelines mine, per anchor, the most
+    // similar vector of a DIFFERENT label — the "hard" negative — and
+    // the nearest same-label positive; the margin between them is the
+    // curriculum signal): per vector, within its coarse cell, the
+    // max-cosine other-label neighbor, the max-cosine same-label
+    // neighbor, and the milli-integer margin. The coarse partition is
+    // the d29 IVF shape with an UNTRAINED seed codebook (vec_id < 8 —
+    // training the codebook is d40's job; nprobe=1, the documented
+    // recall trade): assignment is the pinned zero-shuffle
+    // broadcast-array argmin (centroidArray/argBest — d40's exact
+    // spelling), so candidate pairs are cell-bucketed, never
+    // all-pairs. All comparisons run on milli-integer cosines
+    // (round(cos·10⁴) — the d5 rounding contract at the same
+    // granularity) with a min-id tie-break, so both engines elect
+    // identical neighbors. Sentinels (-1, 0) keep single-label and
+    // singleton cells total.
+    "d88_hard_negatives" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+        .select("vec_id", "label", "vec")
+        .persist() // seeds + assignment read one pass
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
+      val asg = emb.crossJoin(centroidArray(cents))
+        .withColumn("best", argBest(euclidToCent("vec"), asc = true))
+        .select(col("vec_id"), col("label"), col("vec"), col("best.cid").as("cid"))
+        .persist() // both pair sides + the final left join read one assignment
+      val x = asg.select(col("cid"), col("vec_id").as("ida"),
+        col("label").as("la"), col("vec").as("va"))
+      val y = asg.select(col("cid"), col("vec_id").as("idb"),
+        col("label").as("lb"), col("vec").as("vb"))
+      val agg = x.join(y, Seq("cid")).filter(col("ida") =!= col("idb"))
+        .withColumn("cos_m", expr(
+          "cast(round(cosine_sim(va, vb) * 10000) as bigint)"))
+        .groupBy("ida").agg(
+          sum(when(col("lb") === col("la"), 1L).otherwise(0L)).as("n_same"),
+          sum(when(col("lb") =!= col("la"), 1L).otherwise(0L)).as("n_other"),
+          max(when(col("lb") =!= col("la"),
+            struct(col("cos_m"), (-col("idb")).as("nj")))).as("hn"),
+          max(when(col("lb") === col("la"),
+            struct(col("cos_m"), (-col("idb")).as("nj")))).as("np"))
+        .withColumnRenamed("ida", "vec_id")
+      asg.select("vec_id", "label", "cid")
+        .join(agg, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), col("cid"),
+          coalesce(col("n_same"), lit(0L)).as("n_same"),
+          coalesce(col("n_other"), lit(0L)).as("n_other"),
+          expr("CASE WHEN hn IS NULL THEN cast(-1 as bigint) ELSE -hn.nj END")
+            .as("hn_id"),
+          expr("CASE WHEN hn IS NULL THEN cast(0 as bigint) ELSE hn.cos_m END")
+            .as("hn_cos_m"),
+          expr("CASE WHEN np IS NULL THEN cast(-1 as bigint) ELSE -np.nj END")
+            .as("np_id"),
+          expr("CASE WHEN np IS NULL THEN cast(0 as bigint) ELSE np.cos_m END")
+            .as("np_cos_m"),
+          expr("""CASE WHEN hn IS NULL OR np IS NULL THEN cast(0 as bigint)
+                  ELSE np.cos_m - hn.cos_m END""").as("margin_m"))
+        .orderBy("vec_id")
     }
   )
 
@@ -6333,6 +6395,49 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
       SELECT c.source, c.n_docs, c.n_tokens, c.n_langs, c.mean_tok,
              m2.p50_tok, c.q_mean_m
       FROM card c JOIN med m2 ON m2.source = c.source
-      ORDER BY c.source"""
+      ORDER BY c.source""",
+
+    // d88: same seed-codebook assignment (d40's a1 spelling — rounded
+    // distance, cid tie-break), same milli-integer cosine, struct max
+    // with the same (cos, −id) comparator, same sentinels.
+    "d88_hard_negatives" -> """
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+      asg AS (
+        SELECT vec_id, label, v, cid FROM (
+          SELECT e.vec_id, e.label, e.v, c0.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.v, c0.cv), 6), c0.cid) AS rn
+          FROM e CROSS JOIN c0) WHERE rn = 1),
+      pr AS (
+        SELECT a.vec_id AS ida, a.label AS la, b.vec_id AS idb, b.label AS lb,
+               CAST(round(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT)
+                 AS cos_m
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+      ag AS (
+        SELECT ida,
+               CAST(sum(CASE WHEN lb = la THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+               CAST(sum(CASE WHEN lb <> la THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+               max(CASE WHEN lb <> la
+                   THEN struct_pack(cos_m := cos_m, nj := -idb) END) AS hn,
+               max(CASE WHEN lb = la
+                   THEN struct_pack(cos_m := cos_m, nj := -idb) END) AS np
+        FROM pr GROUP BY ida)
+      SELECT g.vec_id, g.label, g.cid,
+             coalesce(a.n_same, 0) AS n_same,
+             coalesce(a.n_other, 0) AS n_other,
+             CASE WHEN a.hn IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE -(a.hn).nj END AS hn_id,
+             CASE WHEN a.hn IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE (a.hn).cos_m END AS hn_cos_m,
+             CASE WHEN a.np IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE -(a.np).nj END AS np_id,
+             CASE WHEN a.np IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE (a.np).cos_m END AS np_cos_m,
+             CASE WHEN a.hn IS NULL OR a.np IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE (a.np).cos_m - (a.hn).cos_m END AS margin_m
+      FROM asg g LEFT JOIN ag a ON a.ida = g.vec_id
+      ORDER BY g.vec_id"""
   )
 }

@@ -842,4 +842,40 @@ class DedupSpec extends SparkSpecBase {
     for ((d, np, _, rpm) <- out if d == 9 && np >= 5)
       assert(rpm >= 950, s"decile-9 recall collapsed: $out")
   }
+
+  // ---------------------------------------------------------------- d88
+
+  test("d88: hand-computed triplets — hard negative, positive, margin, tie, sentinels") {
+    // Two seed anchors (ids 0 and 1 — the only ids < 8, so the
+    // codebook is exactly {0 → (1,0), 1 → (−1,0)}). Cluster A holds
+    // labels {0,0,1,0}; cluster B is single-label. All cosines land on
+    // clean milli values (8000/9600/6000/2800/−2800).
+    val dir = scratch("d88-plant")
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 0),     // anchor A
+      (1L, Array(-1.0f, 0.0f), 2),    // anchor B
+      (8L, Array(0.8f, 0.6f), 0),
+      (9L, Array(0.6f, 0.8f), 1),     // the only label-1: no positive
+      (10L, Array(0.6f, -0.8f), 0),
+      (11L, Array(-0.8f, 0.6f), 2),
+      (12L, Array(-0.8f, -0.6f), 2))  // cos(1,11) = cos(1,12) = 0.8 — tie
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Pipeline.queries("d88_hard_negatives")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9)))).toMap
+    assert(out(0L) === ((0, 0, 2L, 1L, 9L, 6000L, 8L, 8000L, 2000L)))
+    assert(out(8L) === ((0, 0, 2L, 1L, 9L, 9600L, 0L, 8000L, -1600L)),
+      "a negative closer than the positive yields a negative margin")
+    assert(out(9L) === ((1, 0, 0L, 3L, 8L, 9600L, -1L, 0L, 0L)),
+      "a label with no positives gets the sentinel")
+    assert(out(10L) === ((0, 0, 2L, 1L, 9L, -2800L, 0L, 6000L, 8800L)))
+    assert(out(1L) === ((2, 1, 2L, 0L, -1L, 0L, 11L, 8000L, 0L)),
+      "equal-cosine positives tie to the smaller id")
+    assert(out(11L) === ((2, 1, 2L, 0L, -1L, 0L, 1L, 8000L, 0L)))
+    assert(out(12L) === ((2, 1, 2L, 0L, -1L, 0L, 1L, 8000L, 0L)),
+      "a single-label cell has no hard negative (sentinel)")
+  }
 }

@@ -634,6 +634,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d88 hard negatives: zero-shuffle assignment, cell-bucketed pairs only") {
+    // the codebook assignment must stay the broadcast-array per-row
+    // fold (no Window, no hash exchange feeding it — d40's pinned
+    // shape); candidate pairs come from an equi join on the cell id —
+    // never corpus × corpus
+    val p = plan("d88_hard_negatives")
+    // all three consumers must read the cached assignment (each
+    // InMemoryTableScan reprints the cached lineage, so the one-row
+    // centroid BNLJ may appear once per reprint — that is ONE
+    // execution, not three)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"d88 re-derives the assignment instead of reading the cache:\n$p")
+    assert(!p.contains("Window"), s"d88 must not use a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"cell pair join must be equi:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off
