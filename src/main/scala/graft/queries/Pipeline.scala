@@ -4060,6 +4060,46 @@ object Pipeline {
           expr("""CASE WHEN hn IS NULL OR np IS NULL THEN cast(0 as bigint)
                   ELSE np.cos_m - hn.cos_m END""").as("margin_m"))
         .orderBy("vec_id")
+    },
+
+    // ---- d89: SPAN-CORRUPTION STATISTICS (T5 §3.1.4 — the denoising
+    // objective's data-prep accounting): each token position masks
+    // with probability 15%, consecutive masked positions FUSE into one
+    // span (one sentinel token each), and the pipeline needs, per doc,
+    // the masked count, span count, corruption per-mille, and the
+    // POST-CORRUPTION length n_tok − n_masked + n_spans — the number
+    // sequence packing (d56/d71) consumes. The "randomness" is the
+    // position hash md5("graft-t5:" ‖ doc_id ‖ ":" ‖ i) % 100 < 15 —
+    // deterministic, seeded, identical in both engines (the d69/d58
+    // seeded-hash idiom), which is also what a REPRODUCIBLE training
+    // run wants. Span counting is the d53/d70/d76 rising-edge islands
+    // rule as a PER-ROW array fold — zero shuffle beyond the scan and
+    // the output sort, whole-stage friendly, all-integer output.
+    "d89_span_corruption" -> { (s, dir) =>
+      withWords(T(s, dir, "documents"))
+        .withColumn("n_tok", size(col("words")).cast("long"))
+        .withColumn("mask", expr(
+          """CASE WHEN size(words) >= 1 THEN
+               transform(sequence(0, size(words) - 1),
+                 i -> cast(conv(substring(md5(concat('graft-t5:',
+                        cast(doc_id as string), ':', cast(i as string))),
+                        1, 4), 16, 10) as bigint) % 100 < 15)
+             ELSE cast(array() as array<boolean>) END"""))
+        .withColumn("n_masked", expr("cast(size(filter(mask, x -> x)) as bigint)"))
+        .withColumn("n_spans", expr(
+          """CASE WHEN size(mask) >= 1 THEN
+               cast(aggregate(sequence(0, size(mask) - 1), 0,
+                 (a, i) -> a + CASE WHEN element_at(mask, i + 1)
+                                     AND (i = 0 OR NOT element_at(mask, i))
+                                THEN 1 ELSE 0 END) as bigint)
+             ELSE cast(0 as bigint) END"""))
+        .withColumn("corrupt_pm", expr(
+          """CASE WHEN n_tok > 0 THEN n_masked * 1000 div n_tok
+             ELSE cast(0 as bigint) END"""))
+        .withColumn("packed_len", expr("n_tok - n_masked + n_spans"))
+        .select("doc_id", "n_tok", "n_masked", "n_spans", "corrupt_pm",
+          "packed_len")
+        .orderBy("doc_id")
     }
   )
 
@@ -6438,6 +6478,45 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              CASE WHEN a.hn IS NULL OR a.np IS NULL THEN CAST(0 AS BIGINT)
                   ELSE (a.np).cos_m - (a.hn).cos_m END AS margin_m
       FROM asg g LEFT JOIN ag a ON a.ida = g.vec_id
-      ORDER BY g.vec_id"""
+      ORDER BY g.vec_id""",
+
+    // d89: same seeded position hash (4-hex strpos fold of the same
+    // string), same rising-edge span fold, same integer accounting.
+    "d89_span_corruption" -> """
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      m AS (
+        SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tok,
+               list_transform(range(len(words)),
+                 i -> (strpos('123456789abcdef',
+                         substr(md5('graft-t5:' || CAST(doc_id AS VARCHAR) ||
+                           ':' || CAST(i AS VARCHAR)), 1, 1)) * 4096
+                     + strpos('123456789abcdef',
+                         substr(md5('graft-t5:' || CAST(doc_id AS VARCHAR) ||
+                           ':' || CAST(i AS VARCHAR)), 2, 1)) * 256
+                     + strpos('123456789abcdef',
+                         substr(md5('graft-t5:' || CAST(doc_id AS VARCHAR) ||
+                           ':' || CAST(i AS VARCHAR)), 3, 1)) * 16
+                     + strpos('123456789abcdef',
+                         substr(md5('graft-t5:' || CAST(doc_id AS VARCHAR) ||
+                           ':' || CAST(i AS VARCHAR)), 4, 1)))
+                      % 100 < 15) AS mask
+        FROM w),
+      a AS (
+        SELECT doc_id, n_tok,
+               CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS n_masked,
+               CASE WHEN len(mask) >= 1 THEN
+                 CAST(list_sum(list_transform(range(len(mask)),
+                   j -> CASE WHEN mask[CAST(j + 1 AS INTEGER)]
+                              AND (j = 0 OR NOT mask[CAST(j AS INTEGER)])
+                             THEN 1 ELSE 0 END)) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS n_spans
+        FROM m)
+      SELECT doc_id, n_tok, n_masked, n_spans,
+             CASE WHEN n_tok > 0 THEN CAST(n_masked * 1000 // n_tok AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS corrupt_pm,
+             CAST(n_tok - n_masked + n_spans AS BIGINT) AS packed_len
+      FROM a ORDER BY doc_id"""
   )
 }

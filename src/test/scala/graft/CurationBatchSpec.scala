@@ -284,6 +284,33 @@ class CurationBatchSpec extends SparkSpecBase {
     assert(out("srcB") === ((1L, 4L, 1L, 4L, 4L)), s"srcB card wrong: $out")
   }
 
+  test("d89: mask, spans, and packed length match an independent seeded reference") {
+    val dir = writeDocs("d89-plant",
+      (0L to 5L).map(id => (id, (0 until 40).map(i => s"w$i").mkString(" "))) :+
+        (6L, "single") :+ (7L, ""))
+    def refMask(id: Long, n: Int): Seq[Boolean] = (0 until n).map { i =>
+      val h = java.lang.Long.parseLong(md5Hex(s"graft-t5:$id:$i").take(4), 16)
+      h % 100 < 15
+    }
+    val out = Pipeline.queries("d89_span_corruption")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    for (id <- 0L to 6L) {
+      val n = if (id == 6L) 1 else 40
+      val m = refMask(id, n)
+      val masked = m.count(identity).toLong
+      val spans = m.zipWithIndex.count { case (b, i) => b && (i == 0 || !m(i - 1)) }.toLong
+      assert(out(id) === ((n.toLong, masked, spans, masked * 1000 / n,
+        n - masked + spans)), s"doc $id diverged from the seeded reference")
+    }
+    // empty text tokenizes to [''] — one maskable position, same both engines
+    assert(out(7L)._1 === 1L)
+    // corpus-wide rate: 8 docs × deterministic 15% hash — sane band
+    val rate = out.values.map(_._2).sum * 1000 / out.values.map(_._1).sum
+    assert(rate >= 80 && rate <= 220, s"corpus corruption rate implausible: $rate")
+  }
+
   test("d87: real-corpus card is complete and internally consistent") {
     val out = Pipeline.queries("d87_dataset_card")(spark, sfTiny)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

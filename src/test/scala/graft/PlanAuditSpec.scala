@@ -652,6 +652,15 @@ class PlanAuditSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), s"cell pair join must be equi:\n$p")
   }
 
+  test("d89 span corruption: pure per-row fold — no shuffle beyond scan and sort") {
+    val p = plan("d89_span_corruption")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"), s"d89 must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"d89 may shuffle only for the output sort:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off
