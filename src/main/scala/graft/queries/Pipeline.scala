@@ -4100,6 +4100,47 @@ object Pipeline {
         .select("doc_id", "n_tok", "n_masked", "n_spans", "corrupt_pm",
           "packed_len")
         .orderBy("doc_id")
+    },
+
+    // ---- d90: CROSS-SOURCE OVERLAP MATRIX — the source-level
+    // containment audit mixture design reads BEFORE weighting (two
+    // "different" crawl sources that share most of their 5-grams are
+    // one source for mixing purposes — double-weighting them
+    // double-counts the same text; the audit also surfaces which
+    // source is a mirror/scrape of another): for every source pair,
+    // the number of DISTINCT 5-gram shingles they share and the
+    // containment per-mille shared / min(|A|, |B|) — the asymmetric-
+    // size-robust overlap measure (d39's containment at source
+    // granularity). Shape for 100 TB: docs collapse to DISTINCT
+    // (source, gram-md5) rows once — text never shuffles, the gram
+    // space is the only join key; a gram shared by all S sources
+    // yields at most S(S−1)/2 pair rows (bounded by the SOURCE count,
+    // not the corpus); totals join back as a broadcast source-sized
+    // table. Pairs with zero shared grams are absent by construction
+    // (identically in both engines).
+    "d90_source_overlap" -> { (s, dir) =>
+      val sg = withWords(T(s, dir, "documents"))
+        .select(col("source"), expr(
+          """CASE WHEN size(words) >= 5
+               THEN array_distinct(transform(sequence(0, size(words) - 5),
+                      i -> md5(concat_ws(' ', slice(words, i + 1, 5)))))
+               ELSE cast(array() as array<string>) END""").as("grams"))
+        .persist() // the d61 lesson: the explode reads the cache
+      val occ = sg.select(col("source"), explode(col("grams")).as("g"))
+        .distinct()
+        .persist() // totals + both pair sides read one distinct pass
+      val tot = occ.groupBy("source").agg(count(lit(1)).as("tot"))
+      occ.as("a").join(occ.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("shared"))
+        .join(broadcast(tot.select(col("source").as("sa"), col("tot").as("tot_a"))),
+          Seq("sa"))
+        .join(broadcast(tot.select(col("source").as("sb"), col("tot").as("tot_b"))),
+          Seq("sb"))
+        .withColumn("containment_pm", expr("shared * 1000 div least(tot_a, tot_b)"))
+        .select("sa", "sb", "shared", "tot_a", "tot_b", "containment_pm")
+        .orderBy("sa", "sb")
     }
   )
 
@@ -6517,6 +6558,36 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              CASE WHEN n_tok > 0 THEN CAST(n_masked * 1000 // n_tok AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS corrupt_pm,
              CAST(n_tok - n_masked + n_spans AS BIGINT) AS packed_len
-      FROM a ORDER BY doc_id"""
+      FROM a ORDER BY doc_id""",
+
+    // d90: same distinct 5-gram expansion, same pair join, same
+    // min-denominator containment.
+    "d90_source_overlap" -> """
+      WITH w AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      occ AS (
+        SELECT DISTINCT source,
+               unnest(CASE WHEN len(words) >= 5 THEN
+                 list_distinct(list_transform(range(len(words) - 4),
+                   i -> md5(words[i + 1] || ' ' || words[i + 2] || ' ' ||
+                            words[i + 3] || ' ' || words[i + 4] || ' ' ||
+                            words[i + 5])))
+               ELSE [] END) AS g
+        FROM w),
+      tot AS (SELECT source, CAST(count(*) AS BIGINT) AS tot
+              FROM occ GROUP BY source),
+      sh AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM occ a JOIN occ b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT sh.sa, sh.sb, sh.shared,
+             ta.tot AS tot_a, tb.tot AS tot_b,
+             CAST(sh.shared * 1000 // least(ta.tot, tb.tot) AS BIGINT)
+               AS containment_pm
+      FROM sh JOIN tot ta ON ta.source = sh.sa
+              JOIN tot tb ON tb.source = sh.sb
+      ORDER BY sh.sa, sh.sb"""
   )
 }

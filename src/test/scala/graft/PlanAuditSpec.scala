@@ -661,6 +661,16 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d89 may shuffle only for the output sort:\n$p")
   }
 
+  test("d90 source overlap: distinct pass cached, pair join equi on the gram hash") {
+    val p = plan("d90_source_overlap")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"d90 re-derives the gram pass instead of reading the caches:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"d90 must not use a Window:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"pair join must be equi on the gram:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off
