@@ -444,8 +444,62 @@ object Sources {
       p.join(c, col("n_nationkey") === col("k"))
         .select("n_nationkey", "name_gzip", "name_zstd")
         .orderBy("n_nationkey")
+    },
+
+    // ---- a16: MANIFEST VALIDATION AFTER COPY — the other half of
+    // d78's shard-integrity manifest (publishing a manifest is only
+    // useful if the receiving end re-derives and DIFFS it after every
+    // transfer/compaction/engine migration): the documents table is
+    // copied through a real write/read roundtrip, BOTH sides reduce to
+    // the d78 per-shard manifest (count, byte total, order-free
+    // bit_xor content checksum), and a FULL OUTER diff classifies each
+    // shard ok / mismatch / missing_at_dest / extra_at_dest (the d74
+    // CDC shape at shard granularity). Because the xor fold is
+    // commutative and shard-local, validation never compares rows —
+    // two manifest scans and a shard-count-sized join, which is what
+    // makes it runnable after every 100 TB copy. The corruption and
+    // loss classes are spec-exercised via the shared [[manifestDiff]]
+    // on planted bad copies; the oracle checks the honest-copy
+    // contract (every shard ok, manifest values exact).
+    "a16_manifest_validate" -> { (s, dir) =>
+      val copyDir = s"$scratchDir/a16/documents_copy"
+      GraftWriter.write(T(s, dir, "documents"), copyDir, format = Some("parquet"))
+      manifestDiff(T(s, dir, "documents"),
+        GraftReader.read(s, copyDir, "parquet"))
     }
   )
+
+  /** a16's shard-manifest diff (d78's manifest on both sides + a full
+    * outer CDC classification), shared with SourcesSpec so the planted
+    * corruption/loss cases exercise the production path. */
+  private[graft] def manifestDiff(src: DataFrame, dst: DataFrame): DataFrame = {
+    def manifest(df: DataFrame): DataFrame =
+      df.select(expr("doc_id div 64").as("shard"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("nb"),
+          expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)")
+            .as("h32"))
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum("nb").as("bytes_total"),
+          expr("bit_xor(h32)").as("content_xor"))
+    val a = manifest(src)
+    val b = manifest(dst).select(col("shard"), col("n_docs").as("d_docs"),
+      col("bytes_total").as("d_bytes"), col("content_xor").as("d_xor"))
+    a.join(b, Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("d_docs").isNull, "missing_at_dest")
+          .when(col("n_docs").isNull, "extra_at_dest")
+          .when(col("n_docs") === col("d_docs") &&
+            col("bytes_total") === col("d_bytes") &&
+            col("content_xor") === col("d_xor"), "ok")
+          .otherwise("mismatch"))
+      .select(col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("bytes_total"), lit(0L)).as("bytes_total"),
+        coalesce(col("content_xor"), lit(0L)).as("content_xor"),
+        col("status"))
+      .orderBy("shard")
+  }
 
   private val nationOracle = """
       SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
@@ -592,6 +646,28 @@ object Sources {
         ('embeddings.parquet'), ('events.parquet'), ('lineitem.parquet'),
         ('nation.parquet'), ('orders.parquet'), ('part.parquet'),
         ('region.parquet'), ('supplier.parquet')) t(fname)
-      ORDER BY fname"""
+      ORDER BY fname""",
+
+    // a16: the copy inside the query is faithful by construction, so
+    // the contract is "d78's manifest, every shard ok" — the manifest
+    // values are exact (same d78 spelling), and any unfaithful
+    // write/read roundtrip in the Spark stack flips a status.
+    "a16_manifest_validate" -> """
+      WITH h AS (
+        SELECT doc_id // 64 AS shard,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(8),
+                   i -> CAST(strpos('123456789abcdef',
+                          substr(md5(text), CAST(i + 1 AS INTEGER), 1))
+                        AS BIGINT))),
+                 (a, d) -> a * 16 + d) AS h32
+        FROM documents)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nb) AS BIGINT) AS bytes_total,
+             CAST(bit_xor(h32) AS BIGINT) AS content_xor,
+             'ok' AS status
+      FROM h GROUP BY shard ORDER BY shard"""
   )
 }

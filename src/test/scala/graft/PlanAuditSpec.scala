@@ -671,6 +671,18 @@ class PlanAuditSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), s"pair join must be equi on the gram:\n$p")
   }
 
+  test("a16 manifest validate: two manifest aggregates, shard-keyed outer diff") {
+    // validation must never compare rows — both sides reduce to the
+    // per-shard manifest (map-combinable count/sum/xor), the diff is a
+    // full outer equi join on the shard id
+    val p = plan("a16_manifest_validate")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"a16 manifest lost its map-side partials:\n$p")
+    assert(p.contains("FullOuter"), s"a16 diff must be a full outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"a16 must not use a Window:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off

@@ -200,4 +200,35 @@ class SourcesSpec extends SparkSpecBase {
     val scanOut = df.queryExecution.executedPlan.collectLeaves().head.output
     assert(scanOut.map(_.name) == Seq("name"), s"scan output: $scanOut")
   }
+
+  // ---------------------------------------------------------------- a16
+
+  test("a16: manifest diff classifies ok / mismatch / missing / extra shards") {
+    import spark.implicits._
+    def docs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // src shards (÷64): 0 = ids 0–63, 1 = 64–127, 2 = 128–191, 3 = 192–199
+    val src = docs((0L until 200L).map(i => (i, s"doc $i text")))
+    val dst = docs(
+      (0L until 200L)
+        .filterNot(i => i == 70 || i >= 192) // shard 1 loses a doc, shard 3 vanishes
+        .map(i => (i, if (i == 5) "doc 5 TAMPERED" else s"doc $i text")) ++ // shard 0 corrupt
+        (6400L to 6403L).map(i => (i, s"doc $i text"))) // extra shard 100
+    val out = graft.queries.Sources.manifestDiff(src, dst).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out === Map(
+      0L -> "mismatch",        // one tampered text flips the xor (bytes equal!)
+      1L -> "mismatch",        // a dropped doc flips count+bytes+xor
+      2L -> "ok",
+      3L -> "missing_at_dest",
+      100L -> "extra_at_dest"), s"got $out")
+  }
+
+  test("a16: a faithful roundtrip copy validates every shard ok") {
+    val out = graft.queries.Sources.queries("a16_manifest_validate")(spark, sfTiny)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getString(4) == "ok"),
+      s"faithful copy must be all-ok: ${out.map(_.getString(4)).toSeq}")
+  }
 }
