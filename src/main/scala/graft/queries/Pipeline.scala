@@ -37,6 +37,60 @@ object Pipeline {
         .take(4).map("%02x".format(_)).mkString, 16)
   }
 
+  /** d60/d91 shared Gopher rule battery: the full per-doc flag frame
+    * (rule columns + `admitted`), with the per-lang broadcast stopword
+    * dimension and the zh substring-containment rule. Extracted in
+    * round 9 so the yield-funnel report (d91) applies the IDENTICAL
+    * battery the d60 entry certifies. */
+  private def gopherAdmitted(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val enStops = Seq("the", "and", "of", "to", "in", "a", "with")
+    val stopDim = broadcast(Seq(
+      "en" -> enStops,
+      "de" -> Seq("der", "die", "und", "von", "zu", "mit", "das"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+      "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+      "zh" -> Seq("的", "了", "和", "是", "在", "我", "有"))
+      .toDF("lang", "stopwords"))
+    val enLit = enStops.map(w => s"'$w'").mkString(", ")
+    withWords(docs)
+      .join(stopDim, Seq("lang"), "left")
+      .withColumn("stopwords",
+        coalesce(col("stopwords"), expr(s"array($enLit)")))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("sum_wlen", expr(
+        "aggregate(words, cast(0 as bigint), (a, x) -> a + length(x))"))
+      .withColumn("n_alpha", expr(
+        "cast(size(filter(words, x -> x rlike '[a-zA-Z]')) as bigint)"))
+      // zh prose is UNSEGMENTED — whitespace tokenization turns it
+      // into one long token that can never EQUAL a single-char
+      // stopword, so the closed-class evidence rule is checked by
+      // SUBSTRING containment for zh (r8 advisor finding; correct
+      // for segmented and unsegmented zh alike) and by distinct-
+      // token intersection for space-delimited languages.
+      .withColumn("n_stop", expr(
+        """cast(CASE WHEN lang = 'zh'
+                  THEN size(filter(stopwords, w -> contains(text, w)))
+                  ELSE size(array_intersect(array_distinct(words), stopwords))
+                END as bigint)"""))
+      .withColumn("dup_pm", expr(
+        """CASE WHEN size(words) >= 2 THEN
+             (size(words) - 1 - size(array_distinct(
+                transform(sequence(0, size(words) - 2),
+                  i -> concat_ws(' ', words[i], words[i + 1])))))
+               * 1000 div (size(words) - 1)
+           ELSE cast(0 as bigint) END"""))
+      .withColumn("r_wordcount", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_meanlen",
+        col("sum_wlen") >= col("n_words") * 3 && col("sum_wlen") <= col("n_words") * 10)
+      .withColumn("r_alpha", col("n_alpha") * 5 >= col("n_words") * 4)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_rep", col("dup_pm") <= 300)
+      .withColumn("admitted",
+        col("r_wordcount") && col("r_meanlen") && col("r_alpha") &&
+          col("r_stop") && col("r_rep"))
+  }
+
   /** d75/d80 shared BPE trainer (Sennrich et al. 2016): R merge rounds
     * over a (word, wf) frequency table — pair count → (cnt desc, a, b)
     * election via a one-row broadcast argmax → canonical greedy
@@ -2676,55 +2730,7 @@ object Pipeline {
     // and the deterministic output sort, whole-stage codegen, and
     // ALL-INTEGER/boolean output so the oracle is exact.
     "d60_gopher_rules" -> { (s, dir) =>
-      import s.implicits._
-      val enStops = Seq("the", "and", "of", "to", "in", "a", "with")
-      val stopDim = broadcast(Seq(
-        "en" -> enStops,
-        "de" -> Seq("der", "die", "und", "von", "zu", "mit", "das"),
-        "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
-        "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
-        "zh" -> Seq("的", "了", "和", "是", "在", "我", "有"))
-        .toDF("lang", "stopwords"))
-      val enLit = enStops.map(w => s"'$w'").mkString(", ")
-      withWords(T(s, dir, "documents"))
-        .join(stopDim, Seq("lang"), "left")
-        .withColumn("stopwords",
-          coalesce(col("stopwords"), expr(s"array($enLit)")))
-        .withColumn("n_words", size(col("words")).cast("long"))
-        .withColumn("sum_wlen", expr(
-          "aggregate(words, cast(0 as bigint), (a, x) -> a + length(x))"))
-        .withColumn("n_alpha", expr(
-          "cast(size(filter(words, x -> x rlike '[a-zA-Z]')) as bigint)"))
-        // zh prose is UNSEGMENTED — whitespace tokenization turns it
-        // into one long token that can never EQUAL a single-char
-        // stopword, so the closed-class evidence rule is checked by
-        // SUBSTRING containment for zh (r8 advisor finding; correct
-        // for segmented and unsegmented zh alike) and by distinct-
-        // token intersection for space-delimited languages.
-        .withColumn("n_stop", expr(
-          """cast(CASE WHEN lang = 'zh'
-                    THEN size(filter(stopwords, w -> contains(text, w)))
-                    ELSE size(array_intersect(array_distinct(words), stopwords))
-                  END as bigint)"""))
-        .withColumn("n_grams", expr(
-          """cast(CASE WHEN size(words) >= 2 THEN size(words) - 1
-                       ELSE 0 END as bigint)"""))
-        .withColumn("dup_pm", expr(
-          """CASE WHEN size(words) >= 2 THEN
-               (size(words) - 1 - size(array_distinct(
-                  transform(sequence(0, size(words) - 2),
-                    i -> concat_ws(' ', words[i], words[i + 1])))))
-                 * 1000 div (size(words) - 1)
-             ELSE cast(0 as bigint) END"""))
-        .withColumn("r_wordcount", col("n_words") >= 50 && col("n_words") <= 100000)
-        .withColumn("r_meanlen",
-          col("sum_wlen") >= col("n_words") * 3 && col("sum_wlen") <= col("n_words") * 10)
-        .withColumn("r_alpha", col("n_alpha") * 5 >= col("n_words") * 4)
-        .withColumn("r_stop", col("n_stop") >= 2)
-        .withColumn("r_rep", col("dup_pm") <= 300)
-        .withColumn("admitted",
-          col("r_wordcount") && col("r_meanlen") && col("r_alpha") &&
-            col("r_stop") && col("r_rep"))
+      gopherAdmitted(s, T(s, dir, "documents"))
         .select("doc_id", "lang", "n_words", "sum_wlen", "n_alpha", "n_stop",
           "dup_pm", "r_wordcount", "r_meanlen", "r_alpha", "r_stop", "r_rep",
           "admitted")
@@ -4141,6 +4147,61 @@ object Pipeline {
         .withColumn("containment_pm", expr("shared * 1000 div least(tot_a, tot_b)"))
         .select("sa", "sb", "shared", "tot_a", "tot_b", "containment_pm")
         .orderBy("sa", "sb")
+    },
+
+    // ---- d91: PIPELINE YIELD FUNNEL — the per-source survival report
+    // every dataset paper publishes ("X% survived dedup, Y% survived
+    // quality"): each doc is flagged by three rungs — exact-dup keeper
+    // (d1's min-id-per-content-hash), truncation-dup drop (d82's
+    // prefix-group keeper + exact prefix verification, corpus-only —
+    // no synthesized side), and the d60 Gopher battery (the SHARED
+    // gopherAdmitted helper, so the funnel applies the identical rules
+    // the d60 entry certifies) — and the funnel counts cumulative
+    // survivors per source: n_docs → exact → +prefix → +quality, with
+    // the final yield per-mille. Rungs compute corpus-wide (a report,
+    // not a re-execution: keepers are decided on the FULL corpus, then
+    // counted cumulatively — the standard yield-table semantics).
+    // Shape for 100 TB: three hash-keyed map-combinable passes (content
+    // md5, prefix key, per-row rules), every join equi on doc_id or a
+    // hash, one source-sized output.
+    "d91_yield_funnel" -> { (s, dir) =>
+      val base = T(s, dir, "documents")
+      val ga = gopherAdmitted(s, base).select(col("doc_id"), col("admitted"))
+      val hx = base.select(col("doc_id"), md5(col("text")).as("h"))
+      val ek = hx.join(hx.groupBy("h").agg(min("doc_id").as("kid")), Seq("h"))
+        .select(col("doc_id"), (col("doc_id") === col("kid")).as("exact_keep"))
+      val wd = withWords(base)
+        .withColumn("n_tok", size(col("words")).cast("long"))
+        .filter(col("n_tok") >= 16)
+        .withColumn("pkey", md5(expr("concat_ws(' ', slice(words, 1, 16))")))
+        .select("doc_id", "pkey", "n_tok", "words")
+        .persist() // keeper election + member verification read one pass
+      val keepers = wd.groupBy("pkey").agg(
+          count(lit(1)).as("gsz"),
+          expr("""max_by(named_struct('kid2', doc_id, 'kwords', words),
+                         named_struct('n', n_tok, 'ni', -doc_id))""").as("k"))
+        .filter(col("gsz") >= 2)
+        .select(col("pkey"), col("k.kid2").as("kid2"), col("k.kwords").as("kwords"))
+      val pdrop = wd.join(keepers, Seq("pkey"))
+        .filter(col("doc_id") =!= col("kid2") &&
+          expr("slice(kwords, 1, cast(n_tok as int)) = words"))
+        .select(col("doc_id"), lit(true).as("pdrop"))
+      base.select("doc_id", "source")
+        .join(ek, Seq("doc_id"))
+        .join(pdrop, Seq("doc_id"), "left")
+        .join(ga, Seq("doc_id"))
+        .withColumn("prefix_keep", coalesce(!col("pdrop"), lit(true)))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("exact_keep"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("exact_keep") && col("prefix_keep"), 1L).otherwise(0L))
+            .as("n_prefix"),
+          sum(when(col("exact_keep") && col("prefix_keep") && col("admitted"),
+            1L).otherwise(0L)).as("n_quality"))
+        .withColumn("yield_pm", expr("n_quality * 1000 div n_docs"))
+        .select("source", "n_docs", "n_exact", "n_prefix", "n_quality",
+          "yield_pm")
+        .orderBy("source")
     }
   )
 
@@ -4202,6 +4263,59 @@ object Pipeline {
               FROM documents)
         GROUP BY word),
       ${(0 until 3).map(d75RoundSql).mkString(",\n")}"""
+
+  /** d60/d91 shared Gopher battery CTEs, ending in
+    * `gadm(doc_id, source, lang, …rules…, admitted)` — generated once
+    * so the certified battery and the funnel cannot drift. */
+  private lazy val gopherCtes: String = """w AS (
+        SELECT doc_id, source, lang, text,
+               string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      sw AS (
+        SELECT * FROM (VALUES
+          ('en', ['the', 'and', 'of', 'to', 'in', 'a', 'with']),
+          ('de', ['der', 'die', 'und', 'von', 'zu', 'mit', 'das']),
+          ('es', ['el', 'la', 'de', 'que', 'y', 'en', 'los']),
+          ('fr', ['le', 'la', 'de', 'et', 'les', 'des', 'un']),
+          ('zh', ['的', '了', '和', '是', '在', '我', '有'])
+        ) s(lang, stopwords)),
+      gm AS (
+        SELECT doc_id, source, w.lang,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+                 AS sum_wlen,
+               CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                 AS BIGINT) AS n_alpha,
+               CAST(CASE WHEN w.lang = 'zh'
+                 THEN len(list_filter(
+                   coalesce(sw.stopwords,
+                     ['the', 'and', 'of', 'to', 'in', 'a', 'with']),
+                   s -> contains(text, s)))
+                 ELSE len(list_intersect(list_distinct(words),
+                   coalesce(sw.stopwords,
+                     ['the', 'and', 'of', 'to', 'in', 'a', 'with'])))
+               END AS BIGINT) AS n_stop,
+               CASE WHEN len(words) >= 2 THEN
+                 CAST((len(words) - 1 - len(list_distinct(
+                    list_transform(range(len(words) - 1),
+                      i -> words[i + 1] || ' ' || words[i + 2]))))
+                   * 1000 // (len(words) - 1) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS dup_pm
+        FROM w LEFT JOIN sw ON sw.lang = w.lang),
+      gadm AS (
+        SELECT doc_id, source, lang, n_words, sum_wlen, n_alpha, n_stop,
+               dup_pm,
+               (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+               (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10)
+                 AS r_meanlen,
+               (n_alpha * 5 >= n_words * 4) AS r_alpha,
+               (n_stop >= 2) AS r_stop,
+               (dup_pm <= 300) AS r_rep,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10)
+                AND (n_alpha * 5 >= n_words * 4)
+                AND (n_stop >= 2) AND (dup_pm <= 300)) AS admitted
+        FROM gm)"""
 
   /** d81: one 16-bit dHash band as DuckDB SQL — bit j of band k is the
     * gradient compare at grid cell t = 16k+j (row t/8, col t%8) over
@@ -5544,54 +5658,13 @@ object Pipeline {
 
     // d60: every rule is integer/boolean arithmetic — exact in both
     // engines; the bigram dup rate reuses d24's integer formula in its
-    // `div` form.
-    "d60_gopher_rules" -> """
-      WITH w AS (
-        SELECT doc_id, lang, text,
-               string_split_regex(trim(text), '\s+') AS words
-        FROM documents),
-      sw AS (
-        SELECT * FROM (VALUES
-          ('en', ['the', 'and', 'of', 'to', 'in', 'a', 'with']),
-          ('de', ['der', 'die', 'und', 'von', 'zu', 'mit', 'das']),
-          ('es', ['el', 'la', 'de', 'que', 'y', 'en', 'los']),
-          ('fr', ['le', 'la', 'de', 'et', 'les', 'des', 'un']),
-          ('zh', ['的', '了', '和', '是', '在', '我', '有'])
-        ) s(lang, stopwords)),
-      m AS (
-        SELECT doc_id, w.lang,
-               CAST(len(words) AS BIGINT) AS n_words,
-               CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
-                 AS sum_wlen,
-               CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
-                 AS BIGINT) AS n_alpha,
-               CAST(CASE WHEN w.lang = 'zh'
-                 THEN len(list_filter(
-                   coalesce(sw.stopwords,
-                     ['the', 'and', 'of', 'to', 'in', 'a', 'with']),
-                   s -> contains(text, s)))
-                 ELSE len(list_intersect(list_distinct(words),
-                   coalesce(sw.stopwords,
-                     ['the', 'and', 'of', 'to', 'in', 'a', 'with'])))
-               END AS BIGINT) AS n_stop,
-               CASE WHEN len(words) >= 2 THEN
-                 CAST((len(words) - 1 - len(list_distinct(
-                    list_transform(range(len(words) - 1),
-                      i -> words[i + 1] || ' ' || words[i + 2]))))
-                   * 1000 // (len(words) - 1) AS BIGINT)
-               ELSE CAST(0 AS BIGINT) END AS dup_pm
-        FROM w LEFT JOIN sw ON sw.lang = w.lang)
+    // `div` form. Shares the generated battery CTEs with d91, so the
+    // certified rules and the funnel's rules cannot drift.
+    "d60_gopher_rules" -> s"""
+      WITH $gopherCtes
       SELECT doc_id, lang, n_words, sum_wlen, n_alpha, n_stop, dup_pm,
-             (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
-             (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10) AS r_meanlen,
-             (n_alpha * 5 >= n_words * 4) AS r_alpha,
-             (n_stop >= 2) AS r_stop,
-             (dup_pm <= 300) AS r_rep,
-             ((n_words >= 50 AND n_words <= 100000)
-              AND (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10)
-              AND (n_alpha * 5 >= n_words * 4)
-              AND (n_stop >= 2) AND (dup_pm <= 300)) AS admitted
-      FROM m
+             r_wordcount, r_meanlen, r_alpha, r_stop, r_rep, admitted
+      FROM gadm
       ORDER BY doc_id""",
 
     // d61: full selection replay — same packed key (md5 hex ‖
@@ -6588,6 +6661,54 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                AS containment_pm
       FROM sh JOIN tot ta ON ta.source = sh.sa
               JOIN tot tb ON tb.source = sh.sb
-      ORDER BY sh.sa, sh.sb"""
+      ORDER BY sh.sa, sh.sb""",
+
+    // d91: the shared gopher battery CTEs (identical to d60's by
+    // construction), d1's keeper min, d82's keeper window spelling,
+    // and the same cumulative funnel conjunctions.
+    "d91_yield_funnel" -> s"""
+      WITH $gopherCtes,
+      hx AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      ek AS (
+        SELECT hx.doc_id, (hx.doc_id = k.kid) AS exact_keep
+        FROM hx JOIN (SELECT h, min(doc_id) AS kid FROM hx GROUP BY h) k
+          ON k.h = hx.h),
+      wd AS (
+        SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_tok,
+               md5(array_to_string(words[1:16], ' ')) AS pkey
+        FROM w WHERE len(words) >= 16),
+      pk AS (
+        SELECT pkey, doc_id AS kid2, words AS kwords
+        FROM (SELECT pkey, doc_id, words,
+                     row_number() OVER (PARTITION BY pkey
+                       ORDER BY n_tok DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY pkey) AS gsz
+              FROM wd)
+        WHERE rn = 1 AND gsz >= 2),
+      pd AS (
+        SELECT wd.doc_id, TRUE AS pdrop
+        FROM wd JOIN pk USING (pkey)
+        WHERE wd.doc_id <> pk.kid2
+          AND pk.kwords[1 : CAST(wd.n_tok AS INTEGER)] = wd.words),
+      f AS (
+        SELECT d.source, e.exact_keep,
+               coalesce(NOT p.pdrop, TRUE) AS prefix_keep,
+               g.admitted
+        FROM documents d
+        JOIN ek e ON e.doc_id = d.doc_id
+        LEFT JOIN pd p ON p.doc_id = d.doc_id
+        JOIN gadm g ON g.doc_id = d.doc_id)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+             CAST(sum(CASE WHEN exact_keep AND prefix_keep THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_prefix,
+             CAST(sum(CASE WHEN exact_keep AND prefix_keep AND admitted
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(sum(CASE WHEN exact_keep AND prefix_keep AND admitted
+                           THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+               AS yield_pm
+      FROM f GROUP BY source ORDER BY source"""
   )
 }

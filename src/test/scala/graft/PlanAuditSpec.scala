@@ -683,6 +683,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"a16 must not use a Window:\n$p")
   }
 
+  test("d91 yield funnel: three hash-keyed rungs, stopword dim broadcast, no cartesian") {
+    // the report is three map-combinable passes (content hash, prefix
+    // key, per-row rules) joined equi on doc_id; the only broadcast
+    // dimension is the 5-row stopword table; the prefix pass reads its
+    // cache for both the election and the verification
+    val p = plan("d91_yield_funnel")
+    assert(p.contains("InMemoryTableScan"),
+      s"d91 re-tokenizes the prefix pass instead of reading the cache:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"d91 must not use a Window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_max_by") ||
+      p.contains("partial_count"),
+      s"d91 keeper elections lost their map-side partials:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off

@@ -106,6 +106,34 @@ class QualityWinnowSpec extends SparkSpecBase {
     assert(out(3L) === ((4L, true)), s"segmented zh counts contained chars too: $out")
   }
 
+  test("d91: the funnel counts cumulative survivors per source") {
+    // srcA: A1 good (50 words, admitted), A2 = exact dup of A1,
+    // A3 = 25-token truncation of A1 (prefix-dropped, and would fail
+    // the word-count rule anyway), A4 = unique 10-word junk (passes
+    // both dedup rungs — under the 16-token prefix key — but fails
+    // quality). srcB: one clean doc.
+    val a1 = goodText
+    val a3 = a1.split(" ").take(25).mkString(" ")
+    val a4 = (0 until 10).map(i => s"j$i").mkString(" ")
+    val dir = scratch("d91-plant")
+    import spark.implicits._
+    graft.sources.GraftWriter.write(
+      Seq((1L, a1, "srcA"), (2L, a1, "srcA"), (3L, a3, "srcA"),
+        (4L, a4, "srcA"),
+        // srcB's doc must be corpus-unique — dedup rungs are corpus-wide
+        (5L, (Seq("the", "and") ++ (0 until 48).map(i => s"other$i")).mkString(" "), "srcB"))
+        .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = Pipeline.queries("d91_yield_funnel")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out("srcA") === ((4L, 3L, 2L, 1L, 250L)),
+      s"srcA funnel: docs 4 → exact 3 → prefix 2 → quality 1: $out")
+    assert(out("srcB") === ((1L, 1L, 1L, 1L, 1000L)), s"srcB funnel: $out")
+  }
+
   // ---------------------------------------------------------------- d61
 
   private def md5hex(s: String): String =
