@@ -232,6 +232,25 @@ object StreamingOps {
       .write.mode("overwrite").parquet(s"$admitted/batch=$batchId")
   }
 
+  /** s15's per-batch manifest partial: the d78 per-shard manifest of
+    * ONE micro-batch, written into its own batch= partition (s10's
+    * idempotent-retry recipe — a re-delivered batch overwrites only
+    * its own partial, never corrupting the accumulated state). The
+    * manifest was DESIGNED for this: counts/bytes are sums and the
+    * content checksum is an order-free commutative xor, so the final
+    * manifest is an EXACT aggregate of partials under any batch
+    * boundaries, arrival order, or retry history. */
+  def manifestIngestBatch(state: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.select(expr("doc_id div 64").as("shard"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("nb"),
+        expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)")
+          .as("h32"))
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("nb").as("bytes_total"),
+        expr("bit_xor(h32)").as("content_xor"))
+      .write.mode("overwrite").parquet(s"$state/batch=$batchId")
+
   /** Shared by s11 (AvailableNow backfill) and s12 (checkpoint
     * recovery): the rate-limited file-stream source over a staged
     * landing zone plus the integer-cents daily-window aggregate. ONE
@@ -698,10 +717,64 @@ object StreamingOps {
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
       runToTable(s, sessions.toDF(), "graft_s3", OutputMode.Append())
         .orderBy("user_id", "session_id")
+    },
+
+    // ---- s15: STREAMING MANIFEST MAINTENANCE — the live half of the
+    // d78/a16 governance pair: as documents land on the ingest
+    // directory, each micro-batch folds its own per-shard manifest
+    // partial into an append-only state tree (foreachBatch, s7/s10's
+    // idempotent overwrite-per-batchId recipe), and the published
+    // manifest is one aggregate over the partials. EXACT by design:
+    // counts and bytes add, the content checksum is a commutative
+    // bit_xor — so the streaming manifest equals the batch d78
+    // manifest under ANY batch boundaries or retries (the bounded
+    // replay here is one batch; multi-batch accumulation and
+    // re-delivery idempotence are spec-verified in StreamingSpec).
+    // At 100 TB the same foreachBatch runs unbounded on the landing
+    // zone and a16's validator diffs the accumulated tree after every
+    // transfer.
+    "s15_stream_manifest" -> { (s, dir) =>
+      val base = s"${graft.queries.Sources.scratchDir}/s15"
+      graft.sources.GraftWriter.removeDirectory(s, base)
+      val in = s"$base/in"
+      graft.Tables.load(s, dir, "documents")
+        .repartition(1).write.mode("overwrite").parquet(in)
+      val state = s"$base/manifest"
+      val schema = s.read.parquet(in).schema
+      val q = s.readStream.schema(schema).parquet(in)
+        .writeStream
+        .foreachBatch(manifestIngestBatch(state) _)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(state)
+        .groupBy("shard").agg(
+          sum("n_docs").as("n_docs"),
+          sum("bytes_total").as("bytes_total"),
+          expr("bit_xor(content_xor)").as("content_xor"))
+        .orderBy("shard")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    // s15: the streaming-accumulated manifest must equal d78's batch
+    // manifest (minus the id-range columns) — that equality IS the
+    // commutativity claim.
+    "s15_stream_manifest" -> """
+      WITH h AS (
+        SELECT doc_id // 64 AS shard,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(8),
+                   i -> CAST(strpos('123456789abcdef',
+                          substr(md5(text), CAST(i + 1 AS INTEGER), 1))
+                        AS BIGINT))),
+                 (a, d) -> a * 16 + d) AS h32
+        FROM documents)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nb) AS BIGINT) AS bytes_total,
+             CAST(bit_xor(h32) AS BIGINT) AS content_xor
+      FROM h GROUP BY shard ORDER BY shard""",
     "s10_stream_incremental_dedup" -> """
       SELECT min(doc_id) AS doc_id, md5(text) AS thash
       FROM documents

@@ -345,6 +345,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(again == Set(1L, 2L, 11L), s"retry changed state: $again")
   }
 
+  test("s15: streamed manifest partials aggregate to the exact batch manifest") {
+    import spark.implicits._
+    // drive the production batch step with three arbitrary batch cuts
+    // of one corpus — the aggregate over partials must equal the
+    // manifest computed on the whole corpus at once, and a re-delivered
+    // batch must not change it (the commutative-xor design claim)
+    val state = scratch("s15-state") + "/manifest"
+    val docs = (0L until 150L).map(i => (i, s"doc $i body"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    StreamingOps.manifestIngestBatch(state)(df(docs.filter(_._1 % 3 == 0)), 0L)
+    StreamingOps.manifestIngestBatch(state)(df(docs.filter(_._1 % 3 == 1)), 1L)
+    StreamingOps.manifestIngestBatch(state)(df(docs.filter(_._1 % 3 == 2)), 2L)
+    def acc() = spark.read.parquet(state)
+      .groupBy("shard").agg(sum("n_docs").as("n"), sum("bytes_total").as("b"),
+        expr("bit_xor(content_xor)").as("x"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val whole = {
+      val tmp = scratch("s15-whole") + "/m"
+      StreamingOps.manifestIngestBatch(tmp)(df(docs), 0L)
+      spark.read.parquet(tmp)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    assert(acc() === whole, "partials must aggregate to the whole-corpus manifest")
+    // idempotent retry: re-delivering batch 1 overwrites only its partial
+    StreamingOps.manifestIngestBatch(state)(df(docs.filter(_._1 % 3 == 1)), 1L)
+    assert(acc() === whole, "a re-delivered batch changed the manifest")
+  }
+
   test("s11: AvailableNow drains file-at-a-time across batches, then stops itself") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
