@@ -73,6 +73,9 @@ object GraftExtensions {
     ("minhash_sig", info("minhash_sig",
       "minhash_sig(tokens) - raw 128-component MinHash signature for similarity estimation"),
       (e: Seq[Expression]) => MinHashSig(e.head)),
+    ("cdc_ends", info("cdc_ends",
+      "cdc_ends(text) - 1-based content-defined chunk end positions (32-char window hash, divisor 64)"),
+      (e: Seq[Expression]) => CdcEnds(e.head)),
     ("sig_match_frac", info("sig_match_frac",
       "sig_match_frac(a, b) - fraction of agreeing signature components (MinHash jaccard estimate)"),
       (e: Seq[Expression]) => SigMatchFrac(e(0), e(1))),

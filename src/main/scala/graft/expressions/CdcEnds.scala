@@ -1,0 +1,39 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** cdc_ends(text) → array<int> of 1-based content-defined chunk END
+  * positions (SURVEY §2 d79 / e2) — the [[graft.functions.Cdc]] kernel
+  * as a native Catalyst expression. The round-9 SQL formulation
+  * (filter over sequence positions with an inline 32-term dot product)
+  * evaluated as interpreted higher-order lambdas at ~8 s/sf0.1 — the
+  * most expensive query on the surface; this is the same arithmetic
+  * (identical to the DuckDB oracle's replay and the ChunkingSpec
+  * reference) as one compiled per-row loop with an alphabet-memoised
+  * per-char md5. CodegenFallback like [[MinHashBands]]: the kernel is
+  * the cost, not the expression glue.
+  */
+case class CdcEnds(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_ends"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      graft.functions.Cdc.ends(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(newChild: Expression): CdcEnds =
+    copy(child = newChild)
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+/** d79's content-defined-chunking kernel (LBFS SOSP'01 / FastCDC
+  * ATC'16 shape), as one JVM loop for the native `cdc_ends`
+  * expression: per-char 16-bit codes (first 4 md5 hex digits of the
+  * character — memoised per distinct char, so the md5 cost is
+  * alphabet-sized, not corpus-sized), the 32-coefficient window dot
+  * product mod 2³², boundary iff h % 64 = 0 at full-window positions,
+  * doc end always closing the last chunk. The arithmetic is EXACTLY
+  * the spelling the DuckDB oracle replays (Pipeline d79) and the
+  * independent ChunkingSpec reference recomputes — the expression is
+  * a faster evaluator of the same contract, not a new contract.
+  */
+object Cdc {
+
+  val W = 32
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The 32 fixed coefficients — first 8 md5 hex digits of
+    * "graft-cdc-k" (the same derivation Pipeline renders as literals
+    * into the oracle SQL). */
+  val K: Array[Long] = Array.tabulate(W) { k =>
+    java.lang.Long.parseLong(md5hex(s"graft-cdc-$k").substring(0, 8), 16)
+  }
+
+  private val codeMemo = new java.util.concurrent.ConcurrentHashMap[Character, java.lang.Long]()
+
+  /** First 4 md5 hex digits of the single character, as an int. */
+  def code(c: Char): Long = {
+    val cached = codeMemo.get(c)
+    if (cached != null) cached.longValue()
+    else {
+      val v = java.lang.Long.parseLong(md5hex(c.toString).substring(0, 4), 16)
+      codeMemo.put(c, v)
+      v
+    }
+  }
+
+  /** 1-based chunk END positions: every full-window position whose
+    * window hash clears the divisor, plus the doc end. Empty text has
+    * no chunks. */
+  def ends(text: String): Array[Int] = {
+    val n = text.length
+    if (n == 0) return Array.emptyIntArray
+    val codes = new Array[Long](n)
+    var i = 0
+    while (i < n) { codes(i) = code(text.charAt(i)); i += 1 }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var p = W
+    while (p <= n) {
+      var h = 0L
+      var k = 0
+      while (k < W) { h += codes(p - 1 - k) * K(k); k += 1 }
+      if (h % 4294967296L % 64 == 0) buf += p
+      p += 1
+    }
+    if (buf.isEmpty || buf.last != n) buf += n
+    buf.toArray
+  }
+}

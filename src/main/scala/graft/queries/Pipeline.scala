@@ -3553,32 +3553,20 @@ object Pipeline {
     // chain per generated row); only (md5, idx, len) rows shuffle —
     // text never does; keeper joins are equi on the chunk hash.
     "d79_cdc_chunks" -> { (s, dir) =>
-      val W = 32
-      // the 32-term window dot product UNROLLED as one flat expression
-      // (the coefficients inlined as literals): a single interpreted
-      // expression tree per position instead of a per-position
-      // sequence+fold allocation — ~same math, far less interpreter
-      // overhead in the non-codegen higher-order path
-      val dot = cdcK.zipWithIndex
-        .map { case (c, k) => s"element_at(codes, i - $k) * ${c}L" }
-        .mkString(" + ")
+      // The boundary kernel is the native `cdc_ends` expression
+      // (expressions/CdcEnds + functions/Cdc — SURVEY e2): one
+      // compiled per-row loop with an alphabet-memoised per-char md5,
+      // computing EXACTLY the arithmetic the DuckDB oracle replays
+      // (per-char 4-hex md5 codes, 32-coefficient dot mod 2³²,
+      // divisor 64, doc-end close). The round-9 SQL formulation of
+      // the same math ran as interpreted higher-order lambdas at
+      // ~8 s/sf0.1 — the most expensive query on the surface; the
+      // ChunkingSpec reference and the oracle pin the kernel's
+      // semantics on both sides of the swap.
+      GraftExtensions.install(s)
       val docs = T(s, dir, "documents")
         .withColumn("n", length(col("text")).cast("int"))
-        .withColumn("codes", expr(
-          """CASE WHEN length(text) >= 1
-               THEN transform(sequence(1, length(text)),
-                      i -> cast(conv(substring(md5(substring(text, i, 1)), 1, 4),
-                                     16, 10) as bigint))
-               ELSE cast(array() as array<bigint>) END"""))
-        .withColumn("bnd", expr(
-          s"""CASE WHEN n >= $W THEN
-                filter(sequence($W, n),
-                  i -> ($dot) % 4294967296 % 64 = 0)
-              ELSE cast(array() as array<int>) END"""))
-        .withColumn("ends", expr(
-          """CASE WHEN n = 0 THEN cast(array() as array<int>)
-                  WHEN size(bnd) > 0 AND element_at(bnd, -1) = n THEN bnd
-                  ELSE concat(bnd, array(n)) END"""))
+        .withColumn("ends", expr("cdc_ends(text)"))
         .withColumn("chunks", expr(
           """CASE WHEN size(ends) = 0
                THEN cast(array() as array<struct<idx:int,len:int,ch:string>>)
