@@ -4190,6 +4190,34 @@ object Pipeline {
         .select("source", "n_docs", "n_exact", "n_prefix", "n_quality",
           "yield_pm")
         .orderBy("source")
+    },
+
+    // ---- d92: LANGUAGE-ID CONFUSION MATRIX — the classifier audit
+    // the d85/d91 measurement family was missing for d7 (every
+    // pipeline that routes docs by predicted language needs to know
+    // WHERE the router is wrong, because a mis-routed doc gets the
+    // wrong stopword lists, the wrong quality rules, and the wrong
+    // mixture weight downstream): d7's marker-based predictor runs
+    // over the corpus (the SAME queries entry — the classifier
+    // evaluated IS the classifier shipped), joins back to the labeled
+    // `lang` column, and aggregates the (actual, predicted) confusion
+    // matrix with per-cell share per-mille. The corpus makes the
+    // audit's point concretely: zh has NO markers in d7's four-list
+    // model, so every zh doc lands in the en row — a blind spot the
+    // accuracy number alone would hide. Shape: one classify pass, one
+    // doc_id equi join, one map-combinable aggregate; lang-count² ≤
+    // 25-row output, totals broadcast back.
+    "d92_langid_eval" -> { (s, dir) =>
+      val pred = queries("d7_langid")(s, dir).select("doc_id", "lang_pred")
+      val conf = T(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(pred, Seq("doc_id"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      val tot = conf.groupBy("lang").agg(sum("n").as("n_lang"))
+      conf.join(broadcast(tot), Seq("lang"))
+        .withColumn("correct", col("lang") === col("lang_pred"))
+        .withColumn("share_pm", expr("n * 1000 div n_lang"))
+        .select("lang", "lang_pred", "n", "n_lang", "correct", "share_pm")
+        .orderBy("lang", "lang_pred")
     }
   )
 
@@ -4251,6 +4279,26 @@ object Pipeline {
               FROM documents)
         GROUP BY word),
       ${(0 until 3).map(d75RoundSql).mkString(",\n")}"""
+
+  /** d7/d92 shared language-ID scorer CTEs, ending in
+    * `lpred(doc_id, en_n, de_n, fr_n, es_n, lang_pred)`. */
+  private lazy val langidCtes: String = """w7 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+          CAST(len(list_filter(words, x -> list_contains(['the','and','of','is','to','in','a','for'], x))) AS INT) AS en_n,
+          CAST(len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS INT) AS de_n,
+          CAST(len(list_filter(words, x -> list_contains(['le','les','et','est','une','dans'], x))) AS INT) AS fr_n,
+          CAST(len(list_filter(words, x -> list_contains(['el','los','y','es','una','en'], x))) AS INT) AS es_n
+        FROM w7),
+      lpred AS (
+        SELECT doc_id, en_n, de_n, fr_n, es_n,
+               CASE WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+                    WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+                    WHEN fr_n >= es_n THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM scored)"""
 
   /** d60/d91 shared Gopher battery CTEs, ending in
     * `gadm(doc_id, source, lang, …rules…, admitted)` — generated once
@@ -4560,22 +4608,12 @@ object Pipeline {
       FROM r WHERE rn <= 5
       ORDER BY qid, rn""",
 
-    "d7_langid" -> """
-      WITH w AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
-      scored AS (
-        SELECT doc_id,
-          CAST(len(list_filter(words, x -> list_contains(['the','and','of','is','to','in','a','for'], x))) AS INT) AS en_n,
-          CAST(len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS INT) AS de_n,
-          CAST(len(list_filter(words, x -> list_contains(['le','les','et','est','une','dans'], x))) AS INT) AS fr_n,
-          CAST(len(list_filter(words, x -> list_contains(['el','los','y','es','una','en'], x))) AS INT) AS es_n
-        FROM w)
-      SELECT doc_id, en_n, de_n, fr_n, es_n,
-             CASE WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
-                  WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
-                  WHEN fr_n >= es_n THEN 'fr'
-                  ELSE 'es' END AS lang_pred
-      FROM scored
+    // d7: shares the generated scorer CTEs with d92's confusion
+    // matrix, so the classifier evaluated IS the classifier shipped.
+    "d7_langid" -> s"""
+      WITH $langidCtes
+      SELECT doc_id, en_n, de_n, fr_n, es_n, lang_pred
+      FROM lpred
       ORDER BY doc_id""",
 
     "d8_quality" -> """
@@ -6697,6 +6735,24 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              CAST(sum(CASE WHEN exact_keep AND prefix_keep AND admitted
                            THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
                AS yield_pm
-      FROM f GROUP BY source ORDER BY source"""
+      FROM f GROUP BY source ORDER BY source""",
+
+    // d92: the SAME generated scorer CTEs as d7 (shared prefix), then
+    // the labeled join and the confusion aggregate.
+    "d92_langid_eval" -> s"""
+      WITH $langidCtes,
+      j AS (
+        SELECT d.lang, p.lang_pred
+        FROM documents d JOIN lpred p ON p.doc_id = d.doc_id),
+      conf AS (
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM j GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+              FROM conf GROUP BY lang)
+      SELECT c.lang, c.lang_pred, c.n, t.n_lang,
+             (c.lang = c.lang_pred) AS correct,
+             CAST(c.n * 1000 // t.n_lang AS BIGINT) AS share_pm
+      FROM conf c JOIN tot t ON t.lang = c.lang
+      ORDER BY c.lang, c.lang_pred"""
   )
 }

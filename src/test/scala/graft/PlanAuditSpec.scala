@@ -698,6 +698,16 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d91 keeper elections lost their map-side partials:\n$p")
   }
 
+  test("d92 langid eval: one classify pass, doc-keyed join, broadcast totals") {
+    val p = plan("d92_langid_eval")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"d92 must not use a Window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d92 per-lang totals must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"d92 confusion aggregate lost its map-side partial:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off

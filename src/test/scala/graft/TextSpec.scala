@@ -208,4 +208,46 @@ class TextSpec extends SparkSpecBase {
       (1L, 2L) -> ((1L, 1, 9600L)))
     assert(out == expected, out.toString)
   }
+
+  // ---------------------------------------------------------------- d92
+
+  test("d92: confusion matrix — correct cells, the zh blind spot, exact shares") {
+    val dir = scratch("d92-plant")
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the cat and the dog of the house", "en"),   // en markers → en
+      (2L, "der hund und die katze ist nicht da", "de"),// de markers → de
+      (3L, "le chat et les chiens dans une maison", "fr"),
+      (4L, "我 在 这里 的 故事", "zh"),                   // NO markers → en (tie rule)
+      (5L, "山 河 湖 海", "zh"),                          // same blind spot
+      (6L, "the der und die das haus", "de"))            // de=3 beats en=1 wait: the=1 en; der,und,die,das=4 de → de
+    graft.sources.GraftWriter.write(
+      rows.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = Pipeline.queries("d92_langid_eval")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))).toMap
+    assert(out(("en", "en")) === ((1L, 1L, true, 1000L)))
+    assert(out(("de", "de")) === ((2L, 2L, true, 1000L)),
+      "mixed-marker doc 6 must still resolve to de (4 de markers beat 1 en)")
+    assert(out(("fr", "fr")) === ((1L, 1L, true, 1000L)))
+    assert(out(("zh", "en")) === ((2L, 2L, false, 1000L)),
+      s"the zh blind spot must surface as a (zh, en) cell: $out")
+    assert(!out.keySet.exists { case (a, p) => a == "zh" && p != "en" },
+      "markerless docs fall to en via the tie rule, nowhere else")
+  }
+
+  test("d92: real-corpus matrix is internally consistent") {
+    val rows = Pipeline.queries("d92_langid_eval")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    for ((lang, grp) <- rows.groupBy(_._1)) {
+      assert(grp.map(_._3).sum === grp.head._4, s"$lang cells must sum to n_lang")
+      for ((a, p, n, nl, c, pm) <- grp) {
+        assert(c === (a == p) && pm === n * 1000 / nl, s"($a,$p) cell malformed")
+      }
+    }
+  }
 }
