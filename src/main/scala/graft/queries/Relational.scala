@@ -1057,6 +1057,28 @@ object Relational {
           expr("nullif(run_cents - grp_cents, 0)").as("ex_group_cents"),
           (col("run_cents") - col("grp_cents") + col("cents")).as("ex_ties_cents"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+
+    // ---- q73: mode() — DuckDB's most-frequent-value aggregate, with
+    // the tie made DETERMINISTIC (smallest value wins; DuckDB's
+    // builtin leaves ties unspecified, so BOTH engines spell the
+    // election explicitly — the q58 arg-extremes discipline). Two
+    // map-combinable aggregates: value counts per group, then a
+    // min_by over the (−count, value) struct comparator — one shuffle
+    // each, no Window on the Spark side, no whole-group sort.
+    "q73_mode" -> { (s, dir) =>
+      val c = T(s, dir, "lineitem")
+        .withColumn("qty", expr("cast(floor(l_quantity) as bigint)"))
+        .groupBy("l_returnflag", "l_linestatus", "qty")
+        .agg(count(lit(1)).as("cnt"))
+      c.groupBy("l_returnflag", "l_linestatus").agg(
+          expr("""min_by(named_struct('m', qty, 'c', cnt),
+                         named_struct('nc', -cnt, 'm', qty))""").as("k"),
+          sum("cnt").as("n_rows"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("k.m").as("mode_qty"), col("k.c").as("mode_n"),
+          col("n_rows"), expr("k.c * 1000 div n_rows").as("mode_pm"))
+        .orderBy("l_returnflag", "l_linestatus")
     }
   )
 
@@ -1790,6 +1812,28 @@ object Relational {
                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                EXCLUDE TIES) AS BIGINT) AS ex_ties_cents
       FROM o
-      ORDER BY o_custkey, o_orderdate, o_orderkey"""
+      ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    // q73: the deterministic mode spelled as the (cnt desc, value)
+    // rank — DuckDB's builtin mode() leaves ties unspecified, so the
+    // oracle states the election explicitly like the Spark side.
+    "q73_mode" -> """
+      WITH c AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(floor(l_quantity) AS BIGINT) AS qty,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2, 3),
+      r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                 ORDER BY cnt DESC, qty) AS rn,
+               CAST(sum(cnt) OVER (PARTITION BY l_returnflag, l_linestatus)
+                 AS BIGINT) AS n_rows
+        FROM c)
+      SELECT l_returnflag, l_linestatus, qty AS mode_qty,
+             cnt AS mode_n, n_rows,
+             CAST(cnt * 1000 // n_rows AS BIGINT) AS mode_pm
+      FROM r WHERE rn = 1
+      ORDER BY l_returnflag, l_linestatus"""
   )
 }

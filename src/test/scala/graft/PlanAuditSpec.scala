@@ -708,6 +708,17 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d92 confusion aggregate lost its map-side partial:\n$p")
   }
 
+  test("q73 mode: two map-combinable aggregates, no Window on the Spark side") {
+    // the election is a min_by over (−count, value) — partial/final
+    // pairs, never a per-group sort or a window over the value counts
+    val p = plan("q73_mode")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"q73 value counts lost their map-side partial:\n$p")
+    assert(p.contains("min_by") && p.contains("partial_"),
+      s"q73 election must map-combine:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off
