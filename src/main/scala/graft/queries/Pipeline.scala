@@ -4218,6 +4218,54 @@ object Pipeline {
         .withColumn("share_pm", expr("n * 1000 div n_lang"))
         .select("lang", "lang_pred", "n", "n_lang", "correct", "share_pm")
         .orderBy("lang", "lang_pred")
+    },
+
+    // ---- d93: COLLOCATION / PHRASE ELECTION — word2phrase (Mikolov
+    // et al. 2013 §4): the phrase-mining pass tokenizer pipelines run
+    // BEFORE training so "new york"-style units become one token;
+    // score(a,b) = (c_ab − δ)·N / (c_a·c_b) with discount δ = 5 (the
+    // paper's spelling — the discount kills rare-pair noise, the
+    // unigram product kills stopword pairs), top-20 by (score desc,
+    // pair asc) among pairs with c_ab ≥ 5. Exactness: the numerator
+    // (c_ab−5)·N stays in exact int64, ONE division then the 4-dp
+    // round before ranking (the d86 discipline) with the pair
+    // tie-break, so both engines elect identical phrases. Shape for
+    // 100 TB: the corpus collapses map-side to the unigram and
+    // adjacent-bigram count tables (the bigram explode reads a
+    // PERSISTED pair-array frame — the d61 lesson); unigram joins are
+    // vocab-sized equi; N broadcasts as one row; the top-20 runs the
+    // d67/d73 two-stage bucketed rank — no vocab²-sized single
+    // partition.
+    "d93_collocations" -> { (s, dir) =>
+      val w = withWords(T(s, dir, "documents"))
+        .select(col("words"), expr(
+          """CASE WHEN size(words) >= 2
+               THEN transform(sequence(0, size(words) - 2),
+                      i -> named_struct('a', words[i], 'b', words[i + 1]))
+               ELSE array() END""").as("prs"))
+        .persist() // unigram explode + bigram explode read one tokenize pass
+      val uni = w.select(explode(col("words")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nTok = uni.agg(sum("c").as("n_tok")).withColumn("one", lit(1))
+      val bi = w.select(explode(col("prs")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c_ab"))
+      bi.filter(col("c_ab") >= 5)
+        .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+        .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+        .withColumn("one", lit(1)).join(broadcast(nTok), Seq("one"))
+        .withColumn("score_r", expr(
+          "round(cast((c_ab - 5) * n_tok as double) / (c_a * c_b), 4)"))
+        .withColumn("bk", pmod(crc32(concat_ws(" ", col("a"), col("b"))), lit(64)))
+        .withColumn("rb", row_number().over(
+          Window.partitionBy("bk")
+            .orderBy(desc("score_r"), asc("a"), asc("b"))))
+        .filter(col("rb") <= 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score_r"), asc("a"), asc("b"))).cast("int"))
+        .filter(col("rank") <= 20)
+        .select("rank", "a", "b", "c_ab", "c_a", "c_b", "score_r")
+        .orderBy("rank")
     }
   )
 
@@ -6753,6 +6801,41 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              (c.lang = c.lang_pred) AS correct,
              CAST(c.n * 1000 // t.n_lang AS BIGINT) AS share_pm
       FROM conf c JOIN tot t ON t.lang = c.lang
-      ORDER BY c.lang, c.lang_pred"""
+      ORDER BY c.lang, c.lang_pred""",
+
+    // d93: same word2phrase score — exact-int numerator, one double
+    // division, 4-dp round BEFORE the single-window rank (equality
+    // with the bucketed two-stage IS the decomposition claim).
+    "d93_collocations" -> """
+      WITH w AS (
+        SELECT string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      uni AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(words) AS w FROM w) GROUP BY 1),
+      nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+      bi AS (
+        SELECT p['a'] AS a, p['b'] AS b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM (SELECT unnest(CASE WHEN len(words) >= 2 THEN
+                list_transform(range(len(words) - 1),
+                  i -> struct_pack(a := words[i + 1], b := words[i + 2]))
+              ELSE [] END) AS p
+              FROM w)
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT bi.a, bi.b, bi.c_ab, ua.c AS c_a, ub.c AS c_b,
+               round(CAST((bi.c_ab - 5) * nt.n_tok AS DOUBLE)
+                 / (ua.c * ub.c), 4) AS score_r
+        FROM bi JOIN uni ua ON ua.word = bi.a
+                JOIN uni ub ON ub.word = bi.b
+                CROSS JOIN nt
+        WHERE bi.c_ab >= 5),
+      r AS (
+        SELECT *, CAST(row_number() OVER (
+                 ORDER BY score_r DESC, a, b) AS INT) AS rank
+        FROM sc)
+      SELECT rank, a, b, c_ab, c_a, c_b, score_r
+      FROM r WHERE rank <= 20
+      ORDER BY rank"""
   )
 }

@@ -719,6 +719,21 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q73 election must map-combine:\n$p")
   }
 
+  test("d93 collocations: cached tokenize pass, vocab-equi joins, two-stage rank") {
+    val p = plan("d93_collocations")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"d93 re-tokenizes instead of reading the cache:\n$p")
+    assert("Window".r.findAllIn(p).length >= 2,
+      s"d93 lost its two-stage rank:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONE BroadcastNestedLoopJoin allowed is the one-row N total
+    // (the broadcast-scalar idiom, d86's shape)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"d93 grew a second non-equi join:\n$p")
+    assert(p.contains("partial_count"),
+      s"d93 count tables lost their map-side partials:\n$p")
+  }
+
   test("d64 domain cap: two bounded rank stages, no single-partition exchange") {
     // the per-domain rank must run as the salted two-stage pair (a
     // heavy-hitter domain never serializes through one partition) off

@@ -126,6 +126,37 @@ class TokenizerPrepSpec extends SparkSpecBase {
     }
   }
 
+  // ---------------------------------------------------------------- d93
+
+  test("d93: word2phrase scores elect the true phrase over the stopword pair") {
+    // (new,york): c_ab=6, c_a=c_b=6 → (6−5)·80/36 = 2.2222 — rank 1
+    // (of,the):   c_ab=6, c_a=c_b=30 → 80/900 = 0.0889 — rank 2
+    // (rare,pair): c_ab=4 < 5 — excluded. N = 80 tokens.
+    val dir = writeDocs("d93-plant",
+      Seq.fill(6)("new york") ++ Seq.fill(6)("of the") ++
+        Seq.fill(24)("of") ++ Seq.fill(24)("the") ++ Seq.fill(4)("rare pair"))
+    val out = Pipeline.queries("d93_collocations")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(out === Seq(
+      (1, "new", "york", 6L, 6L, 6L, 2.2222),
+      (2, "of", "the", 6L, 30L, 30L, 0.0889)), s"got $out")
+  }
+
+  test("d93: real-corpus phrase list is a well-formed top-20") {
+    val out = Pipeline.queries("d93_collocations")(spark, sfTiny)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(6)))
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.map(_._1).toSeq === (1 to out.length), "ranks dense from 1")
+    assert(out.forall(_._4 >= 5L), "min-count filter holds")
+    assert(out.sliding(2).forall {
+      case Array(x, y) => x._5 > y._5 || (x._5 == y._5 &&
+        (x._2 < y._2 || (x._2 == y._2 && x._3 <= y._3)))
+      case _ => true
+    }, s"(score desc, pair asc) order violated: ${out.toSeq}")
+  }
+
   // ---------------------------------------------------------------- d75
 
   test("d75: three hand-computed merge rounds with the ab/c election tie") {
