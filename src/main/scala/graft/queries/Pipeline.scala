@@ -37,6 +37,38 @@ object Pipeline {
         .take(4).map("%02x".format(_)).mkString, 16)
   }
 
+  /** d95: the 8×64 Johnson–Lindenstrauss ±1 sign matrix — sign(j,i) =
+    * +1 iff the first hex digit of md5("graft-rp:j:i") < 8 (Achlioptas
+    * 2003's database-friendly projection, made reproducible). Like
+    * d79's cdcK, the signs are computed once HERE and rendered as
+    * literal ±vec[i] terms into both the Spark plan and the DuckDB
+    * oracle, so the projection is identical by construction and costs
+    * zero hashing at runtime. */
+  private[graft] lazy val rpSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until 8).map { j =>
+      (0 until 64).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-rp:$j:$i".getBytes("UTF-8"))
+        if (((d(0) >> 4) & 0xf) < 8) 1 else -1
+      }
+    }
+
+  /** Left-to-right ±term sum for projected dim j — the SAME addition
+    * order in both engines makes the double result IEEE-identical.
+    * base = 0 for Spark arrays, 1 for DuckDB lists. */
+  private def rpProj(v: String, j: Int, base: Int): String =
+    rpSigns(j).zipWithIndex.map { case (s, i) =>
+      val t = s"$v[${i + base}]"
+      if (i == 0) (if (s < 0) s"-$t" else t)
+      else (if (s < 0) s" - $t" else s" + $t")
+    }.mkString
+
+  /** Σᵢ (a[i]−b[i])² spelled as an unrolled left-to-right sum. */
+  private def rpSqd(a: String, b: String, base: Int): String =
+    (0 until 64).map { i =>
+      s"($a[${i + base}] - $b[${i + base}]) * ($a[${i + base}] - $b[${i + base}])"
+    }.mkString(" + ")
+
   /** d60/d91 shared Gopher rule battery: the full per-doc flag frame
     * (rule columns + `admitted`), with the per-lang broadcast stopword
     * dimension and the zh substring-containment rule. Extracted in
@@ -4266,6 +4298,94 @@ object Pipeline {
         .filter(col("rank") <= 20)
         .select("rank", "a", "b", "c_ab", "c_a", "c_b", "score_r")
         .orderBy("rank")
+    },
+
+    // ---- d94: K-ANONYMITY AUDIT — the release-gate check run before
+    // a corpus (or its metadata sidecar) ships: every doc must sit in
+    // an equivalence class of ≥ k under its quasi-identifiers
+    // (Sweeney 2002), here (lang, source, length-bucket n_chars÷200),
+    // k = 5. Classes below k generalize up a fixed 3-rung ladder —
+    // drop the length bucket, then the source, then full suppression —
+    // and each doc reports at the FIRST rung where its class reaches
+    // k (the standard generalization-lattice walk, made deterministic
+    // by fixing the rung order). Output = the surviving equivalence
+    // classes with '*' in generalized positions. Shape for 100 TB:
+    // three map-combinable counts over a shrinking remainder; the
+    // below-k class lists are class-cardinality-sized (≤ |lang| ×
+    // |source| × buckets) and broadcast into the semi joins — doc text
+    // never shuffles, and nothing is doc_id-keyed.
+    "d94_k_anonymity" -> { (s, dir) =>
+      val K = 5
+      val d = T(s, dir, "documents").select(
+        col("lang"), col("source"),
+        expr("cast(n_chars div 200 as string)").as("lb"))
+      val g0 = d.groupBy("lang", "source", "lb").agg(count(lit(1)).as("n"))
+      val keep0 = g0.filter(col("n") >= K).select(
+        col("lang"), col("source"), col("lb"), lit(0).as("level"), col("n"))
+      val e0 = d.join(broadcast(g0.filter(col("n") < K)
+        .select("lang", "source", "lb")), Seq("lang", "source", "lb"), "left_semi")
+      val g1 = e0.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val keep1 = g1.filter(col("n") >= K).select(
+        col("lang"), col("source"), lit("*").as("lb"), lit(1).as("level"), col("n"))
+      val e1 = e0.join(broadcast(g1.filter(col("n") < K)
+        .select("lang", "source")), Seq("lang", "source"), "left_semi")
+      val g2 = e1.groupBy("lang").agg(count(lit(1)).as("n"))
+      val keep2 = g2.filter(col("n") >= K).select(
+        col("lang"), lit("*").as("source"), lit("*").as("lb"),
+        lit(2).as("level"), col("n"))
+      val supp = e1.join(broadcast(g2.filter(col("n") < K).select("lang")),
+          Seq("lang"), "left_semi")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        .select(lit("*").as("lang"), lit("*").as("source"), lit("*").as("lb"),
+          lit(3).as("level"), col("n"))
+      keep0.unionByName(keep1).unionByName(keep2).unionByName(supp)
+        .withColumn("level", col("level").cast("int"))
+        .orderBy("level", "lang", "source", "lb")
+    },
+
+    // ---- d95: RANDOM PROJECTION (Johnson–Lindenstrauss) — the
+    // dimensionality-reduction rung of the embedding family: 64-d
+    // vectors sketch to 8-d via the rpSigns ±1 matrix (Achlioptas
+    // 2003 — ±1 signs need no float matrix and keep the fold exact),
+    // scaled distances concentrate around the originals, and every
+    // downstream ANN/cluster pass (d6, d29, d40) can run on 8 doubles
+    // instead of 64 floats — an 8× shuffle-width cut, which at 100 TB
+    // is the difference between an in-memory and a spilling exchange.
+    // The entry emits the sketch AND its own certification: for each
+    // consecutive pair (vec_id, vec_id+1) the squared distance in
+    // original vs projected space (projected scaled by 1/k) as a
+    // per-mille ratio — the JL concentration made measurable (the
+    // spec asserts the corpus-level band). Exactness: both engines
+    // evaluate the SAME left-to-right ±term sums (IEEE-identical),
+    // round only at output (4 dp), and the ratio integerizes via
+    // floor(x+0.5), exact on doubles. Shape: projection is per-row,
+    // zero shuffle; the audit self-join is equi on the derived key
+    // vec_id+1 and carries one partner per row — linear, never
+    // quadratic; the projected frame persists so the join's two sides
+    // read one computed pass.
+    "d95_random_projection" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val proj = emb.select(
+        col("vec_id") +: col("vec") +:
+          (0 until 8).map(j => expr(rpProj("vec", j, 0)).as(s"p$j")): _*)
+        .persist()
+      val b = proj.select(
+        col("vec_id").as("b_vec_id") +: col("vec").as("b_vec") +:
+          (0 until 8).map(j => col(s"p$j").as(s"bp$j")): _*)
+      val joined = proj.join(b, col("vec_id") + 1 === col("b_vec_id"), "left")
+        .withColumn("d2o", expr(rpSqd("vec", "b_vec", 0)))
+        .withColumn("d2p", expr((0 until 8)
+          .map(j => s"(p$j - bp$j) * (p$j - bp$j)").mkString(" + ")))
+      joined.select(
+        col("vec_id") +:
+          (0 until 8).map(j => round(col(s"p$j"), 4).as(s"p${j}_r")) :+
+          coalesce(round(col("d2o"), 4), lit(-1.0)).as("d2o_r") :+
+          coalesce(round(col("d2p"), 4), lit(-1.0)).as("d2p_r") :+
+          coalesce(expr(
+            "CASE WHEN d2o > 0 THEN cast(floor(1000.0 * (d2p / 8) / d2o + 0.5) as bigint) END"),
+            lit(-1L)).as("ratio_pm"): _*)
+        .orderBy("vec_id")
     }
   )
 
@@ -6836,6 +6956,71 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
         FROM sc)
       SELECT rank, a, b, c_ab, c_a, c_b, score_r
       FROM r WHERE rank <= 20
-      ORDER BY rank"""
+      ORDER BY rank""",
+
+    // d94: the same fixed generalization ladder — each rung regroups
+    // ONLY the remainder of the rung before, so class counts are over
+    // escalated docs, not the full corpus (the property the planted
+    // spec pins).
+    "d94_k_anonymity" -> """
+      WITH d AS (
+        SELECT lang, source, CAST(n_chars // 200 AS VARCHAR) AS lb
+        FROM documents),
+      g0 AS (SELECT lang, source, lb, CAST(count(*) AS BIGINT) AS n
+             FROM d GROUP BY 1, 2, 3),
+      keep0 AS (SELECT lang, source, lb, 0 AS level, n FROM g0 WHERE n >= 5),
+      e0 AS (SELECT d.lang, d.source, d.lb
+             FROM d JOIN g0 ON g0.lang = d.lang AND g0.source = d.source
+                           AND g0.lb = d.lb
+             WHERE g0.n < 5),
+      g1 AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+             FROM e0 GROUP BY 1, 2),
+      keep1 AS (SELECT lang, source, '*' AS lb, 1 AS level, n
+                FROM g1 WHERE n >= 5),
+      e1 AS (SELECT e0.lang, e0.source, e0.lb
+             FROM e0 JOIN g1 ON g1.lang = e0.lang AND g1.source = e0.source
+             WHERE g1.n < 5),
+      g2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM e1 GROUP BY 1),
+      keep2 AS (SELECT lang, '*' AS source, '*' AS lb, 2 AS level, n
+                FROM g2 WHERE n >= 5),
+      supp AS (SELECT '*' AS lang, '*' AS source, '*' AS lb, 3 AS level,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM e1 JOIN g2 USING (lang) WHERE g2.n < 5
+               HAVING count(*) > 0)
+      SELECT lang, source, lb, CAST(level AS INT) AS level, n
+      FROM (SELECT * FROM keep0 UNION ALL SELECT * FROM keep1
+            UNION ALL SELECT * FROM keep2 UNION ALL SELECT * FROM supp)
+      ORDER BY level, lang, source, lb""",
+
+    // d95: the rpSigns matrix renders as the SAME literal ±term sums
+    // (1-indexed here), so projection, distances, and the floor(+0.5)
+    // ratio are identical by construction — no engine hash, no
+    // engine-specific float fold order anywhere in the contract.
+    "d95_random_projection" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      p AS (SELECT vec_id, v,
+        ${(0 until 8).map(j => rpProj("v", j, 1) + s" AS p$j")
+          .mkString(",\n        ")}
+        FROM e),
+      j AS (SELECT a.vec_id, a.v,
+                   ${(0 until 8).map(j => s"a.p$j").mkString(", ")},
+                   b.v AS bv,
+                   ${(0 until 8).map(j => s"b.p$j AS bp$j").mkString(", ")}
+            FROM p a LEFT JOIN p b ON b.vec_id = a.vec_id + 1),
+      d AS (SELECT vec_id,
+                   ${(0 until 8).map(j => s"p$j").mkString(", ")},
+                   ${rpSqd("v", "bv", 1)} AS d2o,
+                   ${(0 until 8).map(j => s"(p$j - bp$j) * (p$j - bp$j)")
+                     .mkString(" + ")} AS d2p
+            FROM j)
+      SELECT vec_id,
+             ${(0 until 8).map(j => s"round(p$j, 4) AS p${j}_r").mkString(", ")},
+             coalesce(round(d2o, 4), -1.0) AS d2o_r,
+             coalesce(round(d2p, 4), -1.0) AS d2p_r,
+             coalesce(CASE WHEN d2o > 0 THEN
+               CAST(floor(1000.0 * (d2p / 8) / d2o + 0.5) AS BIGINT) END, -1)
+               AS ratio_pm
+      FROM d ORDER BY vec_id"""
   )
 }

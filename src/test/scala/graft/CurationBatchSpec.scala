@@ -324,4 +324,32 @@ class CurationBatchSpec extends SparkSpecBase {
       assert(p50 >= 0 && p50 <= ntok, s"$src median out of range")
     }
   }
+
+  test("d94: every ladder rung fires; each rung regroups only the remainder") {
+    val dir = scratch("d94-plant")
+    import spark.implicits._
+    // (lang, source, n_chars, copies): A keeps at level 0 (n=6); B's two
+    // small buckets reach k only after the bucket drop (2+3=5) — and the
+    // level-1 count must NOT absorb A's 6 docs (remainder, not corpus);
+    // de reaches k only at the lang rung (3+2 across two sources); the
+    // zh/fr tail (1+2) never reaches k and suppresses as one class.
+    val rows = Seq(
+      ("en", "s1", 50L, 6), ("en", "s1", 250L, 2), ("en", "s1", 450L, 3),
+      ("de", "s2", 10L, 3), ("de", "s3", 10L, 2),
+      ("zh", "s9", 10L, 1), ("fr", "s9", 10L, 2))
+    val docs = rows.zipWithIndex.flatMap { case ((l, src, nc, k), i) =>
+      (0 until k).map(j => (i * 100L + j, s"t$i$j", l, src, nc))
+    }
+    GraftWriter.write(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = Pipeline.queries("d94_k_anonymity")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getInt(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      ("en", "s1", "0") -> ((0, 6L)),
+      ("en", "s1", "*") -> ((1, 5L)),
+      ("de", "*", "*")  -> ((2, 5L)),
+      ("*", "*", "*")   -> ((3, 3L))), s"ladder wrong: $out")
+  }
 }

@@ -804,6 +804,51 @@ class DedupSpec extends SparkSpecBase {
     assert(out(0L)._3 === 2L, "both ±absmax extremes saturate")
   }
 
+  // ---------------------------------------------------------------- d95
+
+  test("d95: unit vectors project to the sign rows exactly; sentinels and JL band hold") {
+    val dir = scratch("d95-plant")
+    import spark.implicits._
+    val rnd = new scala.util.Random(95)
+    def unit(d: Int): Array[Float] = {
+      val v = new Array[Float](64); v(d) = 1f; v
+    }
+    val rv = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    // 0:e₀, 1:zeros, 2:e₁, 3:random, 4=5:duplicates (zero distance)
+    val vecs = Seq(
+      (0L, unit(0), 0), (1L, new Array[Float](64), 0), (2L, unit(1), 0),
+      (3L, rv, 0), (4L, rv.map(_ + 1f), 0), (5L, rv.map(_ + 1f), 0))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Pipeline.queries("d95_random_projection")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (((0 until 8).map(j => r.getDouble(1 + j)),
+          r.getDouble(9), r.getDouble(10), r.getLong(11)))).toMap
+    // a unit vector's projection IS the corresponding sign-matrix column
+    assert(out(0L)._1 === (0 until 8).map(j => Pipeline.rpSigns(j)(0).toDouble),
+      s"e0 projection != sign column: ${out(0L)}")
+    assert(out(2L)._1 === (0 until 8).map(j => Pipeline.rpSigns(j)(1).toDouble),
+      s"e1 projection != sign column: ${out(2L)}")
+    assert(out(1L)._1 === Seq.fill(8)(0.0), "zeros project to zeros")
+    // pair (0,1): d2o = 1, d2p = Σ±1² = 8 → exactly 1000‰
+    assert((out(0L)._2, out(0L)._3, out(0L)._4) === ((1.0, 8.0, 1000L)))
+    assert((out(1L)._2, out(1L)._3, out(1L)._4) === ((1.0, 8.0, 1000L)))
+    // pair (4,5): identical vectors — zero distances, −1 ratio sentinel
+    assert((out(4L)._2, out(4L)._3, out(4L)._4) === ((0.0, 0.0, -1L)))
+    // vec 5 has no +1 partner — all three audit sentinels
+    assert((out(5L)._2, out(5L)._3, out(5L)._4) === ((-1.0, -1.0, -1L)))
+  }
+
+  test("d95: real-corpus mean distance ratio concentrates near 1000‰ (JL)") {
+    val rows = Pipeline.queries("d95_random_projection")(spark, sfTiny)
+      .filter(col("ratio_pm") >= 0).select(avg("ratio_pm"), count(lit(1)))
+      .collect().head
+    val (mean, n) = (rows.getDouble(0), rows.getLong(1))
+    assert(n >= 100, s"audit pairs missing: $n")
+    assert(mean >= 700 && mean <= 1300,
+      s"JL concentration violated: mean ratio $mean over $n pairs")
+  }
+
   // ---------------------------------------------------------------- d85
 
   test("d85: identical pairs land in decile 9 with full recall; disjoint pairs in decile 0") {

@@ -964,4 +964,33 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d78 must shuffle exactly once on the shard key:\n$p")
     assert(!p.contains("Join"), s"d78 must not join:\n$p")
   }
+
+  test("d94 k-anonymity: below-k class lists broadcast into semi joins, counts partial") {
+    // the ladder is three map-combinable counts over a shrinking
+    // remainder; the below-k class lists are class-cardinality-sized
+    // dimensions, so every escalation semi join must broadcast — a
+    // sort-merge semi here means a doc-count-sized shuffle at 100 TB
+    val p = plan("d94_k_anonymity")
+    val semis = "BroadcastHashJoin [^\n]*LeftSemi".r.findAllIn(p).length
+    assert(semis >= 3, s"want >=3 broadcast semi joins, got $semis:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"d94 escalation joins degraded to sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"d94 must not use a Window:\n$p")
+    assert(p.contains("partial_count"),
+      s"d94 class counts lost their map-side partials:\n$p")
+  }
+
+  test("d95 random projection: per-row sums, cached sketch feeds both join sides") {
+    // the projection must stay a per-row Project over the scan (no
+    // shuffle to compute it), the audit join must stay equi on the
+    // derived vec_id+1 key, and both sides must read the persisted
+    // projected frame instead of recomputing the 512-term sums
+    val p = plan("d95_random_projection")
+    assert(p.contains("InMemoryTableScan"),
+      s"d95 recomputes the projection per join side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d95 audit join degraded to a quadratic fallback:\n$p")
+    assert(!p.contains("Window"), s"d95 must not use a Window:\n$p")
+  }
 }
