@@ -4386,8 +4386,67 @@ object Pipeline {
             "CASE WHEN d2o > 0 THEN cast(floor(1000.0 * (d2p / 8) / d2o + 0.5) as bigint) END"),
             lit(-1L)).as("ratio_pm"): _*)
         .orderBy("vec_id")
+    },
+
+    // ---- d96: COUNT-MIN SKETCH — the third sketch rung beside d28
+    // (Misra-Gries: WHICH items are heavy) and d47 (Bloom: membership):
+    // Count-Min answers HOW OFTEN, mergeable by cell-wise sum (Cormode
+    // & Muthukrishnan 2005). Width 256 × depth 4, row-r cell = first
+    // md5 hex pair of "graft-cm:r:token" — fully deterministic, so the
+    // oracle replays the sketch bit-for-bit (no probabilistic band
+    // needed). The entry emits the sketch's own audit: for the exact
+    // top-20 tokens, estimate = min over the 4 cells vs exact count,
+    // with the one-sided error (est ≥ exact ALWAYS — the CMS
+    // guarantee, spec-pinned). Shape for 100 TB: the corpus collapses
+    // map-side to vocab-sized token counts ONCE; the sketch is built
+    // from the weighted vocab (4 cells per distinct token, not per
+    // occurrence) and is 1024 cells REGARDLESS of corpus size —
+    // kilobytes of mergeable state; probes join the broadcast cell
+    // table; top-20 runs the d67/d73 two-stage bucketed rank.
+    "d96_countmin" -> { (s, dir) =>
+      val hashed = withWords(T(s, dir, "documents"))
+        .select(explode(col("words")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .select(col("tok") +: col("n") +: (0 until 4).map(r => expr(
+          s"cast(conv(substring(md5(concat('graft-cm:$r:', tok)), 1, 2), 16, 10) as int)")
+          .as(s"c$r")): _*)
+        .persist() // sketch build + truth probe read one hash pass
+      val cells = hashed.select(col("n"), explode(expr(
+          """array(named_struct('r', 0, 'c', c0), named_struct('r', 1, 'c', c1),
+                   named_struct('r', 2, 'c', c2), named_struct('r', 3, 'c', c3))"""))
+          .as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+        .agg(sum("n").as("cell_n"))
+      val top = hashed
+        .withColumn("bk", pmod(crc32(col("tok")), lit(64)))
+        .withColumn("rb", row_number().over(
+          Window.partitionBy("bk").orderBy(desc("n"), asc("tok"))))
+        .filter(col("rb") <= 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("n"), asc("tok"))).cast("int"))
+        .filter(col("rank") <= 20)
+      top.select(col("rank"), col("tok"), col("n"), explode(expr(
+          """array(named_struct('r', 0, 'c', c0), named_struct('r', 1, 'c', c1),
+                   named_struct('r', 2, 'c', c2), named_struct('r', 3, 'c', c3))"""))
+          .as("rc"))
+        .join(broadcast(cells),
+          col("rc.r") === col("r") && col("rc.c") === col("c"))
+        .groupBy("rank", "tok", "n").agg(min("cell_n").as("est_n"))
+        .select(col("rank"), col("tok"), col("n").as("exact_n"), col("est_n"),
+          (col("est_n") - col("n")).as("over_n"))
+        .orderBy("rank")
     }
   )
+
+  /** d96: row-r Count-Min cell of `tok` — the DuckDB spelling of
+    * Spark's conv(substring(md5(...), 1, 2), 16, 10) via the d58/d27
+    * strpos hex fold (strpos of a 15-char list is 0 for '0' … 15 for
+    * 'f'). */
+  private def cmCellSql(r: Int): String =
+    s"""CAST(strpos('123456789abcdef',
+           substr(md5('graft-cm:$r:' || tok), 1, 1)) * 16
+         + strpos('123456789abcdef',
+           substr(md5('graft-cm:$r:' || tok), 2, 1)) AS INT)"""
 
   /** One d75 BPE round as DuckDB CTEs, input wf{k} → output wf{k+1}.
     * The greedy leftmost non-overlapping merge is spelled as the
@@ -7021,6 +7080,39 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              coalesce(CASE WHEN d2o > 0 THEN
                CAST(floor(1000.0 * (d2p / 8) / d2o + 0.5) AS BIGINT) END, -1)
                AS ratio_pm
-      FROM d ORDER BY vec_id"""
+      FROM d ORDER BY vec_id""",
+
+    // d96: full sketch replay — same md5 hex-pair cells, same weighted
+    // cell sums, same min-over-depth probe, same (n desc, tok) rank.
+    "d96_countmin" -> s"""
+      WITH w AS (SELECT string_split_regex(trim(text), '\\s+') AS words
+                 FROM documents),
+      t AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(words) AS tok FROM w) GROUP BY 1),
+      h AS (SELECT tok, n,
+                   ${(0 until 4).map(r => cmCellSql(r) + s" AS c$r")
+                     .mkString(",\n                   ")}
+            FROM t),
+      cells AS (
+        SELECT r, c, CAST(sum(n) AS BIGINT) AS cell_n FROM (
+          SELECT 0 AS r, c0 AS c, n FROM h
+          UNION ALL SELECT 1, c1, n FROM h
+          UNION ALL SELECT 2, c2, n FROM h
+          UNION ALL SELECT 3, c3, n FROM h)
+        GROUP BY 1, 2),
+      top AS (
+        SELECT tok, n, c0, c1, c2, c3,
+               CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+        FROM h)
+      SELECT rank, tok, n AS exact_n,
+             least(e0.cell_n, e1.cell_n, e2.cell_n, e3.cell_n) AS est_n,
+             least(e0.cell_n, e1.cell_n, e2.cell_n, e3.cell_n) - n AS over_n
+      FROM top
+        JOIN cells e0 ON e0.r = 0 AND e0.c = top.c0
+        JOIN cells e1 ON e1.r = 1 AND e1.c = top.c1
+        JOIN cells e2 ON e2.r = 2 AND e2.c = top.c2
+        JOIN cells e3 ON e3.r = 3 AND e3.c = top.c3
+      WHERE rank <= 20
+      ORDER BY rank"""
   )
 }

@@ -228,6 +228,46 @@ class DedupSpec extends SparkSpecBase {
     assert(got == heavy.sorted.map(w => (w, 200L)), s"got $got")
   }
 
+  test("d96: count-min matches an independent reference; error stays one-sided") {
+    // 600 distinct words >> 256 cells per row, so collisions are
+    // certain (birthday bound) — the reference recomputes every cell
+    // and probe from scratch, and the planted skew makes at least one
+    // top token's estimate exceed its exact count via a collision
+    val dir = scratch("d96-plant")
+    import spark.implicits._
+    val rnd = new scala.util.Random(96)
+    val heavy = (0 until 25).map(i => f"hv$i%02d")
+    val light = (0 until 575).map(i => f"lt$i%03d")
+    val stream = rnd.shuffle(
+      heavy.flatMap(w => Seq.fill(40)(w)) ++ light.flatMap(w => Seq.fill(3)(w)))
+    val docs = stream.grouped(77).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }.toSeq
+    GraftWriter.write(
+      docs.map { case (id, t) => (id, t, "en", "spec", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars").repartition(8),
+      s"$dir/documents.parquet")
+    def cell(r: Int, tok: String): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-cm:$r:$tok".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString, 16)
+    val exact = (heavy.map(_ -> 40L) ++ light.map(_ -> 3L)).toMap
+    val cells = Array.fill(4, 256)(0L)
+    for ((tok, n) <- exact; r <- 0 until 4) cells(r)(cell(r, tok)) += n
+    val wantTop = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    val want = wantTop.zipWithIndex.map { case ((tok, n), i) =>
+      val est = (0 until 4).map(r => cells(r)(cell(r, tok))).min
+      (i + 1, tok, n, est, est - n)
+    }
+    val got = Pipeline.queries("d96_countmin")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === want, s"sketch diverges from reference:\ngot  $got\nwant $want")
+    assert(got.forall(_._5 >= 0), "CMS error must be one-sided (est >= exact)")
+    // 2400 heavy + 1725 light tokens over 256 cells: collisions land
+    // on at least one probed minimum
+    assert(got.exists(_._5 > 0), "planted collision mass never surfaced")
+  }
+
   test("d1: exact dedup groups exact copies only") {
     val out = Pipeline.queries("d1_exact_dedup")(spark, plantedDir)
     assert(out.count() == 25) // 28 docs, 3 exact dup pairs collapse

@@ -993,4 +993,22 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d95 audit join degraded to a quadratic fallback:\n$p")
     assert(!p.contains("Window"), s"d95 must not use a Window:\n$p")
   }
+
+  test("d96 count-min: cached hash pass, broadcast cell probe, bucketed rank only") {
+    // the corpus collapses map-side to vocab counts once (partial
+    // aggregation), the 1024-cell sketch broadcasts into the probe
+    // join, and the only Windows are the two-stage bucketed top-20 —
+    // a global-sort rank or a shuffled probe would not survive a
+    // 100 TB vocabulary
+    val p = plan("d96_countmin")
+    assert(p.contains("InMemoryTableScan"),
+      s"d96 recomputes the md5 hash pass per consumer:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"d96 token counts lost their map-side partials:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d96 cell probe must broadcast the 1024-cell sketch:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows <= 2, s"d96 grew beyond the two-stage rank ($windows windows):\n$p")
+  }
 }
