@@ -4435,6 +4435,56 @@ object Pipeline {
         .select(col("rank"), col("tok"), col("n").as("exact_n"), col("est_n"),
           (col("est_n") - col("n")).as("over_n"))
         .orderBy("rank")
+    },
+
+    // ---- d97: LABEL PROPAGATION over the kNN graph (Zhu & Ghahramani
+    // 2002) — the semi-supervised curation move: hand-label a sliver
+    // of the corpus, let the embedding neighborhood structure spread
+    // the labels (topic/quality/domain tags) to everything else. The
+    // graph is EXACTLY d54's: lshScoredPairs edges, bidirectional,
+    // top-5 by (cos desc, id). Seeds = vec_id % 5 = 0 keep their
+    // label (the d74/d82 synthesized-split idiom — replayed verbatim
+    // in the oracle); 3 unrolled rounds, each: non-seed nodes take
+    // the MAJORITY label among labeled neighbors (ties → smallest
+    // label, the q73 min_by-struct election), keep their previous
+    // label when no neighbor is labeled; seeds stay clamped. Since
+    // every vector has a held-back true label, the entry emits its
+    // own accuracy audit. Shape for 100 TB: each round is one
+    // id-keyed equi join + two map-combinable aggregates over the
+    // EDGE list (ids and small ints only — vectors appear in no
+    // round); the kNN frame persists once; rounds are fixed at 3, so
+    // the lineage stays bounded (the d55 lesson at component scale).
+    "d97_label_propagation" -> { (s, dir) =>
+      val sc0 = lshScoredPairs(s, dir)
+      val bi = sc0.select(col("id_a").as("vec_id"), col("id_b").as("nid"), col("cos_sim"))
+        .union(sc0.select(col("id_b").as("vec_id"), col("id_a").as("nid"), col("cos_sim")))
+      val wk = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
+      val knn = bi.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 5).select("vec_id", "nid")
+        .persist() // every propagation round reads the same edge list
+      var st = T(s, dir, "embeddings").select(
+        col("vec_id"), col("label").as("true_label"),
+        (col("vec_id") % 5 === 0).as("seed"),
+        when(col("vec_id") % 5 === 0, col("label")).as("lab"),
+        when(col("vec_id") % 5 === 0, lit(0)).as("fr"))
+      for (t <- 1 to 3) {
+        val maj = knn
+          .join(st.select(col("vec_id").as("nid"), col("lab").as("nlab")), "nid")
+          .filter(col("nlab").isNotNull)
+          .groupBy("vec_id", "nlab").agg(count(lit(1)).as("cnt"))
+          .groupBy("vec_id").agg(expr(
+            "min_by(nlab, named_struct('nc', -cnt, 'l', nlab))").as("maj"))
+        st = st.join(maj, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("true_label"), col("seed"),
+            when(col("seed"), col("lab"))
+              .otherwise(coalesce(col("maj"), col("lab"))).as("lab"),
+            coalesce(col("fr"), when(col("maj").isNotNull, lit(t))).as("fr"))
+      }
+      st.select(col("vec_id"), col("true_label"), col("seed"),
+          coalesce(col("lab"), lit(-1)).cast("int").as("label_final"),
+          coalesce(col("fr"), lit(-1)).cast("int").as("first_round"),
+          (coalesce(col("lab"), lit(-1)) === col("true_label")).as("correct"))
+        .orderBy("vec_id")
     }
   )
 
@@ -4447,6 +4497,27 @@ object Pipeline {
            substr(md5('graft-cm:$r:' || tok), 1, 1)) * 16
          + strpos('123456789abcdef',
            substr(md5('graft-cm:$r:' || tok), 2, 1)) AS INT)"""
+
+  /** d97: one propagation round as DuckDB CTEs, state l{t-1} → l{t}.
+    * The majority election spells as (cnt desc, nlab) row_number = 1 —
+    * the same total order as the Spark side's min_by over the
+    * (-cnt, nlab) struct. Generated per round so the three rounds
+    * cannot drift apart. */
+  private def d97RoundSql(t: Int): String = {
+    val p = t - 1
+    s"""c$t AS (SELECT k.vec_id, l.lab AS nlab, CAST(count(*) AS BIGINT) AS cnt
+             FROM knn k JOIN l$p l ON l.vec_id = k.nid
+             WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+      m$t AS (SELECT vec_id, nlab AS maj FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cnt DESC, nlab) AS rn FROM c$t) WHERE rn = 1),
+      l$t AS (SELECT a.vec_id, a.true_label, a.seed,
+                     CASE WHEN a.seed THEN a.lab
+                          ELSE coalesce(m$t.maj, a.lab) END AS lab,
+                     coalesce(a.fr,
+                       CASE WHEN m$t.maj IS NOT NULL THEN $t END) AS fr
+              FROM l$p a LEFT JOIN m$t ON m$t.vec_id = a.vec_id)"""
+  }
 
   /** One d75 BPE round as DuckDB CTEs, input wf{k} → output wf{k+1}.
     * The greedy leftmost non-overlapping merge is spelled as the
@@ -7113,6 +7184,30 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
         JOIN cells e2 ON e2.r = 2 AND e2.c = top.c2
         JOIN cells e3 ON e3.r = 3 AND e3.c = top.c3
       WHERE rank <= 20
-      ORDER BY rank"""
+      ORDER BY rank""",
+
+    // d97: the d54 edge replay + three generated propagation rounds —
+    // same seeds, same clamping, same (cnt desc, label) election.
+    "d97_label_propagation" -> s"""
+      WITH $lshScoredSql,
+      bi AS (SELECT id_a AS vec_id, id_b AS nid, cos_sim FROM sc
+             UNION ALL
+             SELECT id_b, id_a, cos_sim FROM sc),
+      rk AS (SELECT vec_id, nid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos_sim DESC, nid) AS rn
+             FROM bi),
+      knn AS (SELECT vec_id, nid FROM rk WHERE rn <= 5),
+      l0 AS (SELECT vec_id, label AS true_label,
+                    (vec_id % 5 = 0) AS seed,
+                    CASE WHEN vec_id % 5 = 0 THEN label END AS lab,
+                    CASE WHEN vec_id % 5 = 0 THEN 0 END AS fr
+             FROM embeddings),
+      ${(1 to 3).map(d97RoundSql).mkString(",\n      ")}
+      SELECT vec_id, true_label, seed,
+             CAST(coalesce(lab, -1) AS INT) AS label_final,
+             CAST(coalesce(fr, -1) AS INT) AS first_round,
+             (coalesce(lab, -1) = true_label) AS correct
+      FROM l3 ORDER BY vec_id"""
   )
 }

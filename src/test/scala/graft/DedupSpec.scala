@@ -889,6 +889,85 @@ class DedupSpec extends SparkSpecBase {
       s"JL concentration violated: mean ratio $mean over $n pairs")
   }
 
+  // ---------------------------------------------------------------- d97
+
+  test("d97: labels flood the planted chain in round order; ties elect the smaller") {
+    val dir = scratch("d97-plant")
+    import spark.implicits._
+    // Geometry (64-d unit vectors; within-group members are IDENTICAL
+    // copies, so within-group cosines are exactly 1.0 and every
+    // member shares every LSH bucket):
+    //   A=e0 (seed 0, label 1)   B=e1 (seed 5, label 2)
+    //   C=e2 (label 7, NO seed — must stay unlabeled)
+    //   D=0.9·A+√.19·e3, E=0.9·D+√.19·e4, F=0.9·E+√.19·e5 — a cosine
+    //   chain: each rung's top-5 fills with 2 within + 3 prior-rung
+    //   (0.9 beats 0.81), so labels arrive at rounds 1/2/3 exactly
+    //   A2=e6 (seed 35, label 8), B2=e7 (seed 40, label 4), and the
+    //   tie gadget T=(e6+e7)/√2 (label 9): T's top-5 = 2 within +
+    //   0.707-ties {35, 40, 42} by id — one labeled neighbor per side
+    //   in round 1 → 1:1 tie → the SMALLER label (4) must win
+    val s19 = math.sqrt(0.19)
+    def v(parts: (Int, Double)*): Array[Float] = {
+      val a = new Array[Float](64)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a
+    }
+    val uA = v(0 -> 1d); val uB = v(1 -> 1d); val uC = v(2 -> 1d)
+    val uD = v(0 -> 0.9, 3 -> s19)
+    val uE = v(0 -> 0.81, 3 -> 0.9 * s19, 4 -> s19)
+    val uF = v(0 -> 0.729, 3 -> 0.81 * s19, 4 -> 0.9 * s19, 5 -> s19)
+    val uG = v(6 -> 1d); val uH = v(7 -> 1d)
+    val uT = v(6 -> math.sqrt(0.5), 7 -> math.sqrt(0.5))
+    val groups: Seq[(Seq[Long], Array[Float], Int)] = Seq(
+      (Seq(0L, 1L, 2L, 3L, 4L, 6L), uA, 1),
+      (Seq(5L, 7L, 8L, 9L, 11L, 12L), uB, 2),
+      (Seq(13L, 14L, 16L, 17L, 18L, 19L), uC, 7),
+      (Seq(21L, 22L, 23L), uD, 1),
+      (Seq(26L, 27L, 28L), uE, 1),
+      (Seq(31L, 32L, 33L), uF, 1),
+      (Seq(36L, 38L, 39L), uT, 9),
+      (Seq(35L, 42L, 43L, 44L, 46L, 47L), uG, 8),
+      (Seq(40L, 48L, 49L, 51L, 52L, 53L), uH, 4))
+    groups.flatMap { case (ids, u, l) => ids.map(id => (id, u, l)) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Pipeline.queries("d97_label_propagation")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getInt(3), r.getInt(4), r.getBoolean(5))))
+      .toMap
+    def want(ids: Seq[Long], tl: Int, lf: Int, fr: Int): Unit = ids.foreach { id =>
+      val seed = id % 5 == 0
+      val w = (tl, seed, lf, if (seed) 0 else fr, lf == tl)
+      assert(out(id) === w, s"vec $id: got ${out(id)}, want $w")
+    }
+    want(Seq(0L, 1L, 2L, 3L, 4L, 6L), 1, 1, 1)       // A floods round 1
+    want(Seq(5L, 7L, 8L, 9L, 11L, 12L), 2, 2, 1)     // B floods round 1
+    want(Seq(13L, 14L, 16L, 17L, 18L, 19L), 7, -1, -1) // seedless C never labels
+    want(Seq(21L, 22L, 23L), 1, 1, 1)                // D: seed 0 in its tie set
+    want(Seq(26L, 27L, 28L), 1, 1, 2)                // E: one hop behind D
+    want(Seq(31L, 32L, 33L), 1, 1, 3)                // F: two hops behind
+    want(Seq(35L, 42L, 43L, 44L, 46L, 47L), 8, 8, 1)
+    want(Seq(40L, 48L, 49L, 51L, 52L, 53L), 4, 4, 1)
+    want(Seq(36L, 38L, 39L), 9, 4, 1)                // 1:1 tie → smaller label 4
+  }
+
+  test("d97: real-corpus invariants — seeds clamp, rounds monotone, coverage near-total") {
+    val out = Pipeline.queries("d97_label_propagation")(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getInt(3),
+        r.getInt(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    for ((id, tl, seed, lf, fr, ok) <- out) {
+      if (seed) assert(lf === tl && fr === 0 && ok, s"seed $id not clamped")
+      assert(fr >= -1 && fr <= 3, s"vec $id round out of range: $fr")
+      assert((lf == -1) == (fr == -1), s"vec $id label/round inconsistent")
+      assert(ok === (lf == tl), s"vec $id audit column wrong")
+    }
+    val nonSeed = out.filter(!_._3)
+    val labeled = nonSeed.count(_._4 != -1)
+    assert(labeled * 10 >= nonSeed.length * 5,
+      s"propagation covered only $labeled/${nonSeed.length} non-seeds")
+  }
+
   // ---------------------------------------------------------------- d85
 
   test("d85: identical pairs land in decile 9 with full recall; disjoint pairs in decile 0") {

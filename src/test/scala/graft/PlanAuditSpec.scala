@@ -1011,4 +1011,24 @@ class PlanAuditSpec extends SparkSpecBase {
     val windows = "Window ".r.findAllIn(p).length
     assert(windows <= 2, s"d96 grew beyond the two-stage rank ($windows windows):\n$p")
   }
+
+  test("d97 label propagation: rounds run on the cached edge list, no extra windows") {
+    // the only Window is the kNN rank; each of the three rounds must
+    // be an equi join + map-combinable aggregates over the persisted
+    // edge list — a per-round Window or a recomputed LSH pass would
+    // multiply the corpus-scale work by the round count
+    val p = plan("d97_label_propagation")
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheReads >= 3,
+      s"d97 must read the cached kNN edges once per round, got $cacheReads:\n$p")
+    // the rounds themselves add no Window: every Window in the plan
+    // sits under an InMemoryTableScan's printed cached subtree (the
+    // kNN rank), never in the per-round join/agg path
+    val roundPath = p.linesIterator
+      .filterNot(_.contains("InMemoryTableScan")).mkString("\n")
+    assert(!roundPath.contains("CartesianProduct") &&
+      !roundPath.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"),
+      s"d97 majority counts lost their map-side partials:\n$p")
+  }
 }
