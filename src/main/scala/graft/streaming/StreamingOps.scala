@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -110,6 +111,39 @@ object StreamingOps {
   /** Per-event row for stateful sessionization. */
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class SessionRow(user_id: Long, session_id: Long, n_events: Long, session_value: Double)
+
+  /** s16 state: one Misra-Gries summary (≤ 64 counters) per token
+    * bucket, folded batch-over-batch in GroupState. */
+  case class TokRow(bucket: Int, tok: String)
+  case class MGState(seq: Long, counters: Map[String, Long])
+  case class MGOut(bucket: Int, seq: Long, toks: Seq[String])
+
+  /** s16: fold a micro-batch's tokens of one bucket into the bucket's
+    * Misra-Gries summary (k = 64 counters — increment a tracked token,
+    * admit while there is room, otherwise decrement ALL and drop
+    * zeros). The decrement step charges each arrival against k
+    * existing counts, so any token with bucket-frequency > N_bucket /
+    * (k+1) is GUARANTEED tracked at the end regardless of batch
+    * boundaries — the survival bound the exact rerank stands on.
+    * Emits the current candidate set each batch; consumers keep the
+    * last emission (max seq) per bucket. */
+  def mgFold(bucket: Int, rows: Iterator[TokRow],
+             st: GroupState[MGState]): Iterator[MGOut] = {
+    val k = 64
+    val mm = scala.collection.mutable.Map[String, Long](
+      st.getOption.map(_.counters.toSeq).getOrElse(Nil): _*)
+    rows.foreach { r =>
+      if (mm.contains(r.tok)) mm(r.tok) += 1
+      else if (mm.size < k) mm(r.tok) = 1
+      else {
+        mm.mapValuesInPlace((_, v) => v - 1)
+        mm.filterInPlace((_, v) => v > 0)
+      }
+    }
+    val seq = st.getOption.map(_.seq).getOrElse(0L) + 1
+    st.update(MGState(seq, mm.toMap))
+    Iterator(MGOut(bucket, seq, mm.keys.toSeq.sorted))
+  }
 
   /** Gap-based sessionizer for one user's events — bounded-replay twin
     * of q30 (same 1800 s gap, same numbering). GroupState carries
@@ -752,6 +786,59 @@ object StreamingOps {
           sum("bytes_total").as("bytes_total"),
           expr("bit_xor(content_xor)").as("content_xor"))
         .orderBy("shard")
+    },
+
+    // ---- s16: STREAMING HEAVY HITTERS — d28's Misra-Gries sketch as
+    // LIVE GroupState: tokens bucket by crc32 % 32, each bucket's ≤64
+    // counters fold batch-over-batch in flatMapGroupsWithState (the
+    // landing zone is staged as FOUR files replayed one per trigger,
+    // so the cross-batch merge path actually runs), and the final
+    // candidate sets feed an EXACT recount against the lake — the
+    // d28 two-phase contract (sketch finds WHO, the store says HOW
+    // MANY), now incremental. The output is the exact top-20, so the
+    // oracle is the plain exact aggregate: any sketch defect that
+    // matters (a dropped true heavy hitter) breaks the hash. State at
+    // 100 TB: 32 buckets × 64 counters — kilobytes, constant in
+    // stream length; the rerank is one map-combinable count over the
+    // batch store, and the top-20 runs the two-stage bucketed rank.
+    "s16_stream_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val base = s"${graft.queries.Sources.scratchDir}/s16"
+      graft.sources.GraftWriter.removeDirectory(s, base)
+      val in = s"$base/in"
+      graft.Tables.load(s, dir, "documents")
+        .repartition(4).write.mode("overwrite").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val toks = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(pmod(crc32(col("tok")), lit(32)).cast("int").as("bucket"),
+          col("tok"))
+        .as[TokRow]
+      val summaries = toks.groupByKey(_.bucket)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(mgFold)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      val sunk = try runToTable(s, summaries.toDF(), "graft_s16", OutputMode.Append())
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val cand = sunk.groupBy("bucket")
+        .agg(expr("max_by(toks, seq)").as("toks"))
+        .select(explode(col("toks")).as("tok")).distinct()
+      val exact = graft.Tables.load(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .join(cand, Seq("tok"), "left_semi")
+      val wb = Window.partitionBy("bk").orderBy(desc("n"), asc("tok"))
+      val wg = Window.orderBy(desc("n"), asc("tok"))
+      exact
+        .withColumn("bk", pmod(crc32(col("tok")), lit(64)))
+        .withColumn("rb", row_number().over(wb))
+        .filter(col("rb") <= 20)
+        .withColumn("rank", row_number().over(wg).cast("int"))
+        .filter(col("rank") <= 20)
+        .select("rank", "tok", "n")
+        .orderBy("rank")
     }
   )
 
@@ -775,6 +862,22 @@ object StreamingOps {
              CAST(sum(nb) AS BIGINT) AS bytes_total,
              CAST(bit_xor(h32) AS BIGINT) AS content_xor
       FROM h GROUP BY shard ORDER BY shard""",
+
+    // s16: the oracle is the EXACT top-20 — the streaming sketch only
+    // proposes candidates, and the Misra-Gries survival bound
+    // guarantees every true heavy hitter is among them, so the
+    // reranked output must equal the plain batch aggregate.
+    "s16_stream_heavy_hitters" -> """
+      WITH t AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+        GROUP BY 1),
+      r AS (SELECT tok, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+            FROM t)
+      SELECT rank, tok, n FROM r WHERE rank <= 20
+      ORDER BY rank""",
     "s10_stream_incremental_dedup" -> """
       SELECT min(doc_id) AS doc_id, md5(text) AS thash
       FROM documents

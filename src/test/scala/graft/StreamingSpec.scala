@@ -433,6 +433,57 @@ class StreamingSpec extends SparkSpecBase {
       s"checkpoint restart lost state or reprocessed: $fin")
   }
 
+  test("s16: MG state survives adversarial batch cuts; counters stay bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[StreamingOps.TokRow]
+    val out = in.toDS().groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        StreamingOps.mgFold)
+    val q = out.toDF().writeStream.format("memory").queryName("spec_s16")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: 100 distinct lights — fills the 64 counters and churns
+      in.addData((0 until 100).map(i => StreamingOps.TokRow(0, f"lt$i%03d")): _*)
+      q.processAllAvailable()
+      // batch 2: the heavy arrives only AFTER the counters are full
+      in.addData(Seq.fill(50)(StreamingOps.TokRow(0, "hv")): _*)
+      q.processAllAvailable()
+      // batch 3: 80 more lights try to evict it
+      in.addData((100 until 180).map(i => StreamingOps.TokRow(0, f"lt$i%03d")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("spec_s16")
+        .collect().map(r => (r.getLong(1), r.getSeq[String](2))).sortBy(_._1)
+      assert(rows.length === 3, s"one emission per batch: $rows")
+      assert(rows.forall(_._2.length <= 64), "counter bound violated")
+      // N_bucket = 230, k = 64 → survival bound 230/65 ≈ 3.5 < 50:
+      // the heavy MUST be tracked in the final summary
+      assert(rows.last._2.contains("hv"),
+        s"heavy hitter evicted from final summary: ${rows.last}")
+    } finally q.stop()
+  }
+
+  test("s16: end-to-end entry equals the exact reference on a planted corpus") {
+    import spark.implicits._
+    val dir = scratch("s16-plant")
+    val rnd = new scala.util.Random(16)
+    val heavy = (0 until 25).map(i => f"hw$i%02d")
+    val light = (0 until 600).map(i => f"lw$i%03d")
+    val stream = rnd.shuffle(
+      heavy.flatMap(w => Seq.fill(30)(w)) ++ light.flatMap(w => Seq.fill(2)(w)))
+    val docs = stream.grouped(63).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }.toSeq
+    graft.sources.GraftWriter.write(
+      docs.map { case (id, t) => (id, t, "en", "spec", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = StreamingOps.queries("s16_stream_heavy_hitters")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // 25 heavies tie at 30 → top-20 is the first 20 by token ascending
+    val want = (1 to 20).map(i => (i, f"hw${i - 1}%02d", 30L))
+    assert(got === want, s"got $got")
+  }
+
   test("s10: an empty first batch does not kill the next batch's state read") {
     import spark.implicits._
     // an empty batch leaves admitted/batch=0 with only a _SUCCESS marker;
