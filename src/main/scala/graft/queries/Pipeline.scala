@@ -4485,6 +4485,81 @@ object Pipeline {
           coalesce(col("fr"), lit(-1)).cast("int").as("first_round"),
           (coalesce(col("lab"), lit(-1)) === col("true_label")).as("correct"))
         .orderBy("vec_id")
+    },
+
+    // ---- d98: BITEXT MINING via margin scoring (Artetxe & Schwenk
+    // 2019 — the LASER/CCMatrix recipe): parallel-sentence candidates
+    // across two languages are elected not by raw cosine (hubness
+    // breaks it) but by the MARGIN cos(x,y) / mean(k-NN cosines of x
+    // and y), and a pair counts as aligned only when the election is
+    // MUTUAL. Source side = en docs' vectors, target = fr (lang joins
+    // in from documents on vec_id = doc_id). Candidates are
+    // cell-bucketed with d88's seed codebook and the pinned
+    // zero-shuffle broadcast-array argmin — never en×fr all-pairs.
+    // Exactness: d5's 1e4-scale integer cosine; the margin
+    // integerizes as floor(1000·2·cos·kx·ky / (sx·ky + sy·kx) + 0.5)
+    // — products of small exact ints, ONE double division; elections
+    // max over (margin, −id) structs; −1/0/false sentinels keep the
+    // en side total. Shape for 100 TB: pairs are cell-equi; the
+    // top-k sums rank within cell-bounded partitions; elections are
+    // map-combinable struct maxes; the scored frame persists so the
+    // forward and backward elections read one kernel pass.
+    "d98_bitext_margin" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
+      val lang = T(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val asg = emb.join(lang, Seq("vec_id"))
+        .filter(col("lang").isin("en", "fr"))
+        .crossJoin(centroidArray(cents))
+        .withColumn("best", argBest(euclidToCent("vec"), asc = true))
+        .select(col("vec_id"), col("lang"), col("vec"), col("best.cid").as("cid"))
+        .persist() // pair sides + the total en spine read one assignment
+      val x = asg.filter(col("lang") === "en")
+        .select(col("cid"), col("vec_id").as("ida"), col("vec").as("va"))
+      val y = asg.filter(col("lang") === "fr")
+        .select(col("cid"), col("vec_id").as("idb"), col("vec").as("vb"))
+      val pr = x.join(y, Seq("cid"))
+        .withColumn("cos_m", expr(
+          "cast(round(cosine_sim(va, vb) * 10000) as bigint)"))
+        .select("ida", "idb", "cos_m")
+        .persist() // two top-k rankings + the margin join share the kernel
+      val sx = pr.withColumn("rn", row_number().over(
+          Window.partitionBy("ida").orderBy(desc("cos_m"), asc("idb"))))
+        .filter(col("rn") <= 4)
+        .groupBy("ida").agg(sum("cos_m").as("sx"), count(lit(1)).as("kx"))
+      val sy = pr.withColumn("rn", row_number().over(
+          Window.partitionBy("idb").orderBy(desc("cos_m"), asc("ida"))))
+        .filter(col("rn") <= 4)
+        .groupBy("idb").agg(sum("cos_m").as("sy"), count(lit(1)).as("ky"))
+      val sc = pr.join(sx, "ida").join(sy, "idb")
+        .withColumn("margin_pm", expr(
+          """CASE WHEN sx * ky + sy * kx > 0
+               THEN cast(floor(1000.0 * 2 * cos_m * kx * ky
+                     / (sx * ky + sy * kx) + 0.5) as bigint)
+               ELSE cast(-1 as bigint) END"""))
+        .persist() // forward and backward elections read one margin pass
+      val fwd = sc.filter(col("margin_pm") >= 0).groupBy("ida")
+        .agg(max(struct(col("margin_pm"), (-col("idb")).as("nj"),
+          col("cos_m"))).as("fb"))
+      val bwd = sc.filter(col("margin_pm") >= 0).groupBy("idb")
+        .agg(max(struct(col("margin_pm"), (-col("ida")).as("nj"))).as("bb"))
+      asg.filter(col("lang") === "en").select(col("vec_id").as("ida"))
+        .join(fwd, Seq("ida"), "left")
+        .withColumn("fr_id", expr(
+          "CASE WHEN fb IS NULL THEN cast(-1 as bigint) ELSE -fb.nj END"))
+        .join(bwd.select(col("idb").as("fr_id"), col("bb")), Seq("fr_id"), "left")
+        .select(col("ida").as("en_id"), col("fr_id"),
+          expr("CASE WHEN fb IS NULL THEN cast(0 as bigint) ELSE fb.cos_m END")
+            .as("cos_m"),
+          expr("CASE WHEN fb IS NULL THEN cast(-1 as bigint) ELSE fb.margin_pm END")
+            .as("margin_pm"),
+          expr("""CASE WHEN fb IS NULL OR bb IS NULL THEN false
+                  ELSE (0 - bb.nj) = ida END""").as("mutual"))
+        .orderBy("en_id")
     }
   )
 
@@ -7208,6 +7283,66 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              CAST(coalesce(lab, -1) AS INT) AS label_final,
              CAST(coalesce(fr, -1) AS INT) AS first_round,
              (coalesce(lab, -1) = true_label) AS correct
-      FROM l3 ORDER BY vec_id"""
+      FROM l3 ORDER BY vec_id""",
+
+    // d98: d88's assignment replay + the same integer margin and
+    // struct elections — mutuality falls out of the same two maxes.
+    "d98_bitext_margin" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+      l AS (SELECT e.vec_id, d.lang, e.v
+            FROM e JOIN documents d ON d.doc_id = e.vec_id
+            WHERE d.lang IN ('en', 'fr')),
+      asg AS (
+        SELECT vec_id, lang, v, cid FROM (
+          SELECT l.vec_id, l.lang, l.v, c0.cid,
+                 row_number() OVER (PARTITION BY l.vec_id
+                   ORDER BY round(list_distance(l.v, c0.cv), 6), c0.cid) AS rn
+          FROM l CROSS JOIN c0) WHERE rn = 1),
+      pr AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               CAST(round(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT)
+                 AS cos_m
+        FROM asg a JOIN asg b ON a.cid = b.cid
+        WHERE a.lang = 'en' AND b.lang = 'fr'),
+      sx AS (SELECT ida, CAST(sum(cos_m) AS BIGINT) AS sx,
+                    CAST(count(*) AS BIGINT) AS kx
+             FROM (SELECT *, row_number() OVER (PARTITION BY ida
+                     ORDER BY cos_m DESC, idb) AS rn FROM pr)
+             WHERE rn <= 4 GROUP BY ida),
+      sy AS (SELECT idb, CAST(sum(cos_m) AS BIGINT) AS sy,
+                    CAST(count(*) AS BIGINT) AS ky
+             FROM (SELECT *, row_number() OVER (PARTITION BY idb
+                     ORDER BY cos_m DESC, ida) AS rn FROM pr)
+             WHERE rn <= 4 GROUP BY idb),
+      sc AS (
+        SELECT pr.ida, pr.idb, pr.cos_m,
+               CASE WHEN s1.sx * s2.ky + s2.sy * s1.kx > 0
+                 THEN CAST(floor(1000.0 * 2 * pr.cos_m * s1.kx * s2.ky
+                        / (s1.sx * s2.ky + s2.sy * s1.kx) + 0.5) AS BIGINT)
+                 ELSE CAST(-1 AS BIGINT) END AS margin_pm
+        FROM pr JOIN sx s1 ON s1.ida = pr.ida
+                JOIN sy s2 ON s2.idb = pr.idb),
+      fwd AS (SELECT ida, max(struct_pack(margin_pm := margin_pm,
+                       nj := -idb, cos_m := cos_m)) AS fb
+              FROM sc WHERE margin_pm >= 0 GROUP BY ida),
+      bwd AS (SELECT idb, max(struct_pack(margin_pm := margin_pm,
+                       nj := -ida)) AS bb
+              FROM sc WHERE margin_pm >= 0 GROUP BY idb),
+      en AS (SELECT vec_id AS ida FROM asg WHERE lang = 'en')
+      SELECT en.ida AS en_id,
+             CASE WHEN f.fb IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE -(f.fb).nj END AS fr_id,
+             CASE WHEN f.fb IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE (f.fb).cos_m END AS cos_m,
+             CASE WHEN f.fb IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE (f.fb).margin_pm END AS margin_pm,
+             CASE WHEN f.fb IS NULL OR b.bb IS NULL THEN false
+                  ELSE -(b.bb).nj = en.ida END AS mutual
+      FROM en LEFT JOIN fwd f ON f.ida = en.ida
+              LEFT JOIN bwd b ON b.idb =
+                (CASE WHEN f.fb IS NULL THEN -1 ELSE -(f.fb).nj END)
+      ORDER BY en_id"""
   )
 }

@@ -968,6 +968,95 @@ class DedupSpec extends SparkSpecBase {
       s"propagation covered only $labeled/${nonSeed.length} non-seeds")
   }
 
+  // ---------------------------------------------------------------- d98
+
+  test("d98: margin beats the hub, mutuality is two-sided, empty cells sentinel") {
+    val dir = scratch("d98-plant")
+    import spark.implicits._
+    def v(parts: (Int, Double)*): Array[Float] = {
+      val a = new Array[Float](64)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a
+    }
+    def tilt(c: Double, dim: Int): Array[Float] =
+      v(0 -> c, dim -> math.sqrt(1 - c * c))
+    // seeds 0..7 define the cells (lang de — they join no side);
+    // cell 0 holds the planted geometry, cell 1 an en vector with no
+    // fr partner. The hub h sits at cos 0.98 from x1 (beating the
+    // true pair y1's 0.97) but is near-identical to x2/x3, so its
+    // k-NN mean is huge and its margin loses — the Artetxe point.
+    val rows: Seq[(Long, Array[Float], String)] = Seq(
+      (0L, v(0 -> 1d), "de"), (1L, v(1 -> 1d), "de"),
+      (2L, v(8 -> 1d), "de"), (3L, v(9 -> 1d), "de"),
+      (4L, v(10 -> 1d), "de"), (5L, v(11 -> 1d), "de"),
+      (6L, v(12 -> 1d), "de"), (7L, v(13 -> 1d), "de"),
+      (10L, v(0 -> 1d), "en"),         // x1
+      (11L, tilt(0.97, 2), "fr"),      // y1: the true partner of x1
+      (12L, tilt(0.97, 3), "en"),      // x2: near the hub
+      (13L, tilt(0.96, 3), "en"),      // x3: near the hub
+      (14L, tilt(0.98, 3), "fr"),      // h: the hub
+      (15L, tilt(0.90, 4), "fr"),      // y2: background
+      (16L, v(1 -> 1d), "en"))         // cell 1: no fr candidates
+    rows.map { case (id, u, _) => (id, u, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    GraftWriter.write(
+      rows.map { case (id, _, l) => (id, s"t$id", l, "s", 2L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    // independent reference: same cells, cosines, margins, elections
+    val seeds = rows.filter(_._1 < 8).map(r => (r._1.toInt, r._2.map(_.toDouble)))
+    val data = rows.filter(_._1 >= 8).map(r => (r._1, r._2.map(_.toDouble), r._3))
+    def cos(a: Array[Double], b: Array[Double]): Long = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.round(d / (na * nb) * 10000)
+    }
+    def cell(u: Array[Double]): Int = seeds.map { case (cid, cv) =>
+      val d2 = u.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum
+      (BigDecimal(math.sqrt(d2)).setScale(6, BigDecimal.RoundingMode.HALF_EVEN), cid)
+    }.min._2
+    val en = data.filter(_._3 == "en").map(r => (r._1, r._2, cell(r._2)))
+    val fr = data.filter(_._3 == "fr").map(r => (r._1, r._2, cell(r._2)))
+    val pairs = for ((ia, va, ca) <- en; (ib, vb, cb) <- fr if ca == cb)
+      yield (ia, ib, cos(va, vb))
+    def topSum(xs: Seq[Long]): (Long, Long) = {
+      val t = xs.sorted.reverse.take(4); (t.sum, t.length.toLong)
+    }
+    val sx = pairs.groupBy(_._1).map { case (i, ps) => i -> topSum(ps.map(_._3)) }
+    val sy = pairs.groupBy(_._2).map { case (i, ps) => i -> topSum(ps.map(_._3)) }
+    def margin(ia: Long, ib: Long, c: Long): Long = {
+      val (sxa, kx) = sx(ia); val (syb, ky) = sy(ib)
+      val den = sxa * ky + syb * kx
+      if (den > 0) math.floor(1000.0 * 2 * c * kx * ky / den + 0.5).toLong else -1L
+    }
+    val scored = pairs.map { case (ia, ib, c) => (ia, ib, c, margin(ia, ib, c)) }
+    val fwd = scored.filter(_._4 >= 0).groupBy(_._1).map { case (i, ps) =>
+      i -> ps.maxBy(p => (p._4, -p._2)) }
+    val bwd = scored.filter(_._4 >= 0).groupBy(_._2).map { case (i, ps) =>
+      i -> ps.maxBy(p => (p._4, -p._1)) }
+    val want = en.map(_._1).sorted.map { ia =>
+      fwd.get(ia) match {
+        case Some((_, ib, c, m)) =>
+          (ia, ib, c, m, bwd.get(ib).exists(_._1 == ia))
+        case None => (ia, -1L, 0L, -1L, false)
+      }
+    }
+    val got = Pipeline.queries("d98_bitext_margin")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got === want, s"reference mismatch:\ngot  $got\nwant $want")
+    val byEn = got.map(r => r._1 -> r).toMap
+    // the hub 14 has the top cosine from x1 yet x1 elects y1 = 11
+    assert(cos(data.find(_._1 == 10L).get._2, data.find(_._1 == 14L).get._2) >
+      cos(data.find(_._1 == 10L).get._2, data.find(_._1 == 11L).get._2))
+    assert(byEn(10L)._2 === 11L && byEn(10L)._5,
+      s"x1 must mutually elect the true pair over the hub: ${byEn(10L)}")
+    assert(byEn(16L) === ((16L, -1L, 0L, -1L, false)),
+      s"an en vector in an fr-free cell must sentinel: ${byEn(16L)}")
+  }
+
   // ---------------------------------------------------------------- d85
 
   test("d85: identical pairs land in decile 9 with full recall; disjoint pairs in decile 0") {

@@ -1031,4 +1031,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_count"),
       s"d97 majority counts lost their map-side partials:\n$p")
   }
+
+  test("d98 bitext margin: cached assignment/kernel/margin passes, cell-equi pairs") {
+    // the en×fr candidate join must stay equi on the cell id (the only
+    // nested-loop is the one-row broadcast centroid array inside the
+    // cached assignment lineage); the kernel pass and the margin pass
+    // each persist so the two election directions share them
+    val p = plan("d98_bitext_margin")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"d98 re-derives a shared pass instead of reading the cache:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"cell pair join must be equi:\n$p")
+  }
 }
