@@ -4560,6 +4560,51 @@ object Pipeline {
           expr("""CASE WHEN fb IS NULL OR bb IS NULL THEN false
                   ELSE (0 - bb.nj) = ida END""").as("mutual"))
         .orderBy("en_id")
+    },
+
+    // ---- d99: PAGERANK over the kNN graph (Page et al. 1998, the
+    // damped power iteration) — the centrality rung of the graph
+    // family: d97 spreads LABELS, d99 spreads MASS, and the result is
+    // the repeated-structure score crawl pipelines use to weight (or
+    // down-weight) densely-linked regions of a corpus. Edges = d97's
+    // exact graph (d54's directed top-5). All-INTEGER spelling so
+    // both engines agree bit-for-bit: mass starts at 1,000,000 ppm
+    // per node; each round a node ships pr div outdeg along each
+    // out-edge and lands 150,000 + (850·Σ incoming) div 1000 —
+    // floor-division damping, deterministic, no doubles anywhere
+    // (floor leaks ≤ outdeg ppm per node per round; documented, and
+    // identical in both engines by construction). Dangling nodes
+    // (no LSH candidates) ship nothing. 3 rounds. Shape for 100 TB:
+    // per round ONE edge-keyed equi join + one map-combinable sum —
+    // the d55/d97 iteration shape; the edge list and the degree
+    // spine persist once; state rows are (id, two ints).
+    "d99_pagerank" -> { (s, dir) =>
+      val sc0 = lshScoredPairs(s, dir)
+      val bi = sc0.select(col("id_a").as("vec_id"), col("id_b").as("nid"), col("cos_sim"))
+        .union(sc0.select(col("id_b").as("vec_id"), col("id_a").as("nid"), col("cos_sim")))
+      val wk = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
+      val knn = bi.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 5).select("vec_id", "nid")
+        .persist() // degrees + every round read the same edge list
+      val outd = knn.groupBy("vec_id").agg(count(lit(1)).as("outdeg"))
+      val ind = knn.groupBy("nid").agg(count(lit(1)).as("in_deg"))
+      var st = T(s, dir, "embeddings").select(col("vec_id"))
+        .join(outd, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+        .withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val in = knn
+          .join(st.select(col("vec_id"), expr("pr div outdeg").as("share")), "vec_id")
+          .groupBy("nid").agg(sum("share").as("s"))
+        st = st.join(in.select(col("nid").as("vec_id"), col("s")), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("outdeg"),
+            expr("150000 + (850 * coalesce(s, 0)) div 1000").as("pr"))
+      }
+      st.join(ind.select(col("nid").as("vec_id"), col("in_deg")), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("outdeg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          col("pr").as("pr_ppm"))
+        .orderBy("vec_id")
     }
   )
 
@@ -4592,6 +4637,20 @@ object Pipeline {
                      coalesce(a.fr,
                        CASE WHEN m$t.maj IS NOT NULL THEN $t END) AS fr
               FROM l$p a LEFT JOIN m$t ON m$t.vec_id = a.vec_id)"""
+  }
+
+  /** d99: one damped integer PageRank round as DuckDB CTEs, state
+    * p{t-1} → p{t} — same floor divisions, same 150k base. Only
+    * nodes with out-edges ever divide (join through knn), so outdeg 0
+    * never reaches the division. */
+  private def d99RoundSql(t: Int): String = {
+    val p = t - 1
+    s"""c$t AS (SELECT k.nid, CAST(sum(p.pr // p.outdeg) AS BIGINT) AS s
+             FROM knn k JOIN p$p p ON p.vec_id = k.vec_id
+             GROUP BY k.nid),
+      p$t AS (SELECT p.vec_id, p.outdeg,
+                     CAST(150000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS pr
+              FROM p$p p LEFT JOIN c$t c ON c.nid = p.vec_id)"""
   }
 
   /** One d75 BPE round as DuckDB CTEs, input wf{k} → output wf{k+1}.
@@ -7343,6 +7402,30 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
       FROM en LEFT JOIN fwd f ON f.ida = en.ida
               LEFT JOIN bwd b ON b.idb =
                 (CASE WHEN f.fb IS NULL THEN -1 ELSE -(f.fb).nj END)
-      ORDER BY en_id"""
+      ORDER BY en_id""",
+
+    // d99: the d54 edge replay + three generated all-integer rounds.
+    "d99_pagerank" -> s"""
+      WITH $lshScoredSql,
+      bi AS (SELECT id_a AS vec_id, id_b AS nid, cos_sim FROM sc
+             UNION ALL
+             SELECT id_b, id_a, cos_sim FROM sc),
+      rk AS (SELECT vec_id, nid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos_sim DESC, nid) AS rn
+             FROM bi),
+      knn AS (SELECT vec_id, nid FROM rk WHERE rn <= 5),
+      outd AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS outdeg
+               FROM knn GROUP BY 1),
+      ind AS (SELECT nid, CAST(count(*) AS BIGINT) AS in_deg
+              FROM knn GROUP BY 1),
+      p0 AS (SELECT n.vec_id, coalesce(o.outdeg, 0) AS outdeg,
+                    CAST(1000000 AS BIGINT) AS pr
+             FROM embeddings n LEFT JOIN outd o ON o.vec_id = n.vec_id),
+      ${(1 to 3).map(d99RoundSql).mkString(",\n      ")}
+      SELECT p.vec_id, p.outdeg, coalesce(i.in_deg, 0) AS in_deg,
+             p.pr AS pr_ppm
+      FROM p3 p LEFT JOIN ind i ON i.nid = p.vec_id
+      ORDER BY p.vec_id"""
   )
 }

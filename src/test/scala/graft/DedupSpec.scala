@@ -1057,6 +1057,33 @@ class DedupSpec extends SparkSpecBase {
       s"an en vector in an fr-free cell must sentinel: ${byEn(16L)}")
   }
 
+  // ---------------------------------------------------------------- d99
+
+  test("d99: integer pagerank equals an independent reference over d54's edges") {
+    val edges = Pipeline.queries("d54_knn_graph")(spark, sfTiny)
+      .select("vec_id", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Pipeline.queries("d99_pagerank")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val outd = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ind = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    var pr: Map[Long, Long] = nodes.map(n => n._1 -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / outd(u) }.sum).toMap
+      pr = pr.map { case (v, _) => v -> (150000L + 850L * in.getOrElse(v, 0L) / 1000L) }
+    }
+    for ((id, od, idg, p) <- nodes) {
+      assert(od === outd.getOrElse(id, 0L), s"outdeg wrong for $id")
+      assert(idg === ind.getOrElse(id, 0L), s"in_deg wrong for $id")
+      assert(p === pr(id), s"pr wrong for $id: got $p want ${pr(id)}")
+      assert(p >= 150000L, s"pr below the teleport floor for $id")
+    }
+    // dangling and isolated nodes exist only if the LSH left them
+    // candidate-less; either way every corpus row is present
+    assert(nodes.length === Tables.load(spark, sfTiny, "embeddings").count())
+  }
+
   // ---------------------------------------------------------------- d85
 
   test("d85: identical pairs land in decile 9 with full recall; disjoint pairs in decile 0") {

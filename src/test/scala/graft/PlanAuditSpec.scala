@@ -1044,4 +1044,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"cell pair join must be equi:\n$p")
   }
+
+  test("d99 pagerank: rounds are equi joins over the cached edges, sums partial") {
+    val p = plan("d99_pagerank")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"d99 must read the cached edge list in every round:\n$p")
+    val roundPath = p.linesIterator
+      .filterNot(_.contains("InMemoryTableScan")).mkString("\n")
+    assert(!roundPath.contains("CartesianProduct") &&
+      !roundPath.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d99 mass sums lost their map-side partials:\n$p")
+  }
 }
