@@ -4605,6 +4605,42 @@ object Pipeline {
           coalesce(col("in_deg"), lit(0L)).as("in_deg"),
           col("pr").as("pr_ppm"))
         .orderBy("vec_id")
+    },
+
+    // ---- d100: EPOCH PLAN via largest-remainder apportionment — the
+    // step between d62's mixture RATES and an actual training run: a
+    // 1,000,000-sample epoch must be split across sources in EXACT
+    // integers that sum to exactly the epoch size (floor-only quotas
+    // under-fill; naive rounding over- or under-shoots). Hamilton's
+    // method: quota_i = E·w_i div W, then the E − Σ leftover samples
+    // go to the largest remainders (E·w_i mod W desc, source asc —
+    // the deterministic tie). Weights are d62's √-temperature
+    // smoothing on per-source token mass (same floor(sqrt(tok·1e6))
+    // spelling, same < 2^53 exactness domain). Shape for 100 TB: the
+    // corpus collapses map-side to the per-source token table; totals
+    // broadcast as one-row frames; the remainder rank's Window input
+    // is the SOURCE DIMENSION (bounded cardinality — a catalog, not
+    // the corpus), which is why a single Window is the right plan
+    // here and not a scale hazard.
+    "d100_epoch_plan" -> { (s, dir) =>
+      val bySrc = withWords(T(s, dir, "documents"))
+        .select(col("source"), size(col("words")).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum("n_tok").as("src_tokens"))
+        .withColumn("weight", expr(
+          "cast(floor(sqrt(cast(src_tokens * 1000000 as double))) as bigint)"))
+      val tot = bySrc.agg(sum("weight").as("w_tot"))
+      val base = bySrc.crossJoin(broadcast(tot))
+        .withColumn("quota_base", expr("1000000 * weight div w_tot"))
+        .withColumn("rem", expr("(1000000 * weight) % w_tot"))
+      val qsum = base.agg(sum("quota_base").as("q_sum"))
+      val w = Window.orderBy(desc("rem"), asc("source"))
+      base.crossJoin(broadcast(qsum))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("extra", col("rk") <= lit(1000000L) - col("q_sum"))
+        .withColumn("quota", expr("quota_base + CASE WHEN extra THEN 1 ELSE 0 END"))
+        .select("source", "src_tokens", "weight", "quota_base", "rem",
+          "extra", "quota")
+        .orderBy("source")
     }
   )
 
@@ -7426,6 +7462,36 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
       SELECT p.vec_id, p.outdeg, coalesce(i.in_deg, 0) AS in_deg,
              p.pr AS pr_ppm
       FROM p3 p LEFT JOIN ind i ON i.nid = p.vec_id
-      ORDER BY p.vec_id"""
+      ORDER BY p.vec_id""",
+
+    // d100: same √-smoothed weights, same Hamilton quotas — DuckDB's
+    // // and % are the same floor pair as Spark's div/%.
+    "d100_epoch_plan" -> """
+      WITH t AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS src_tokens
+        FROM documents GROUP BY 1),
+      wt AS (SELECT source, src_tokens,
+                    CAST(floor(sqrt(CAST(src_tokens * 1000000 AS DOUBLE)))
+                      AS BIGINT) AS weight
+             FROM t),
+      tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_tot FROM wt),
+      base AS (
+        SELECT wt.*, 1000000 * weight // w_tot AS quota_base,
+               (1000000 * weight) % w_tot AS rem
+        FROM wt CROSS JOIN tot),
+      qs AS (SELECT CAST(sum(quota_base) AS BIGINT) AS q_sum FROM base),
+      r AS (
+        SELECT base.*, qs.q_sum,
+               CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+        FROM base CROSS JOIN qs)
+      SELECT source, src_tokens, weight,
+             CAST(quota_base AS BIGINT) AS quota_base,
+             CAST(rem AS BIGINT) AS rem,
+             (rk <= 1000000 - q_sum) AS extra,
+             CAST(quota_base + CASE WHEN rk <= 1000000 - q_sum
+                                    THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM r ORDER BY source"""
   )
 }

@@ -325,6 +325,37 @@ class CurationBatchSpec extends SparkSpecBase {
     }
   }
 
+  test("d100: Hamilton quotas sum to E exactly; a remainder tie breaks by name") {
+    val dir = scratch("d100-plant")
+    import spark.implicits._
+    // token masses 4/4/3/1 → weights 2000/2000/1732/1000, W = 6732:
+    // floor quotas sum to 999,998 (R = 2) and the remainders order
+    // sc(4504) > sa(3584) = sb(3584) > sd(1792) — the R-th extra must
+    // cut THROUGH the sa/sb tie and land on sa by the name tie-break
+    val rows = Seq(("sa", 4), ("sb", 4), ("sc", 3), ("sd", 1))
+    val docs = rows.zipWithIndex.map { case ((src, k), i) =>
+      (i.toLong, Seq.fill(k)("w").mkString(" "), "en", src, 10L)
+    }
+    GraftWriter.write(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = Pipeline.queries("d100_epoch_plan")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getLong(6)))).toMap
+    assert(out("sa") === ((4L, 2000L, 297088L, 3584L, true, 297089L)), out("sa"))
+    assert(out("sb") === ((4L, 2000L, 297088L, 3584L, false, 297088L)), out("sb"))
+    assert(out("sc") === ((3L, 1732L, 257278L, 4504L, true, 257279L)), out("sc"))
+    assert(out("sd") === ((1L, 1000L, 148544L, 1792L, false, 148544L)), out("sd"))
+    assert(out.values.map(_._6).sum === 1000000L, "quotas must sum to E exactly")
+  }
+
+  test("d100: real-corpus quotas sum to E exactly") {
+    val quotas = Pipeline.queries("d100_epoch_plan")(spark, sfTiny)
+      .agg(sum("quota")).collect().head.getLong(0)
+    assert(quotas === 1000000L, s"epoch under/over-filled: $quotas")
+  }
+
   test("d94: every ladder rung fires; each rung regroups only the remainder") {
     val dir = scratch("d94-plant")
     import spark.implicits._

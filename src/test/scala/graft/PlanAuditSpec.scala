@@ -1056,4 +1056,14 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_sum") && p.contains("partial_count"),
       s"d99 mass sums lost their map-side partials:\n$p")
   }
+
+  test("d100 epoch plan: corpus collapses map-side, only dimension-sized frames after") {
+    // the per-source token table must partial-aggregate before its
+    // shuffle; everything downstream (totals, remainders, the rank)
+    // runs on the source dimension — the only acceptable Window input
+    val p = plan("d100_epoch_plan")
+    assert(p.contains("partial_sum"),
+      s"d100 token mass lost its map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
