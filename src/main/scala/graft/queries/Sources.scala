@@ -466,6 +466,51 @@ object Sources {
       GraftWriter.write(T(s, dir, "documents"), copyDir, format = Some("parquet"))
       manifestDiff(T(s, dir, "documents"),
         GraftReader.read(s, copyDir, "parquet"))
+    },
+
+    // ---- a17: Z-ORDER LAYOUT — the multi-dimensional clustering
+    // write (Morton interleave) that makes min/max row-group pruning
+    // work on TWO predicate columns at once: a 1-D sort bounds one
+    // column per file and leaves the other spanning the full domain;
+    // interleaving the quantized bits bounds BOTH (a z-bucket that
+    // fixes the top 3 interleaved bit-pairs confines each dimension
+    // to a 1/8 band — the structural ≤31-of-256 span the spec pins).
+    // The entry quantizes (l_orderkey, l_partkey) to 8 bits each
+    // (maxes broadcast as a one-row frame), interleaves to a 16-bit
+    // z, WRITES lineitem z-sorted through the production writer,
+    // reads it back, and reports per-z-bucket (count, min/max/span of
+    // both dims) — so the oracle's recomputation from the canonical
+    // table also certifies the write/read roundtrip. At 100 TB the
+    // same plan is repartitionByRange(z) + sortWithinPartitions —
+    // the layout job every lakehouse runs before handing a table to
+    // selective scans.
+    "a17_zorder" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val mx = li.agg(max("l_orderkey").as("mo"), max("l_partkey").as("mp"))
+      val morton = (0 until 8).map { i =>
+        s"(shiftright(xq, $i) & 1) * ${1L << (2 * i)} + " +
+          s"(shiftright(yq, $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      val z = li.crossJoin(broadcast(mx))
+        .withColumn("xq", expr(
+          "cast(cast(l_orderkey as bigint) * 256 div (mo + 1) as int)"))
+        .withColumn("yq", expr(
+          "cast(cast(l_partkey as bigint) * 256 div (mp + 1) as int)"))
+        .withColumn("z", expr(morton))
+        .select("xq", "yq", "z")
+      val out = s"$scratchDir/a17/lineitem_z"
+      GraftWriter.write(z.repartition(1).sortWithinPartitions("z"), out,
+        format = Some("parquet"))
+      GraftReader.read(s, out, "parquet")
+        .withColumn("zb", expr("cast(z div 1024 as bigint)"))
+        .groupBy("zb").agg(count(lit(1)).as("n"),
+          min("xq").as("x_min"), max("xq").as("x_max"),
+          min("yq").as("y_min"), max("yq").as("y_max"))
+        .select(col("zb"), col("n"), col("x_min"), col("x_max"),
+          (col("x_max") - col("x_min")).as("x_span"),
+          col("y_min"), col("y_max"),
+          (col("y_max") - col("y_min")).as("y_span"))
+        .orderBy("zb")
     }
   )
 
@@ -668,6 +713,31 @@ object Sources {
              CAST(sum(nb) AS BIGINT) AS bytes_total,
              CAST(bit_xor(h32) AS BIGINT) AS content_xor,
              'ok' AS status
-      FROM h GROUP BY shard ORDER BY shard"""
+      FROM h GROUP BY shard ORDER BY shard""",
+
+    // a17: recompute quantization + Morton interleave from the
+    // canonical table — equality also certifies the z-sorted
+    // write/read roundtrip the Spark side performs.
+    "a17_zorder" -> s"""
+      WITH m AS (SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp
+                 FROM lineitem),
+      q AS (SELECT
+              CAST(CAST(l_orderkey AS BIGINT) * 256 // (mo + 1) AS INT) AS xq,
+              CAST(CAST(l_partkey AS BIGINT) * 256 // (mp + 1) AS INT) AS yq
+            FROM lineitem CROSS JOIN m),
+      z AS (SELECT xq, yq,
+              ${(0 until 8).map { i =>
+                s"((xq >> $i) & 1) * ${1L << (2 * i)} + " +
+                  s"((yq >> $i) & 1) * ${1L << (2 * i + 1)}"
+              }.mkString(" + ")} AS z
+            FROM q),
+      b AS (SELECT CAST(z // 1024 AS BIGINT) AS zb,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(xq) AS x_min, max(xq) AS x_max,
+                   min(yq) AS y_min, max(yq) AS y_max
+            FROM z GROUP BY 1)
+      SELECT zb, n, x_min, x_max, x_max - x_min AS x_span,
+             y_min, y_max, y_max - y_min AS y_span
+      FROM b ORDER BY zb"""
   )
 }

@@ -231,4 +231,51 @@ class SourcesSpec extends SparkSpecBase {
     assert(out.nonEmpty && out.forall(_.getString(4) == "ok"),
       s"faithful copy must be all-ok: ${out.map(_.getString(4)).toSeq}")
   }
+
+  test("a17: z-buckets bound BOTH dims structurally; a 1-D sort does not") {
+    // structural claim: z div 1024 fixes the top 3 interleaved bit
+    // pairs, confining each quantized dimension to one 1/8 band —
+    // span ≤ 31 of 256 in EVERY bucket, for BOTH columns
+    val out = graft.queries.Sources.queries("a17_zorder")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getInt(7)))
+    assert(out.nonEmpty)
+    for ((zb, xs, ys) <- out) {
+      assert(xs <= 31, s"bucket $zb x_span $xs breaks the structural bound")
+      assert(ys <= 31, s"bucket $zb y_span $ys breaks the structural bound")
+    }
+    // the comparison layout: same quantization, orderkey-sorted into 64
+    // equal-count buckets — the second dimension spans most of the domain
+    val li = Tables.load(spark, sfTiny, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val mx = li.agg(max("l_orderkey").as("mo"), max("l_partkey").as("mp"))
+    val q = li.crossJoin(broadcast(mx))
+      .withColumn("xq", expr("cast(cast(l_orderkey as bigint) * 256 div (mo + 1) as int)"))
+      .withColumn("yq", expr("cast(cast(l_partkey as bigint) * 256 div (mp + 1) as int)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("xq", "yq")))
+    val n = q.count()
+    val oneD = q.withColumn("fb", expr(s"cast((rk - 1) * 64 / $n as int)"))
+      .groupBy("fb").agg((max("yq") - min("yq")).as("y_span"))
+      .agg(max("y_span")).collect().head.getInt(0)
+    assert(oneD >= 128,
+      s"1-D layout unexpectedly bounds the second dim (max y_span $oneD) — " +
+        "the z-order comparison claim needs revisiting")
+  }
+
+  test("a17: the morton interleave round-trips planted bit patterns") {
+    import spark.implicits._
+    val morton = (0 until 8).map { i =>
+      s"(shiftright(xq, $i) & 1) * ${1L << (2 * i)} + " +
+        s"(shiftright(yq, $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    val pats = Seq((0, 0), (255, 255), (170, 85), (85, 170), (1, 128), (200, 3))
+    val got = pats.toDF("xq", "yq").withColumn("z", expr(morton).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    for ((x, y, z) <- got) {
+      val xb = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val yb = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(xb === x.toLong && yb === y.toLong,
+        s"interleave not invertible at ($x, $y): z=$z → ($xb, $yb)")
+    }
+  }
 }
