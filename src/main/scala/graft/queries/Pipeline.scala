@@ -4641,8 +4641,74 @@ object Pipeline {
         .select("source", "src_tokens", "weight", "quota_base", "rem",
           "extra", "quota")
         .orderBy("source")
+    },
+
+    // ---- d101: QUALITY-SIGNAL CORRELATION AUDIT — the meta-analysis
+    // every filtering ablation runs before stacking signals (FineWeb,
+    // Dolma): per source, the Pearson correlation between the SHIPPED
+    // d8 signals (the frame is d8's own queries entry — the d92
+    // composition idiom, and the oracle shares d8's CTEs), so a
+    // redundant pair (two signals saying the same thing) or an
+    // anti-correlated pair is visible before anyone tunes thresholds
+    // on both. Exactness: signals integerize at 1e4 scale, the six
+    // moment sums (n, Σx, Σy, Σxy, Σx², Σy²) stay EXACT int64 and
+    // map-combinable — the only doubles are the final one-expression
+    // combination and sqrt, spelled identically in both engines and
+    // rounded at 4 dp; zero-variance groups emit the -2.0 sentinel
+    // (r is in [-1,1]). Shape for 100 TB: one classify pass, one
+    // doc_id equi join, then a source-cardinality aggregate — the
+    // moments merge across any partitioning (the Welford-free exact
+    // form), nothing but the dimension table leaves the reducers.
+    "d101_signal_corr" -> { (s, dir) =>
+      val q = queries("d8_quality")(s, dir)
+        .join(T(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+        .select(col("source"),
+          expr("cast(round(quality_score * 10000) as bigint)").as("x1"),
+          col("n_tokens").cast("long").as("y1"),
+          expr("cast(round(punct_ratio * 10000) as bigint)").as("x2"),
+          expr("cast(round(uniq_ratio * 10000) as bigint)").as("y2"))
+      val sums = q.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum("x1").as("sx1"), sum("y1").as("sy1"),
+        sum(col("x1") * col("y1")).as("sxy1"),
+        sum(col("x1") * col("x1")).as("sxx1"),
+        sum(col("y1") * col("y1")).as("syy1"),
+        sum("x2").as("sx2"), sum("y2").as("sy2"),
+        sum(col("x2") * col("y2")).as("sxy2"),
+        sum(col("x2") * col("x2")).as("sxx2"),
+        sum(col("y2") * col("y2")).as("syy2"))
+      def r(i: Int, name: String) = expr(s"""
+        CASE WHEN (n * sxx$i - sx$i * sx$i) > 0 AND (n * syy$i - sy$i * sy$i) > 0
+          THEN round((cast(n as double) * sxy$i - cast(sx$i as double) * sy$i)
+                 / sqrt((cast(n as double) * sxx$i - cast(sx$i as double) * sx$i)
+                      * (cast(n as double) * syy$i - cast(sy$i as double) * sy$i)), 4)
+          ELSE -2.0 END""").as(name)
+      sums.select(col("source"), col("n"),
+          r(1, "r_quality_len"), r(2, "r_punct_uniq"))
+        .orderBy("source")
     }
   )
+
+  /** d8/d101 shared quality-signal CTEs (mirrors [[withQuality]]):
+    * extracted in this round so the correlation audit (d101) measures
+    * the IDENTICAL signals the d8 entry certifies. */
+  private val qualityCtes: String = """base AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS INT) AS n_chars_m,
+               string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      m AS (
+        SELECT doc_id, n_chars_m,
+               CAST(len(words) AS INT) AS n_tokens,
+               CASE WHEN n_chars_m > 0 THEN round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / n_chars_m, 4) ELSE 0.0 END AS punct_ratio,
+               round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS uniq_ratio
+        FROM base),
+      q8 AS (
+        SELECT doc_id, n_chars_m, n_tokens, punct_ratio, uniq_ratio,
+               round(0.4 * uniq_ratio + 0.3 * (1.0 - punct_ratio) +
+                     0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4)
+                 AS quality_score
+        FROM m)"""
 
   /** d96: row-r Count-Min cell of `tok` — the DuckDB spelling of
     * Spark's conv(substring(md5(...), 1, 2), 16, 10) via the d58/d27
@@ -5084,22 +5150,11 @@ object Pipeline {
       FROM lpred
       ORDER BY doc_id""",
 
-    "d8_quality" -> """
-      WITH base AS (
-        SELECT doc_id, text,
-               CAST(length(text) AS INT) AS n_chars_m,
-               string_split_regex(trim(text), '\s+') AS words
-        FROM documents),
-      m AS (
-        SELECT doc_id, n_chars_m,
-               CAST(len(words) AS INT) AS n_tokens,
-               CASE WHEN n_chars_m > 0 THEN round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / n_chars_m, 4) ELSE 0.0 END AS punct_ratio,
-               round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS uniq_ratio
-        FROM base)
+    "d8_quality" -> s"""
+      WITH $qualityCtes
       SELECT doc_id, n_chars_m, n_tokens, punct_ratio, uniq_ratio,
-             round(0.4 * uniq_ratio + 0.3 * (1.0 - punct_ratio) +
-                   0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) AS quality_score
-      FROM m
+             quality_score
+      FROM q8
       ORDER BY doc_id""",
 
     "d9_token_count" -> """
@@ -7492,6 +7547,39 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              (rk <= 1000000 - q_sum) AS extra,
              CAST(quota_base + CASE WHEN rk <= 1000000 - q_sum
                                     THEN 1 ELSE 0 END AS BIGINT) AS quota
-      FROM r ORDER BY source"""
+      FROM r ORDER BY source""",
+
+    // d101: shares d8's quality CTEs — the signals correlated ARE the
+    // signals certified; exact integer moments, one double combine.
+    "d101_signal_corr" -> s"""
+      WITH $qualityCtes,
+      j AS (SELECT q8.*, d.source
+            FROM q8 JOIN documents d ON d.doc_id = q8.doc_id),
+      x AS (SELECT source,
+                   CAST(round(quality_score * 10000) AS BIGINT) AS x1,
+                   CAST(n_tokens AS BIGINT) AS y1,
+                   CAST(round(punct_ratio * 10000) AS BIGINT) AS x2,
+                   CAST(round(uniq_ratio * 10000) AS BIGINT) AS y2
+            FROM j),
+      s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(y1) AS BIGINT) AS sy1,
+                   CAST(sum(x1 * y1) AS BIGINT) AS sxy1,
+                   CAST(sum(x1 * x1) AS BIGINT) AS sxx1,
+                   CAST(sum(y1 * y1) AS BIGINT) AS syy1,
+                   CAST(sum(x2) AS BIGINT) AS sx2, CAST(sum(y2) AS BIGINT) AS sy2,
+                   CAST(sum(x2 * y2) AS BIGINT) AS sxy2,
+                   CAST(sum(x2 * x2) AS BIGINT) AS sxx2,
+                   CAST(sum(y2 * y2) AS BIGINT) AS syy2
+            FROM x GROUP BY 1)
+      SELECT source, n,
+             ${Seq(1, 2).map { i =>
+               s"""CASE WHEN (n * sxx$i - sx$i * sx$i) > 0
+                         AND (n * syy$i - sy$i * sy$i) > 0
+                 THEN round((CAST(n AS DOUBLE) * sxy$i - CAST(sx$i AS DOUBLE) * sy$i)
+                        / sqrt((CAST(n AS DOUBLE) * sxx$i - CAST(sx$i AS DOUBLE) * sx$i)
+                             * (CAST(n AS DOUBLE) * syy$i - CAST(sy$i AS DOUBLE) * sy$i)), 4)
+                 ELSE -2.0 END AS ${if (i == 1) "r_quality_len" else "r_punct_uniq"}"""
+             }.mkString(",\n             ")}
+      FROM s ORDER BY source"""
   )
 }

@@ -356,6 +356,59 @@ class CurationBatchSpec extends SparkSpecBase {
     assert(quotas === 1000000L, s"epoch under/over-filled: $quotas")
   }
 
+  test("d101: exact r=+1 on a linear source, -2.0 on zero variance, reference equality") {
+    val dir = scratch("d101-plant")
+    import spark.implicits._
+    // "plin": all-distinct words, no punctuation, tokens 10/20/30/40 →
+    // quality = 0.7 + 0.006·tok exactly at 4 dp → x1 = 7000 + 60·y1,
+    // an exact linear relation → Pearson r_quality_len = 1.0 EXACTLY
+    // (integer moments make the discriminant a perfect square).
+    // "pcon": four identical docs → zero variance → the -2.0 sentinel.
+    // "pmix": arbitrary docs — checked against an independent
+    // reference computed from the d8 entry's own output.
+    val plin = (0 until 4).map { i =>
+      val n = 10 * (i + 1)
+      (100L + i, (0 until n).map(j => s"w$i$j").mkString(" "), "plin")
+    }
+    val pcon = (0 until 4).map(i => (200L + i, "same four tokens here", "pcon"))
+    val pmix = Seq(
+      (300L, "a b c d e f, g; h!", "pmix"),
+      (301L, "a a a b b. c d e f g h i j k", "pmix"),
+      (302L, (0 until 60).map(j => s"m$j").mkString(" ") + "...", "pmix"),
+      (303L, "x y z! z? y x w v u t s r q", "pmix"))
+    val docs = plin ++ pcon ++ pmix
+    GraftWriter.write(
+      docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = Pipeline.queries("d101_signal_corr")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("plin") === ((4L, 1.0, -2.0)), s"plin: ${got("plin")}")
+    assert(got("pcon") === ((4L, -2.0, -2.0)), s"pcon: ${got("pcon")}")
+    // independent reference from the shipped d8 signals
+    val sig = Pipeline.queries("d8_quality")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((math.round(r.getDouble(5) * 10000), r.getInt(2).toLong,
+          math.round(r.getDouble(3) * 10000), math.round(r.getDouble(4) * 10000))))
+      .toMap
+    def refR(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+      if (n * sxx - sx * sx > 0 && n * syy - sy * sy > 0)
+        BigDecimal((n.toDouble * sxy - sx.toDouble * sy) /
+          math.sqrt((n.toDouble * sxx - sx.toDouble * sx) *
+            (n.toDouble * syy - sy.toDouble * sy)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else -2.0
+    }
+    val mix = pmix.map(d => sig(d._1))
+    assert(got("pmix")._2 === refR(mix.map(_._1), mix.map(_._2)), got("pmix"))
+    assert(got("pmix")._3 === refR(mix.map(_._3), mix.map(_._4)), got("pmix"))
+  }
+
   test("d94: every ladder rung fires; each rung regroups only the remainder") {
     val dir = scratch("d94-plant")
     import spark.implicits._

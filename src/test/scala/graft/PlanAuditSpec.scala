@@ -1066,4 +1066,15 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d100 token mass lost its map-side partials:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d101 signal correlation: exact moments partial-aggregate, no Window") {
+    // the six moment sums must combine map-side (the exact Welford-free
+    // form is distributive); nothing in the plan may sort or window —
+    // a per-source Window here would serialize hot sources at 100 TB
+    val p = plan("d101_signal_corr")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d101 moments lost their map-side partials:\n$p")
+    assert(!p.contains("Window"), s"d101 must not use a Window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
