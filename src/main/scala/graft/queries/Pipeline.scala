@@ -4686,6 +4686,75 @@ object Pipeline {
       sums.select(col("source"), col("n"),
           r(1, "r_quality_len"), r(2, "r_punct_uniq"))
         .orderBy("source")
+    },
+
+    // ---- d102: VOCABULARY GROWTH / Heaps' law (Heaps 1978; Baayen
+    // 1996) — the type-token curve every tokenizer-sizing and
+    // "is more data still adding vocabulary?" decision reads: cumulative
+    // distinct types vs cumulative tokens at ten corpus checkpoints,
+    // plus the fitted Heaps exponent β (types ≈ K·tokens^β, the log-log
+    // least-squares slope). Checkpoints are doc_id-range deciles
+    // (bounds broadcast from a one-row min/max — NO corpus-wide
+    // row_number), and a token's first appearance is bucket(min doc_id)
+    // — an exact map-combinable min, the monotone-bucket trick that
+    // turns "distinct types seen so far" into one aggregate per type.
+    // Exactness: counts exact int64; the only doubles are ln() at the
+    // TEN cumulative points — integerized at 4 dp BEFORE the regression
+    // sums (d37/d86 discipline), so the slope arithmetic is exact
+    // integer moments with one final double division, rounded 4 dp;
+    // degenerate fits (n < 2 points or zero x-variance) emit the -1.0
+    // sentinel. Shape for 100 TB: one tokenize pass persisted for both
+    // consumers, two map-combinable aggregates (per-decile mass,
+    // per-type min), then everything downstream — spine, cumulative
+    // window, fit — runs on a TEN-row frame.
+    "d102_vocab_growth" -> { (s, dir) =>
+      val toks = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("words"))
+        .persist() // decile mass + first-occurrence share one tokenize
+      val bounds = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
+        count(lit(1)).as("n_docs"))
+      val perB = toks.crossJoin(broadcast(bounds))
+        .withColumn("decile",
+          expr("least(9, ((doc_id - lo) * 10) div (hi - lo + 1))"))
+        .groupBy("decile").agg(
+          count(lit(1)).as("d0"),
+          sum(expr("cast(size(words) as bigint)")).as("t0"))
+      val firstB = toks.select(col("doc_id"), explode(col("words")).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("first_id"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("decile",
+          expr("least(9, ((first_id - lo) * 10) div (hi - lo + 1))"))
+        .groupBy("decile").agg(count(lit(1)).as("y0"))
+      val spine = bounds.filter(col("n_docs") > 0)
+        .select(explode(expr("sequence(cast(0 as bigint), 9)")).as("decile"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = spine.join(perB, Seq("decile"), "left")
+        .join(firstB, Seq("decile"), "left")
+        .select(col("decile"),
+          coalesce(col("d0"), lit(0L)).as("d0"),
+          coalesce(col("t0"), lit(0L)).as("t0"),
+          coalesce(col("y0"), lit(0L)).as("y0"))
+        .withColumn("n_docs_cum", sum("d0").over(w))
+        .withColumn("n_tokens_cum", sum("t0").over(w))
+        .withColumn("n_types_cum", sum("y0").over(w))
+        .persist() // ten rows: the fit and the output both read it
+      val fit = cum
+        .filter(col("n_tokens_cum") > 0 && col("n_types_cum") > 0)
+        .select(
+          expr("cast(round(ln(cast(n_tokens_cum as double)) * 10000) as bigint)").as("x"),
+          expr("cast(round(ln(cast(n_types_cum as double)) * 10000) as bigint)").as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .select(expr(
+          """CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+               THEN round((cast(n as double) * sxy - cast(sx as double) * sy)
+                      / (cast(n as double) * sxx - cast(sx as double) * sx), 4)
+               ELSE -1.0 END""").as("heaps_beta"))
+      cum.crossJoin(broadcast(fit))
+        .select("decile", "n_docs_cum", "n_tokens_cum", "n_types_cum",
+          "heaps_beta")
+        .orderBy("decile")
     }
   )
 
@@ -7580,6 +7649,55 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                              * (CAST(n AS DOUBLE) * syy$i - CAST(sy$i AS DOUBLE) * sy$i)), 4)
                  ELSE -2.0 END AS ${if (i == 1) "r_quality_len" else "r_punct_uniq"}"""
              }.mkString(",\n             ")}
-      FROM s ORDER BY source"""
+      FROM s ORDER BY source""",
+
+    // d102: same decile bounds, same monotone first-occurrence bucket,
+    // same 4-dp-integerized log regression — // is Spark's div.
+    "d102_vocab_growth" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM toks),
+      pb AS (
+        SELECT least(9, ((t.doc_id - b.lo) * 10) // (b.hi - b.lo + 1)) AS decile,
+               CAST(count(*) AS BIGINT) AS d0,
+               CAST(sum(len(words)) AS BIGINT) AS t0
+        FROM toks t CROSS JOIN b GROUP BY 1),
+      fo AS (SELECT tok, min(doc_id) AS first_id FROM (
+               SELECT doc_id, unnest(words) AS tok FROM toks) GROUP BY 1),
+      fb AS (
+        SELECT least(9, ((f.first_id - b.lo) * 10) // (b.hi - b.lo + 1)) AS decile,
+               CAST(count(*) AS BIGINT) AS y0
+        FROM fo f CROSS JOIN b GROUP BY 1),
+      spine AS (SELECT CAST(r.range AS BIGINT) AS decile
+                FROM range(0, 10) r CROSS JOIN b WHERE b.n_docs > 0),
+      cum AS (
+        SELECT s.decile,
+               CAST(sum(coalesce(pb.d0, 0)) OVER w AS BIGINT) AS n_docs_cum,
+               CAST(sum(coalesce(pb.t0, 0)) OVER w AS BIGINT) AS n_tokens_cum,
+               CAST(sum(coalesce(fb.y0, 0)) OVER w AS BIGINT) AS n_types_cum
+        FROM spine s
+        LEFT JOIN pb ON pb.decile = s.decile
+        LEFT JOIN fb ON fb.decile = s.decile
+        WINDOW w AS (ORDER BY s.decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      pts AS (
+        SELECT CAST(round(ln(CAST(n_tokens_cum AS DOUBLE)) * 10000) AS BIGINT) AS x,
+               CAST(round(ln(CAST(n_types_cum AS DOUBLE)) * 10000) AS BIGINT) AS y
+        FROM cum WHERE n_tokens_cum > 0 AND n_types_cum > 0),
+      fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts)
+      SELECT c.decile, c.n_docs_cum, c.n_tokens_cum, c.n_types_cum,
+             CASE WHEN f.n >= 2 AND (f.n * f.sxx - f.sx * f.sx) > 0
+               THEN round((CAST(f.n AS DOUBLE) * f.sxy - CAST(f.sx AS DOUBLE) * f.sy)
+                      / (CAST(f.n AS DOUBLE) * f.sxx - CAST(f.sx AS DOUBLE) * f.sx), 4)
+               ELSE -1.0 END AS heaps_beta
+      FROM cum c CROSS JOIN fit f ORDER BY c.decile"""
   )
 }

@@ -1077,4 +1077,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"d101 must not use a Window:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d102 vocab growth: one cached tokenize pass, map-combinable aggregates") {
+    // the corpus collapses through TWO aggregates that must both combine
+    // map-side (per-decile mass: partial_sum; per-type first occurrence:
+    // partial_min); the tokenize pass is persisted and read by both
+    // consumers; the running-total Window runs on the TEN-row spine only,
+    // never the corpus; bounds join the corpus as a one-row broadcast,
+    // never an unbroadcast cartesian
+    val p = plan("d102_vocab_growth")
+    assert(p.contains("partial_sum"),
+      s"d102 decile mass lost its map-side partials:\n$p")
+    assert(p.contains("partial_min"),
+      s"d102 first-occurrence min lost its map-side partials:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"d102 must reuse the cached tokenize pass for both aggregates:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

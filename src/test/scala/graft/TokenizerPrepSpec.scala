@@ -236,4 +236,89 @@ class TokenizerPrepSpec extends SparkSpecBase {
       assert(got === want, s"trial $trial diverged from the reference BPE")
     }
   }
+
+  // ---- d102: vocabulary growth / Heaps' law --------------------------
+
+  private def writeIdDocs(name: String, docs: Seq[(Long, String)]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    GraftWriter.write(
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    dir
+  }
+
+  private def d102Rows(dir: String): Seq[(Long, Long, Long, Long, Double)] =
+    Pipeline.queries("d102_vocab_growth")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+
+  /** The exact slope both engines compute: ln at the checkpoints,
+    * integerized at 4 dp BEFORE exact integer regression moments. */
+  private def refBeta(pts: Seq[(Long, Long)]): Double = {
+    val xy = pts.filter(p => p._1 > 0 && p._2 > 0)
+      .map(p => (math.round(math.log(p._1.toDouble) * 10000),
+        math.round(math.log(p._2.toDouble) * 10000)))
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    if (n >= 2 && n * sxx - sx * sx > 0)
+      BigDecimal((n.toDouble * sxy - sx.toDouble * sy) /
+        (n.toDouble * sxx - sx.toDouble * sx))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else -1.0
+  }
+
+  test("d102: all-distinct corpus — exact triangular cumulatives, beta exactly 1.0") {
+    // doc i (i = 0..9) carries i+1 globally fresh tokens; lo=0, hi=9
+    // puts doc i alone in decile i, so every checkpoint is the exact
+    // triangular number and types == tokens at each one → the log-log
+    // points satisfy y = x EXACTLY and the integer moments give 1.0
+    val docs = (0L to 9L).map(i =>
+      i -> (0 to i.toInt).map(j => s"t${i}_$j").mkString(" "))
+    val out = d102Rows(writeIdDocs("d102-distinct", docs))
+    assert(out.length === 10)
+    for ((row, i) <- out.zipWithIndex) {
+      val tri = (i + 1).toLong * (i + 2) / 2
+      assert(row === ((i.toLong, (i + 1).toLong, tri, tri, 1.0)), s"decile $i: $row")
+    }
+  }
+
+  test("d102: one-word vocabulary — flat types, beta exactly 0.0") {
+    // doc i repeats the SAME token i+1 times: types_cum pins at 1
+    // (first appearance bucketed at decile 0 only), y_i = ln(1) = 0 at
+    // every point → slope numerator is identically zero
+    val docs = (0L to 9L).map(i => i -> Seq.fill(i.toInt + 1)("same").mkString(" "))
+    val out = d102Rows(writeIdDocs("d102-flat", docs))
+    for ((row, i) <- out.zipWithIndex) {
+      val tri = (i + 1).toLong * (i + 2) / 2
+      assert(row === ((i.toLong, (i + 1).toLong, tri, 1L, 0.0)), s"decile $i: $row")
+    }
+  }
+
+  test("d102: empty deciles backfill flat; beta matches the independent reference") {
+    // ids 0 and 90 (lo=0, hi=90): doc 0 → decile 0, doc 90 → decile
+    // 900 div 91 = 9, deciles 1..8 EMPTY — the spine must still emit
+    // them with the running totals carried flat
+    val out = d102Rows(writeIdDocs("d102-sparse",
+      Seq(0L -> "a b", 90L -> "b c")))
+    assert(out.length === 10)
+    for (d <- 0 to 8)
+      assert(out(d) === ((d.toLong, 1L, 2L, 2L, out(d)._5)), s"decile $d: ${out(d)}")
+    assert(out(9)._1 === 9L)
+    assert((out(9)._2, out(9)._3, out(9)._4) === ((2L, 4L, 3L)))
+    val beta = refBeta(Seq.fill(9)((2L, 2L)) :+ ((4L, 3L)))
+    assert(out.forall(_._5 === beta), s"want beta=$beta, got ${out.head._5}")
+  }
+
+  test("d102: single doc — zero x-variance forces the -1.0 sentinel") {
+    // lo == hi lands everything in decile 0 and the backfill makes all
+    // ten log-log points identical: n*sxx - sx*sx == 0 → no fit
+    val out = d102Rows(writeIdDocs("d102-degenerate", Seq(42L -> "a b c")))
+    assert(out.length === 10)
+    assert(out.forall(r => (r._2, r._3, r._4, r._5) == ((1L, 3L, 3L, -1.0))),
+      s"got $out")
+  }
 }
