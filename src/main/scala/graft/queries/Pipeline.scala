@@ -4755,6 +4755,59 @@ object Pipeline {
         .select("decile", "n_docs_cum", "n_tokens_cum", "n_types_cum",
           "heaps_beta")
         .orderBy("decile")
+    },
+
+    // ---- d103: FLESCH READING-EASE per source × band (Flesch 1948;
+    // Kincaid 1975) — the deterministic readability rung of the quality
+    // block (the closed-form ancestor of FineWeb-Edu's learned score):
+    // FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word).
+    // Counting kernel, all exact int64 per doc: words = the shared
+    // withWords tokens; sentences = [.!?]+ runs (floored at 1 — the
+    // testdata corpus is punctuation-free, so real-corpus discrimination
+    // comes from length and syllable density); syllables = vowel-group
+    // runs over the WHOLE lowercased text (a group never spans
+    // whitespace, so this equals the per-word sum in one regex pass)
+    // plus one per vowel-less word (the classic ≥1-per-word floor).
+    // FRE integerizes at 4 dp per doc (round on an identically-spelled
+    // double both engines); the band CASE compares the INTEGER fre_i —
+    // no double ever crosses an engine boundary unbanded. Shape for
+    // 100 TB: pure per-row Project over the scan (codegen regex, no
+    // explode, text never shuffles), ONE partial-aggregated
+    // groupBy(source, band) with exact int64 sums; mean re-derived from
+    // the sums as the only output double, 4-dp round.
+    "d103_readability" -> { (s, dir) =>
+      val scored = withWords(T(s, dir, "documents"))
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("w", expr("cast(size(words) as bigint)"))
+        .withColumn("sents", expr(
+          """greatest(cast(1 as bigint),
+               cast(size(regexp_extract_all(text, '[.!?]+', 0)) as bigint))"""))
+        .withColumn("syl", expr(
+          """cast(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))
+               + size(filter(words, x -> NOT (lower(x) RLIKE '[aeiouy]')))
+             as bigint)"""))
+        .withColumn("fre_i", expr(
+          """cast(round((206.835
+               - 1.015 * (cast(w as double) / sents)
+               - 84.6 * (cast(syl as double) / w)) * 10000) as bigint)"""))
+        .withColumn("band", expr(
+          """CASE WHEN fre_i >= 900000 THEN 'very_easy'
+                  WHEN fre_i >= 700000 THEN 'easy'
+                  WHEN fre_i >= 500000 THEN 'medium'
+                  WHEN fre_i >= 300000 THEN 'hard'
+                  ELSE 'very_hard' END"""))
+      // mean = (Σfre_i / n) / 10000 — HALF-UP AT INTEGER SCALE in exact
+      // int64 (the scale-first idiom from BENCH_NOTES: sum/n can be a
+      // 4-dp midpoint, the one shape engines round apart)
+      scored.groupBy("source", "band")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+          sum("fre_i").as("sf"))
+        .select(col("source"), col("band"), col("n_docs"), col("n_words"),
+          expr("""cast(CASE WHEN sf >= 0
+                         THEN (2 * sf + n_docs) div (2 * n_docs)
+                         ELSE -((2 * (-sf) + n_docs) div (2 * n_docs))
+                       END as double) / 10000.0""").as("mean_fre"))
+        .orderBy("source", "band")
     }
   )
 
@@ -7698,6 +7751,52 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                THEN round((CAST(f.n AS DOUBLE) * f.sxy - CAST(f.sx AS DOUBLE) * f.sy)
                       / (CAST(f.n AS DOUBLE) * f.sxx - CAST(f.sx AS DOUBLE) * f.sx), 4)
                ELSE -1.0 END AS heaps_beta
-      FROM cum c CROSS JOIN fit f ORDER BY c.decile"""
+      FROM cum c CROSS JOIN fit f ORDER BY c.decile""",
+
+    // d103: same counting kernel (whole-text vowel groups + vowel-less
+    // floor), same identically-spelled FRE double, banded on the
+    // INTEGER fre_i; DuckDB sums promote to HUGEINT → CAST AS BIGINT.
+    "d103_readability" -> """
+      WITH d AS (
+        SELECT source, text, lower(text) AS lt,
+               string_split_regex(trim(text), '\s+') AS words
+        FROM documents
+        WHERE length(trim(text)) > 0),
+      c AS (
+        SELECT source,
+               CAST(len(words) AS BIGINT) AS w,
+               greatest(CAST(1 AS BIGINT),
+                 CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS sents,
+               CAST(len(regexp_extract_all(lt, '[aeiouy]+'))
+                  + len(list_filter(words,
+                        x -> NOT regexp_matches(lower(x), '[aeiouy]')))
+                 AS BIGINT) AS syl
+        FROM d),
+      f AS (
+        SELECT source, w,
+               CAST(round((206.835
+                   - 1.015 * (CAST(w AS DOUBLE) / sents)
+                   - 84.6 * (CAST(syl AS DOUBLE) / w)) * 10000) AS BIGINT) AS fre_i
+        FROM c),
+      b AS (
+        SELECT source, w, fre_i,
+               CASE WHEN fre_i >= 900000 THEN 'very_easy'
+                    WHEN fre_i >= 700000 THEN 'easy'
+                    WHEN fre_i >= 500000 THEN 'medium'
+                    WHEN fre_i >= 300000 THEN 'hard'
+                    ELSE 'very_hard' END AS band
+        FROM f),
+      g AS (
+        SELECT source, band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(fre_i) AS BIGINT) AS sf
+        FROM b GROUP BY 1, 2)
+      SELECT source, band, n_docs, n_words,
+             CAST(CASE WHEN sf >= 0
+                    THEN (2 * sf + n_docs) // (2 * n_docs)
+                    ELSE -((2 * (-sf) + n_docs) // (2 * n_docs))
+                  END AS DOUBLE) / 10000.0 AS mean_fre
+      FROM g ORDER BY 1, 2"""
   )
 }

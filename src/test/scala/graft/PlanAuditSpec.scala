@@ -1094,4 +1094,19 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d102 must reuse the cached tokenize pass for both aggregates:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d103 readability: pure per-row project over the scan, one partial aggregate") {
+    // the counting kernel must stay a Project (no explode — the
+    // syllable count is whole-text regex + a lambda size, never an
+    // unnest), the groupBy must combine map-side, and nothing may
+    // window, join, or go quadratic: text never shuffles at 100 TB
+    val p = plan("d103_readability")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d103 lost its map-side partials:\n$p")
+    assert(!p.contains("Generate"), s"d103 must not explode tokens:\n$p")
+    assert(!p.contains("Window"), s"d103 must not use a Window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"d103 needs no join at all:\n$p")
+  }
 }

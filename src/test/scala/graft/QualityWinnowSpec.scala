@@ -304,4 +304,83 @@ class QualityWinnowSpec extends SparkSpecBase {
     assert(minAdm === rows.head._3, "threshold is the minimum admitted score")
     assert(rows.filterNot(_._4).forall(_._1 < minAdm), "no rejected score reaches an admitted one")
   }
+
+  // --------------------------------------------------------------- d103
+
+  /** The exact per-doc integerized FRE both engines compute (HALF_UP
+    * away from zero — math.round would drift on negative midpoints). */
+  private def refFre(w: Long, sents: Long, syl: Long): Long =
+    BigDecimal((206.835
+      - 1.015 * (w.toDouble / sents)
+      - 84.6 * (syl.toDouble / w)) * 10000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("d103: hand-counted kernel — words, sentence runs, vowel groups, the >=1 floors") {
+    // "The cat sat. The dog ran!" → w=6; sentence runs "." and "!" → 2;
+    // vowel groups e,a,a,e,o,a → 6, no vowel-less word → syl=6.
+    // FRE = 206.835 − 1.015·3 − 84.6·1 = 119.19 → very_easy.
+    // "tsk tsk brr" → w=3; NO [.!?] → sents floors at 1; zero vowel
+    // groups but THREE vowel-less words → syl=3 → spw=1, wps=3 → same
+    // 119.19 (the floor path reaching the same value is the point:
+    // both corrections are exercised and land on a hand-checkable FRE).
+    val d1 = writeDocs("d103-hand1", Seq(doc(1, "The cat sat. The dog ran!")))
+    val r1 = Pipeline.queries("d103_readability")(spark, d1).collect()
+    assert(r1.length === 1)
+    assert(r1.head.getString(1) === "very_easy")
+    assert((r1.head.getLong(2), r1.head.getLong(3)) === ((1L, 6L)))
+    assert(r1.head.getDouble(4) === refFre(6, 2, 6).toDouble / 10000.0)
+    assert(r1.head.getDouble(4) === 119.19)
+    val d2 = writeDocs("d103-hand2", Seq(doc(1, "tsk tsk brr")))
+    val r2 = Pipeline.queries("d103_readability")(spark, d2).collect()
+    assert(r2.head.getDouble(4) === 119.19, "sentence floor + vowel-less floor")
+  }
+
+  test("d103: banding is integer-exact; whitespace-only docs are excluded") {
+    // one long unpunctuated polysyllabic doc: w=10 ("banana"×10),
+    // sents=1, syl=30 → FRE = 206.835 − 10.15 − 253.8 = −57.115 →
+    // very_hard with a NEGATIVE integerized mean (the away-from-zero
+    // half-up path); a whitespace-only doc must vanish, not distort
+    val dir = writeDocs("d103-bands", Seq(
+      doc(1, Seq.fill(10)("banana").mkString(" ")),
+      doc(2, "   ")))
+    val out = Pipeline.queries("d103_readability")(spark, dir).collect()
+    assert(out.length === 1, s"whitespace-only doc leaked: ${out.toSeq}")
+    assert(out.head.getString(1) === "very_hard")
+    assert(out.head.getLong(2) === 1L)
+    assert(out.head.getDouble(4) === refFre(10, 1, 30).toDouble / 10000.0)
+    assert(out.head.getDouble(4) === -57.115)
+  }
+
+  test("d103 randomized: aggregate equals an independent per-doc reference") {
+    val rnd = new scala.util.Random(8103)
+    val vocab = Seq("cat", "banana", "tsk", "aviation", "dry", "me.", "go!", "why?")
+    val docs = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "), "en", s"s${i % 3}", 0L)
+    }
+    val dir = writeDocs("d103-rand", docs)
+    def counts(text: String): (Long, Long, Long) = {
+      val words = text.trim.split("\\s+")
+      val sents = math.max(1, "[.!?]+".r.findAllIn(text).length)
+      val syl = "[aeiouy]+".r.findAllIn(text.toLowerCase).length +
+        words.count(w => !w.toLowerCase.exists("aeiouy".contains(_)))
+      (words.length.toLong, sents.toLong, syl.toLong)
+    }
+    def band(f: Long): String =
+      if (f >= 900000) "very_easy" else if (f >= 700000) "easy"
+      else if (f >= 500000) "medium" else if (f >= 300000) "hard" else "very_hard"
+    val want = docs.map { case (_, t, _, src, _) =>
+      val (w, s, sy) = counts(t); (src, band(refFre(w, s, sy)), w, refFre(w, s, sy))
+    }.groupBy(d => (d._1, d._2)).map { case ((src, b), g) =>
+      val n = g.size.toLong
+      val sf = g.map(_._4).sum
+      val m = if (sf >= 0) (2 * sf + n) / (2 * n) else -((2 * -sf + n) / (2 * n))
+      (src, b, n, g.map(_._3).sum, m.toDouble / 10000.0)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = Pipeline.queries("d103_readability")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === want, "aggregate diverged from the per-doc reference")
+  }
 }
