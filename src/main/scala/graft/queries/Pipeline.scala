@@ -4808,6 +4808,37 @@ object Pipeline {
                          ELSE -((2 * (-sf) + n_docs) div (2 * n_docs))
                        END as double) / 10000.0""").as("mean_fre"))
         .orderBy("source", "band")
+    },
+
+    // ---- d104: DUP-CLUSTER SIZE PROFILE — the dedup-savings audit
+    // every large-scale dedup run reports before anyone trusts it
+    // (cluster-size distributions are heavy-tailed on web crawls; the
+    // top clusters carry most of the removable mass): over d104's OWN
+    // input — d20's queries entry, the d92/d101 composition discipline,
+    // so the distribution audited IS the clustering certified — one row
+    // per log2 size bucket (bucket = ⌊log2 size⌋ computed EXACTLY as
+    // length(bin(size))−1, never a double log): cluster count, doc
+    // mass, removable dup docs (size−1 per cluster), and the integer
+    // per-mille share of corpus mass. Shape for 100 TB: d20's labeling
+    // is already persisted inside its entry; downstream is one
+    // cluster-dimension filter (keep rows = one row per cluster) into a
+    // ≤64-bucket partial-aggregated groupBy, with the corpus total
+    // broadcast from a one-row count — no window, nothing doc-keyed
+    // after the labeling.
+    "d104_cluster_profile" -> { (s, dir) =>
+      val roots = queries("d20_dedup_clusters")(s, dir)
+        .filter(col("keep")).select(col("cluster_size").as("sz"))
+      val tot = T(s, dir, "documents").agg(count(lit(1)).as("n"))
+      roots
+        .withColumn("bucket", expr("cast(length(bin(sz)) - 1 as int)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+          sum(expr("sz - 1")).as("dup_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_clusters"), col("n_docs"),
+          col("dup_docs"),
+          expr("cast((n_docs * 1000) div n as bigint)").as("share_pm"))
+        .orderBy("bucket")
     }
   )
 
@@ -4959,6 +4990,33 @@ object Pipeline {
   /** d60/d91 shared Gopher battery CTEs, ending in
     * `gadm(doc_id, source, lang, …rules…, admitted)` — generated once
     * so the certified battery and the funnel cannot drift. */
+  /** d20's clustering replay (blocked jaccard edges + recursive-CTE
+    * connected components), shared verbatim with d104's profile so the
+    * cluster-size distribution audited IS the clustering certified.
+    * Must follow a `WITH RECURSIVE` opener. */
+  private lazy val d20Ctes: String = """
+      w AS (
+        SELECT doc_id, lang,
+               CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS wset
+        FROM documents),
+      e AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM w a JOIN w b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
+                    len(list_distinct(a.wset || b.wset)), 4) >= 0.5),
+      und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM e
+        UNION ALL
+        SELECT doc_b, doc_a FROM e),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+        WHERE r.lbl < u.dst),
+      comp AS (SELECT node AS doc_id, min(lbl) AS root FROM reach GROUP BY node)"""
+
   private lazy val gopherCtes: String = """w AS (
         SELECT doc_id, source, lang, text,
                string_split_regex(trim(text), '\s+') AS words
@@ -5288,29 +5346,8 @@ object Pipeline {
       FROM documents
       ORDER BY doc_id""",
 
-    "d20_dedup_clusters" -> """
-      WITH RECURSIVE
-      w AS (
-        SELECT doc_id, lang,
-               CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
-               list_distinct(string_split_regex(trim(text), '\s+')) AS wset
-        FROM documents),
-      e AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM w a JOIN w b
-          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
-                    len(list_distinct(a.wset || b.wset)), 4) >= 0.5),
-      und AS (
-        SELECT doc_a AS src, doc_b AS dst FROM e
-        UNION ALL
-        SELECT doc_b, doc_a FROM e),
-      reach(node, lbl) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
-        WHERE r.lbl < u.dst),
-      comp AS (SELECT node AS doc_id, min(lbl) AS root FROM reach GROUP BY node)
+    "d20_dedup_clusters" -> s"""
+      WITH RECURSIVE $d20Ctes
       SELECT c.doc_id, c.root, CAST(n.sz AS BIGINT) AS cluster_size,
              (c.doc_id = c.root) AS keep
       FROM comp c JOIN (SELECT root, count(*) AS sz FROM comp GROUP BY root) n
@@ -7797,6 +7834,22 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                     THEN (2 * sf + n_docs) // (2 * n_docs)
                     ELSE -((2 * (-sf) + n_docs) // (2 * n_docs))
                   END AS DOUBLE) / 10000.0 AS mean_fre
-      FROM g ORDER BY 1, 2"""
+      FROM g ORDER BY 1, 2""",
+
+    // d104: shares d20's clustering CTEs verbatim; the log2 bucket is
+    // the exact integer length(bin(sz))-1 both engines.
+    "d104_cluster_profile" -> s"""
+      WITH RECURSIVE $d20Ctes,
+      roots AS (
+        SELECT CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY root),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      bk AS (SELECT CAST(length(bin(sz)) - 1 AS INT) AS bucket, sz FROM roots)
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(sz) AS BIGINT) AS n_docs,
+             CAST(sum(sz - 1) AS BIGINT) AS dup_docs,
+             CAST((CAST(sum(sz) AS BIGINT) * 1000) // t.n AS BIGINT) AS share_pm
+      FROM bk CROSS JOIN tot t
+      GROUP BY bucket, t.n ORDER BY bucket"""
   )
 }

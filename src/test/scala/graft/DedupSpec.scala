@@ -1197,4 +1197,35 @@ class DedupSpec extends SparkSpecBase {
       "a sub-gram source has no rows")
     assert(out.keySet === Set(("srcA", "srcB")), s"only the one overlapping pair: $out")
   }
+
+  test("d104: log2 profile over planted cluster sizes, integer per-mille shares") {
+    // clusters of size 4 (bucket 2), 2 (bucket 1) and three singletons
+    // (bucket 0) out of 9 docs — disjoint vocabularies keep the blocks
+    // shared (same lang, same len bucket) but edge-free across clusters
+    val dir = scratch("d104-plant")
+    import spark.implicits._
+    def body(v: String) = (0 until 12).map(j => s"$v$j").mkString(" ")
+    val rows = Seq.fill(4)(body("a")) ++ Seq.fill(2)(body("b")) ++
+      Seq("c", "d", "e").map(body)
+    val df = rows.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    GraftWriter.write(df, s"$dir/documents.parquet")
+    val got = Pipeline.queries("d104_cluster_profile")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq(
+      (0, 3L, 3L, 0L, 333L),
+      (1, 1L, 2L, 1L, 222L),
+      (2, 1L, 4L, 3L, 444L)), s"got $got")
+  }
+
+  test("d104: the mega-block corpus collapses to one exact bucket row") {
+    // 30 clusters of 80 docs (bucket 6: 64 <= 80 < 128), 2400 docs total
+    // → one row carrying the WHOLE corpus mass and 2370 removable dups
+    val got = Pipeline.queries("d104_cluster_profile")(spark, megaBucketDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((6, 30L, 2400L, 2370L, 1000L)), s"got $got")
+  }
 }

@@ -1109,4 +1109,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"d103 needs no join at all:\n$p")
   }
+
+  test("d104 cluster profile: reads d20's cached labeling, tiny-dimension tail") {
+    // the labeling d20 persists must be the input (InMemoryTableScan —
+    // never a re-derivation of the pair scan), the bucket aggregate
+    // must combine map-side, and nothing after the labeling may window
+    // or go quadratic (the corpus total joins as a one-row broadcast)
+    val p = plan("d104_cluster_profile")
+    assert(p.contains("InMemoryTableScan"),
+      s"d104 must read d20's persisted labeling:\n$p")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d104 bucket aggregate lost its map-side partials:\n$p")
+    assert(!p.contains("Window"), s"d104 must not use a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
