@@ -4839,6 +4839,62 @@ object Pipeline {
           col("dup_docs"),
           expr("cast((n_docs * 1000) div n as bigint)").as("share_pm"))
         .orderBy("bucket")
+    },
+
+    // ---- d105: SHARD SKEW AUDIT — the layout-balance report a writer
+    // job emits before anyone schedules readers over its output (one
+    // oversized shard = one straggling task for every downstream
+    // consumer): over d78's OWN shard manifest (composition discipline
+    // — the oracle shares d78's CTEs, so the layout audited IS the
+    // manifest certified), ONE row: shard count, byte totals/extremes,
+    // the straggler factor (max/avg, integer per-mille) and the EXACT
+    // Gini coefficient of the byte distribution (integer per-mille).
+    // The Gini needs a global size-rank — a corpus-wide sort at 100 TB
+    // (the manifest is n_docs/64 rows). Two exact tricks avoid it:
+    // (1) TIE-BLOCK collapse: Σ rank·x is invariant to rank order
+    // among equal x, so group by byte VALUE first — 2·S1 over a block
+    // of k shards at value v with `a` strictly-smaller shards is
+    // v·k·(2a+k+1), no per-shard rank; (2) the strictly-smaller count
+    // `a` comes from equiDepthShard's two-level prefix sum over 4 KiB
+    // value chunks — the only unpartitioned window runs on the tiny
+    // chunk-dimension frame. All products in DECIMAL(38,0): n·S and
+    // 2·S1 overflow int64 at petabyte scale (bounded by ~n²·maxv·10³
+    // ≈ 10³⁷ < 10³⁸); the per-mille quotients land back in int64.
+    "d105_shard_skew" -> { (s, dir) =>
+      val m = queries("d78_shard_manifest")(s, dir)
+        .select(col("bytes_total").as("v"))
+      val g = m.groupBy("v").agg(count(lit(1)).as("k"))
+      val gc = g.withColumn("chunk", expr("v div 4096"))
+      val w1 = Window.partitionBy("chunk").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = gc.withColumn("lk", coalesce(sum("k").over(w1), lit(0L)))
+      val w2 = Window.orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val coffs = gc.groupBy("chunk").agg(sum("k").as("ck"))
+        .withColumn("cb", coalesce(sum("ck").over(w2), lit(0L)))
+        .select("chunk", "cb")
+      val ranked = local.join(broadcast(coffs), Seq("chunk"))
+        .withColumn("a", col("lk") + col("cb"))
+      ranked.agg(
+          coalesce(sum("k"), lit(0L)).as("n_shards"),
+          sum(expr("cast(v as decimal(38,0)) * cast(k as decimal(38,0))"))
+            .as("sv"),
+          min("v").as("bytes_min"), max("v").as("bytes_max"),
+          sum(expr(
+            """cast(v as decimal(38,0)) * cast(k as decimal(38,0))
+               * (2 * cast(a as decimal(38,0)) + cast(k as decimal(38,0)) + 1)"""))
+            .as("two_s1"))
+        .filter(col("n_shards") > 0)
+        .select(col("n_shards"),
+          expr("cast(sv as bigint)").as("bytes_total"),
+          col("bytes_min"), col("bytes_max"),
+          expr("""cast((cast(bytes_max as decimal(38,0))
+                        * cast(n_shards as decimal(38,0)) * 1000) div sv
+                  as bigint)""").as("straggler_pm"),
+          expr("""cast(((two_s1 - (cast(n_shards as decimal(38,0)) + 1) * sv)
+                        * 1000)
+                  div (cast(n_shards as decimal(38,0)) * sv)
+                  as bigint)""").as("gini_pm"))
     }
   )
 
@@ -4990,6 +5046,29 @@ object Pipeline {
   /** d60/d91 shared Gopher battery CTEs, ending in
     * `gadm(doc_id, source, lang, …rules…, admitted)` — generated once
     * so the certified battery and the funnel cannot drift. */
+  /** d78's shard-manifest replay (byte totals + content xor per
+    * doc_id-div-64 shard), shared verbatim with d105's skew audit so
+    * the layout audited IS the manifest certified. */
+  private lazy val d78Ctes: String = """
+      h AS (
+        SELECT doc_id, doc_id // 64 AS shard,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(8),
+                   i -> CAST(strpos('123456789abcdef',
+                          substr(md5(text), CAST(i + 1 AS INTEGER), 1))
+                        AS BIGINT))),
+                 (a, d) -> a * 16 + d) AS h32
+        FROM documents),
+      man AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS id_min,
+               CAST(max(doc_id) AS BIGINT) AS id_max,
+               CAST(sum(nb) AS BIGINT) AS bytes_total,
+               CAST(bit_xor(h32) AS BIGINT) AS content_xor
+        FROM h GROUP BY shard)"""
+
   /** d20's clustering replay (blocked jaccard edges + recursive-CTE
     * connected components), shared verbatim with d104's profile so the
     * cluster-size distribution audited IS the clustering certified.
@@ -6898,24 +6977,10 @@ object Pipeline {
     // d78: same shard key, byte length, and first-8-hex-digit fold
     // (the d58 strpos idiom, generalized to 8 digits via list_reduce);
     // bit_xor is commutative in both engines, which is the point.
-    "d78_shard_manifest" -> """
-      WITH h AS (
-        SELECT doc_id, doc_id // 64 AS shard,
-               CAST(octet_length(encode(text)) AS BIGINT) AS nb,
-               list_reduce(list_prepend(0::BIGINT,
-                 list_transform(range(8),
-                   i -> CAST(strpos('123456789abcdef',
-                          substr(md5(text), CAST(i + 1 AS INTEGER), 1))
-                        AS BIGINT))),
-                 (a, d) -> a * 16 + d) AS h32
-        FROM documents)
-      SELECT CAST(shard AS BIGINT) AS shard,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(min(doc_id) AS BIGINT) AS id_min,
-             CAST(max(doc_id) AS BIGINT) AS id_max,
-             CAST(sum(nb) AS BIGINT) AS bytes_total,
-             CAST(bit_xor(h32) AS BIGINT) AS content_xor
-      FROM h GROUP BY shard ORDER BY shard""",
+    "d78_shard_manifest" -> s"""
+      WITH $d78Ctes
+      SELECT shard, n_docs, id_min, id_max, bytes_total, content_xor
+      FROM man ORDER BY shard""",
 
     // d79: full boundary replay — same per-char md5 codes (4-digit
     // strpos fold), same 32 literal coefficients, same h % 2³² % 64
@@ -7850,6 +7915,34 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              CAST(sum(sz - 1) AS BIGINT) AS dup_docs,
              CAST((CAST(sum(sz) AS BIGINT) * 1000) // t.n AS BIGINT) AS share_pm
       FROM bk CROSS JOIN tot t
-      GROUP BY bucket, t.n ORDER BY bucket"""
+      GROUP BY bucket, t.n ORDER BY bucket""",
+
+    // d105: shares d78's manifest CTEs; the oracle ranks with a plain
+    // row_number — equal to the engine's tie-block form because
+    // Σ rank·x is invariant to rank order among equal x (the spec
+    // proves the identity on planted ties); HUGEINT keeps the moment
+    // products exact where Spark uses DECIMAL(38,0).
+    "d105_shard_skew" -> s"""
+      WITH $d78Ctes,
+      r AS (
+        SELECT bytes_total AS v,
+               CAST(row_number() OVER (ORDER BY bytes_total, shard)
+                    AS HUGEINT) AS rk
+        FROM man),
+      a AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(v) AS HUGEINT) AS sv,
+               CAST(min(v) AS BIGINT) AS bytes_min,
+               CAST(max(v) AS BIGINT) AS bytes_max,
+               CAST(sum(rk * CAST(v AS HUGEINT)) AS HUGEINT) AS s1
+        FROM r)
+      SELECT CAST(n AS BIGINT) AS n_shards,
+             CAST(sv AS BIGINT) AS bytes_total,
+             bytes_min, bytes_max,
+             CAST((CAST(bytes_max AS HUGEINT) * n * 1000) // sv
+                  AS BIGINT) AS straggler_pm,
+             CAST(((2 * s1 - (n + 1) * sv) * 1000) // (n * sv)
+                  AS BIGINT) AS gini_pm
+      FROM a WHERE n > 0"""
   )
 }

@@ -258,6 +258,46 @@ class CurationBatchSpec extends SparkSpecBase {
     assert(got === want, "d78 diverged from the manifest reference")
   }
 
+  // --------------------------------------------------------------- d105
+
+  private def d105Row(dir: String): (Long, Long, Long, Long, Long, Long) = {
+    val r = Pipeline.queries("d105_shard_skew")(spark, dir).collect()
+    assert(r.length === 1)
+    (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2),
+      r.head.getLong(3), r.head.getLong(4), r.head.getLong(5))
+  }
+
+  test("d105: hand-computed Gini with a tie block — rank invariance holds") {
+    // shard byte sizes {1, 1, 2, 4} (one doc per shard): sorted-rank
+    // S1 = 1·1+1·2+2·3+4·4 = 25 → Gini = (50 − 5·8)/(4·8) = 0.3125 →
+    // 312 pm (floor); straggler = 4·4·1000/8 = 2000 pm. The tied pair
+    // exercises the tie-block identity v·k·(2a+k+1): 1·2·3 + 2·1·6 +
+    // 4·1·8 = 50 = 2·S1 exactly.
+    val dir = writeDocs("d105-hand", Seq(
+      0L -> "a", 64L -> "b", 128L -> "cc", 192L -> "dddd"))
+    assert(d105Row(dir) === ((4L, 8L, 1L, 4L, 2000L, 312L)))
+  }
+
+  test("d105: uniform and single-shard layouts read as perfectly balanced") {
+    val even = writeDocs("d105-even", Seq(
+      0L -> "aa", 64L -> "bb", 128L -> "cc"))
+    assert(d105Row(even) === ((3L, 6L, 2L, 2L, 1000L, 0L)))
+    val one = writeDocs("d105-one", Seq(0L -> "abc"))
+    assert(d105Row(one) === ((1L, 3L, 3L, 3L, 1000L, 0L)))
+  }
+
+  test("d105: ties and ranks survive the 4 KiB value-chunk boundary") {
+    // sizes {4095, 4095, 4097, 5000}: the tie block sits in chunk 0,
+    // the rest in chunk 1 — the strictly-smaller counts must come from
+    // the cross-chunk prefix sum. S = 17287, S1 = 44576 → gini_pm =
+    // (2·44576 − 5·17287)·1000 // (4·17287) = 2717000 // 69148 = 39;
+    // straggler = 5000·4·1000 // 17287 = 1156.
+    val dir = writeDocs("d105-chunks", Seq(
+      0L -> "x" * 4095, 64L -> "y" * 4095, 128L -> "z" * 4097,
+      192L -> "w" * 5000))
+    assert(d105Row(dir) === ((4L, 17287L, 4095L, 5000L, 1156L, 39L)))
+  }
+
   // ---------------------------------------------------------------- d87
 
   test("d87: per-source card — counts, language spread, and the exact lower median") {

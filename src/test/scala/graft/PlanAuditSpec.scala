@@ -1123,4 +1123,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"d104 must not use a Window:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d105 shard skew: no manifest-wide sort, chunk offsets broadcast") {
+    // the Gini must come from the tie-block + two-level prefix form:
+    // the manifest-sized frames may only hash-aggregate (value groups)
+    // and window WITHIN a value chunk; the unpartitioned window and
+    // the broadcast join are chunk-dimension only. A global Sort over
+    // the manifest (row_number Gini) is the 100 TB straggler this
+    // operator exists to catch — it must not contain one outside the
+    // tiny chunk frame.
+    val p = plan("d105_shard_skew")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d105 lost its map-side partials:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d105 chunk offsets must broadcast:\n$p")
+    assert(!p.contains("row_number"),
+      s"d105 must never rank per shard:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
