@@ -4895,6 +4895,45 @@ object Pipeline {
                         * 1000)
                   div (cast(n_shards as decimal(38,0)) * sv)
                   as bigint)""").as("gini_pm"))
+    },
+
+    // ---- d106: SEMANTIC DECONTAMINATION — the embedding-space rung of
+    // the benchmark-leak ladder (d25 counts shared shingles, d70
+    // excises exact n-gram spans; this catches PARAPHRASED eval
+    // leakage that no lexical check sees — the "semantic dedup against
+    // test sets" audit): every train vector (vec_id % 97 ≠ 0, the d25
+    // benchmark convention) scores its max cosine against the BENCHMARK
+    // vectors (% 97 = 0); flagged at the integer 4-dp threshold
+    // cos_i ≥ 9500. Output is the per-label audit: train count, flagged
+    // count, integer per-mille leak rate, hottest cosine. Shape for
+    // 100 TB: the benchmark side is eval-set-sized and BROADCASTS; the
+    // corpus streams through one nested-loop pass (linear in corpus ×
+    // |bench|, the same brute-force contract as d5) into a map-
+    // combinable per-vector max (id-keyed shuffle — vectors never
+    // shuffle) and a label-dimension aggregate. Cosines integerize at
+    // 4 dp BEFORE the max/threshold (d88's milli-integer election
+    // discipline) so no raw double crosses an engine boundary.
+    "d106_semantic_decontam" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val bench = broadcast(emb.filter(expr("vec_id % 97 = 0"))
+        .select(col("vec").as("qvec")))
+      val train = emb.filter(expr("vec_id % 97 != 0"))
+        .select("vec_id", "label", "vec")
+      val mc = train.crossJoin(bench)
+        .withColumn("c_i",
+          expr("cast(round(cosine_sim(vec, qvec) * 10000) as bigint)"))
+        .groupBy("vec_id", "label")
+        .agg(max("c_i").as("mc"))
+      mc.groupBy("label")
+        .agg(count(lit(1)).as("n_train"),
+          sum(expr("CASE WHEN mc >= 9500 THEN 1 ELSE 0 END")).as("n_flagged"),
+          max("mc").as("max_cos_i"))
+        .select(col("label"), col("n_train"), col("n_flagged"),
+          expr("cast((n_flagged * 1000) div n_train as bigint)").as("flagged_pm"),
+          col("max_cos_i"))
+        .orderBy("label")
     }
   )
 
@@ -7943,6 +7982,30 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                   AS BIGINT) AS straggler_pm,
              CAST(((2 * s1 - (n + 1) * sv) * 1000) // (n * sv)
                   AS BIGINT) AS gini_pm
-      FROM a WHERE n > 0"""
+      FROM a WHERE n > 0""",
+
+    // d106: same %97 benchmark convention, same 4-dp cosine
+    // integerization before max/threshold (list_cosine_similarity is
+    // hash-identical to the engine's cosine_sim — the d5 contract).
+    "d106_semantic_decontam" -> """
+      WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
+        FROM embeddings),
+      b AS (SELECT vec FROM emb WHERE vec_id % 97 = 0),
+      t AS (SELECT vec_id, label, vec FROM emb WHERE vec_id % 97 <> 0),
+      mc AS (
+        SELECT t.vec_id, t.label,
+               max(CAST(round(list_cosine_similarity(t.vec, b.vec) * 10000)
+                        AS BIGINT)) AS mc
+        FROM t CROSS JOIN b
+        GROUP BY t.vec_id, t.label)
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN mc >= 9500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+             CAST((CAST(sum(CASE WHEN mc >= 9500 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 1000) // count(*) AS BIGINT) AS flagged_pm,
+             CAST(max(mc) AS BIGINT) AS max_cos_i
+      FROM mc GROUP BY label ORDER BY label"""
   )
 }

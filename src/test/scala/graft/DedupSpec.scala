@@ -1220,6 +1220,34 @@ class DedupSpec extends SparkSpecBase {
       (2, 1L, 4L, 3L, 444L)), s"got $got")
   }
 
+  test("d106: paraphrase leak flags at the integer threshold, max over ALL benchmarks") {
+    // bench: id 0 = x-axis, id 97 = y-axis (the %97 convention).
+    // train: id 1 ∥ bench0 (cos 1.0 → flagged), id 2 ⊥ both (0 → not),
+    // id 3 = 0.8x+0.6z (max cos 0.8 → under the 0.95 bar), id 4 =
+    // 0.96y+0.28z — flagged only because the max scans the SECOND
+    // benchmark vector
+    val dir = scratch("d106-plant")
+    import spark.implicits._
+    def axis(i: Int, a: Float = 1f): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) a else 0f)
+    def mix(i1: Int, a1: Float, i2: Int, a2: Float): Array[Float] =
+      Array.tabulate(64)(j => if (j == i1) a1 else if (j == i2) a2 else 0f)
+    val rows = Seq(
+      (0L, axis(0), 9), (97L, axis(1), 9),               // benchmark side
+      (1L, axis(0), 0), (2L, axis(2), 0),
+      (3L, mix(0, 0.8f, 2, 0.6f), 1), (4L, mix(1, 0.96f, 2, 0.28f), 1))
+    GraftWriter.write(rows.toDF("vec_id", "embedding", "label"),
+      s"$dir/embeddings.parquet")
+    val got = Pipeline.queries("d106_semantic_decontam")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq(
+      (0, 2L, 1L, 500L, 10000L),
+      (1, 2L, 1L, 500L, 9600L)), s"got $got")
+    // the benchmark vectors themselves never appear as train rows
+    assert(!got.exists(_._1 == 9), "benchmark rows leaked into the audit")
+  }
+
   test("d104: the mega-block corpus collapses to one exact bucket row") {
     // 30 clusters of 80 docs (bucket 6: 64 <= 80 < 128), 2400 docs total
     // → one row carrying the WHOLE corpus mass and 2370 removable dups

@@ -1141,4 +1141,19 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d105 must never rank per shard:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d106 semantic decontam: benchmark broadcasts, vectors never shuffle") {
+    // the eval side must be the broadcast build of the nested-loop
+    // pass (an unbroadcast cartesian re-partitions the corpus); the
+    // per-vector max and the label rollup must both combine map-side —
+    // after the scan only (id, label, c_i) rows move
+    val p = plan("d106_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"d106 benchmark side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"d106 must not re-partition the corpus for the pair pass:\n$p")
+    assert(p.contains("partial_max") && p.contains("partial_count"),
+      s"d106 lost its map-side partials:\n$p")
+    assert(!p.contains("Window"), s"d106 must not use a Window:\n$p")
+  }
 }
