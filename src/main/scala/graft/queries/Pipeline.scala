@@ -4934,6 +4934,57 @@ object Pipeline {
           expr("cast((n_flagged * 1000) div n_train as bigint)").as("flagged_pm"),
           col("max_cos_i"))
         .orderBy("label")
+    },
+
+    // ---- d107: QUOTA FILL — materializing d62's mixture plan into an
+    // actual document selection (the step between "the mix says 6 M
+    // tokens of fr" and a training shard list): per lang, admit docs
+    // in doc_id order while the running token sum is still under d62's
+    // sampled_tokens; the crossing doc is admitted TRUNCATED to the
+    // remainder (take_tokens = quota − cum_before), so Σ take_tokens
+    // per lang = min(quota, lang_tokens) EXACTLY — one epoch at most
+    // here; doc-level repeat apportionment is d100's domain. Quotas
+    // come from d62's OWN queries entry (composition discipline — the
+    // oracle shares d62's CTEs, so the quotas filled are the quotas
+    // certified). The running sum is the hot-source serialization trap
+    // at 100 TB: a per-lang window puts an entire language in one
+    // task. Decomposed exactly as d56/d59 do — per-(lang, doc_id-div-64
+    // bucket) sums, two-level chunk prefix (the only unpartitioned-ish
+    // window runs per lang on the tiny chunk dimension), then a ≤64-row
+    // within-bucket window — all-integer, so the oracle's plain
+    // window replays it bit-for-bit.
+    "d107_quota_fill" -> { (s, dir) =>
+      val quota = broadcast(queries("d62_temperature_mix")(s, dir)
+        .select(col("lang"), col("sampled_tokens").as("quota")))
+      val toks = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          expr("cast(size(words) as bigint)").as("n_tok"))
+        .withColumn("bucket", expr("doc_id div 64"))
+        .persist() // bucket sums + the per-doc pass share one tokenize
+      val bs = toks.groupBy("lang", "bucket").agg(sum("n_tok").as("bt"))
+        .withColumn("chunk", expr("bucket div 4096"))
+      val w1 = Window.partitionBy("lang", "chunk").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = bs.withColumn("lb", coalesce(sum("bt").over(w1), lit(0L)))
+      val w2 = Window.partitionBy("lang").orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val coffs = bs.groupBy("lang", "chunk").agg(sum("bt").as("ct"))
+        .withColumn("cb", coalesce(sum("ct").over(w2), lit(0L)))
+        .select("lang", "chunk", "cb")
+      val base = local.join(broadcast(coffs), Seq("lang", "chunk"))
+        .select(col("lang"), col("bucket"), (col("lb") + col("cb")).as("bb"))
+      val w3 = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.join(base, Seq("lang", "bucket"))
+        .withColumn("ib", coalesce(sum("n_tok").over(w3), lit(0L)))
+        .withColumn("cum_before", col("bb") + col("ib"))
+        .join(quota, Seq("lang"))
+        .filter(col("cum_before") < col("quota"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          least(col("n_tok"), col("quota") - col("cum_before"))
+            .as("take_tokens"),
+          (col("n_tok") > col("quota") - col("cum_before")).as("truncated"))
+        .orderBy("lang", "doc_id")
     }
   )
 
@@ -5085,6 +5136,33 @@ object Pipeline {
   /** d60/d91 shared Gopher battery CTEs, ending in
     * `gadm(doc_id, source, lang, …rules…, admitted)` — generated once
     * so the certified battery and the funnel cannot drift. */
+  /** d62's √-temperature mixture replay (per-lang token mass, floored
+    * √ weights, half-corpus budget apportionment), shared verbatim with
+    * d107's quota materialization so the quotas FILLED are the quotas
+    * CERTIFIED. */
+  private lazy val d62Ctes: String = """
+      t AS (
+        SELECT lang,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS lang_tokens
+        FROM documents GROUP BY lang),
+      ww AS (
+        SELECT lang, lang_tokens,
+               CAST(floor(sqrt(CAST(lang_tokens * 1000000 AS DOUBLE))) AS BIGINT)
+                 AS weight
+        FROM t),
+      tot AS (
+        SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(weight) AS BIGINT) AS total_weight
+        FROM ww),
+      mix AS (
+        SELECT lang, lang_tokens, weight,
+               weight * 1000000 // total_weight AS rate_ppm,
+               (total_tokens // 2) * weight // total_weight AS sampled_tokens,
+               ((total_tokens // 2) * weight // total_weight) * 1000
+                 // lang_tokens AS repeat_milli
+        FROM ww CROSS JOIN tot)"""
+
   /** d78's shard-manifest replay (byte totals + content xor per
     * doc_id-div-64 shard), shared verbatim with d105's skew audit so
     * the layout audited IS the manifest certified. */
@@ -6534,28 +6612,11 @@ object Pipeline {
     // d62: floor(sqrt(BIGINT)) is exact in both engines (correctly
     // rounded IEEE sqrt, arguments < 2^52); everything after is
     // integer division.
-    "d62_temperature_mix" -> """
-      WITH t AS (
-        SELECT lang,
-               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-                 AS lang_tokens
-        FROM documents GROUP BY lang),
-      ww AS (
-        SELECT lang, lang_tokens,
-               CAST(floor(sqrt(CAST(lang_tokens * 1000000 AS DOUBLE))) AS BIGINT)
-                 AS weight
-        FROM t),
-      tot AS (
-        SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
-               CAST(sum(weight) AS BIGINT) AS total_weight
-        FROM ww)
-      SELECT lang, lang_tokens, weight,
-             weight * 1000000 // total_weight AS rate_ppm,
-             (total_tokens // 2) * weight // total_weight AS sampled_tokens,
-             ((total_tokens // 2) * weight // total_weight) * 1000 // lang_tokens
-               AS repeat_milli
-      FROM ww CROSS JOIN tot
-      ORDER BY lang""",
+    "d62_temperature_mix" -> s"""
+      WITH $d62Ctes
+      SELECT lang, lang_tokens, weight, rate_ppm, sampled_tokens,
+             repeat_milli
+      FROM mix ORDER BY lang""",
 
     // d63: same line unit (newline split, trimmed, empties dropped),
     // same two-step keeper argmin (min doc_id per hash, min idx within
@@ -8006,6 +8067,29 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              CAST((CAST(sum(CASE WHEN mc >= 9500 THEN 1 ELSE 0 END) AS BIGINT)
                    * 1000) // count(*) AS BIGINT) AS flagged_pm,
              CAST(max(mc) AS BIGINT) AS max_cos_i
-      FROM mc GROUP BY label ORDER BY label"""
+      FROM mc GROUP BY label ORDER BY label""",
+
+    // d107: shares d62's mixture CTEs; the plain per-lang window here
+    // replays the engine's two-level prefix decomposition exactly
+    // (all-integer running sums).
+    "d107_quota_fill" -> raw"""
+      WITH $d62Ctes,
+      d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM d)
+      SELECT c.doc_id, c.lang, c.n_tok,
+             least(c.n_tok, m.sampled_tokens - c.cum_before) AS take_tokens,
+             (c.n_tok > m.sampled_tokens - c.cum_before) AS truncated
+      FROM c JOIN mix m USING (lang)
+      WHERE c.cum_before < m.sampled_tokens
+      ORDER BY lang, doc_id"""
   )
 }

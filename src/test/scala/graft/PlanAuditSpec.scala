@@ -1156,4 +1156,26 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d106 lost its map-side partials:\n$p")
     assert(!p.contains("Window"), s"d106 must not use a Window:\n$p")
   }
+
+  test("d107 quota fill: prefix decomposition — no whole-lang window") {
+    // exactly three windows (within-chunk bucket prefix, chunk-dim
+    // offsets, ≤64-row within-bucket) — a fourth would mean someone
+    // reintroduced the per-lang running sum that serializes a whole
+    // language into one task; the tokenize pass must be cached for its
+    // two consumers and the quota/chunk-offset sides must broadcast
+    val p = plan("d107_quota_fill")
+    assert("Window".r.findAllIn(p).length <= 3,
+      s"d107 grew a corpus-wide window:\n$p")
+    val windowSpecs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(!windowSpecs.exists(w => w.contains("lang#") && !w.contains("chunk#")
+        && !w.contains("bucket#")),
+      s"d107 has a per-lang window over the corpus:\n$windowSpecs")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"d107 must reuse the cached tokenize pass:\n$p")
+    assert(p.contains("partial_sum"),
+      s"d107 bucket sums lost their map-side partials:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"d107 quota + chunk offsets must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -305,6 +305,52 @@ class QualityWinnowSpec extends SparkSpecBase {
     assert(rows.filterNot(_._4).forall(_._1 < minAdm), "no rejected score reaches an admitted one")
   }
 
+  // --------------------------------------------------------------- d107
+
+  test("d107: quotas fill in doc_id order, crossing doc truncates exactly") {
+    // aa: 16 tokens → weight √(16e6) = 4000; bb: 4 → 2000. budget =
+    // 20 div 2 = 10; quotas: aa 10·4000 div 6000 = 6, bb 10·2000 div
+    // 6000 = 3. aa docs of 4 tokens at ids 0..3: id 0 whole, id 1
+    // truncated to 2, ids 2/3 out; bb docs of 2 at 10/11: id 10 whole,
+    // id 11 truncated to 1. Σ take per lang must equal the quota.
+    val dir = writeDocs("d107-plant",
+      (0L to 3L).map(i => doc(i, "w w w w", "aa")) ++
+        Seq(doc(10, "w w", "bb"), doc(11, "w w", "bb")))
+    val got = Pipeline.queries("d107_quota_fill")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got === Seq(
+      (0L, "aa", 4L, 4L, false), (1L, "aa", 4L, 2L, true),
+      (10L, "bb", 2L, 2L, false), (11L, "bb", 2L, 1L, true)), s"got $got")
+    val fills = got.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(fills === Map("aa" -> 6L, "bb" -> 3L), "quota not filled exactly")
+  }
+
+  test("d107: running sums survive bucket AND chunk boundaries") {
+    // one lang, 4-token docs at ids 0, 262144 (bucket 4096 → chunk 1)
+    // and 524288 (chunk 2): quota = (12 div 2)·√(12e6) div √(12e6) = 6
+    // → first doc whole, second truncated to 2, third excluded — the
+    // strictly-earlier mass for doc 3 comes entirely from OTHER chunks
+    val dir = writeDocs("d107-chunks", Seq(
+      doc(0, "w w w w"), doc(262144, "w w w w"), doc(524288, "w w w w")))
+    val got = Pipeline.queries("d107_quota_fill")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got === Seq((0L, 4L, false), (262144L, 2L, true)), s"got $got")
+  }
+
+  test("d107: an up-sampled lang admits everything untruncated") {
+    // aa: 100 tokens, bb: 1 token → weights 10000 / 1000; budget 50;
+    // quota_bb = 50·1000 div 11000 = 4 > lang_tokens — the whole lang
+    // fills one epoch (Σ take = lang mass, repeats are d100's domain)
+    val dir = writeDocs("d107-upsample",
+      Seq(doc(0, (1 to 100).map(_ => "w").mkString(" "), "aa"),
+        doc(1, "w", "bb")))
+    val got = Pipeline.queries("d107_quota_fill")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getBoolean(4)))
+    val bb = got.filter(_._2 == "bb")
+    assert(bb === Array((1L, "bb", 1L, false)), s"bb rows: ${bb.toSeq}")
+  }
+
   // --------------------------------------------------------------- d103
 
   /** The exact per-doc integerized FRE both engines compute (HALF_UP
