@@ -4985,6 +4985,43 @@ object Pipeline {
             .as("take_tokens"),
           (col("n_tok") > col("quota") - col("cum_before")).as("truncated"))
         .orderBy("lang", "doc_id")
+    },
+
+    // ---- d108: BYTE-FALLBACK RATE — the per-source cost of d68's
+    // coverage cutoff (SentencePiece's character_coverage: chars
+    // outside the kept set don't get vocab entries, they fall back to
+    // bytes — a doc full of fallback chars tokenizes at ~4× length):
+    // per source, total non-space chars, chars OUTSIDE d68's OWN kept
+    // set (composition discipline — the oracle shares d68's CTEs, so
+    // the charset audited IS the charset the certification kept),
+    // the per-myriad fallback rate, and distinct fallback char types.
+    // Shape for 100 TB: the kept charset is charset-sized and
+    // BROADCASTS into a left join against the per-(source, char)
+    // counts; both aggregates are map-combinable; text reduces to
+    // (source, char, count) at the scan.
+    "d108_byte_fallback" -> { (s, dir) =>
+      val kept = broadcast(queries("d68_char_coverage")(s, dir)
+        .filter(col("kept")).select(col("ch"), lit(true).as("is_kept")))
+      val scf = T(s, dir, "documents")
+        .select(col("source"), explode(expr(
+          """CASE WHEN length(text) >= 1
+               THEN transform(sequence(1, length(text)),
+                      i -> substring(text, i, 1))
+               ELSE array() END""")).as("ch"))
+        .filter(col("ch") =!= " ")
+        .groupBy("source", "ch").agg(count(lit(1)).as("cnt"))
+      scf.join(kept, Seq("ch"), "left")
+        .groupBy("source")
+        .agg(sum("cnt").as("n_chars"),
+          sum(expr("CASE WHEN is_kept IS NULL THEN cnt ELSE 0 END"))
+            .as("fallback_chars"),
+          sum(expr("CASE WHEN is_kept IS NULL THEN 1 ELSE 0 END"))
+            .as("fallback_types"))
+        .select(col("source"), col("n_chars"), col("fallback_chars"),
+          expr("cast((fallback_chars * 10000) div n_chars as bigint)")
+            .as("fallback_pmyriad"),
+          col("fallback_types"))
+        .orderBy("source")
     }
   )
 
@@ -5136,6 +5173,30 @@ object Pipeline {
   /** d60/d91 shared Gopher battery CTEs, ending in
     * `gadm(doc_id, source, lang, …rules…, admitted)` — generated once
     * so the certified battery and the funnel cannot drift. */
+  /** d68's character-coverage replay (per-char counts, frequency rank,
+    * the 99.95% kept-prefix rule), shared verbatim with d108's
+    * byte-fallback audit so the charset audited IS the charset the
+    * tokenizer certification kept. */
+  private lazy val d68Ctes: String = """
+      cs AS (
+        SELECT unnest(list_transform(range(length(text)),
+                 i -> substr(text, i + 1, 1))) AS ch
+        FROM documents),
+      cf AS (SELECT ch, CAST(count(*) AS BIGINT) AS cnt
+             FROM cs WHERE ch <> ' ' GROUP BY ch),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cf),
+      r AS (SELECT ch, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, ch) AS INT) AS rank,
+                   CAST(sum(cnt) OVER (ORDER BY cnt DESC, ch
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+            FROM cf),
+      cov AS (
+        SELECT rank, ch, cnt, cum,
+               cum * 10000 // total AS cum_pm,
+               (cum - cnt) * 10000 < total * 9995 AS kept
+        FROM r CROSS JOIN tot)"""
+
   /** d62's √-temperature mixture replay (per-lang token mass, floored
     * √ weights, half-corpus budget apportionment), shared verbatim with
     * d107's quota materialization so the quotas FILLED are the quotas
@@ -6771,24 +6832,10 @@ object Pipeline {
 
     // d68: same per-char expansion (space excluded), same binary-
     // collation (cnt desc, ch asc) rank, same integer coverage bar.
-    "d68_char_coverage" -> """
-      WITH cs AS (
-        SELECT unnest(list_transform(range(length(text)),
-                 i -> substr(text, i + 1, 1))) AS ch
-        FROM documents),
-      cf AS (SELECT ch, CAST(count(*) AS BIGINT) AS cnt
-             FROM cs WHERE ch <> ' ' GROUP BY ch),
-      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cf),
-      r AS (SELECT ch, cnt,
-                   CAST(row_number() OVER (ORDER BY cnt DESC, ch) AS INT) AS rank,
-                   CAST(sum(cnt) OVER (ORDER BY cnt DESC, ch
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS cum
-            FROM cf)
-      SELECT rank, ch, cnt, cum,
-             cum * 10000 // total AS cum_pm,
-             (cum - cnt) * 10000 < total * 9995 AS kept
-      FROM r CROSS JOIN tot ORDER BY rank""",
+    "d68_char_coverage" -> s"""
+      WITH $d68Ctes
+      SELECT rank, ch, cnt, cum, cum_pm, kept
+      FROM cov ORDER BY rank""",
 
     // d69: the d64 canonicalization verbatim, then the first md5 byte
     // via d58's strpos hex arithmetic mod 100 — same seed string, same
@@ -8090,6 +8137,30 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              (c.n_tok > m.sampled_tokens - c.cum_before) AS truncated
       FROM c JOIN mix m USING (lang)
       WHERE c.cum_before < m.sampled_tokens
-      ORDER BY lang, doc_id"""
+      ORDER BY lang, doc_id""",
+
+    // d108: shares d68's coverage CTEs; a source with only empty docs
+    // has no char rows and is absent in both engines.
+    "d108_byte_fallback" -> s"""
+      WITH $d68Ctes,
+      sc AS (
+        SELECT source, unnest(list_transform(range(length(text)),
+                 i -> substr(text, i + 1, 1))) AS ch
+        FROM documents),
+      scf AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS cnt
+              FROM sc WHERE ch <> ' ' GROUP BY 1, 2),
+      j AS (SELECT s.source, s.ch, s.cnt, k.kept
+            FROM scf s LEFT JOIN (SELECT ch, kept FROM cov WHERE kept) k
+              USING (ch))
+      SELECT source,
+             CAST(sum(cnt) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN kept IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+               AS fallback_chars,
+             CAST((CAST(sum(CASE WHEN kept IS NULL THEN cnt ELSE 0 END)
+                        AS BIGINT) * 10000)
+                  // CAST(sum(cnt) AS BIGINT) AS BIGINT) AS fallback_pmyriad,
+             CAST(sum(CASE WHEN kept IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS fallback_types
+      FROM j GROUP BY source ORDER BY source"""
   )
 }

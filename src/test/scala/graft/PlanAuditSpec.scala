@@ -1178,4 +1178,19 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d107 quota + chunk offsets must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d108 byte fallback: kept charset broadcasts into the per-source counts") {
+    // the kept set is charset-sized and must be the broadcast side of
+    // the left join; both aggregates (per-(source,char) counts, the
+    // source rollup) must combine map-side — text reduces to
+    // (source, char, count) at the scan and never shuffles
+    val p = plan("d108_byte_fallback")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d108 kept charset must broadcast:\n$p")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d108 lost its map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"d108 must not sort-merge a charset-sized side:\n$p")
+  }
 }

@@ -237,6 +237,35 @@ class TokenizerPrepSpec extends SparkSpecBase {
     }
   }
 
+  // ---- d108: byte-fallback rate vs d68's kept charset ----------------
+
+  test("d108: fallback chars are exactly the ones past the 99.95% cutoff, per source") {
+    // charset a:6000 b:3000 c:995 d:4 e:1 (total 10000) → the kept
+    // prefix is {a,b,c} (cum-before 9995 hits the bar exactly at d,
+    // which drops — the same edge d68's own cutoff spec pins); all d/e
+    // mass sits in s2, so s1 must read fallback-free
+    val dir = scratch("d108-plant")
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a" * 3000 + "b" * 2000, "s1"),
+      (2L, "a" * 2000 + "c" * 495, "s1"),
+      (3L, "a" * 1000 + "b" * 1000 + "c" * 500 + "d" * 4 + "e", "s2"))
+    GraftWriter.write(
+      rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val kept = Pipeline.queries("d68_char_coverage")(spark, dir)
+      .filter(col("kept")).collect().map(_.getString(1)).toSet
+    assert(kept === Set("a", "b", "c"), s"kept: $kept")
+    val got = Pipeline.queries("d108_byte_fallback")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // s2 rate: 5 fallback / 2505 chars → 50000 div 2505 = 19 pmyriad
+    assert(got === Seq(
+      ("s1", 7495L, 0L, 0L, 0L),
+      ("s2", 2505L, 5L, 19L, 2L)), s"got $got")
+  }
+
   // ---- d102: vocabulary growth / Heaps' law --------------------------
 
   private def writeIdDocs(name: String, docs: Seq[(Long, String)]): String = {
