@@ -5022,6 +5022,48 @@ object Pipeline {
             .as("fallback_pmyriad"),
           col("fallback_types"))
         .orderBy("source")
+    },
+
+    // ---- d109: GOOD–TURING FREQUENCY-OF-FREQUENCIES (Good 1953;
+    // Gale & Sampson 1995) — the smoothing table d49's Kneser–Ney
+    // discounts and every unseen-mass estimate read: N_r = #types
+    // occurring exactly r times, for r = 1..10 plus an 11+ tail row,
+    // with token mass r·N_r and the Good–Turing adjusted count
+    // r* = (r+1)·N_{r+1}/N_r — ALL-INTEGER at 4 dp:
+    // (r+1)·N_{r+1}·10000 div N_r (bounded by 11·V·10⁴ ≪ int64);
+    // empty N_r → −1 sentinel; the tail row always −1. Shape for
+    // 100 TB: one tokenize pass → type-keyed counts (map-combinable) →
+    // the f-of-f table, which has AT MOST O(√total_tokens) rows
+    // (Σ r·N_r = N bounds the distinct counts) — everything after the
+    // two aggregates runs on that naturally tiny frame; the N_{r+1}
+    // lookup is a self-join of an ≤11-row spine against it.
+    "d109_good_turing" -> { (s, dir) =>
+      val tf = withWords(T(s, dir, "documents"))
+        .select(explode(col("words")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("r0"))
+      val nr = tf.groupBy(col("r0").as("r"))
+        .agg(count(lit(1)).as("nt"))
+        .withColumn("mass", expr("r * nt"))
+        .persist() // head rows, tail rollup and the N_{r+1} lookup share it
+      val guard = tf.groupBy(lit(1).as("g")).agg(count(lit(1)).as("v"))
+      val spine = guard.filter(col("v") > 0)
+        .select(explode(expr(
+          "sequence(cast(1 as bigint), cast(11 as bigint))")).as("r"))
+      val tailAgg = nr.filter(col("r") > 10)
+        .groupBy(lit(11L).as("r"))
+        .agg(sum("nt").as("nt"), sum("mass").as("mass"))
+      val data = nr.filter(col("r") <= 10).select("r", "nt", "mass")
+        .unionAll(tailAgg)
+      val nxt = nr.select((col("r") - 1).as("r"), col("nt").as("nt_next"))
+      spine.join(data, Seq("r"), "left").join(nxt, Seq("r"), "left")
+        .select(col("r"),
+          coalesce(col("nt"), lit(0L)).as("n_types"),
+          coalesce(col("mass"), lit(0L)).as("mass"),
+          expr("""CASE WHEN r <= 10 AND coalesce(nt, cast(0 as bigint)) > 0
+                    THEN (r + 1) * coalesce(nt_next, cast(0 as bigint))
+                         * 10000 div nt
+                    ELSE cast(-1 as bigint) END""").as("gt_star_i"))
+        .orderBy("r")
     }
   )
 
@@ -8161,6 +8203,38 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                   // CAST(sum(cnt) AS BIGINT) AS BIGINT) AS fallback_pmyriad,
              CAST(sum(CASE WHEN kept IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS fallback_types
-      FROM j GROUP BY source ORDER BY source"""
+      FROM j GROUP BY source ORDER BY source""",
+
+    // d109: same type counts, same ≤11-row spine, same all-integer
+    // Good–Turing arithmetic and sentinels.
+    "d109_good_turing" -> raw"""
+      WITH tf AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS r0
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents)
+        GROUP BY word),
+      nr AS (
+        SELECT r0 AS r, CAST(count(*) AS BIGINT) AS nt,
+               CAST(r0 * count(*) AS BIGINT) AS mass
+        FROM tf GROUP BY r0),
+      guard AS (SELECT count(*) AS v FROM tf),
+      spine AS (SELECT CAST(r.range AS BIGINT) AS r
+                FROM range(1, 12) r CROSS JOIN guard WHERE v > 0),
+      tailagg AS (
+        SELECT CAST(11 AS BIGINT) AS r, CAST(sum(nt) AS BIGINT) AS nt,
+               CAST(sum(mass) AS BIGINT) AS mass
+        FROM nr WHERE r > 10 GROUP BY 1),
+      data AS (
+        SELECT r, nt, mass FROM nr WHERE r <= 10
+        UNION ALL SELECT r, nt, mass FROM tailagg),
+      nxt AS (SELECT r - 1 AS r, nt AS nt_next FROM nr)
+      SELECT s.r,
+             CAST(coalesce(d.nt, 0) AS BIGINT) AS n_types,
+             CAST(coalesce(d.mass, 0) AS BIGINT) AS mass,
+             CAST(CASE WHEN s.r <= 10 AND coalesce(d.nt, 0) > 0
+                    THEN (s.r + 1) * coalesce(x.nt_next, 0) * 10000 // d.nt
+                    ELSE -1 END AS BIGINT) AS gt_star_i
+      FROM spine s LEFT JOIN data d USING (r) LEFT JOIN nxt x USING (r)
+      ORDER BY s.r"""
   )
 }

@@ -1193,4 +1193,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"),
       s"d108 must not sort-merge a charset-sized side:\n$p")
   }
+
+  test("d109 good-turing: two map-combinable aggregates, cached f-of-f frame") {
+    // type counts and counts-of-counts must both partial-aggregate;
+    // the f-of-f table (O(√N) rows) is persisted for its three
+    // consumers (head rows, tail rollup, N_{r+1} lookup); no window
+    // anywhere and no quadratic join
+    val p = plan("d109_good_turing")
+    assert(p.contains("partial_count"),
+      s"d109 lost its map-side partials:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"d109 must reuse the cached f-of-f frame:\n$p")
+    assert(!p.contains("Window"), s"d109 must not use a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

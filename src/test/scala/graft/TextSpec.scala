@@ -250,4 +250,36 @@ class TextSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("d109: hand-computed frequency-of-frequencies and Good-Turing stars") {
+    // counts a:3 b:2 c/d/e:1 → N1=3 (gt* = 2·N2·10⁴/3 = 6666),
+    // N2=1 (gt* = 3·N3·10⁴/1 = 30000), N3=1 (N4=0 → gt* = 0),
+    // N4..N10 empty (−1 sentinel), tail empty with the always-−1
+    val dir = scratch("d109-hand")
+    writeDocs(dir, Seq((1L, "a a a b b c d e")))
+    val got = Pipeline.queries("d109_good_turing")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = Seq(
+      (1L, 3L, 3L, 6666L), (2L, 1L, 2L, 30000L), (3L, 1L, 3L, 0L)) ++
+      (4L to 10L).map(r => (r, 0L, 0L, -1L)) :+ ((11L, 0L, 0L, -1L))
+    assert(got === want, s"got $got")
+  }
+
+  test("d109: the 11+ tail aggregates exactly and never leaks into the N11 lookup") {
+    // x:10, y:11, z:12, w:1 → tail = {y, z}: 2 types / 23 tokens.
+    // Row 10 computes gt* = 11·N11·10⁴/N10 with the EXACT N11 = 1
+    // (just y) = 110000; if the aggregated tail bucket leaked into the
+    // N_{r+1} lookup it would read 2 → 220000.
+    val dir = scratch("d109-tail")
+    writeDocs(dir, Seq((1L, (Seq.fill(10)("x") ++ Seq.fill(11)("y") ++
+      Seq.fill(12)("z") :+ "w").mkString(" "))))
+    val got = Pipeline.queries("d109_good_turing")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.find(_._1 == 10L).get === ((10L, 1L, 10L, 110000L)),
+      s"row 10 must read the exact N11: $got")
+    assert(got.find(_._1 == 11L).get === ((11L, 2L, 23L, -1L)), s"tail: $got")
+    assert(got.find(_._1 == 1L).get === ((1L, 1L, 1L, 0L)),
+      "w is the lone singleton; N2 = 0 gives gt* = 0")
+    assert(got.map(_._3).sum === 34L, "mass must sum to the token count")
+  }
 }
