@@ -5064,6 +5064,51 @@ object Pipeline {
                          * 10000 div nt
                     ELSE cast(-1 as bigint) END""").as("gt_star_i"))
         .orderBy("r")
+    },
+
+    // ---- d110: SPLIT BALANCE — the eval-hygiene audit run right after
+    // a domain-hash holdout split (d69's): because the split keys on
+    // DOMAIN, a language concentrated in few domains can land
+    // wholesale in one split and skew every per-lang eval number. Per
+    // (split, lang): docs, token mass, the lang's per-mille share
+    // WITHIN the split vs its OVERALL share, and the signed drift
+    // between them. Splits come from d69's OWN queries entry
+    // (composition discipline — the oracle shares d69's CTEs, so the
+    // split audited IS the split certified). Shape for 100 TB: one
+    // doc-keyed equi join (split labels × token counts), ONE
+    // partial-aggregated groupBy(split, lang); the split totals, lang
+    // totals and grand total are dimension frames derived from it and
+    // BROADCAST back — nothing after the join exceeds |splits|·|langs|.
+    "d110_split_balance" -> { (s, dir) =>
+      val splits = queries("d69_holdout_split")(s, dir)
+        .select("doc_id", "split")
+      val toks = withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          expr("cast(size(words) as bigint)").as("n_tok"))
+      val cell = splits.join(toks, Seq("doc_id"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .persist() // three dimension rollups + the output read it
+      val bySplit = cell.groupBy("split").agg(sum("n_tokens").as("split_tokens"))
+      val byLang = cell.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+      val tot = cell.agg(sum("n_tokens").as("total_tokens"))
+      cell.join(broadcast(bySplit), Seq("split"))
+        .join(broadcast(byLang), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+          // a split/corpus of only empty docs has zero token mass:
+          // −1 sentinels instead of a divide-by-zero (in-contract input)
+          expr("""cast(CASE WHEN split_tokens > 0
+                         THEN (n_tokens * 1000) div split_tokens
+                         ELSE -1 END as bigint)""").as("share_pm"),
+          expr("""cast(CASE WHEN total_tokens > 0
+                         THEN (lang_tokens * 1000) div total_tokens
+                         ELSE -1 END as bigint)""").as("overall_pm"),
+          expr("""cast(CASE WHEN split_tokens > 0 AND total_tokens > 0
+                         THEN (n_tokens * 1000) div split_tokens
+                            - (lang_tokens * 1000) div total_tokens
+                         ELSE 0 END as bigint)""").as("drift_pm"))
+        .orderBy("split", "lang")
     }
   )
 
@@ -5215,6 +5260,33 @@ object Pipeline {
   /** d60/d91 shared Gopher battery CTEs, ending in
     * `gadm(doc_id, source, lang, …rules…, admitted)` — generated once
     * so the certified battery and the funnel cannot drift. */
+  /** d69's domain-hash holdout replay (canonicalized domain, first-md5-
+    * byte mod 100, 80/10/10 bands), shared verbatim with d110's balance
+    * audit so the split audited IS the split certified. */
+  private lazy val d69Ctes: String = raw"""
+      c0 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(lower(trim(source)),
+                 '^(https?://)?(www\.)?', ''), '/+$$', '') AS cu
+        FROM documents),
+      cc AS (SELECT doc_id,
+                    split_part(split_part(cu, '?', 1), '/', 1) AS domain
+             FROM c0),
+      b AS (
+        SELECT doc_id, domain,
+               CAST((strpos('123456789abcdef',
+                       substr(md5('graft-split-7:' || domain), 1, 1)) * 16
+                   + strpos('123456789abcdef',
+                       substr(md5('graft-split-7:' || domain), 2, 1))) % 100
+                 AS BIGINT) AS bucket
+        FROM cc),
+      sp AS (
+        SELECT doc_id, domain, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM b)"""
+
   /** d68's character-coverage replay (per-char counts, frequency rank,
     * the 99.95% kept-prefix rule), shared verbatim with d108's
     * byte-fallback audit so the charset audited IS the charset the
@@ -6882,28 +6954,10 @@ object Pipeline {
     // d69: the d64 canonicalization verbatim, then the first md5 byte
     // via d58's strpos hex arithmetic mod 100 — same seed string, same
     // 80/10/10 bands.
-    "d69_holdout_split" -> """
-      WITH c0 AS (
-        SELECT doc_id,
-               regexp_replace(regexp_replace(lower(trim(source)),
-                 '^(https?://)?(www\.)?', ''), '/+$', '') AS cu
-        FROM documents),
-      cc AS (SELECT doc_id,
-                    split_part(split_part(cu, '?', 1), '/', 1) AS domain
-             FROM c0),
-      b AS (
-        SELECT doc_id, domain,
-               CAST((strpos('123456789abcdef',
-                       substr(md5('graft-split-7:' || domain), 1, 1)) * 16
-                   + strpos('123456789abcdef',
-                       substr(md5('graft-split-7:' || domain), 2, 1))) % 100
-                 AS BIGINT) AS bucket
-        FROM cc)
-      SELECT doc_id, domain, bucket,
-             CASE WHEN bucket < 80 THEN 'train'
-                  WHEN bucket < 90 THEN 'valid'
-                  ELSE 'test' END AS split
-      FROM b ORDER BY doc_id""",
+    "d69_holdout_split" -> s"""
+      WITH $d69Ctes
+      SELECT doc_id, domain, bucket, split
+      FROM sp ORDER BY doc_id""",
 
     // d70: same gram unit as d53's oracle at W=5, same lag-based span
     // fold (SUM of min(W, gap) with a new span iff gap > W replays the
@@ -8235,6 +8289,41 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                     THEN (s.r + 1) * coalesce(x.nt_next, 0) * 10000 // d.nt
                     ELSE -1 END AS BIGINT) AS gt_star_i
       FROM spine s LEFT JOIN data d USING (r) LEFT JOIN nxt x USING (r)
-      ORDER BY s.r"""
+      ORDER BY s.r""",
+
+    // d110: shares d69's split CTEs; same integer shares and the same
+    // zero-mass sentinels.
+    "d110_split_balance" -> raw"""
+      WITH $d69Ctes,
+      tk AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tok
+        FROM documents),
+      cell AS (
+        SELECT sp.split, tk.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tk.n_tok) AS BIGINT) AS n_tokens
+        FROM sp JOIN tk USING (doc_id)
+        GROUP BY 1, 2),
+      bs AS (SELECT split, CAST(sum(n_tokens) AS BIGINT) AS split_tokens
+             FROM cell GROUP BY split),
+      bl AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+             FROM cell GROUP BY lang),
+      tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM cell)
+      SELECT c.split, c.lang, c.n_docs, c.n_tokens,
+             CAST(CASE WHEN s.split_tokens > 0
+                    THEN (c.n_tokens * 1000) // s.split_tokens
+                    ELSE -1 END AS BIGINT) AS share_pm,
+             CAST(CASE WHEN t.total_tokens > 0
+                    THEN (l.lang_tokens * 1000) // t.total_tokens
+                    ELSE -1 END AS BIGINT) AS overall_pm,
+             CAST(CASE WHEN s.split_tokens > 0 AND t.total_tokens > 0
+                    THEN (c.n_tokens * 1000) // s.split_tokens
+                       - (l.lang_tokens * 1000) // t.total_tokens
+                    ELSE 0 END AS BIGINT) AS drift_pm
+      FROM cell c JOIN bs s USING (split) JOIN bl l USING (lang)
+        CROSS JOIN tt t
+      ORDER BY c.split, c.lang"""
   )
 }

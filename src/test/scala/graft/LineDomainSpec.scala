@@ -167,4 +167,53 @@ class LineDomainSpec extends SparkSpecBase {
       assert((b, sp) === refSplit(dom), s"$dom diverged from reference")
     }
   }
+
+  // --------------------------------------------------------------- d110
+
+  test("d110: per-split language shares and drifts match the integer reference") {
+    // two domains chosen (deterministically) to land in DIFFERENT
+    // splits, so a lang concentrated in one domain shows real drift;
+    // expectations replay the same integer share arithmetic
+    val cands = (0 until 100).map(i => s"d$i.com")
+    val trainDom = cands.find(d => refSplit(d)._2 == "train").get
+    val testDom = cands.find(d => refSplit(d)._2 == "test").get
+    val dir = scratch("d110-plant")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w w w", "en", trainDom),   // 3 tok
+      (2L, "w w w w w", "en", trainDom), // 5 tok
+      (3L, "w w", "fr", trainDom),     // 2 tok — fr lives ONLY in train
+      (4L, "w w w w w w w w w w", "en", testDom)) // 10 tok
+    GraftWriter.write(
+      docs.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    // reference: cells train/en (2 docs, 8), train/fr (1, 2),
+    // test/en (1, 10); split tokens train 10, test 10; lang totals
+    // en 18, fr 2; grand 20
+    def pm(a: Long, b: Long) = a * 1000 / b
+    val want = Seq(
+      ("test", "en", 1L, 10L, pm(10, 10), pm(18, 20), pm(10, 10) - pm(18, 20)),
+      ("train", "en", 2L, 8L, pm(8, 10), pm(18, 20), pm(8, 10) - pm(18, 20)),
+      ("train", "fr", 1L, 2L, pm(2, 10), pm(2, 20), pm(2, 10) - pm(2, 20)))
+    val got = Pipeline.queries("d110_split_balance")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === want, s"got $got")
+    // fr drifted +100 pm into train (it is train-only): the audit's point
+    assert(got.find(r => r._1 == "train" && r._2 == "fr").get._7 === 100L)
+  }
+
+  test("d110: share floors sum to at most 1000 per split on the real corpus") {
+    val rows = Pipeline.queries("d110_split_balance")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    for ((split, grp) <- rows.groupBy(_._1)) {
+      val s = grp.map(_._3).sum
+      assert(s <= 1000 && s > 1000 - grp.length,
+        s"$split share floors out of range: $s")
+    }
+    assert(rows.forall(r => r._5 === r._3 - r._4), "drift must be the share gap")
+  }
 }

@@ -1207,4 +1207,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"d109 must not use a Window:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d110 split balance: one corpus join, cached cells, broadcast rollups") {
+    // the only corpus-sized operation is the doc_id equi join into the
+    // (split, lang) aggregate; the persisted cell frame feeds three
+    // dimension rollups that all come BACK as broadcasts; no window
+    val p = plan("d110_split_balance")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d110 lost its map-side partials:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"d110 must reuse the cached cell frame:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"d110 rollups must broadcast back:\n$p")
+    assert(!p.contains("Window"), s"d110 must not use a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
