@@ -511,6 +511,41 @@ object Sources {
           col("y_min"), col("y_max"),
           (col("y_max") - col("y_min")).as("y_span"))
         .orderBy("zb")
+    },
+
+    // ---- a18: ZONE-MAP PRUNING AUDIT — the number a17's layout work
+    // exists to move: per zone column, the expected number of shards a
+    // uniform point-probe's min/max pruning CANNOT skip, in exact
+    // per-mille (Σ shard zone widths ·1000 div domain width — 1000 ≈
+    // "reads one shard", n_shards·1000 ≈ "zone maps prune nothing").
+    // Audited on the d78 shard convention (doc_id div 64) for the two
+    // probe columns that matter on documents: doc_id (clustered by
+    // construction — the layout's sort key) vs n_chars (unclustered —
+    // the a17 z-order motivation). Shape for 100 TB: ONE map-combinable
+    // manifest aggregate (per-shard min/max of both columns), persisted;
+    // each zone row is a global aggregate of that shard-dim frame.
+    // Integer-exact: shard id-widths are ≤64 by the div-64 convention,
+    // so Σwidth·1000 stays far inside int64.
+    "a18_zone_pruning" -> { (s, dir) =>
+      val man = T(s, dir, "documents")
+        .select(expr("doc_id div 64").as("shard"), col("doc_id"),
+          col("n_chars"))
+        .groupBy("shard").agg(
+          min("doc_id").as("id_lo"), max("doc_id").as("id_hi"),
+          min("n_chars").as("nc_lo"), max("n_chars").as("nc_hi"))
+        .persist() // both zone rows aggregate the same manifest
+      def zoneRow(name: String, lo: String, hi: String) =
+        man.agg(count(lit(1)).as("n_shards"),
+            min(lo).as("lo"), max(hi).as("hi"),
+            sum(expr(s"$hi - $lo + 1")).as("sum_width"))
+          .filter(col("n_shards") > 0)
+          .select(lit(name).as("zone_col"), col("n_shards"), col("lo"),
+            col("hi"), col("sum_width"),
+            expr("cast((sum_width * 1000) div (hi - lo + 1) as bigint)")
+              .as("exp_shards_milli"))
+      zoneRow("doc_id", "id_lo", "id_hi")
+        .unionAll(zoneRow("n_chars", "nc_lo", "nc_hi"))
+        .orderBy("zone_col")
     }
   )
 
@@ -738,6 +773,31 @@ object Sources {
             FROM z GROUP BY 1)
       SELECT zb, n, x_min, x_max, x_max - x_min AS x_span,
              y_min, y_max, y_max - y_min AS y_span
-      FROM b ORDER BY zb"""
+      FROM b ORDER BY zb""",
+
+    // a18: same div-64 shard convention, same integer widths.
+    "a18_zone_pruning" -> """
+      WITH man AS (
+        SELECT doc_id // 64 AS shard,
+               CAST(min(doc_id) AS BIGINT) AS id_lo,
+               CAST(max(doc_id) AS BIGINT) AS id_hi,
+               CAST(min(n_chars) AS BIGINT) AS nc_lo,
+               CAST(max(n_chars) AS BIGINT) AS nc_hi
+        FROM documents GROUP BY 1),
+      a AS (
+        SELECT 'doc_id' AS zone_col, CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(min(id_lo) AS BIGINT) AS lo, CAST(max(id_hi) AS BIGINT) AS hi,
+               CAST(sum(id_hi - id_lo + 1) AS BIGINT) AS sum_width
+        FROM man),
+      b AS (
+        SELECT 'n_chars' AS zone_col, CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(min(nc_lo) AS BIGINT) AS lo, CAST(max(nc_hi) AS BIGINT) AS hi,
+               CAST(sum(nc_hi - nc_lo + 1) AS BIGINT) AS sum_width
+        FROM man),
+      u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+      SELECT zone_col, n_shards, lo, hi, sum_width,
+             CAST((sum_width * 1000) // (hi - lo + 1) AS BIGINT)
+               AS exp_shards_milli
+      FROM u WHERE n_shards > 0 ORDER BY zone_col"""
   )
 }

@@ -143,7 +143,7 @@ class SourcesSpec extends SparkSpecBase {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .filter(col("o_orderstatus") === "F")
       .withColumn("o_totalprice", col("o_totalprice") * 0.5)
-    graft.sources.GraftWriter.write(
+    GraftWriter.write(
       patch.repartition(col("o_orderstatus")),
       s"$base/a14/orders_by_status",
       format = Some("parquet"), partitionBy = Seq("o_orderstatus"))
@@ -277,5 +277,36 @@ class SourcesSpec extends SparkSpecBase {
       assert(xb === x.toLong && yb === y.toLong,
         s"interleave not invertible at ($x, $y): z=$z → ($xb, $yb)")
     }
+  }
+
+  test("a18: clustered column reads exactly 1000 milli-shards, overlapping zones read more") {
+    // two dense id-shards (0..63, 64..127): doc_id zones are disjoint
+    // and cover the domain → Σwidth = domain → exactly 1000. n_chars
+    // zones overlap ([10,20] and [15,30]): Σwidth 27 over domain 21 →
+    // 27000 div 21 = 1285 — a probe expects to touch 1.28 shards
+    val dir = scratch("a18-plant")
+    import spark.implicits._
+    val rows = (0L to 127L).map { i =>
+      val nc = if (i < 64) 10L + i % 11 else 15L + i % 16
+      (i, "t", "en", "s", nc)
+    }
+    GraftWriter.write(
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = graft.queries.Sources.queries("a18_zone_pruning")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      ("doc_id", 2L, 0L, 127L, 128L, 1000L),
+      ("n_chars", 2L, 10L, 30L, 27L, 1285L)), s"got $got")
+  }
+
+  test("a18: the real corpus id layout prunes perfectly") {
+    val got = graft.queries.Sources.queries("a18_zone_pruning")(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    // driver testdata ids are dense 0..N-1 → disjoint full-cover zones
+    assert(got("doc_id") === 1000L, s"got $got")
+    assert(got("n_chars") > 1000L,
+      "an unclustered column must read as unprunable")
   }
 }
