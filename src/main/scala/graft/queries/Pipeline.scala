@@ -5109,6 +5109,45 @@ object Pipeline {
                             - (lang_tokens * 1000) div total_tokens
                          ELSE 0 END as bigint)""").as("drift_pm"))
         .orderBy("split", "lang")
+    },
+
+    // ---- d111: THRESHOLD SWEEP — the quality-cutoff yield curve run
+    // before anyone picks a filtering bar (the ablation table behind
+    // "we kept documents with score ≥ 0.6"): for the eleven thresholds
+    // τ = 0.0, 0.1, …, 1.0 over d8's OWN quality_score (withQuality —
+    // the score swept IS the score certified, and d65's chosen
+    // operating point is one row of this curve), the docs and token
+    // mass admitted at score ≥ τ, with integer per-mille yields.
+    // Scores are 4-dp by construction, so score_i = round(score·10⁴)
+    // is EXACT; the sweep is a ≥-join of an 11-row spine against the
+    // score HISTOGRAM (≤10001 rows — bounded by the score scale, never
+    // by the corpus), both broadcast-sized. Shape for 100 TB: one
+    // classify pass collapses into the bounded histogram (map-
+    // combinable), everything after runs on ≤11×10001 rows.
+    "d111_threshold_sweep" -> { (s, dir) =>
+      val q = withQuality(withWords(T(s, dir, "documents")))
+        .select(expr("cast(round(quality_score * 10000) as bigint)")
+          .as("score_i"), expr("cast(n_tokens as bigint)").as("n_tok"))
+      val g = q.groupBy("score_i")
+        .agg(count(lit(1)).as("nd"), sum("n_tok").as("nt"))
+        .persist() // totals + the sweep share the histogram
+      val tot = g.agg(sum("nd").as("td"), sum("nt").as("tt"))
+      val spine = tot.filter(col("td") > 0)
+        .select(explode(expr(
+          """sequence(cast(0 as bigint), cast(10000 as bigint),
+             cast(1000 as bigint))""")).as("tau_i"))
+      spine.join(broadcast(g), col("score_i") >= col("tau_i"), "left")
+        .groupBy("tau_i")
+        .agg(sum("nd").as("nd0"), sum("nt").as("nt0"))
+        .crossJoin(broadcast(tot))
+        .select(col("tau_i"),
+          coalesce(col("nd0"), lit(0L)).as("admitted_docs"),
+          coalesce(col("nt0"), lit(0L)).as("admitted_tokens"),
+          expr("cast((coalesce(nd0, cast(0 as bigint)) * 1000) div td as bigint)")
+            .as("admit_docs_pm"),
+          expr("cast((coalesce(nt0, cast(0 as bigint)) * 1000) div tt as bigint)")
+            .as("admit_tokens_pm"))
+        .orderBy("tau_i")
     }
   )
 
@@ -8324,6 +8363,32 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                     ELSE 0 END AS BIGINT) AS drift_pm
       FROM cell c JOIN bs s USING (split) JOIN bl l USING (lang)
         CROSS JOIN tt t
-      ORDER BY c.split, c.lang"""
+      ORDER BY c.split, c.lang""",
+
+    // d111: shares d8's quality CTEs (the score swept is the score
+    // certified); same bounded histogram and ≥-join sweep.
+    "d111_threshold_sweep" -> s"""
+      WITH $qualityCtes,
+      sc AS (
+        SELECT CAST(round(quality_score * 10000) AS BIGINT) AS score_i,
+               CAST(n_tokens AS BIGINT) AS n_tok
+        FROM q8),
+      g AS (SELECT score_i, CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(n_tok) AS BIGINT) AS nt
+            FROM sc GROUP BY 1),
+      tot AS (SELECT CAST(sum(nd) AS BIGINT) AS td,
+                     CAST(sum(nt) AS BIGINT) AS tt FROM g),
+      spine AS (SELECT CAST(r.range * 1000 AS BIGINT) AS tau_i
+                FROM range(0, 11) r CROSS JOIN tot WHERE td > 0),
+      sw AS (
+        SELECT s.tau_i,
+               CAST(coalesce(sum(g.nd), 0) AS BIGINT) AS nd0,
+               CAST(coalesce(sum(g.nt), 0) AS BIGINT) AS nt0
+        FROM spine s LEFT JOIN g ON g.score_i >= s.tau_i
+        GROUP BY 1)
+      SELECT tau_i, nd0 AS admitted_docs, nt0 AS admitted_tokens,
+             CAST((nd0 * 1000) // td AS BIGINT) AS admit_docs_pm,
+             CAST((nt0 * 1000) // tt AS BIGINT) AS admit_tokens_pm
+      FROM sw CROSS JOIN tot ORDER BY tau_i"""
   )
 }

@@ -1222,4 +1222,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"d110 must not use a Window:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d111 threshold sweep: corpus collapses into the bounded histogram") {
+    // one map-combinable pass builds the ≤10001-row score histogram
+    // (persisted for totals + sweep); the ≥-join runs with the
+    // HISTOGRAM broadcast (a nested-loop over 11×10001 is nothing; a
+    // repartitioned corpus would not be); no window
+    val p = plan("d111_threshold_sweep")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d111 histogram lost its map-side partials:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"d111 must reuse the cached histogram:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"d111 sweep must broadcast the histogram:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"d111 must not re-partition for the sweep:\n$p")
+    assert(!p.contains("Window"), s"d111 must not use a Window:\n$p")
+  }
 }

@@ -305,6 +305,41 @@ class QualityWinnowSpec extends SparkSpecBase {
     assert(rows.filterNot(_._4).forall(_._1 < minAdm), "no rejected score reaches an admitted one")
   }
 
+  // --------------------------------------------------------------- d111
+
+  test("d111: the yield curve matches hand-computed scores at every threshold") {
+    // A: 50 distinct words → uniq 1, punct 0, len-term 1 → 1.0 (10000)
+    // B: "a a" → 0.4·0.5 + 0.3 + 0.3·(2/50) = 0.512 (5120)
+    // C: 25 distinct words → 0.4 + 0.3 + 0.3·0.5 = 0.85 (8500)
+    val dir = writeDocs("d111-plant", Seq(
+      doc(1, (0 until 50).map(i => s"w$i").mkString(" ")),
+      doc(2, "a a"),
+      doc(3, (0 until 25).map(i => s"v$i").mkString(" "))))
+    val scores = Seq((10000L, 50L), (5120L, 2L), (8500L, 25L))
+    val want = (0L to 10L).map { k =>
+      val tau = k * 1000
+      val adm = scores.filter(_._1 >= tau)
+      val (nd, nt) = (adm.length.toLong, adm.map(_._2).sum)
+      (tau, nd, nt, nd * 1000 / 3, nt * 1000 / 77)
+    }
+    val got = Pipeline.queries("d111_threshold_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === want, s"got $got")
+    assert(got.last === ((10000L, 1L, 50L, 333L, 649L)),
+      "only the perfect doc survives tau = 1.0")
+  }
+
+  test("d111: real-corpus curve is monotone and starts at the whole corpus") {
+    val rows = Pipeline.queries("d111_threshold_sweep")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 11)
+    assert(rows.head._1 === 0L && rows.head._2 > 0,
+      "tau = 0 must admit every doc")
+    for (w <- rows.sliding(2); if w.length == 2; a = w(0); b = w(1))
+      assert(b._2 <= a._2 && b._3 <= a._3, s"yield increased: $a -> $b")
+  }
+
   // --------------------------------------------------------------- d107
 
   test("d107: quotas fill in doc_id order, crossing doc truncates exactly") {
