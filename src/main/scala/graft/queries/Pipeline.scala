@@ -666,7 +666,7 @@ object Pipeline {
   }
 
   /** 3-word shingles for MinHash (short docs fall back to one shingle). */
-  private def withShingles(df: DataFrame): DataFrame =
+  private[graft] def withShingles(df: DataFrame): DataFrame =
     withWords(df).withColumn("shingles", expr(
       """CASE WHEN size(words) >= 3
            THEN array_distinct(transform(sequence(0, size(words) - 3),
@@ -5299,6 +5299,40 @@ object Pipeline {
   /** d60/d91 shared Gopher battery CTEs, ending in
     * `gadm(doc_id, source, lang, …rules…, admitted)` — generated once
     * so the certified battery and the funnel cannot drift. */
+  /** d25's contamination replay (3-gram shingles, %97 benchmark side,
+    * the ≥10% flag), shared verbatim with s17's streaming gate so the
+    * gate deployed IS the check certified. Ends at the per-doc frame
+    * `d25doc`. */
+  private[graft] lazy val d25Ctes: String = """
+      w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      shg AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 3
+                    THEN list_distinct(list_transform(range(len(words) - 2),
+                           i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3]))
+                    ELSE [array_to_string(words, ' ')] END AS shingles
+        FROM w),
+      bench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM shg WHERE doc_id % 97 = 0),
+      train AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM shg WHERE doc_id % 97 <> 0),
+      hits AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contam
+        FROM train t JOIN bench b USING (shingle)
+        GROUP BY t.doc_id),
+      tot AS (
+        SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles
+        FROM shg WHERE doc_id % 97 <> 0),
+      d25doc AS (
+        SELECT tot.doc_id, tot.n_shingles,
+               coalesce(h.n_contam, 0) AS n_contam,
+               CAST(1000 * coalesce(h.n_contam, 0) // tot.n_shingles AS BIGINT)
+                 AS contam_permille,
+               coalesce(h.n_contam, 0) * 10 >= tot.n_shingles AS contaminated
+        FROM tot LEFT JOIN hits h ON tot.doc_id = h.doc_id)"""
+
   /** d69's domain-hash holdout replay (canonicalized domain, first-md5-
     * byte mod 100, 80/10/10 bands), shared verbatim with d110's balance
     * audit so the split audited IS the split certified. */
@@ -5808,34 +5842,10 @@ object Pipeline {
       GROUP BY w.doc_id
       ORDER BY w.doc_id""",
 
-    "d25_contamination" -> """
-      WITH w AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-               CASE WHEN len(words) >= 3
-                    THEN list_distinct(list_transform(range(len(words) - 2),
-                           i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3]))
-                    ELSE [array_to_string(words, ' ')] END AS shingles
-        FROM w),
-      bench AS (
-        SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
-      train AS (
-        SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0),
-      hits AS (
-        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contam
-        FROM train t JOIN bench b USING (shingle)
-        GROUP BY t.doc_id),
-      tot AS (
-        SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles
-        FROM sh WHERE doc_id % 97 <> 0)
-      SELECT tot.doc_id, tot.n_shingles,
-             coalesce(h.n_contam, 0) AS n_contam,
-             CAST(1000 * coalesce(h.n_contam, 0) // tot.n_shingles AS BIGINT) AS contam_permille,
-             coalesce(h.n_contam, 0) * 10 >= tot.n_shingles AS contaminated
-      FROM tot LEFT JOIN hits h ON tot.doc_id = h.doc_id
-      ORDER BY tot.doc_id""",
+    "d25_contamination" -> s"""
+      WITH $d25Ctes
+      SELECT doc_id, n_shingles, n_contam, contam_permille, contaminated
+      FROM d25doc ORDER BY doc_id""",
 
     "d26_window_dedup" -> """
       WITH w AS (

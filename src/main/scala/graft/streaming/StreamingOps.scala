@@ -839,6 +839,66 @@ object StreamingOps {
         .filter(col("rank") <= 20)
         .select("rank", "tok", "n")
         .orderBy("rank")
+    },
+
+    // ---- s17: STREAMING DECONTAMINATION GATE — d25's benchmark-
+    // overlap check as the landing-zone admission filter (the
+    // deployment shape: docs stream in, each micro-batch is classified
+    // against the STATIC eval-set shingles, the gated verdicts land in
+    // the lake). The per-doc rule is STATELESS (explode → broadcast
+    // semi-join → per-doc count inside the batch), so the union over
+    // ANY batch boundaries equals the batch classification — pinned by
+    // staging the corpus as FOUR files replayed one per trigger, then
+    // hash-comparing against the batch oracle (d25's own CTEs + a
+    // per-source rollup). foreachBatch writes per-batchId directories
+    // (the s7 idempotent-retry recipe). At 100 TB the benchmark side
+    // is eval-set-sized and broadcasts; per batch nothing but
+    // (doc_id, source, counts) rows move.
+    "s17_stream_decontam" -> { (s, dir) =>
+      val base = s"${graft.queries.Sources.scratchDir}/s17"
+      graft.sources.GraftWriter.removeDirectory(s, base)
+      val in = s"$base/in"
+      val gate = s"$base/gate"
+      val docs = graft.Tables.load(s, dir, "documents")
+      val bench = graft.queries.Pipeline.withShingles(
+          docs.filter(col("doc_id") % 97 === 0))
+        .select(explode(col("shingles")).as("shingle")).distinct()
+      docs.repartition(4).write.mode("overwrite").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sh = graft.queries.Pipeline.withShingles(
+              batch.filter(col("doc_id") % 97 =!= 0))
+            .select(col("doc_id"), col("source"), col("shingles"))
+          val hits = sh
+            .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+            .join(broadcast(bench), Seq("shingle"), "left_semi")
+            .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
+          sh.select(col("doc_id"), col("source"),
+              size(col("shingles")).cast("long").as("n_shingles"))
+            .join(hits, Seq("doc_id"), "left")
+            .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+            .withColumn("contaminated",
+              col("n_contam") * 10 >= col("n_shingles"))
+            .write.mode("overwrite").parquet(s"$gate/batch=$batchId")
+          ()
+        }
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(gate)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_train"),
+          sum(expr("CASE WHEN contaminated THEN 1 ELSE 0 END"))
+            .as("n_contaminated"),
+          sum(expr("CASE WHEN contaminated THEN 0 ELSE 1 END"))
+            .as("admitted"))
+        .select(col("source"), col("n_train"), col("n_contaminated"),
+          col("admitted"),
+          expr("cast((n_contaminated * 1000) div n_train as bigint)")
+            .as("contam_pm"))
+        .orderBy("source")
     }
   )
 
@@ -878,6 +938,25 @@ object StreamingOps {
             FROM t)
       SELECT rank, tok, n FROM r WHERE rank <= 20
       ORDER BY rank""",
+
+    // s17: shares d25's contamination CTEs (the gate deployed is the
+    // check certified) + a per-source rollup — equality across the
+    // four-file replay IS the batch-invariance claim.
+    "s17_stream_decontam" -> s"""
+      WITH ${graft.queries.Pipeline.d25Ctes},
+      src AS (
+        SELECT d.doc_id, d.n_shingles, d.contaminated, doc.source
+        FROM d25doc d JOIN documents doc ON doc.doc_id = d.doc_id)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+             CAST(sum(CASE WHEN contaminated THEN 0 ELSE 1 END) AS BIGINT)
+               AS admitted,
+             CAST((CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END)
+                        AS BIGINT) * 1000) // count(*) AS BIGINT) AS contam_pm
+      FROM src GROUP BY source ORDER BY source""",
+
     "s10_stream_incremental_dedup" -> """
       SELECT min(doc_id) AS doc_id, md5(text) AS thash
       FROM documents

@@ -484,6 +484,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want, s"got $got")
   }
 
+  test("s17: the streamed gate matches the batch verdicts across four-file replay") {
+    import spark.implicits._
+    val dir = scratch("s17-plant")
+    // bench doc 0 (id % 97 = 0) owns the eval shingles; id 1 copies its
+    // text wholesale (100% overlap → contaminated), id 2 shares a long
+    // prefix (>10% → contaminated), id 3 is disjoint (admitted), id 4
+    // is a sub-3-token doc whose single whole-text shingle matches
+    // nothing (admitted) — spread over two sources
+    val benchText = (0 until 30).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (0L, benchText, "sB"),
+      (1L, benchText, "s1"),
+      (2L, (0 until 6).map(i => s"b$i").mkString(" ") + " " +
+        (0 until 24).map(i => s"x$i").mkString(" "), "s1"),
+      (3L, (0 until 30).map(i => s"y$i").mkString(" "), "s2"),
+      (4L, "z0 z1", "s2"))
+    graft.sources.GraftWriter.write(
+      docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = StreamingOps.queries("s17_stream_decontam")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // id 2: shingles = 28 distinct, hits = the 4 pure-b 3-grams of the
+    // 6-token prefix → 4·10 ≥ 28 → contaminated
+    assert(got === Seq(
+      ("s1", 2L, 2L, 0L, 1000L),
+      ("s2", 2L, 0L, 2L, 0L)), s"got $got")
+    // the staging really replayed multiple batches (one per file)
+    val gate = s"${graft.queries.Sources.scratchDir}/s17/gate"
+    val batches = new java.io.File(gate).list().count(_.startsWith("batch="))
+    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+  }
+
   test("s10: an empty first batch does not kill the next batch's state read") {
     import spark.implicits._
     // an empty batch leaves admitted/batch=0 with only a _SUCCESS marker;
