@@ -5148,6 +5148,45 @@ object Pipeline {
           expr("cast((coalesce(nt0, cast(0 as bigint)) * 1000) div tt as bigint)")
             .as("admit_tokens_pm"))
         .orderBy("tau_i")
+    },
+
+    // ---- d112: MEMORIZATION-RISK CANDIDATES (Carlini et al. 2021/22 —
+    // "sequences repeated in training data get extracted verbatim"):
+    // the top-20 most-repeated 8-gram windows with their occurrence
+    // count, doc spread and SOURCE spread — the list a release review
+    // actually reads (a high count confined to one source is template
+    // boilerplate; spread across sources is the dangerous kind).
+    // Repeats include SELF-repeats (overlapping windows inside one doc
+    // count — the d53 convention; a doc chanting one phrase is exactly
+    // what gets memorized). Shape for 100 TB: docs under 8 tokens drop
+    // at the scan; the gram projection is built once and PERSISTED
+    // before the explode (the d61 generator-reevaluation lesson); one
+    // hash aggregate to (gram, counts) — text moves once — and the
+    // top-20 runs the d64/d73 SALTED two-stage rank, never a global
+    // sort of the gram table.
+    "d112_memorization_risk" -> { (s, dir) =>
+      val wd = withWords(T(s, dir, "documents"))
+        .filter(expr("size(words) >= 8"))
+        .select(col("doc_id"), col("source"), expr(
+          """transform(sequence(0, size(words) - 8),
+               i -> concat_ws(' ', slice(words, i + 1, 8)))""").as("grams"))
+        .persist()
+      val st = wd
+        .select(col("doc_id"), col("source"), explode(col("grams")).as("gram"))
+        .groupBy("gram").agg(
+          count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .filter(col("n_occurrences") >= 2)
+      st.withColumn("bk", pmod(crc32(col("gram")), lit(64)))
+        .withColumn("rb", row_number().over(Window.partitionBy("bk")
+          .orderBy(desc("n_occurrences"), asc("gram"))))
+        .filter(col("rb") <= 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("n_occurrences"), asc("gram"))).cast("int"))
+        .filter(col("rank") <= 20)
+        .select("rank", "gram", "n_occurrences", "n_docs", "n_sources")
+        .orderBy("rank")
     }
   )
 
@@ -8399,6 +8438,32 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
       SELECT tau_i, nd0 AS admitted_docs, nt0 AS admitted_tokens,
              CAST((nd0 * 1000) // td AS BIGINT) AS admit_docs_pm,
              CAST((nt0 * 1000) // tt AS BIGINT) AS admit_tokens_pm
-      FROM sw CROSS JOIN tot ORDER BY tau_i"""
+      FROM sw CROSS JOIN tot ORDER BY tau_i""",
+
+    // d112: same overlapping 8-gram windows (self-repeats count), same
+    // ≥2 bar, same (count desc, gram) rank — the single-window rank
+    // here vs the engine's salted two-stage IS the decomposition claim.
+    "d112_memorization_risk" -> raw"""
+      WITH w AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      g AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(len(words) - 7),
+                 i -> array_to_string(words[i + 1 : i + 8], ' '))) AS gram
+        FROM w WHERE len(words) >= 8),
+      st AS (
+        SELECT gram,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM g GROUP BY gram HAVING count(*) >= 2),
+      r AS (
+        SELECT *, CAST(row_number() OVER
+                 (ORDER BY n_occurrences DESC, gram) AS INT) AS rank
+        FROM st)
+      SELECT rank, gram, n_occurrences, n_docs, n_sources
+      FROM r WHERE rank <= 20 ORDER BY rank"""
   )
 }

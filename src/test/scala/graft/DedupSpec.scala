@@ -1248,6 +1248,32 @@ class DedupSpec extends SparkSpecBase {
     assert(!got.exists(_._1 == 9), "benchmark rows leaked into the audit")
   }
 
+  test("d112: repeated grams rank with doc/source spread; self-repeats count") {
+    val dir = scratch("d112-plant")
+    import spark.implicits._
+    // phrase P (8 tokens) appears in docs 1/2/3 across two sources →
+    // n_occurrences 3; "a"×9 yields the same 8-gram at two OVERLAPPING
+    // offsets in ONE doc → self-repeat counts (2, 1 doc, 1 source);
+    // doc 5's singleton grams must not appear; the 7-token doc 6 drops
+    val p = (0 until 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, p, "s1"), (2L, p, "s1"), (3L, p, "s2"),
+      (4L, Seq.fill(9)("a").mkString(" "), "s2"),
+      (5L, (0 until 8).map(i => s"u$i").mkString(" "), "s1"),
+      (6L, (0 until 7).map(i => s"v$i").mkString(" "), "s1"))
+    GraftWriter.write(
+      docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = Pipeline.queries("d112_memorization_risk")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val aGram = Seq.fill(8)("a").mkString(" ")
+    assert(got === Seq(
+      (1, p, 3L, 3L, 2L),
+      (2, aGram, 2L, 1L, 1L)), s"got $got")
+  }
+
   test("d104: the mega-block corpus collapses to one exact bucket row") {
     // 30 clusters of 80 docs (bucket 6: 64 <= 80 < 128), 2400 docs total
     // → one row carrying the WHOLE corpus mass and 2370 removable dups

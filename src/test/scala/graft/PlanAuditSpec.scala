@@ -1239,4 +1239,20 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d111 must not re-partition for the sweep:\n$p")
     assert(!p.contains("Window"), s"d111 must not use a Window:\n$p")
   }
+
+  test("d112 memorization risk: cached gram projection, salted rank only") {
+    // the gram arrays must explode off a persisted projection (the d61
+    // generator-reevaluation lesson), the gram aggregate must combine
+    // map-side, and the top-20 must be the two-stage salted rank —
+    // both windows partitioned or pre-filtered, never a global sort of
+    // the full gram table
+    val p = plan("d112_memorization_risk")
+    assert(p.contains("InMemoryTableScan"),
+      s"d112 must explode a cached gram projection:\n$p")
+    assert(p.contains("partial_count"),
+      s"d112 gram counts lost their map-side partials:\n$p")
+    assert("Window \\[".r.findAllIn(p).length <= 2,
+      s"d112 must use exactly the two rank windows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
