@@ -5187,6 +5187,42 @@ object Pipeline {
         .filter(col("rank") <= 20)
         .select("rank", "gram", "n_occurrences", "n_docs", "n_sources")
         .orderBy("rank")
+    },
+
+    // ---- d113: ENCODING-DAMAGE AUDIT (the ftfy stage every crawl
+    // pipeline runs before anything downstream trusts the text): per
+    // source, docs carrying (a) C0 control characters other than
+    // \t \n \r (binary bleed-through), (b) U+FFFD replacement chars
+    // (decoder already gave up), (c) the classic UTF-8-read-as-Latin-1
+    // mojibake shapes — 'Ã'+[U+0080–U+00BF] (two-byte sequences) and
+    // the 'â€' prefix (three-byte punctuation: ' " – …). Counts exact
+    // int64; clean_pm = integer per-mille of undamaged docs. The
+    // character classes are spelled to the RE2 ∩ Java-regex common
+    // subset ([\x..-\x..] codepoint ranges) so both engines match the
+    // same codepoints. Shape for 100 TB: pure per-row regex Project
+    // over the scan (codegen, no explode, text never shuffles) into
+    // ONE partial-aggregated groupBy(source).
+    "d113_encoding_audit" -> { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("source"),
+          expr("""CASE WHEN text RLIKE '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'
+                  THEN 1 ELSE 0 END""").as("ctrl"),
+          expr(s"""CASE WHEN contains(text, '${"�"}')
+                  THEN 1 ELSE 0 END""").as("repl"),
+          expr("""CASE WHEN text RLIKE 'Ã[\\x80-\\xBF]'
+                    OR contains(text, 'â€')
+                  THEN 1 ELSE 0 END""").as("moji"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ctrl").as("n_ctrl"),
+          sum("repl").as("n_repl"),
+          sum("moji").as("n_moji"),
+          sum(expr("CASE WHEN ctrl = 0 AND repl = 0 AND moji = 0 THEN 1 ELSE 0 END"))
+            .as("n_clean"))
+        .select(col("source"), col("n_docs"), col("n_ctrl"), col("n_repl"),
+          col("n_moji"),
+          expr("cast((n_clean * 1000) div n_docs as bigint)").as("clean_pm"))
+        .orderBy("source")
     }
   )
 
@@ -8464,6 +8500,27 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                  (ORDER BY n_occurrences DESC, gram) AS INT) AS rank
         FROM st)
       SELECT rank, gram, n_occurrences, n_docs, n_sources
-      FROM r WHERE rank <= 20 ORDER BY rank"""
+      FROM r WHERE rank <= 20 ORDER BY rank""",
+
+    // d113: same RE2∩Java character classes, same flags and per-mille.
+    "d113_encoding_audit" -> raw"""
+      WITH f AS (
+        SELECT source,
+               CASE WHEN regexp_matches(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')
+                 THEN 1 ELSE 0 END AS ctrl,
+               CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS repl,
+               CASE WHEN regexp_matches(text, 'Ã[\x80-\xBF]')
+                      OR contains(text, 'â€')
+                 THEN 1 ELSE 0 END AS moji
+        FROM documents)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ctrl) AS BIGINT) AS n_ctrl,
+             CAST(sum(repl) AS BIGINT) AS n_repl,
+             CAST(sum(moji) AS BIGINT) AS n_moji,
+             CAST((CAST(sum(CASE WHEN ctrl = 0 AND repl = 0 AND moji = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+                  // count(*) AS BIGINT) AS clean_pm
+      FROM f GROUP BY source ORDER BY source"""
   )
 }

@@ -1255,4 +1255,15 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d112 must use exactly the two rank windows:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d113 encoding audit: pure per-row project, one partial aggregate") {
+    val p = plan("d113_encoding_audit")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d113 lost its map-side partials:\n$p")
+    assert(!p.contains("Generate"), s"d113 must not explode:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"d113 needs no window or join at all:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -251,6 +251,29 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("d113: each damage class flags exactly; benign lookalikes stay clean") {
+    val dir = scratch("d113-plant")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text here", "sA"),                     // clean
+      (2L, "bell\u0007char", "sA"),                      // C0 control -> ctrl
+      (3L, "tab\tand\nnewline ok", "sA"),               // exempt controls -> clean
+      (4L, "lost\uFFFDbyte", "sB"),                      // replacement -> repl
+      (5L, "caf\u00C3\u00A9 mojibake", "sB"),           // A-tilde + U+00A9 -> moji
+      (6L, "quote\u00E2\u20AC\u2122s", "sB"),          // cp1252 'a-hat euro tm' -> moji
+      (7L, "\u00C3x is fine", "sB"))                    // A-tilde + ASCII -> clean
+    GraftWriter.write(
+      docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = Pipeline.queries("d113_encoding_audit")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      ("sA", 3L, 1L, 0L, 0L, 666L),
+      ("sB", 4L, 0L, 1L, 2L, 250L)), s"got $got")
+  }
+
   test("d109: hand-computed frequency-of-frequencies and Good-Turing stars") {
     // counts a:3 b:2 c/d/e:1 → N1=3 (gt* = 2·N2·10⁴/3 = 6666),
     // N2=1 (gt* = 3·N3·10⁴/1 = 30000), N3=1 (N4=0 → gt* = 0),
