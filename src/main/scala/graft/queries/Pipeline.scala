@@ -5223,6 +5223,53 @@ object Pipeline {
           col("n_moji"),
           expr("cast((n_clean * 1000) div n_docs as bigint)").as("clean_pm"))
         .orderBy("source")
+    },
+
+    // ---- d114: SOURCE DIVERGENCE — the domain-shift table mixture
+    // designers read next to d62's weights (CCNet's perplexity framing,
+    // one level up from d22's per-doc score): per source, the
+    // cross-entropy of the source's unigram distribution under the
+    // CORPUS unigram LM, the source's own entropy, and their gap — the
+    // exact KL(p_src ‖ p_corpus) — all in integer 4-dp nats. Discipline:
+    // ln() integerizes PER (source, word) TERM at 4 dp (the d37/d86
+    // pre-rank rule), the weighted sums are exact integers (DECIMAL(38,0)
+    // here, HUGEINT in the oracle — c·l reaches ~2.5·10⁵·n and int64
+    // wraps silently in Spark at petabyte token counts), and the final
+    // per-token means round half-up AT INTEGER SCALE (the d103 idiom).
+    // Shape for 100 TB: one tokenize → (source, word, c) aggregate
+    // (distinct pairs move, never token instances — the d16 audit
+    // lesson); corpus frequencies join word-keyed equi; source totals
+    // and the grand total broadcast; ONE partial-aggregated rollup.
+    "d114_source_divergence" -> { (s, dir) =>
+      def halfUp(x: String, n: String) =
+        s"""CASE WHEN ($x) >= 0 THEN (2 * ($x) + $n) div (2 * $n)
+                 ELSE -((2 * (-($x)) + $n) div (2 * $n)) END"""
+      val sc = withWords(T(s, dir, "documents"))
+        .select(col("source"), explode(col("words")).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+        .persist() // frequencies, source totals and the pair pass share it
+      val ns = sc.groupBy("source").agg(sum("c").as("n_src"))
+      val freq = sc.groupBy("word").agg(sum("c").as("wfreq"))
+      val total = freq.agg(sum("wfreq").as("n_total"))
+      sc.join(broadcast(ns), Seq("source"))
+        .join(freq, Seq("word"))
+        .crossJoin(broadcast(total))
+        .withColumn("lc", expr(
+          "cast(round(ln(cast(wfreq as double) / n_total) * 10000) as bigint)"))
+        .withColumn("ls", expr(
+          "cast(round(ln(cast(c as double) / n_src) * 10000) as bigint)"))
+        .groupBy("source").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(expr("cast(c as decimal(38,0)) * cast(lc as decimal(38,0))"))
+            .as("slc"),
+          sum(expr("cast(c as decimal(38,0)) * cast(ls as decimal(38,0))"))
+            .as("sls"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr(s"cast(${halfUp("-slc", "n_tokens")} as bigint)").as("ce_i"),
+          expr(s"cast(${halfUp("-sls", "n_tokens")} as bigint)").as("h_i"),
+          expr(s"cast(${halfUp("sls - slc", "n_tokens")} as bigint)").as("kl_i"))
+        .orderBy("source")
     }
   )
 
@@ -8521,6 +8568,46 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              CAST((CAST(sum(CASE WHEN ctrl = 0 AND repl = 0 AND moji = 0
                                THEN 1 ELSE 0 END) AS BIGINT) * 1000)
                   // count(*) AS BIGINT) AS clean_pm
-      FROM f GROUP BY source ORDER BY source"""
+      FROM f GROUP BY source ORDER BY source""",
+
+    // d114: same per-term 4-dp ln integerization, HUGEINT weighted
+    // sums, same signed integer-scale half-up means.
+    "d114_source_divergence" -> raw"""
+      WITH w AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      sc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+             FROM w GROUP BY 1, 2),
+      ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+             FROM sc GROUP BY 1),
+      f AS (SELECT word, CAST(sum(c) AS BIGINT) AS wfreq FROM sc GROUP BY 1),
+      n AS (SELECT CAST(sum(wfreq) AS BIGINT) AS n_total FROM f),
+      p AS (
+        SELECT sc.source, sc.c,
+               CAST(round(ln(CAST(f.wfreq AS DOUBLE) / n.n_total) * 10000)
+                    AS BIGINT) AS lc,
+               CAST(round(ln(CAST(sc.c AS DOUBLE) / ns.n_src) * 10000)
+                    AS BIGINT) AS ls
+        FROM sc JOIN ns USING (source) JOIN f USING (word) CROSS JOIN n),
+      g AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CAST(c AS HUGEINT) * lc) AS HUGEINT) AS slc,
+               CAST(sum(CAST(c AS HUGEINT) * ls) AS HUGEINT) AS sls
+        FROM p GROUP BY source)
+      SELECT source, n_tokens, n_types,
+             CASE WHEN -slc >= 0
+               THEN CAST((2 * (-slc) + n_tokens) // (2 * n_tokens) AS BIGINT)
+               ELSE -CAST((2 * slc + n_tokens) // (2 * n_tokens) AS BIGINT)
+             END AS ce_i,
+             CASE WHEN -sls >= 0
+               THEN CAST((2 * (-sls) + n_tokens) // (2 * n_tokens) AS BIGINT)
+               ELSE -CAST((2 * sls + n_tokens) // (2 * n_tokens) AS BIGINT)
+             END AS h_i,
+             CASE WHEN sls - slc >= 0
+               THEN CAST((2 * (sls - slc) + n_tokens) // (2 * n_tokens) AS BIGINT)
+               ELSE -CAST((2 * (slc - sls) + n_tokens) // (2 * n_tokens) AS BIGINT)
+             END AS kl_i
+      FROM g ORDER BY source"""
   )
 }

@@ -1266,4 +1266,20 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d113 needs no window or join at all:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d114 source divergence: pair frame cached, dimension sides broadcast") {
+    // the (source, word, c) aggregate is the only token-moving pass and
+    // must be persisted for its three consumers; source totals and the
+    // grand total come back as broadcasts; the corpus-frequency join is
+    // word-keyed equi; everything partial-aggregates; no window
+    val p = plan("d114_source_divergence")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"d114 must reuse the cached pair frame:\n$p")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d114 lost its map-side partials:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"d114 source totals must broadcast:\n$p")
+    assert(!p.contains("Window"), s"d114 must not use a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -251,6 +251,42 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("d114: hand-computed cross-entropy, entropy and KL per source") {
+    val dir = scratch("d114-plant")
+    import spark.implicits._
+    // corpus a:2 b:4 (N=6): lc(a) = round(ln(1/3)*1e4) = -10986,
+    // lc(b) = round(ln(2/3)*1e4) = -4055 (half-up away from zero).
+    // srcA "a a b": ls(a) = -4055, ls(b) = -10986 ->
+    //   ce = round(26027/3) = 8676, h = round(19096/3) = 6365,
+    //   kl = round(6931/3) = 2310
+    // srcB "b b b": ls(b) = 0 -> ce = kl = round(12165/3) = 4055, h = 0
+    val docs = Seq((1L, "a a b", "srcA"), (2L, "b b b", "srcB"))
+    GraftWriter.write(
+      docs.map { case (id, x, src) => (id, x, "en", src, x.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = Pipeline.queries("d114_source_divergence")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      ("srcA", 3L, 2L, 8676L, 6365L, 2310L),
+      ("srcB", 3L, 1L, 4055L, 0L, 4055L)), s"got $got")
+  }
+
+  test("d114: a single-source corpus diverges from itself by exactly zero") {
+    val dir = scratch("d114-self")
+    import spark.implicits._
+    val docs = Seq((1L, "x y z x", "only"), (2L, "y x q", "only"))
+    GraftWriter.write(
+      docs.map { case (id, x, src) => (id, x, "en", src, x.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val r = Pipeline.queries("d114_source_divergence")(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(5) === 0L, "KL(p||p) must be 0")
+    assert(r.head.getLong(3) === r.head.getLong(4), "CE must equal H")
+  }
+
   test("d113: each damage class flags exactly; benign lookalikes stay clean") {
     val dir = scratch("d113-plant")
     import spark.implicits._
