@@ -5270,6 +5270,56 @@ object Pipeline {
           expr(s"cast(${halfUp("-sls", "n_tokens")} as bigint)").as("h_i"),
           expr(s"cast(${halfUp("sls - slc", "n_tokens")} as bigint)").as("kl_i"))
         .orderBy("source")
+    },
+
+    // ---- d115: JACKKNIFE STANDARD ERRORS (Quenouille/Tukey; the
+    // delete-one-shard estimator every serious eval table quotes next
+    // to its means): per source, the mean d8 quality score WITH its
+    // uncertainty — leave-one-out replicas over the 64 doc_id%64 folds,
+    // SE² = (K−1)/K · Σ(mean_k − mean)², emitted as a 4-dp integer SE.
+    // The point over a bootstrap: ZERO row blowup — replica means are
+    // pure arithmetic on (fold sum, fold count) against the source
+    // totals, so the corpus collapses through ONE (source, fold)
+    // aggregate and everything after runs on ≤64 rows per source.
+    // Exactness: scores integerize at 4 dp (they are 4-dp by d8
+    // construction); replica and grand means round half-up at integer
+    // scale (d103); deviations are exact int64; the only double is the
+    // final sqrt of an exact integer ratio — identical in both engines
+    // — rounded to the 4-dp SE. Folds with all of a source's mass
+    // (single-fold sources) have zero deviations → SE 0.
+    "d115_jackknife_se" -> { (s, dir) =>
+      def halfUp(x: String, n: String) =
+        s"""CASE WHEN ($x) >= 0 THEN (2 * ($x) + $n) div (2 * $n)
+                 ELSE -((2 * (-($x)) + $n) div (2 * $n)) END"""
+      val folds = withQuality(withWords(T(s, dir, "documents")))
+        .select(col("source"),
+          expr("doc_id % 64").as("fold"),
+          expr("cast(round(quality_score * 10000) as bigint)").as("q_i"))
+        .groupBy("source", "fold")
+        .agg(count(lit(1)).as("nk"), sum("q_i").as("sk"))
+        .persist() // totals + replica rows read it
+      val tot = folds.groupBy("source")
+        .agg(sum("nk").as("n"), sum("sk").as("st"),
+          count(lit(1)).as("k"))
+      folds.join(broadcast(tot), Seq("source"))
+        .withColumn("mean_i", expr(s"cast(${halfUp("st", "n")} as bigint)"))
+        .withColumn("rep_i", expr(
+          // delete-one-fold replica mean; a source living in ONE fold
+          // has n == nk — define the replica as the mean itself (zero
+          // deviation) rather than divide by zero
+          s"""cast(CASE WHEN n > nk
+                     THEN ${halfUp("st - sk", "(n - nk)")}
+                     ELSE ${halfUp("st", "n")} END as bigint)"""))
+        .groupBy("source")
+        .agg(max("n").as("n_docs"), max("k").as("k_folds"),
+          max("mean_i").as("mean_q_i"),
+          sum(expr("(rep_i - mean_i) * (rep_i - mean_i)")).as("ssd"))
+        .select(col("source"), col("n_docs"), col("k_folds"),
+          col("mean_q_i"),
+          expr("""cast(round(sqrt(cast((k_folds - 1) * ssd as double)
+                                  / cast(k_folds as double))) as bigint)""")
+            .as("se_q_i"))
+        .orderBy("source")
     }
   )
 
@@ -8608,6 +8658,48 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                THEN CAST((2 * (sls - slc) + n_tokens) // (2 * n_tokens) AS BIGINT)
                ELSE -CAST((2 * (slc - sls) + n_tokens) // (2 * n_tokens) AS BIGINT)
              END AS kl_i
-      FROM g ORDER BY source"""
+      FROM g ORDER BY source""",
+
+    // d115: shares d8's quality CTEs; same fold sums, same integer
+    // means, same exact-integer sum of squared deviations, one sqrt.
+    "d115_jackknife_se" -> s"""
+      WITH $qualityCtes,
+      sq AS (
+        SELECT d.source, d.doc_id % 64 AS fold,
+               CAST(round(q8.quality_score * 10000) AS BIGINT) AS q_i
+        FROM q8 JOIN documents d ON d.doc_id = q8.doc_id),
+      folds AS (
+        SELECT source, fold, CAST(count(*) AS BIGINT) AS nk,
+               CAST(sum(q_i) AS BIGINT) AS sk
+        FROM sq GROUP BY 1, 2),
+      tot AS (
+        SELECT source, CAST(sum(nk) AS BIGINT) AS n,
+               CAST(sum(sk) AS BIGINT) AS st,
+               CAST(count(*) AS BIGINT) AS k
+        FROM folds GROUP BY 1),
+      reps AS (
+        SELECT f.source, t.n, t.k,
+               CASE WHEN t.st >= 0 THEN (2 * t.st + t.n) // (2 * t.n)
+                    ELSE -((2 * (-t.st) + t.n) // (2 * t.n)) END AS mean_i,
+               CASE WHEN t.n > f.nk THEN
+                 CASE WHEN t.st - f.sk >= 0
+                   THEN (2 * (t.st - f.sk) + (t.n - f.nk))
+                        // (2 * (t.n - f.nk))
+                   ELSE -((2 * (f.sk - t.st) + (t.n - f.nk))
+                        // (2 * (t.n - f.nk))) END
+               ELSE
+                 CASE WHEN t.st >= 0 THEN (2 * t.st + t.n) // (2 * t.n)
+                      ELSE -((2 * (-t.st) + t.n) // (2 * t.n)) END
+               END AS rep_i
+        FROM folds f JOIN tot t USING (source))
+      SELECT source,
+             CAST(max(n) AS BIGINT) AS n_docs,
+             CAST(max(k) AS BIGINT) AS k_folds,
+             CAST(max(mean_i) AS BIGINT) AS mean_q_i,
+             CAST(round(sqrt(CAST((max(k) - 1)
+                                  * sum((rep_i - mean_i) * (rep_i - mean_i))
+                                  AS DOUBLE)
+                             / CAST(max(k) AS DOUBLE))) AS BIGINT) AS se_q_i
+      FROM reps GROUP BY source ORDER BY source"""
   )
 }

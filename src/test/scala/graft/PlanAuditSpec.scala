@@ -1282,4 +1282,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"d114 must not use a Window:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d115 jackknife: corpus collapses into the fold frame, totals broadcast") {
+    // the only corpus-sized operation is the (source, fold) aggregate —
+    // cached for its two consumers; the replica arithmetic and the SE
+    // run on ≤64 rows per source with the totals broadcast back; no
+    // window, no row blowup (a bootstrap would explode ×B)
+    val p = plan("d115_jackknife_se")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d115 fold sums lost their map-side partials:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"d115 must reuse the cached fold frame:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d115 totals must broadcast back:\n$p")
+    assert(!p.contains("Window"), s"d115 must not use a Window:\n$p")
+    assert(!p.contains("Generate"), s"d115 must not explode replicas:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -305,6 +305,45 @@ class QualityWinnowSpec extends SparkSpecBase {
     assert(rows.filterNot(_._4).forall(_._1 < minAdm), "no rejected score reaches an admitted one")
   }
 
+  // --------------------------------------------------------------- d115
+
+  test("d115: hand-computed delete-one-fold replicas, SE exact to the 4th dp") {
+    // source X: fold0 = {score 10000 (50 distinct words), 8500 (25
+    // words)}, fold1 = {5120 ("a a")} → mean = round(23620/3) = 7873;
+    // replicas: drop fold0 → 5120, drop fold1 → 9250; ssd = 2753² +
+    // 1377² = 7579009 + 1896129 = 9475138 → SE =
+    // round(√(1·9475138/2)) = round(2176.59) = 2177.
+    // source Y: one doc, one fold → replica ≡ mean → SE 0
+    val dir = scratch("d115-plant")
+    import spark.implicits._
+    val docs = Seq(
+      (0L, (0 until 50).map(i => s"w$i").mkString(" "), "X"),
+      (64L, (0 until 25).map(i => s"v$i").mkString(" "), "X"),
+      (1L, "a a", "X"),
+      (2L, "a a", "Y"))
+    GraftWriter.write(
+      docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = Pipeline.queries("d115_jackknife_se")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq(
+      ("X", 3L, 2L, 7873L, 2177L),
+      ("Y", 1L, 1L, 5120L, 0L)), s"got $got")
+  }
+
+  test("d115: real-corpus invariants — SE nonnegative, bounded, folds capped at 64") {
+    val rows = Pipeline.queries("d115_jackknife_se")(spark, sfTiny).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, k, mean, se) =>
+      assert(k >= 1 && k <= 64 && k <= n)
+      assert(mean >= 0 && mean <= 10000)
+      assert(se >= 0 && se <= 10000, s"SE out of range: $se")
+    }
+  }
+
   // --------------------------------------------------------------- d111
 
   test("d111: the yield curve matches hand-computed scores at every threshold") {
