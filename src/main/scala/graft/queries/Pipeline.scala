@@ -5320,6 +5320,36 @@ object Pipeline {
                                   / cast(k_folds as double))) as bigint)""")
             .as("se_q_i"))
         .orderBy("source")
+    },
+
+    // ---- d116: PACK EFFICIENCY — the padding-waste number every
+    // fixed-context training run tracks (wasted bin capacity is wasted
+    // FLOPs, dollar-for-dollar): per source, over d116's OWN input —
+    // d59's queries entry, so the layout audited IS the packing
+    // certified — the bins used, the token mass actually packed
+    // (truncated docs occupy min(n_tokens, 512)), capacity = 512·bins,
+    // the integer per-mille fill rate, and the truncation count.
+    // Shape for 100 TB: d59's per-doc frame collapses through ONE
+    // partial-aggregated groupBy(source); the only nuance is the bin
+    // count — bins are globalized per source by construction, so
+    // count(DISTINCT bin) = max(bin) − min(bin) + 1 and the CHEAP
+    // max/min form is used (a distinct-count would re-shuffle;
+    // the spec pins the equality).
+    "d116_pack_efficiency" -> { (s, dir) =>
+      queries("d59_doc_pack")(s, dir)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr("CASE WHEN truncated THEN 1 ELSE 0 END")).as("n_truncated"),
+          sum(expr("least(cast(n_tokens as bigint), cast(512 as bigint))"))
+            .as("packed_tokens"),
+          (max("bin") - min("bin") + lit(1L)).as("n_bins"))
+        .select(col("source"), col("n_docs"), col("n_bins"),
+          col("packed_tokens"),
+          (col("n_bins") * 512 - col("packed_tokens")).as("waste_tokens"),
+          expr("cast((packed_tokens * 1000) div (n_bins * 512) as bigint)")
+            .as("fill_pm"),
+          col("n_truncated"))
+        .orderBy("source")
     }
   )
 
@@ -5556,6 +5586,55 @@ object Pipeline {
                (cum - cnt) * 10000 < total * 9995 AS kept
         FROM r CROSS JOIN tot)"""
 
+  /** d59's greedy next-fit packing replay (equi-depth shards, the
+    * recursive fold, bin globalization), shared verbatim with d116's
+    * efficiency report so the layout audited IS the packing certified.
+    * Must follow a `WITH RECURSIVE` opener; ends at the per-doc frame
+    * `d59out`. */
+  private lazy val d59Ctes: String = """
+      w0 AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+        FROM documents),
+      bc AS (
+        SELECT source, doc_id // 64 AS bucket, count(*) AS bn
+        FROM w0 GROUP BY 1, 2),
+      sh AS (
+        SELECT source, bucket,
+               coalesce(sum(bn) OVER (PARTITION BY source ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS shard
+        FROM bc),
+      w AS (
+        SELECT w0.doc_id, w0.source, sh.shard, w0.n_tokens
+        FROM w0 JOIN sh ON sh.source = w0.source AND sh.bucket = w0.doc_id // 64),
+      t AS (
+        SELECT *, least(n_tokens, 512) AS n,
+               CAST(row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS INT) AS rn
+        FROM w),
+      r AS (
+        SELECT source, shard, rn, doc_id, n_tokens, n,
+               0 AS bin, n AS fill, 0 AS off
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.source, t.shard, t.rn, t.doc_id, t.n_tokens, t.n,
+               CASE WHEN r.fill + t.n <= 512 THEN r.bin ELSE r.bin + 1 END,
+               CASE WHEN r.fill + t.n <= 512 THEN r.fill + t.n ELSE t.n END,
+               CASE WHEN r.fill + t.n <= 512 THEN r.fill ELSE 0 END
+        FROM r JOIN t ON t.source = r.source AND t.shard = r.shard
+                     AND t.rn = r.rn + 1),
+      bps AS (SELECT source, shard, max(bin) + 1 AS nbins
+              FROM r GROUP BY source, shard),
+      offs AS (
+        SELECT source, shard,
+               coalesce(sum(nbins) OVER (PARTITION BY source ORDER BY shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_off
+        FROM bps),
+      d59out AS (
+        SELECT r.doc_id, r.source, r.n_tokens,
+               r.n_tokens > 512 AS truncated,
+               CAST(offs.bin_off + r.bin AS BIGINT) AS bin, r.off
+        FROM r JOIN offs ON offs.source = r.source AND offs.shard = r.shard)"""
+
   /** d62's √-temperature mixture replay (per-lang token mass, floored
     * √ weights, half-corpus budget apportionment), shared verbatim with
     * d107's quota materialization so the quotas FILLED are the quotas
@@ -5756,49 +5835,10 @@ object Pipeline {
     // (bucket = doc_id // 64, shard = docs-in-earlier-buckets // 1000,
     // see equiDepthShard) is all-integer, so the oracle re-derives it
     // bit-for-bit with one bucket-count window.
-    "d59_doc_pack" -> """
-      WITH RECURSIVE w0 AS (
-        SELECT doc_id, source,
-               CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
-        FROM documents),
-      bc AS (
-        SELECT source, doc_id // 64 AS bucket, count(*) AS bn
-        FROM w0 GROUP BY 1, 2),
-      sh AS (
-        SELECT source, bucket,
-               coalesce(sum(bn) OVER (PARTITION BY source ORDER BY bucket
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS shard
-        FROM bc),
-      w AS (
-        SELECT w0.doc_id, w0.source, sh.shard, w0.n_tokens
-        FROM w0 JOIN sh ON sh.source = w0.source AND sh.bucket = w0.doc_id // 64),
-      t AS (
-        SELECT *, least(n_tokens, 512) AS n,
-               CAST(row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS INT) AS rn
-        FROM w),
-      r AS (
-        SELECT source, shard, rn, doc_id, n_tokens, n,
-               0 AS bin, n AS fill, 0 AS off
-        FROM t WHERE rn = 1
-        UNION ALL
-        SELECT t.source, t.shard, t.rn, t.doc_id, t.n_tokens, t.n,
-               CASE WHEN r.fill + t.n <= 512 THEN r.bin ELSE r.bin + 1 END,
-               CASE WHEN r.fill + t.n <= 512 THEN r.fill + t.n ELSE t.n END,
-               CASE WHEN r.fill + t.n <= 512 THEN r.fill ELSE 0 END
-        FROM r JOIN t ON t.source = r.source AND t.shard = r.shard
-                     AND t.rn = r.rn + 1),
-      bps AS (SELECT source, shard, max(bin) + 1 AS nbins
-              FROM r GROUP BY source, shard),
-      offs AS (
-        SELECT source, shard,
-               coalesce(sum(nbins) OVER (PARTITION BY source ORDER BY shard
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_off
-        FROM bps)
-      SELECT r.doc_id, r.source, r.n_tokens,
-             r.n_tokens > 512 AS truncated,
-             CAST(offs.bin_off + r.bin AS BIGINT) AS bin, r.off
-      FROM r JOIN offs ON offs.source = r.source AND offs.shard = r.shard
-      ORDER BY r.doc_id""",
+    "d59_doc_pack" -> s"""
+      WITH RECURSIVE $d59Ctes
+      SELECT doc_id, source, n_tokens, truncated, bin, off
+      FROM d59out ORDER BY doc_id""",
 
     // d58: same two-level scheme as Spark's (the 256-row offsets window
     // is trivial in both engines); hex-pair → shard uses the d11 strpos
@@ -8700,6 +8740,24 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                                   * sum((rep_i - mean_i) * (rep_i - mean_i))
                                   AS DOUBLE)
                              / CAST(max(k) AS DOUBLE))) AS BIGINT) AS se_q_i
-      FROM reps GROUP BY source ORDER BY source"""
+      FROM reps GROUP BY source ORDER BY source""",
+
+    // d116: shares d59's packing CTEs; same min/max bin-count form.
+    "d116_pack_efficiency" -> s"""
+      WITH RECURSIVE $d59Ctes
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(bin) - min(bin) + 1 AS BIGINT) AS n_bins,
+             CAST(sum(least(CAST(n_tokens AS BIGINT), 512)) AS BIGINT)
+               AS packed_tokens,
+             CAST((max(bin) - min(bin) + 1) * 512
+                  - CAST(sum(least(CAST(n_tokens AS BIGINT), 512)) AS BIGINT)
+                  AS BIGINT) AS waste_tokens,
+             CAST((CAST(sum(least(CAST(n_tokens AS BIGINT), 512)) AS BIGINT)
+                   * 1000)
+                  // ((max(bin) - min(bin) + 1) * 512) AS BIGINT) AS fill_pm,
+             CAST(sum(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated
+      FROM d59out GROUP BY source ORDER BY source"""
   )
 }

@@ -1299,4 +1299,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Generate"), s"d115 must not explode replicas:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d116 pack efficiency: one rollup over d59, no distinct-count reshuffle") {
+    // d59's per-doc frame must collapse through a single partial-
+    // aggregated groupBy(source) — the bin count is the max−min form,
+    // so no expand/distinct-count machinery may appear downstream
+    val p = plan("d116_pack_efficiency")
+    assert(p.contains("partial_sum") && p.contains("partial_count") &&
+      p.contains("partial_max") && p.contains("partial_min"),
+      s"d116 rollup lost its map-side partials:\n$p")
+    assert(!p.contains("Expand"),
+      s"d116 must use the max-min bin count, not a distinct count:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -153,6 +153,45 @@ class TrainPrepSpec extends SparkSpecBase {
     assert(got == want, s"got $got")
   }
 
+  test("d116: fill, waste and truncation match the hand-packed layout") {
+    // one source, doc_id order, sizes (512, 100, 512, 600→512): greedy
+    // next-fit gives four bins — 512 full, 100, 512, 512(truncated) —
+    // packed 1636 of capacity 2048 → waste 412, fill 798‰, 1 truncation
+    val dir = scratch("d116-plant")
+    import spark.implicits._
+    val rows = Seq(
+      (0L, toks(512, "a")), (1L, toks(100, "b")),
+      (2L, toks(512, "c")), (3L, toks(600, "d")))
+    graft.sources.GraftWriter.write(
+      rows.map { case (id, t) => (id, t, "en", "P", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = Pipeline.queries("d116_pack_efficiency")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(("P", 4L, 4L, 1636L, 412L, 798L, 1L)), s"got $got")
+  }
+
+  test("d116: the cheap max-min bin count equals the true distinct count per source") {
+    // bins are globalized contiguous per source by d59 construction —
+    // the report's (max−min+1) form must agree with count(DISTINCT bin)
+    // on the real corpus, and fill can never exceed 1000‰
+    val bins = Pipeline.queries("d59_doc_pack")(spark, sfTiny)
+      .groupBy("source").agg(
+        countDistinct(col("bin")).as("nd"),
+        (max("bin") - min("bin") + lit(1L)).as("mm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    bins.foreach { case (src, nd, mm) =>
+      assert(nd === mm, s"$src: bin ids not contiguous ($nd vs $mm)")
+    }
+    val rep = Pipeline.queries("d116_pack_efficiency")(spark, sfTiny)
+      .collect().map(r => (r.getLong(5), r.getLong(4)))
+    assert(rep.nonEmpty)
+    rep.foreach { case (fill, waste) =>
+      assert(fill >= 1 && fill <= 1000 && waste >= 0, s"($fill, $waste)")
+    }
+  }
+
   /** The round-7 de-skew contract (VERDICT r6 #4): a hot dense id range
     * next to an extremely sparse tail — the adversarial case for the
     * old fixed-width `doc_id div 1000` shard, which gave the sparse
