@@ -5350,6 +5350,47 @@ object Pipeline {
             .as("fill_pm"),
           col("n_truncated"))
         .orderBy("source")
+    },
+
+    // ---- d117: DUPLICATE PROVENANCE — the diagnosis read off a dedup
+    // run before deciding what to FIX (CCNet/RefinedWeb distinguish
+    // these): an intra-domain cluster is crawl/template duplication
+    // (fix the crawler or the extractor); a cross-domain cluster is
+    // mirrored/syndicated content (fix nothing — dedup is the fix).
+    // Over TWO certified operators' own entries — d20's clustering and
+    // d69's canonical domains (the oracle concatenates both CTE chains
+    // verbatim) — the corpus report: multi-doc clusters, how many are
+    // single-domain vs cross-domain, the intra per-mille, and the
+    // removable dup-doc mass in each class. Shape for 100 TB: one
+    // doc_id equi join of two id-keyed frames (d20's labeling is
+    // already persisted inside its entry), one root-keyed aggregate
+    // (countDistinct over the root's domains — cluster-sized groups),
+    // then a constant-key rollup (grouped, not global: zero rows on an
+    // empty corpus, the d33 contract).
+    "d117_dup_provenance" -> { (s, dir) =>
+      val labeled = queries("d20_dedup_clusters")(s, dir)
+        .select("doc_id", "root")
+      val dom = queries("d69_holdout_split")(s, dir)
+        .select("doc_id", "domain")
+      val cl = labeled.join(dom, Seq("doc_id"))
+        .groupBy("root").agg(count(lit(1)).as("n_members"),
+          countDistinct(col("domain")).as("n_domains"))
+        .filter(col("n_members") >= 2)
+      cl.groupBy(lit("corpus").as("scope")).agg(
+          count(lit(1)).as("n_multi_clusters"),
+          sum(expr("CASE WHEN n_domains = 1 THEN 1 ELSE 0 END"))
+            .as("intra_clusters"),
+          sum(expr("CASE WHEN n_domains > 1 THEN 1 ELSE 0 END"))
+            .as("cross_clusters"),
+          sum(expr("CASE WHEN n_domains = 1 THEN n_members - 1 ELSE 0 END"))
+            .as("intra_dup_docs"),
+          sum(expr("CASE WHEN n_domains > 1 THEN n_members - 1 ELSE 0 END"))
+            .as("cross_dup_docs"))
+        .select(col("scope"), col("n_multi_clusters"), col("intra_clusters"),
+          col("cross_clusters"),
+          expr("cast((intra_clusters * 1000) div n_multi_clusters as bigint)")
+            .as("intra_pm"),
+          col("intra_dup_docs"), col("cross_dup_docs"))
     }
   )
 
@@ -8758,6 +8799,31 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                   // ((max(bin) - min(bin) + 1) * 512) AS BIGINT) AS fill_pm,
              CAST(sum(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
                AS n_truncated
-      FROM d59out GROUP BY source ORDER BY source"""
+      FROM d59out GROUP BY source ORDER BY source""",
+
+    // d117: concatenates d20's clustering CTEs and d69's domain CTEs
+    // verbatim (no name clashes by construction) — both certified
+    // chains feed the provenance rollup unchanged.
+    "d117_dup_provenance" -> s"""
+      WITH RECURSIVE $d20Ctes, $d69Ctes,
+      m AS (SELECT c.root, c.doc_id, sp.domain
+            FROM comp c JOIN sp USING (doc_id)),
+      cl AS (
+        SELECT root, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
+        FROM m GROUP BY root HAVING count(*) >= 2)
+      SELECT 'corpus' AS scope,
+             CAST(count(*) AS BIGINT) AS n_multi_clusters,
+             CAST(sum(CASE WHEN n_domains = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS intra_clusters,
+             CAST(sum(CASE WHEN n_domains > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cross_clusters,
+             CAST((CAST(sum(CASE WHEN n_domains = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) * 1000) // count(*) AS BIGINT) AS intra_pm,
+             CAST(sum(CASE WHEN n_domains = 1 THEN n_members - 1 ELSE 0 END)
+                  AS BIGINT) AS intra_dup_docs,
+             CAST(sum(CASE WHEN n_domains > 1 THEN n_members - 1 ELSE 0 END)
+                  AS BIGINT) AS cross_dup_docs
+      FROM cl GROUP BY 1"""
   )
 }

@@ -1274,6 +1274,27 @@ class DedupSpec extends SparkSpecBase {
       (2, aGram, 2L, 1L, 1L)), s"got $got")
   }
 
+  test("d117: intra-domain crawl dups split from cross-domain mirrors exactly") {
+    val dir = scratch("d117-plant")
+    import spark.implicits._
+    def body(v: String) = (0 until 12).map(j => s"$v$j").mkString(" ")
+    // cluster A: two copies whose sources are URL VARIANTS of one site
+    // (www./path stripping must unify them → intra); cluster B: two
+    // copies on different domains (→ cross); doc 5 is a singleton
+    val docs = Seq(
+      (1L, body("a"), "WWW.Same.com/a"), (2L, body("a"), "same.com/b?x=1"),
+      (3L, body("b"), "one.org/p"), (4L, body("b"), "two.org/q"),
+      (5L, body("c"), "x.org"))
+    GraftWriter.write(
+      docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = Pipeline.queries("d117_dup_provenance")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(("corpus", 2L, 1L, 1L, 500L, 1L, 1L)), s"got $got")
+  }
+
   test("d104: the mega-block corpus collapses to one exact bucket row") {
     // 30 clusters of 80 docs (bucket 6: 64 <= 80 < 128), 2400 docs total
     // → one row carrying the WHOLE corpus mass and 2370 removable dups

@@ -1312,4 +1312,17 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d116 must use the max-min bin count, not a distinct count:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d117 dup provenance: reads the cached labeling, id-keyed joins only") {
+    // d20's persisted labeling must be the input; the domain side is a
+    // per-row projection joined doc_id-equi; after the root aggregate
+    // only cluster-dimension rows exist — no window, no quadratic join
+    val p = plan("d117_dup_provenance")
+    assert(p.contains("InMemoryTableScan"),
+      s"d117 must read d20's persisted labeling:\n$p")
+    assert(p.contains("partial_count"),
+      s"d117 lost its map-side partials:\n$p")
+    assert(!p.contains("Window"), s"d117 must not use a Window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
