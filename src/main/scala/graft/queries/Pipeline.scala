@@ -5391,6 +5391,73 @@ object Pipeline {
           expr("cast((intra_clusters * 1000) div n_multi_clusters as bigint)")
             .as("intra_pm"),
           col("intra_dup_docs"), col("cross_dup_docs"))
+    },
+
+    // ---- d118: SNAPSHOT DRIFT — the distribution-shift monitor run
+    // between crawls ("did the language move?" — the trigger for
+    // re-training tokenizers and re-fitting mixtures): the
+    // Jensen–Shannon divergence between the unigram distributions of
+    // d74's two snapshot sides (the SAME %7/%5/%11-rev2 convention, so
+    // the snapshots drifted are the snapshots d74 diffs), plus the
+    // vocabulary churn (words new in B, words dead from A). JS is the
+    // right metric here because it is FINITE under churn — new/dead
+    // words send KL to ∞ but contribute bounded ln 2 terms to JS.
+    // Exactness: per-word ln(2A/(A+B)) integerizes at 4 dp (A = c1·n2,
+    // B = c2·n1 as doubles — exact integers well inside double range
+    // per word); weighted sums exact DECIMAL(38,0)/HUGEINT; per-token
+    // KL halves round half-up at integer scale; an empty snapshot side
+    // → −1 sentinels. Shape for 100 TB: two tokenize passes collapse
+    // to word-keyed counts, ONE full-outer word join (hash-keyed),
+    // totals broadcast, constant-key rollup (zero rows on empty).
+    "d118_snapshot_drift" -> { (s, dir) =>
+      def halfUp(x: String, n: String) =
+        s"""CASE WHEN ($x) >= 0 THEN (2 * ($x) + $n) div (2 * $n)
+                 ELSE -((2 * (-($x)) + $n) div (2 * $n)) END"""
+      val docs = T(s, dir, "documents")
+      val a = withWords(docs.filter(expr("doc_id % 7 != 3")))
+        .select(explode(col("words")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c1"))
+      val b = withWords(docs.filter(expr("doc_id % 5 != 2"))
+          .withColumn("text", expr(
+            "CASE WHEN doc_id % 11 = 0 THEN concat(text, ' rev2') ELSE text END")))
+        .select(explode(col("words")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c2"))
+      val j = a.join(b, Seq("word"), "full_outer")
+        .select(coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+        .persist() // totals + the term pass share it
+      val tot = j.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      j.crossJoin(broadcast(tot))
+        .withColumn("aa", expr("cast(c1 as double) * cast(n2 as double)"))
+        .withColumn("bb", expr("cast(c2 as double) * cast(n1 as double)"))
+        .withColumn("l1", expr(
+          """CASE WHEN c1 > 0 AND aa + bb > cast(0 as double)
+               THEN cast(round(ln((2 * aa) / (aa + bb)) * 10000) as bigint)
+               ELSE cast(0 as bigint) END"""))
+        .withColumn("l2", expr(
+          """CASE WHEN c2 > 0 AND aa + bb > cast(0 as double)
+               THEN cast(round(ln((2 * bb) / (aa + bb)) * 10000) as bigint)
+               ELSE cast(0 as bigint) END"""))
+        .groupBy(lit("corpus").as("scope")).agg(
+          max("n1").as("n1"), max("n2").as("n2"),
+          sum(expr("cast(c1 as decimal(38,0)) * cast(l1 as decimal(38,0))"))
+            .as("s1"),
+          sum(expr("cast(c2 as decimal(38,0)) * cast(l2 as decimal(38,0))"))
+            .as("s2"),
+          sum(expr("CASE WHEN c1 = 0 THEN 1 ELSE 0 END")).as("new_words"),
+          sum(expr("CASE WHEN c2 = 0 THEN 1 ELSE 0 END")).as("dead_words"))
+        .select(col("scope"), col("n1"), col("n2"), col("new_words"),
+          col("dead_words"),
+          expr(s"""cast(CASE WHEN n1 > 0 AND n2 > 0
+                     THEN ${halfUp("s1", "n1")} ELSE -1 END as bigint)""")
+            .as("klp_i"),
+          expr(s"""cast(CASE WHEN n1 > 0 AND n2 > 0
+                     THEN ${halfUp("s2", "n2")} ELSE -1 END as bigint)""")
+            .as("klq_i"))
+        .withColumn("js_i", expr(
+          s"""cast(CASE WHEN klp_i >= 0 AND klq_i >= 0
+                     THEN ${halfUp("klp_i + klq_i", "2")} ELSE -1 END
+               as bigint)"""))
     }
   )
 
@@ -8824,6 +8891,71 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                   AS BIGINT) AS intra_dup_docs,
              CAST(sum(CASE WHEN n_domains > 1 THEN n_members - 1 ELSE 0 END)
                   AS BIGINT) AS cross_dup_docs
-      FROM cl GROUP BY 1"""
+      FROM cl GROUP BY 1""",
+
+    // d118: same %7/%5/%11-rev2 snapshot convention as d74, same
+    // per-term integerization and HUGEINT sums, same signed means.
+    "d118_snapshot_drift" -> raw"""
+      WITH a AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents WHERE doc_id % 7 <> 3)
+        GROUP BY word),
+      b AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS c2
+        FROM (SELECT unnest(string_split_regex(trim(
+                CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END),
+                '\s+')) AS word
+              FROM documents WHERE doc_id % 5 <> 2)
+        GROUP BY word),
+      j AS (
+        SELECT coalesce(a.c1, 0) AS c1, coalesce(b.c2, 0) AS c2
+        FROM a FULL OUTER JOIN b USING (word)),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(c2) AS BIGINT) AS n2 FROM j),
+      terms AS (
+        SELECT c1, c2, n1, n2,
+               CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS aa,
+               CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE) AS bb
+        FROM j CROSS JOIN tot),
+      l AS (
+        SELECT c1, c2, n1, n2,
+               CASE WHEN c1 > 0 AND aa + bb > CAST(0 AS DOUBLE)
+                 THEN CAST(round(ln((2 * aa) / (aa + bb)) * 10000) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS l1,
+               CASE WHEN c2 > 0 AND aa + bb > CAST(0 AS DOUBLE)
+                 THEN CAST(round(ln((2 * bb) / (aa + bb)) * 10000) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS l2
+        FROM terms),
+      g AS (
+        SELECT 'corpus' AS scope, max(n1) AS n1, max(n2) AS n2,
+               CAST(sum(CAST(c1 AS HUGEINT) * l1) AS HUGEINT) AS s1,
+               CAST(sum(CAST(c2 AS HUGEINT) * l2) AS HUGEINT) AS s2,
+               CAST(sum(CASE WHEN c1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS new_words,
+               CAST(sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dead_words
+        FROM l GROUP BY 1),
+      k AS (
+        SELECT scope, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               new_words, dead_words,
+               CASE WHEN n1 > 0 AND n2 > 0 THEN
+                 CASE WHEN s1 >= 0
+                   THEN CAST((2 * s1 + n1) // (2 * n1) AS BIGINT)
+                   ELSE -CAST((2 * (-s1) + n1) // (2 * n1) AS BIGINT) END
+               ELSE -1 END AS klp_i,
+               CASE WHEN n1 > 0 AND n2 > 0 THEN
+                 CASE WHEN s2 >= 0
+                   THEN CAST((2 * s2 + n2) // (2 * n2) AS BIGINT)
+                   ELSE -CAST((2 * (-s2) + n2) // (2 * n2) AS BIGINT) END
+               ELSE -1 END AS klq_i
+        FROM g)
+      SELECT scope, n1, n2, new_words, dead_words, klp_i, klq_i,
+             CASE WHEN klp_i >= 0 AND klq_i >= 0 THEN
+               CASE WHEN klp_i + klq_i >= 0
+                 THEN CAST((2 * (klp_i + klq_i) + 2) // 4 AS BIGINT)
+                 ELSE -CAST((2 * (-(klp_i + klq_i)) + 2) // 4 AS BIGINT) END
+             ELSE -1 END AS js_i
+      FROM k"""
   )
 }

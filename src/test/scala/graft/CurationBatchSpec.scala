@@ -258,6 +258,40 @@ class CurationBatchSpec extends SparkSpecBase {
     assert(got === want, "d78 diverged from the manifest reference")
   }
 
+  // --------------------------------------------------------------- d118
+
+  private def d118Row(dir: String): (Long, Long, Long, Long, Long, Long, Long) = {
+    val r = Pipeline.queries("d118_snapshot_drift")(spark, dir).collect()
+    assert(r.length === 1)
+    (r.head.getLong(1), r.head.getLong(2), r.head.getLong(3),
+      r.head.getLong(4), r.head.getLong(5), r.head.getLong(6),
+      r.head.getLong(7))
+  }
+
+  test("d118: identical snapshots drift by exactly zero") {
+    // ids 1/4/6 survive BOTH snapshot filters and dodge the %11 rev2
+    // patch → the two distributions are identical → JS = 0, no churn
+    val dir = writeDocs("d118-same", Seq(
+      1L -> "alpha beta", 4L -> "beta gamma", 6L -> "alpha gamma"))
+    assert(d118Row(dir) === ((6L, 6L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("d118: disjoint snapshots hit the ln 2 JS ceiling with full churn") {
+    // id 7 exists only in snapshot A (7%5=2 drops it from B); id 3
+    // only in B (3%7=3 drops it from A) → KLs = JS = round(ln 2·1e4)
+    val dir = writeDocs("d118-disjoint", Seq(7L -> "y", 3L -> "x"))
+    assert(d118Row(dir) === ((1L, 1L, 1L, 1L, 6931L, 6931L, 6931L)))
+  }
+
+  test("d118: the rev2 patch drifts one word in — hand-computed JS") {
+    // id 0 is in both snapshots and gets ' rev2' in B: A = {w}, B =
+    // {w, rev2}. l1(w) = round(ln(4/3)·1e4) = 2877, l2(w) = -4055,
+    // l2(rev2) = 6931 → klp = 2877, klq = round(2876/2) = 1438,
+    // js = round(4315/2) = 2158 (the half-up midpoint), churn = 1 new
+    val dir = writeDocs("d118-rev", Seq(0L -> "w"))
+    assert(d118Row(dir) === ((1L, 2L, 1L, 0L, 2877L, 1438L, 2158L)))
+  }
+
   // --------------------------------------------------------------- d105
 
   private def d105Row(dir: String): (Long, Long, Long, Long, Long, Long) = {

@@ -1325,4 +1325,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"d117 must not use a Window:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d118 snapshot drift: word-keyed full outer, cached join frame, totals broadcast") {
+    // the only token-moving passes are the two word-count aggregates;
+    // their full-outer join is word-keyed and the joined frame is
+    // persisted for its two consumers (totals + terms); totals come
+    // back broadcast; no window
+    val p = plan("d118_snapshot_drift")
+    assert(p.contains("partial_count"),
+      s"d118 word counts lost their map-side partials:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"d118 must reuse the cached joined frame:\n$p")
+    assert(!p.contains("Window"), s"d118 must not use a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
