@@ -5458,6 +5458,48 @@ object Pipeline {
           s"""cast(CASE WHEN klp_i >= 0 AND klq_i >= 0
                      THEN ${halfUp("klp_i + klq_i", "2")} ELSE -1 END
                as bigint)"""))
+    },
+
+    // ---- d119: EVAL EXPOSURE — d25's contamination check turned
+    // AROUND (the report the EVAL owner needs, not the data curator):
+    // per benchmark document (the %97 convention), how many of ITS
+    // shingles leaked into how many train docs — an eval item whose
+    // shingles are all over the corpus measures memorization, not
+    // ability, and must be dropped from the benchmark. Per bench doc:
+    // distinct own shingles, how many of them appear in ANY train doc,
+    // the distinct train docs touched, and the compromised flag at the
+    // same ≥10% bar d25 uses (the two views share the threshold, so a
+    // fully-leaked doc is flagged on BOTH sides). Shape for 100 TB:
+    // the benchmark shingle set is eval-sized — it BROADCASTS into a
+    // semi-filter of the exploded train side, so the corpus reduces to
+    // (shingle, train_doc) rows for MATCHED shingles only; both
+    // rollups are map-combinable.
+    "d119_eval_exposure" -> { (s, dir) =>
+      val sh = withShingles(T(s, dir, "documents"))
+        .select(col("doc_id"), col("shingles"))
+        .persist() // bench side + train side share one shingle pass
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"),
+          explode(col("shingles")).as("shingle"))
+      val trainHits = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_id"),
+          explode(col("shingles")).as("shingle"))
+        .join(broadcast(bench.select("shingle").distinct()),
+          Seq("shingle"), "left_semi")
+      val base = bench.groupBy("bench_id").agg(count(lit(1)).as("n_shingles"))
+      val leak = bench.join(trainHits, Seq("shingle"))
+        .groupBy("bench_id").agg(
+          countDistinct(col("shingle")).as("n_leaked"),
+          countDistinct(col("train_id")).as("touched_train_docs"))
+      base.join(leak, Seq("bench_id"), "left")
+        .select(col("bench_id"), col("n_shingles"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+          coalesce(col("touched_train_docs"), lit(0L))
+            .as("touched_train_docs"))
+        .withColumn("leaked_pm",
+          expr("cast((n_leaked * 1000) div n_shingles as bigint)"))
+        .withColumn("compromised", expr("n_leaked * 10 >= n_shingles"))
+        .orderBy("bench_id")
     }
   )
 
@@ -8956,6 +8998,33 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                  THEN CAST((2 * (klp_i + klq_i) + 2) // 4 AS BIGINT)
                  ELSE -CAST((2 * (-(klp_i + klq_i)) + 2) // 4 AS BIGINT) END
              ELSE -1 END AS js_i
-      FROM k"""
+      FROM k""",
+
+    // d119: shares d25's contamination CTEs (shg + train), same ≥10%
+    // bar — the reverse view of the same leak.
+    "d119_eval_exposure" -> s"""
+      WITH $d25Ctes,
+      bsh AS (
+        SELECT doc_id AS bench_id, unnest(shingles) AS shingle
+        FROM shg WHERE doc_id % 97 = 0),
+      base AS (
+        SELECT bench_id, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM bsh GROUP BY 1),
+      pairs AS (
+        SELECT b.bench_id, b.shingle, t.doc_id AS train_id
+        FROM bsh b JOIN train t USING (shingle)),
+      leak AS (
+        SELECT bench_id,
+               CAST(count(DISTINCT shingle) AS BIGINT) AS n_leaked,
+               CAST(count(DISTINCT train_id) AS BIGINT) AS touched_train_docs
+        FROM pairs GROUP BY 1)
+      SELECT base.bench_id, base.n_shingles,
+             coalesce(l.n_leaked, 0) AS n_leaked,
+             coalesce(l.touched_train_docs, 0) AS touched_train_docs,
+             CAST((coalesce(l.n_leaked, 0) * 1000) // base.n_shingles
+                  AS BIGINT) AS leaked_pm,
+             coalesce(l.n_leaked, 0) * 10 >= base.n_shingles AS compromised
+      FROM base LEFT JOIN leak l USING (bench_id)
+      ORDER BY bench_id"""
   )
 }

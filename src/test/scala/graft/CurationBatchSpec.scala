@@ -258,6 +258,32 @@ class CurationBatchSpec extends SparkSpecBase {
     assert(got === want, "d78 diverged from the manifest reference")
   }
 
+  // --------------------------------------------------------------- d119
+
+  test("d119: leaked shingles union across train docs; both views share the bar") {
+    // bench doc 0 ("b0..b4" → 3 shingles): train doc 2 copies it
+    // wholesale (leaks all 3), train doc 1 copies a 3-token prefix
+    // (leaks 1) → n_leaked = 3 DISTINCT, touched = 2 docs, 1000‰,
+    // compromised. bench doc 97 is unique → clean. Symmetry: d25 must
+    // flag the wholesale copy from the train side too.
+    val dir = writeDocs("d119-plant", Seq(
+      0L -> "b0 b1 b2 b3 b4",
+      97L -> (0 until 8).map(i => s"u$i").mkString(" "),
+      1L -> "b0 b1 b2 x0 x1 x2",
+      2L -> "b0 b1 b2 b3 b4",
+      3L -> (0 until 8).map(i => s"z$i").mkString(" ")))
+    val got = Pipeline.queries("d119_eval_exposure")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got === Seq(
+      (0L, 3L, 3L, 2L, 1000L, true),
+      (97L, 6L, 0L, 0L, 0L, false)), s"got $got")
+    val d25 = Pipeline.queries("d25_contamination")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(d25(2L) === true, "the wholesale copy must be flagged train-side")
+    assert(d25(3L) === false, "the clean train doc stays clean")
+  }
+
   // --------------------------------------------------------------- d118
 
   private def d118Row(dir: String): (Long, Long, Long, Long, Long, Long, Long) = {

@@ -1339,4 +1339,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"d118 must not use a Window:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d119 eval exposure: one shingle pass cached, broadcast semi-gate") {
+    // the shingle projection must be persisted (bench + train sides
+    // share it); the benchmark shingle set broadcasts as the semi
+    // filter so only MATCHED train rows survive the explode; no window
+    val p = plan("d119_eval_exposure")
+    assert(p.contains("InMemoryTableScan"),
+      s"d119 must share one cached shingle pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d119 benchmark shingles must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"d119 lost its map-side partials:\n$p")
+    assert(!p.contains("Window"), s"d119 must not use a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
