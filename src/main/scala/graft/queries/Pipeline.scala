@@ -5500,6 +5500,46 @@ object Pipeline {
           expr("cast((n_leaked * 1000) div n_shingles as bigint)"))
         .withColumn("compromised", expr("n_leaked * 10 >= n_shingles"))
         .orderBy("bench_id")
+    },
+
+    // ---- d120: RULE ABLATION — the per-rule marginal report read
+    // before tuning a filter battery (FineWeb's rule ablations): for
+    // each of d60's five Gopher rules, how many docs fail it at all,
+    // and how many fail ONLY it — the docs that rule alone removes,
+    // i.e. what relaxing it would buy (its marginal kill). A rule with
+    // a big raw fail count but a tiny unique count is redundant with
+    // the rest of the battery; a big unique count is load-bearing.
+    // Computed over d60's OWN rule columns (gopherAdmitted — the rules
+    // ablated ARE the rules certified; oracle shares gopherCtes).
+    // Shape for 100 TB: the classify pass collapses through ONE
+    // constant-key aggregate (16 map-combinable sums); the five rule
+    // rows come from stack() over that single row — nothing after the
+    // aggregate exceeds five rows.
+    "d120_rule_ablation" -> { (s, dir) =>
+      val rules = Seq("r_wordcount", "r_meanlen", "r_alpha", "r_stop", "r_rep")
+      def others(r: String) =
+        rules.filterNot(_ == r).mkString(" AND ")
+      val g = gopherAdmitted(s, T(s, dir, "documents"))
+      val aggCols =
+        Seq(count(lit(1)).as("nd")) ++ rules.flatMap { r =>
+          Seq(
+            sum(expr(s"CASE WHEN NOT $r THEN 1 ELSE 0 END")).as(s"f_$r"),
+            sum(expr(s"CASE WHEN NOT $r AND ${others(r)} THEN 1 ELSE 0 END"))
+              .as(s"u_$r"),
+            sum(expr(
+              s"CASE WHEN NOT $r AND ${others(r)} THEN n_words ELSE 0 END"))
+              .as(s"m_$r"))
+        }
+      val stacked = rules.map(r => s"'$r', f_$r, u_$r, m_$r").mkString(", ")
+      g.groupBy(lit(1).as("one")).agg(aggCols.head, aggCols.tail: _*)
+        .select(col("nd"), expr(
+          s"stack(5, $stacked) as (rule, n_fail, n_unique_fail, unique_tokens)"))
+        .select(col("rule"), col("nd").as("n_docs"), col("n_fail"),
+          expr("cast((n_fail * 1000) div nd as bigint)").as("fail_pm"),
+          col("n_unique_fail"),
+          expr("cast((n_unique_fail * 1000) div nd as bigint)").as("gain_pm"),
+          col("unique_tokens"))
+        .orderBy("rule")
     }
   )
 
@@ -9025,6 +9065,34 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                   AS BIGINT) AS leaked_pm,
              coalesce(l.n_leaked, 0) * 10 >= base.n_shingles AS compromised
       FROM base LEFT JOIN leak l USING (bench_id)
-      ORDER BY bench_id"""
+      ORDER BY bench_id""",
+
+    // d120: shares d60's gopherCtes (gadm carries the rule booleans);
+    // same unique-fail definition, five-branch union over one agg row.
+    "d120_rule_ablation" -> s"""
+      WITH $gopherCtes,
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd,
+               ${Seq("r_wordcount", "r_meanlen", "r_alpha", "r_stop", "r_rep")
+                 .map { r =>
+                   val others = Seq("r_wordcount", "r_meanlen", "r_alpha",
+                     "r_stop", "r_rep").filterNot(_ == r).mkString(" AND ")
+                   s"""CAST(sum(CASE WHEN NOT $r THEN 1 ELSE 0 END) AS BIGINT)
+                         AS f_$r,
+                       CAST(sum(CASE WHEN NOT $r AND $others THEN 1 ELSE 0 END)
+                         AS BIGINT) AS u_$r,
+                       CAST(sum(CASE WHEN NOT $r AND $others THEN n_words
+                                ELSE 0 END) AS BIGINT) AS m_$r"""
+                 }.mkString(",\n               ")}
+        FROM gadm)
+      ${Seq("r_wordcount", "r_meanlen", "r_alpha", "r_stop", "r_rep").map { r =>
+        s"""SELECT '$r' AS rule, nd AS n_docs, f_$r AS n_fail,
+               CAST((f_$r * 1000) // nd AS BIGINT) AS fail_pm,
+               u_$r AS n_unique_fail,
+               CAST((u_$r * 1000) // nd AS BIGINT) AS gain_pm,
+               m_$r AS unique_tokens
+            FROM agg WHERE nd > 0"""
+      }.mkString("\n      UNION ALL\n      ")}
+      ORDER BY rule"""
   )
 }

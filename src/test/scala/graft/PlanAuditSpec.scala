@@ -1354,4 +1354,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"d119 must not use a Window:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d120 rule ablation: one constant-key aggregate, five stacked rows") {
+    // the classify pass must collapse through a single map-combinable
+    // aggregate (16 sums); the five rule rows come from stack() over
+    // ONE row — no second corpus pass, no window, no self-join
+    val p = plan("d120_rule_ablation")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d120 lost its map-side partials:\n$p")
+    assert(p.contains("Generate"),
+      s"d120 must reshape via stack over the single agg row:\n$p")
+    assert(!p.contains("Window"), s"d120 must not use a Window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"d120 needs no join at all:\n$p")
+  }
 }

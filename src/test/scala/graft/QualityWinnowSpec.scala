@@ -106,6 +106,40 @@ class QualityWinnowSpec extends SparkSpecBase {
     assert(out(3L) === ((4L, true)), s"segmented zh counts contained chars too: $out")
   }
 
+  test("d120: unique-fails separate load-bearing rules from redundant ones") {
+    // doc 1 passes everything; doc 2 fails ONLY wordcount (49 words);
+    // doc 3 fails ONLY stop (one stopword); doc 4 fails BOTH (30
+    // non-stopword words) — so it appears in both raw fail counts but
+    // in NEITHER unique count
+    val dir = writeDocs("d120-plant", Seq(
+      doc(1, goodText),
+      doc(2, (Seq("the", "and") ++ (0 until 47).map(i => s"word$i")).mkString(" ")),
+      doc(3, (Seq("the") ++ (0 until 49).map(i => s"word$i")).mkString(" ")),
+      doc(4, (0 until 30).map(i => s"word$i").mkString(" "))))
+    val got = Pipeline.queries("d120_rule_ablation")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(
+      ("r_alpha", 4L, 0L, 0L, 0L, 0L, 0L),
+      ("r_meanlen", 4L, 0L, 0L, 0L, 0L, 0L),
+      ("r_rep", 4L, 0L, 0L, 0L, 0L, 0L),
+      ("r_stop", 4L, 2L, 500L, 1L, 250L, 50L),
+      ("r_wordcount", 4L, 2L, 500L, 1L, 250L, 49L)), s"got $got")
+  }
+
+  test("d120: unique counts are bounded by raw fails and by total rejections") {
+    val rows = Pipeline.queries("d120_rule_ablation")(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(rows.length === 5)
+    rows.foreach { case (rule, nd, f, u) =>
+      assert(u <= f && f <= nd, s"$rule: unique $u > fail $f or > $nd")
+    }
+    // Σ unique ≤ total rejected docs (each unique-fail doc counts once)
+    val rejected = Pipeline.queries("d60_gopher_rules")(spark, sfTiny)
+      .filter(!col("admitted")).count()
+    assert(rows.map(_._4).sum <= rejected)
+  }
+
   test("d91: the funnel counts cumulative survivors per source") {
     // srcA: A1 good (50 words, admitted), A2 = exact dup of A1,
     // A3 = 25-token truncation of A1 (prefix-dropped, and would fail
