@@ -5540,6 +5540,47 @@ object Pipeline {
           expr("cast((n_unique_fail * 1000) div nd as bigint)").as("gain_pm"),
           col("unique_tokens"))
         .orderBy("rule")
+    },
+
+    // ---- d121: SCORE AUC — do the two shipped quality signals agree?
+    // The exact Mann–Whitney/Wilcoxon AUC of d8's CONTINUOUS quality
+    // score as a predictor of d60's RULE-BATTERY admission (both
+    // certified operators' own outputs; the oracle shares both CTE
+    // chains). AUC = P(score_adm > score_rej) + ½·P(tie) — computed
+    // EXACTLY, ties and all, on the BOUNDED score histogram (4-dp
+    // scores → ≤10001 rows, the d111 observation): per distinct score
+    // v with a admitted and r rejected, the doubled U gains
+    // 2·a·(rejected strictly below) + a·r; AUC integerizes as
+    // U2·10⁴ div (2·n⁺·n⁻). Products in DECIMAL(38,0)/HUGEINT (a·r_below
+    // reaches n²); one-class corpora → −1 sentinel. Shape for 100 TB:
+    // one classify join collapses into the bounded histogram; the only
+    // window is the running rejected-count over ≤10001 rows.
+    "d121_score_auc" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val q = withQuality(withWords(docs))
+        .select(col("doc_id"),
+          expr("cast(round(quality_score * 10000) as bigint)").as("score_i"))
+      val adm = gopherAdmitted(s, docs).select(col("doc_id"), col("admitted"))
+      val hist = q.join(adm, Seq("doc_id"))
+        .groupBy("score_i").agg(
+          sum(expr("CASE WHEN admitted THEN 1 ELSE 0 END")).as("a"),
+          sum(expr("CASE WHEN admitted THEN 0 ELSE 1 END")).as("r"))
+        .persist() // totals + the cumulative pass share it
+      val w = Window.orderBy("score_i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("rb", coalesce(sum("r").over(w), lit(0L)))
+        .groupBy(lit("corpus").as("scope")).agg(
+          sum("a").as("n_admitted"), sum("r").as("n_rejected"),
+          sum(expr(
+            """cast(a as decimal(38,0))
+               * (2 * cast(rb as decimal(38,0)) + cast(r as decimal(38,0)))"""))
+            .as("u2"))
+        .select(col("scope"), col("n_admitted"), col("n_rejected"),
+          expr("""cast(CASE WHEN n_admitted > 0 AND n_rejected > 0
+                    THEN (u2 * 10000)
+                         div (2 * cast(n_admitted as decimal(38,0))
+                              * cast(n_rejected as decimal(38,0)))
+                    ELSE -1 END as bigint)""").as("auc_i"))
     }
   )
 
@@ -9093,6 +9134,41 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                m_$r AS unique_tokens
             FROM agg WHERE nd > 0"""
       }.mkString("\n      UNION ALL\n      ")}
-      ORDER BY rule"""
+      ORDER BY rule""",
+
+    // d121: concatenates d8's quality CTEs and d60's gopher CTEs; same
+    // bounded-histogram doubled-U arithmetic, HUGEINT products.
+    "d121_score_auc" -> s"""
+      WITH $qualityCtes,
+      $gopherCtes,
+      hist AS (
+        SELECT CAST(round(q8.quality_score * 10000) AS BIGINT) AS score_i,
+               CAST(sum(CASE WHEN g.admitted THEN 1 ELSE 0 END) AS BIGINT)
+                 AS a,
+               CAST(sum(CASE WHEN g.admitted THEN 0 ELSE 1 END) AS BIGINT)
+                 AS r
+        FROM q8 JOIN gadm g USING (doc_id)
+        GROUP BY 1),
+      c AS (
+        SELECT a, r,
+               CAST(coalesce(sum(r) OVER (ORDER BY score_i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS rb
+        FROM hist),
+      g2 AS (
+        SELECT 'corpus' AS scope,
+               CAST(sum(a) AS BIGINT) AS n_admitted,
+               CAST(sum(r) AS BIGINT) AS n_rejected,
+               CAST(sum(CAST(a AS HUGEINT)
+                        * (2 * CAST(rb AS HUGEINT) + CAST(r AS HUGEINT)))
+                    AS HUGEINT) AS u2
+        FROM c GROUP BY 1)
+      SELECT scope, n_admitted, n_rejected,
+             CAST(CASE WHEN n_admitted > 0 AND n_rejected > 0
+               THEN (u2 * 10000)
+                    // (2 * CAST(n_admitted AS HUGEINT)
+                         * CAST(n_rejected AS HUGEINT))
+               ELSE -1 END AS BIGINT) AS auc_i
+      FROM g2"""
   )
 }

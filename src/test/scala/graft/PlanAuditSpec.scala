@@ -1368,4 +1368,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"d120 needs no join at all:\n$p")
   }
+
+  test("d121 score auc: corpus collapses into the bounded histogram, one tiny window") {
+    // one doc_id equi join feeds ONE map-combinable histogram
+    // aggregate; the running rejected-count window runs on the ≤10001-
+    // row cached histogram, never the corpus
+    val p = plan("d121_score_auc")
+    assert(p.contains("partial_sum"),
+      s"d121 histogram lost its map-side partials:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"d121 must window over the cached histogram:\n$p")
+    assert("Window \\[".r.findAllIn(p).length <= 1,
+      s"d121 must use exactly one histogram window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -140,6 +140,27 @@ class QualityWinnowSpec extends SparkSpecBase {
     assert(rows.map(_._4).sum <= rejected)
   }
 
+  test("d121: AUC hits 1.0 on separation, 0.5 on pure ties, sentinel one-class") {
+    // goodText is admitted at score 10000; the same 50-distinct-word
+    // shape WITHOUT stopwords is rejected (r_stop) at the SAME score —
+    // a pure tie; "a a" is rejected at 5120 — a clear win.
+    val noStop = (0 until 50).map(i => s"word$i").mkString(" ")
+    def auc(rows: Seq[(Long, String, String, String, Long)]): Long = {
+      val dir = writeDocs(s"d121-${rows.hashCode.abs}", rows)
+      val r = Pipeline.queries("d121_score_auc")(spark, dir).collect()
+      assert(r.length === 1)
+      r.head.getLong(3)
+    }
+    assert(auc(Seq(doc(1, goodText), doc(2, "a a"))) === 10000L,
+      "clean separation must score AUC 1.0")
+    assert(auc(Seq(doc(1, goodText), doc(2, noStop))) === 5000L,
+      "a pure tie must score AUC 0.5")
+    // 1 clear win + 1 tie over 2 pairs → 0.75
+    assert(auc(Seq(doc(1, goodText), doc(2, noStop), doc(3, "a a"))) === 7500L)
+    assert(auc(Seq(doc(1, goodText))) === -1L,
+      "a one-class corpus has no AUC — sentinel")
+  }
+
   test("d91: the funnel counts cumulative survivors per source") {
     // srcA: A1 good (50 words, admitted), A2 = exact dup of A1,
     // A3 = 25-token truncation of A1 (prefix-dropped, and would fail
