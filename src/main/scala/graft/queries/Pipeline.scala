@@ -5581,6 +5581,49 @@ object Pipeline {
                          div (2 * cast(n_admitted as decimal(38,0))
                               * cast(n_rejected as decimal(38,0)))
                     ELSE -1 END as bigint)""").as("auc_i"))
+    },
+
+    // ---- d122: SHUFFLE QUALITY — did d58's epoch shuffle actually
+    // decorrelate sources? Long same-source runs in training order are
+    // a curriculum nobody asked for (gradient batches dominated by one
+    // domain). The runs-test statistic on d58's OWN order (oracle
+    // shares d58's CTEs): observed same-source ADJACENT pairs vs the
+    // exact expectation under a uniform random permutation,
+    // E = Σ n_s(n_s−1)/N, and their ratio ×10⁴ (10⁴ ≈ random; above =
+    // clumped, below = over-interleaved). All-integer: Σ n_s(n_s−1) in
+    // DECIMAL(38,0)/HUGEINT, quotients 4-dp integers; degenerate
+    // corpora (no pairs / one source... sse = 0) → −1 sentinel. Shape
+    // for 100 TB: adjacency is a pos = pos+1 EQUI self-join of the
+    // id-sized (pos, source) frame — never a corpus-wide window — and
+    // everything else is dimension aggregates.
+    "d122_shuffle_quality" -> { (s, dir) =>
+      val sp = queries("d58_train_shuffle")(s, dir)
+        .select("doc_id", "global_pos")
+        .join(T(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+        .select(col("global_pos"), col("source"))
+        .persist() // both sides of the adjacency self-join read it
+      val nxt = sp.select((col("global_pos") - 1).as("global_pos"),
+        col("source").as("next_source"))
+      val ex = T(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("ns"))
+        .agg(coalesce(sum(expr(
+          "cast(ns as decimal(38,0)) * (cast(ns as decimal(38,0)) - 1)")),
+          lit(java.math.BigDecimal.ZERO)).as("sse"))
+      sp.join(nxt, Seq("global_pos"), "left")
+        .groupBy(lit("corpus").as("scope")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr("CASE WHEN next_source IS NOT NULL THEN 1 ELSE 0 END"))
+            .as("n_pairs"),
+          sum(expr("CASE WHEN next_source = source THEN 1 ELSE 0 END"))
+            .as("obs_same"))
+        .crossJoin(broadcast(ex))
+        .select(col("scope"), col("n_docs"), col("n_pairs"), col("obs_same"),
+          expr("""cast(CASE WHEN n_docs > 0 THEN (sse * 10000) div n_docs
+                       ELSE -1 END as bigint)""").as("exp_same_i"),
+          expr("""cast(CASE WHEN sse > 0
+                    THEN (cast(obs_same as decimal(38,0)) * 10000
+                          * cast(n_docs as decimal(38,0))) div sse
+                    ELSE -1 END as bigint)""").as("mix_ratio_i"))
     }
   )
 
@@ -5866,6 +5909,33 @@ object Pipeline {
                CAST(offs.bin_off + r.bin AS BIGINT) AS bin, r.off
         FROM r JOIN offs ON offs.source = r.source AND offs.shard = r.shard)"""
 
+  /** d58's seeded-shuffle replay (md5 key, 256 hash shards, in-shard
+    * rank, shard offsets), shared verbatim with d122's mixing audit so
+    * the order audited IS the shuffle certified. Ends at the per-doc
+    * frame `shuf`. */
+  private lazy val d58Ctes: String = """
+      k AS (
+        SELECT doc_id, md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents),
+      s AS (
+        SELECT doc_id, skey,
+               CAST(strpos('123456789abcdef', substr(skey, 1, 1)) * 16
+                  + strpos('123456789abcdef', substr(skey, 2, 1)) AS INT) AS shard
+        FROM k),
+      p AS (
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+        FROM s),
+      o AS (SELECT shard, count(*) AS cnt FROM s GROUP BY shard),
+      oo AS (
+        SELECT shard, coalesce(sum(cnt) OVER (ORDER BY shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_before
+        FROM o),
+      shuf AS (
+        SELECT p.doc_id, p.shard, p.pos,
+               CAST(oo.shard_before + p.pos AS BIGINT) AS global_pos
+        FROM p JOIN oo USING (shard))"""
+
   /** d62's √-temperature mixture replay (per-lang token mass, floored
     * √ weights, half-corpus budget apportionment), shared verbatim with
     * d107's quota materialization so the quotas FILLED are the quotas
@@ -6074,27 +6144,10 @@ object Pipeline {
     // d58: same two-level scheme as Spark's (the 256-row offsets window
     // is trivial in both engines); hex-pair → shard uses the d11 strpos
     // idiom since DuckDB has no base-16 conv().
-    "d58_train_shuffle" -> """
-      WITH k AS (
-        SELECT doc_id, md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)) AS skey
-        FROM documents),
-      s AS (
-        SELECT doc_id, skey,
-               CAST(strpos('123456789abcdef', substr(skey, 1, 1)) * 16
-                  + strpos('123456789abcdef', substr(skey, 2, 1)) AS INT) AS shard
-        FROM k),
-      p AS (
-        SELECT doc_id, shard,
-               CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
-        FROM s),
-      o AS (SELECT shard, count(*) AS cnt FROM s GROUP BY shard),
-      oo AS (
-        SELECT shard, coalesce(sum(cnt) OVER (ORDER BY shard
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_before
-        FROM o)
-      SELECT p.doc_id, p.shard, p.pos, CAST(oo.shard_before + p.pos AS BIGINT) AS global_pos
-      FROM p JOIN oo USING (shard)
-      ORDER BY p.doc_id""",
+    "d58_train_shuffle" -> s"""
+      WITH $d58Ctes
+      SELECT doc_id, shard, pos, global_pos
+      FROM shuf ORDER BY doc_id""",
 
     "d1_exact_dedup" -> """
       SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
@@ -9169,6 +9222,38 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                     // (2 * CAST(n_admitted AS HUGEINT)
                          * CAST(n_rejected AS HUGEINT))
                ELSE -1 END AS BIGINT) AS auc_i
-      FROM g2"""
+      FROM g2""",
+
+    // d122: shares d58's shuffle CTEs; the adjacency is the same
+    // pos = pos+1 equi self-join, HUGEINT expectation moments.
+    "d122_shuffle_quality" -> s"""
+      WITH $d58Ctes,
+      sp AS (
+        SELECT sh.global_pos, d.source
+        FROM shuf sh JOIN documents d USING (doc_id)),
+      adj AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM sp a LEFT JOIN sp b ON b.global_pos = a.global_pos + 1),
+      ex AS (
+        SELECT CAST(coalesce(sum(CAST(ns AS HUGEINT) * (ns - 1)), 0)
+                    AS HUGEINT) AS sse
+        FROM (SELECT source, CAST(count(*) AS BIGINT) AS ns
+              FROM documents GROUP BY 1)),
+      ob AS (
+        SELECT 'corpus' AS scope,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN sb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pairs,
+               CAST(sum(CASE WHEN sb = sa THEN 1 ELSE 0 END) AS BIGINT)
+                 AS obs_same
+        FROM adj GROUP BY 1)
+      SELECT scope, n_docs, n_pairs, obs_same,
+             CAST(CASE WHEN n_docs > 0 THEN (sse * 10000) // n_docs
+                  ELSE -1 END AS BIGINT) AS exp_same_i,
+             CAST(CASE WHEN sse > 0
+               THEN (CAST(obs_same AS HUGEINT) * 10000
+                     * CAST(n_docs AS HUGEINT)) // sse
+               ELSE -1 END AS BIGINT) AS mix_ratio_i
+      FROM ob CROSS JOIN ex"""
   )
 }

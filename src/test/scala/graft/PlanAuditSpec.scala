@@ -1382,4 +1382,25 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d121 must use exactly one histogram window:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d122 shuffle quality: adjacency is an equi self-join on the cached frame") {
+    // the (pos, source) frame is persisted for both sides of the
+    // pos = pos+1 EQUI self-join — a corpus-wide ordering window here
+    // would serialize the whole epoch order into one task
+    val p = plan("d122_shuffle_quality")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"d122 must self-join the cached (pos, source) frame:\n$p")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d122 lost its map-side partials:\n$p")
+    // the only windows are d58's own (they print twice beneath the two
+    // InMemoryTableScans); the adjacency must NOT add a window keyed on
+    // the epoch order — that would serialize the whole epoch
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(!specs.exists(_.contains("global_pos")),
+      s"d122 must not window over the epoch order:\n$specs")
+    assert(p.contains("SortMergeJoin [global_pos") ||
+      p.contains("BroadcastHashJoin [global_pos"),
+      s"d122 adjacency must be an equi join on position:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -153,6 +153,60 @@ class TrainPrepSpec extends SparkSpecBase {
     assert(got == want, s"got $got")
   }
 
+  private def writeSrcDocs(name: String,
+      rows: Seq[(Long, String, String)]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    graft.sources.GraftWriter.write(
+      rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Replays d58's order (md5 key → 256 hash shards → in-shard
+    * (key, id) sort → shard concatenation) independently. */
+  private def refOrder(ids: Seq[Long]): Seq[Long] = {
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    ids.map(i => (i, md5hex(s"graft-shuffle-42:$i")))
+      .map { case (i, k) => (Integer.parseInt(k.take(2), 16), k, i) }
+      .sorted.map(_._3)
+  }
+
+  test("d122: single-source order always reads as exactly random") {
+    // every adjacent pair is same-source, and E = n(n-1)/n = n-1 too —
+    // the ratio must be EXACTLY 10000 for any single-source corpus
+    val dir = writeSrcDocs("d122-single",
+      (0L until 9L).map(i => (i, s"t$i words here", "only")))
+    val r = Pipeline.queries("d122_shuffle_quality")(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((9L, 8L, 8L)))
+    assert(r.getLong(4) === 80000L, "E = (n-1)·10⁴")
+    assert(r.getLong(5) === 10000L, "single source is exactly 'random'")
+  }
+
+  test("d122: a one-doc corpus has no pairs and sentinels the ratio") {
+    val dir = writeSrcDocs("d122-one", Seq((5L, "solo", "s")))
+    val r = Pipeline.queries("d122_shuffle_quality")(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) === ((1L, 0L, 0L, 0L, -1L)))
+  }
+
+  test("d122: observed adjacency matches the independent order replay") {
+    val ids = (0L until 40L)
+    val srcOf = (i: Long) => if (i % 3 == 0) "sa" else "sb"
+    val dir = writeSrcDocs("d122-two", ids.map(i => (i, s"d$i", srcOf(i))))
+    val order = refOrder(ids)
+    val obs = order.sliding(2).count(p => p.length == 2 &&
+      srcOf(p(0)) == srcOf(p(1))).toLong
+    val na = ids.count(_ % 3 == 0).toLong; val nb = 40L - na
+    val sse = na * (na - 1) + nb * (nb - 1)
+    val r = Pipeline.queries("d122_shuffle_quality")(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((40L, 39L, obs)))
+    assert(r.getLong(4) === sse * 10000 / 40)
+    assert(r.getLong(5) === obs * 10000 * 40 / sse)
+  }
+
   test("d116: fill, waste and truncation match the hand-packed layout") {
     // one source, doc_id order, sizes (512, 100, 512, 600→512): greedy
     // next-fit gives four bins — 512 full, 100, 512, 512(truncated) —
