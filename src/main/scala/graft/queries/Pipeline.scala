@@ -5624,6 +5624,48 @@ object Pipeline {
                     THEN (cast(obs_same as decimal(38,0)) * 10000
                           * cast(n_docs as decimal(38,0))) div sse
                     ELSE -1 END as bigint)""").as("mix_ratio_i"))
+    },
+
+    // ---- d123: POSITIONAL ENTROPY — the templated-prefix detector
+    // (RefinedWeb/trafilatura's motivation made measurable): per
+    // (source, token position 1..8), the entropy of the token AT that
+    // position across the source's docs and the top token's per-mille
+    // share. A crawler that prepends "Subscribe to our newsletter"
+    // shows near-zero entropy and a ~1000‰ top share at positions 1..4
+    // for that source; organic prose shows high entropy everywhere —
+    // THE signal that a fixed-prefix strip (d82's key) will pay off.
+    // Exactness: the d114 discipline — per-term ln(c/n) integerized at
+    // 4 dp, DECIMAL(38,0)/HUGEINT weighted sums, half-up integer-scale
+    // means. Shape for 100 TB: docs reduce to ≤8 (source, pos, token)
+    // rows at the scan; one hash aggregate to token counts; the
+    // (source, pos) totals are a ≤8·|sources| dimension and BROADCAST
+    // back; nothing after the first aggregate is corpus-sized.
+    "d123_positional_entropy" -> { (s, dir) =>
+      def halfUp(x: String, n: String) =
+        s"""CASE WHEN ($x) >= 0 THEN (2 * ($x) + $n) div (2 * $n)
+                 ELSE -((2 * (-($x)) + $n) div (2 * $n)) END"""
+      val grp = withWords(T(s, dir, "documents"))
+        .select(col("source"), posexplode(expr("slice(words, 1, 8)"))
+          .as(Seq("pos0", "tok")))
+        .select(col("source"), (col("pos0") + 1).cast("long").as("pos"),
+          col("tok"))
+        .groupBy("source", "pos", "tok").agg(count(lit(1)).as("c"))
+        .persist() // totals + the term pass share it
+      val nn = grp.groupBy("source", "pos")
+        .agg(sum("c").as("n"), max("c").as("topc"),
+          count(lit(1)).as("n_types"))
+      grp.join(broadcast(nn), Seq("source", "pos"))
+        .withColumn("l", expr(
+          "cast(round(ln(cast(c as double) / n) * 10000) as bigint)"))
+        .groupBy("source", "pos")
+        .agg(max("n").as("n_docs"), max("n_types").as("n_types"),
+          max("topc").as("topc"),
+          sum(expr("cast(c as decimal(38,0)) * cast(l as decimal(38,0))"))
+            .as("sl"))
+        .select(col("source"), col("pos"), col("n_docs"), col("n_types"),
+          expr("cast((topc * 1000) div n_docs as bigint)").as("top_pm"),
+          expr(s"cast(${halfUp("-sl", "n_docs")} as bigint)").as("entropy_i"))
+        .orderBy("source", "pos")
     }
   )
 
@@ -9254,6 +9296,43 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                THEN (CAST(obs_same AS HUGEINT) * 10000
                      * CAST(n_docs AS HUGEINT)) // sse
                ELSE -1 END AS BIGINT) AS mix_ratio_i
-      FROM ob CROSS JOIN ex"""
+      FROM ob CROSS JOIN ex""",
+
+    // d123: same ≤8-position slice, same per-term 4-dp ln and HUGEINT
+    // sums, same half-up integer means (generate_subscripts zips the
+    // position — the bare-not-nested idiom).
+    "d123_positional_entropy" -> raw"""
+      WITH w AS (
+        SELECT source, string_split_regex(trim(text), '\s+')[1:8] AS ws
+        FROM documents),
+      px AS (
+        SELECT source, CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos,
+               unnest(ws) AS tok
+        FROM w),
+      grp AS (
+        SELECT source, pos, tok, CAST(count(*) AS BIGINT) AS c
+        FROM px GROUP BY 1, 2, 3),
+      nn AS (
+        SELECT source, pos, CAST(sum(c) AS BIGINT) AS n,
+               CAST(max(c) AS BIGINT) AS topc,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM grp GROUP BY 1, 2),
+      t AS (
+        SELECT g.source, g.pos, nn.n, nn.topc, nn.n_types, g.c,
+               CAST(round(ln(CAST(g.c AS DOUBLE) / nn.n) * 10000) AS BIGINT)
+                 AS l
+        FROM grp g JOIN nn USING (source, pos)),
+      agg AS (
+        SELECT source, pos, max(n) AS n_docs, max(n_types) AS n_types,
+               max(topc) AS topc,
+               CAST(sum(CAST(c AS HUGEINT) * l) AS HUGEINT) AS sl
+        FROM t GROUP BY 1, 2)
+      SELECT source, pos, n_docs, n_types,
+             CAST((topc * 1000) // n_docs AS BIGINT) AS top_pm,
+             CASE WHEN -sl >= 0
+               THEN CAST((2 * (-sl) + n_docs) // (2 * n_docs) AS BIGINT)
+               ELSE -CAST((2 * sl + n_docs) // (2 * n_docs) AS BIGINT)
+             END AS entropy_i
+      FROM agg ORDER BY source, pos"""
   )
 }

@@ -1403,4 +1403,19 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d122 adjacency must be an equi join on position:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d123 positional entropy: token counts cached, (source,pos) totals broadcast") {
+    // docs reduce to ≤8 rows at the scan; the token-count aggregate is
+    // persisted for its two consumers; the totals come back as a
+    // broadcast; no window anywhere
+    val p = plan("d123_positional_entropy")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"d123 must reuse the cached token counts:\n$p")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"d123 lost its map-side partials:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d123 (source,pos) totals must broadcast:\n$p")
+    assert(!p.contains("Window"), s"d123 must not use a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

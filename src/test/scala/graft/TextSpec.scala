@@ -251,6 +251,31 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("d123: a templated prefix reads as zero entropy, organic text as full") {
+    val dir = scratch("d123-plant")
+    import spark.implicits._
+    // tpl: every doc opens "sub now" (positions 1-2: H = 0, top 1000‰)
+    // then diverges (position 3: 4 distinct → H = ln 4 = 13863); org:
+    // two docs of different lengths — position 2 exists only for doc 5
+    val docs = Seq(
+      (1L, "sub now tA", "tpl"), (2L, "sub now tB", "tpl"),
+      (3L, "sub now tC", "tpl"), (4L, "sub now tD", "tpl"),
+      (5L, "x y", "org"), (6L, "z", "org"))
+    GraftWriter.write(
+      docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = Pipeline.queries("d123_positional_entropy")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      ("org", 1L, 2L, 2L, 500L, 6931L),
+      ("org", 2L, 1L, 1L, 1000L, 0L),
+      ("tpl", 1L, 4L, 1L, 1000L, 0L),
+      ("tpl", 2L, 4L, 1L, 1000L, 0L),
+      ("tpl", 3L, 4L, 4L, 250L, 13863L)), s"got $got")
+  }
+
   test("d114: hand-computed cross-entropy, entropy and KL per source") {
     val dir = scratch("d114-plant")
     import spark.implicits._
