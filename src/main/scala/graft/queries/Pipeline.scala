@@ -5666,6 +5666,37 @@ object Pipeline {
           expr("cast((topc * 1000) div n_docs as bigint)").as("top_pm"),
           expr(s"cast(${halfUp("-sl", "n_docs")} as bigint)").as("entropy_i"))
         .orderBy("source", "pos")
+    },
+
+    // ---- d124: DEDUP ROI CURVE — the table behind every "we deduped
+    // at jaccard ≥ 0.8" decision (the τ debates are real; this is the
+    // ablation that settles them): for the eleven thresholds τ = 0.50
+    // … 1.00 step 0.05 over d4's OWN certified pair set (oracle shares
+    // d4's blocked-pair CTEs), the candidate pairs still flagged at
+    // each bar and their per-mille share of the ≥ 0.5 mass. Same
+    // machinery as d111: jaccards are 4-dp by construction → the pair
+    // set collapses into a BOUNDED ≤5001-row similarity histogram
+    // (map-combinable), and the ≥-join sweep runs broadcast over at
+    // most 11×5001 rows — the sweep cost is independent of the pair
+    // count at 100 TB.
+    "d124_dedup_roi" -> { (s, dir) =>
+      val hist = queries("d4_ngram_jaccard")(s, dir)
+        .select(expr("cast(round(jaccard * 10000) as bigint)").as("j_i"))
+        .groupBy("j_i").agg(count(lit(1)).as("c"))
+        .persist() // totals + the sweep share it
+      val tot = hist.agg(sum("c").as("tp"))
+      val spine = tot.filter(col("tp") > 0)
+        .select(explode(expr(
+          """sequence(cast(5000 as bigint), cast(10000 as bigint),
+             cast(500 as bigint))""")).as("tau_i"))
+      spine.join(broadcast(hist), col("j_i") >= col("tau_i"), "left")
+        .groupBy("tau_i").agg(sum("c").as("p0"))
+        .crossJoin(broadcast(tot))
+        .select(col("tau_i"),
+          coalesce(col("p0"), lit(0L)).as("n_pairs"),
+          expr("cast((coalesce(p0, cast(0 as bigint)) * 1000) div tp as bigint)")
+            .as("share_pm"))
+        .orderBy("tau_i")
     }
   )
 
@@ -5951,6 +5982,25 @@ object Pipeline {
                CAST(offs.bin_off + r.bin AS BIGINT) AS bin, r.off
         FROM r JOIN offs ON offs.source = r.source AND offs.shard = r.shard)"""
 
+  /** d4's blocked-jaccard pair replay (same blocks, same ≥ 0.5 bar),
+    * shared verbatim with d124's threshold ROI so the pairs swept ARE
+    * the pairs certified. Ends at the pair frame `d4pairs`. */
+  private lazy val d4Ctes: String = raw"""
+      w AS (
+        SELECT doc_id, lang,
+               CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS wset
+        FROM documents),
+      d4pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
+                     len(list_distinct(a.wset || b.wset)), 4) AS jaccard
+        FROM w a JOIN w b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+             AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
+                    len(list_distinct(a.wset || b.wset)), 4) >= 0.5)"""
+
   /** d58's seeded-shuffle replay (md5 key, 256 hash shards, in-shard
     * rank, shard offsets), shared verbatim with d122's mixing audit so
     * the order audited IS the shuffle certified. Ends at the per-doc
@@ -6197,20 +6247,10 @@ object Pipeline {
       GROUP BY 1
       ORDER BY content_hash""",
 
-    "d4_ngram_jaccard" -> """
-      WITH w AS (
-        SELECT doc_id, lang,
-               CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
-               list_distinct(string_split_regex(trim(text), '\s+')) AS wset
-        FROM documents)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
-                   len(list_distinct(a.wset || b.wset)), 4) AS jaccard
-      FROM w a JOIN w b
-        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-      WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
-                  len(list_distinct(a.wset || b.wset)), 4) >= 0.5
-      ORDER BY doc_a, doc_b""",
+    "d4_ngram_jaccard" -> s"""
+      WITH $d4Ctes
+      SELECT doc_a, doc_b, jaccard
+      FROM d4pairs ORDER BY doc_a, doc_b""",
 
     // d6/d13: FULL LSH replay (the d29 idiom) — the Rademacher plane
     // matrix is a published deterministic constant of the operator
@@ -9333,6 +9373,25 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                THEN CAST((2 * (-sl) + n_docs) // (2 * n_docs) AS BIGINT)
                ELSE -CAST((2 * sl + n_docs) // (2 * n_docs) AS BIGINT)
              END AS entropy_i
-      FROM agg ORDER BY source, pos"""
+      FROM agg ORDER BY source, pos""",
+
+    // d124: shares d4's pair CTEs; same bounded histogram and ≥-join
+    // sweep as d111's machinery.
+    "d124_dedup_roi" -> s"""
+      WITH $d4Ctes,
+      hist AS (
+        SELECT CAST(round(jaccard * 10000) AS BIGINT) AS j_i,
+               CAST(count(*) AS BIGINT) AS c
+        FROM d4pairs GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS tp FROM hist),
+      spine AS (SELECT CAST(5000 + r.range * 500 AS BIGINT) AS tau_i
+                FROM range(0, 11) r CROSS JOIN tot WHERE tp > 0),
+      sw AS (
+        SELECT s.tau_i, CAST(coalesce(sum(h.c), 0) AS BIGINT) AS n_pairs
+        FROM spine s LEFT JOIN hist h ON h.j_i >= s.tau_i
+        GROUP BY 1)
+      SELECT tau_i, n_pairs,
+             CAST((n_pairs * 1000) // tp AS BIGINT) AS share_pm
+      FROM sw CROSS JOIN tot ORDER BY tau_i"""
   )
 }

@@ -1295,6 +1295,38 @@ class DedupSpec extends SparkSpecBase {
     assert(got === Seq(("corpus", 2L, 1L, 1L, 500L, 1L, 1L)), s"got $got")
   }
 
+  test("d124: the ROI curve steps exactly at the planted jaccard levels") {
+    // three pairs at exactly 1.0 ({p,q,r} twice), 0.75 ({a,b,c} vs
+    // {a,b,c,d}) and 0.50 (6-sets sharing 4 of union 8); disjoint
+    // vocabularies keep every cross pair under the bar
+    val dir = scratch("d124-plant")
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "p q r"), (2L, "p q r"),
+      (3L, "a b c"), (4L, "a b c d"),
+      (5L, "m n o s t u"), (6L, "m n o s x y"))
+    GraftWriter.write(
+      rows.map { case (id, t) => (id, t, "en", "spec", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val got = Pipeline.queries("d124_dedup_roi")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq((5000L, 3L, 1000L)) ++
+      (5500L to 7500L by 500L).map(t => (t, 2L, 666L)) ++
+      (8000L to 10000L by 500L).map(t => (t, 1L, 333L))
+    assert(got === want, s"got $got")
+  }
+
+  test("d124: the curve is monotone and anchored at the full pair mass") {
+    val rows = Pipeline.queries("d124_dedup_roi")(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 11)
+    assert(rows.head._1 === 5000L && rows.head._3 === 1000L,
+      "tau = 0.5 must carry the whole certified pair set")
+    for (w <- rows.sliding(2); if w.length == 2)
+      assert(w(1)._2 <= w(0)._2, s"pair count increased: ${w(0)} -> ${w(1)}")
+  }
+
   test("d104: the mega-block corpus collapses to one exact bucket row") {
     // 30 clusters of 80 docs (bucket 6: 64 <= 80 < 128), 2400 docs total
     // → one row carrying the WHOLE corpus mass and 2370 removable dups

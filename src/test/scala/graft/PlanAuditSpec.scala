@@ -1418,4 +1418,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"d123 must not use a Window:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d124 dedup roi: pair set collapses into the bounded histogram") {
+    // the certified pair pass feeds ONE map-combinable histogram
+    // aggregate (≤5001 rows, cached); the ≥-join sweep broadcasts the
+    // histogram — the sweep must never re-partition pair-sized data
+    val p = plan("d124_dedup_roi")
+    assert(p.contains("partial_count"),
+      s"d124 histogram lost its map-side partials:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"d124 must reuse the cached histogram:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"d124 sweep must broadcast the histogram:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"d124 must not re-partition for the sweep:\n$p")
+  }
 }
