@@ -40,28 +40,41 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Quack].getName, null, name, usage,
       "", "", "", "misc_funcs", "1.0.0", "", "built-in")
 
+  /** Fixed-arity guard for the plain registrations: a wrong argument
+    * count must fail ANALYSIS with a clear message, not silently drop
+    * the extra arguments (e.head) or throw an opaque index error
+    * (e(1)). The variadic entries below keep their own `match` guards. */
+  private def fixedArity(name: String, n: Int)(
+      mk: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    (e: Seq[Expression]) => {
+      if (e.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects exactly $n argument${if (n == 1) "" else "s"}, got ${e.length}")
+      mk(e)
+    }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("quack", info("quack", "quack(name) - the reference extension's demo greeting"),
-      (e: Seq[Expression]) => Quack(e.head)),
+      fixedArity("quack", 1)(e => Quack(e.head))),
     ("quack_spark_version",
       info("quack_spark_version", "quack_spark_version(name) - greeting + linked engine version"),
-      (e: Seq[Expression]) => QuackVersion(e.head)),
+      fixedArity("quack_spark_version", 1)(e => QuackVersion(e.head))),
     ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
-      (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
+      fixedArity("cosine_sim", 2)(e => CosineSimilarity(e(0), e(1)))),
     ("jaccard_sim", info("jaccard_sim", "jaccard_sim(a, b) - Jaccard similarity of two string-token sets"),
-      (e: Seq[Expression]) => JaccardSim(e(0), e(1))),
+      fixedArity("jaccard_sim", 2)(e => JaccardSim(e(0), e(1)))),
     ("jaccard_sim_sorted", info("jaccard_sim_sorted",
       "jaccard_sim_sorted(a, b) - Jaccard via two-pointer merge. WARNING: both inputs MUST " +
         "be sorted ascending (binary order) and deduplicated, e.g. array_sort(array_distinct(x)); " +
         "anything else returns silently WRONG results - use jaccard_sim instead. " +
         "Set -Dgraft.jaccard.checkSorted=true to fail fast on violations."),
-      (e: Seq[Expression]) => JaccardSim(e(0), e(1), assumeSorted = true)),
+      fixedArity("jaccard_sim_sorted", 2)(e => JaccardSim(e(0), e(1), assumeSorted = true))),
     ("is_subset_sorted", info("is_subset_sorted",
       "is_subset_sorted(a, b) - true iff a is a subset of b. WARNING: both inputs MUST " +
         "be sorted ascending (binary order) and deduplicated, e.g. array_sort(array_distinct(x)); " +
         "anything else returns silently WRONG results. " +
         "Set -Dgraft.jaccard.checkSorted=true to fail fast on violations."),
-      (e: Seq[Expression]) => SubsetSorted(e(0), e(1))),
+      fixedArity("is_subset_sorted", 2)(e => SubsetSorted(e(0), e(1)))),
     ("minhash_bands", info("minhash_bands",
       "minhash_bands(tokens[, bands]) - MinHash LSH band keys (128 hashes; bands controls the J threshold: 32 -> ~0.5, 16 -> ~0.8)"),
       (e: Seq[Expression]) => e match {
@@ -72,15 +85,15 @@ object GraftExtensions {
       }),
     ("minhash_sig", info("minhash_sig",
       "minhash_sig(tokens) - raw 128-component MinHash signature for similarity estimation"),
-      (e: Seq[Expression]) => MinHashSig(e.head)),
+      fixedArity("minhash_sig", 1)(e => MinHashSig(e.head))),
     ("cdc_ends", info("cdc_ends",
       "cdc_ends(text) - 1-based content-defined chunk end positions (32-char window hash, divisor 64)"),
-      (e: Seq[Expression]) => CdcEnds(e.head)),
+      fixedArity("cdc_ends", 1)(e => CdcEnds(e.head))),
     ("sig_match_frac", info("sig_match_frac",
       "sig_match_frac(a, b) - fraction of agreeing signature components (MinHash jaccard estimate)"),
-      (e: Seq[Expression]) => SigMatchFrac(e(0), e(1))),
+      fixedArity("sig_match_frac", 2)(e => SigMatchFrac(e(0), e(1)))),
     ("simhash64", info("simhash64", "simhash64(words) - 64-bit SimHash signature"),
-      (e: Seq[Expression]) => SimHash64(e.head)),
+      fixedArity("simhash64", 1)(e => SimHash64(e.head))),
     ("heavy_hitters", info("heavy_hitters",
       "heavy_hitters(item, k) - Misra-Gries heavy-hitters sketch aggregate: returns the <=k " +
         "candidate items (every item with frequency > n/k is guaranteed present); " +

@@ -10,6 +10,14 @@ package graft.functions
   * the spelling the DuckDB oracle replays (Pipeline d79) and the
   * independent ChunkingSpec reference recomputes — the expression is
   * a faster evaluator of the same contract, not a new contract.
+  *
+  * Positions and the per-unit hash are CODE POINTS, not UTF-16 code
+  * units: both engines' `length`/`substring`/`substr` count code
+  * points, so the d79 plan slices chunks at code-point offsets and
+  * the emitted end positions must live in the same coordinate system.
+  * On BMP-only text the two coincide; a supplementary-plane character
+  * (emoji) is ONE position here, hashed over its real UTF-8 bytes
+  * (never the lone-surrogate '?' md5 that charAt-iteration produces).
   */
 object Cdc {
 
@@ -26,28 +34,37 @@ object Cdc {
     java.lang.Long.parseLong(md5hex(s"graft-cdc-$k").substring(0, 8), 16)
   }
 
-  private val codeMemo = new java.util.concurrent.ConcurrentHashMap[Character, java.lang.Long]()
+  private val codeMemo = new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
 
-  /** First 4 md5 hex digits of the single character, as an int. */
-  def code(c: Char): Long = {
-    val cached = codeMemo.get(c)
+  /** First 4 md5 hex digits of the single CODE POINT's UTF-8 bytes,
+    * as an int. Memoised per distinct code point (alphabet-sized). */
+  def code(cp: Int): Long = {
+    val cached = codeMemo.get(cp)
     if (cached != null) cached.longValue()
     else {
-      val v = java.lang.Long.parseLong(md5hex(c.toString).substring(0, 4), 16)
-      codeMemo.put(c, v)
+      val v = java.lang.Long.parseLong(
+        md5hex(new String(Character.toChars(cp))).substring(0, 4), 16)
+      codeMemo.put(cp, v)
       v
     }
   }
 
-  /** 1-based chunk END positions: every full-window position whose
-    * window hash clears the divisor, plus the doc end. Empty text has
-    * no chunks. */
+  /** 1-based chunk END positions IN CODE POINTS: every full-window
+    * position whose window hash clears the divisor, plus the doc end.
+    * Empty text has no chunks. */
   def ends(text: String): Array[Int] = {
-    val n = text.length
-    if (n == 0) return Array.emptyIntArray
-    val codes = new Array[Long](n)
+    if (text.isEmpty) return Array.emptyIntArray
+    // one pass over code points (handles surrogate pairs as one unit)
+    val codes = new Array[Long](text.codePointCount(0, text.length))
     var i = 0
-    while (i < n) { codes(i) = code(text.charAt(i)); i += 1 }
+    var off = 0
+    while (off < text.length) {
+      val cp = text.codePointAt(off)
+      codes(i) = code(cp)
+      i += 1
+      off += Character.charCount(cp)
+    }
+    val n = codes.length
     val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
     var p = W
     while (p <= n) {

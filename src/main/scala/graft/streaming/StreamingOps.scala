@@ -831,14 +831,36 @@ object StreamingOps {
         .join(cand, Seq("tok"), "left_semi")
       val wb = Window.partitionBy("bk").orderBy(desc("n"), asc("tok"))
       val wg = Window.orderBy(desc("n"), asc("tok"))
-      exact
+      val top = exact
         .withColumn("bk", pmod(crc32(col("tok")), lit(64)))
         .withColumn("rb", row_number().over(wb))
         .filter(col("rb") <= 20)
         .withColumn("rank", row_number().over(wg).cast("int"))
         .filter(col("rank") <= 20)
         .select("rank", "tok", "n")
-        .orderBy("rank")
+        .persist() // the precondition check and the output read one pass
+      // PRECONDITION (checked, not assumed): the exact-top-20 contract
+      // is only guaranteed when every top-20 token clears its bucket's
+      // Misra-Gries survival bound — count > N_bucket/(k+1), k=64 —
+      // because MG only promises candidacy above that frequency. On a
+      // corpus where the 20th-ranked token falls below the bound the
+      // rerank could silently miss it (arrival-order dependent), so
+      // fail LOUDLY here instead. One 32-row aggregate + a broadcast
+      // join against 20 rows — negligible at any scale.
+      val bucketTotals = graft.Tables.load(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(pmod(crc32(col("tok")), lit(32)).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("nb"))
+      val violations = top
+        .withColumn("bucket", pmod(crc32(col("tok")), lit(32)).cast("int"))
+        .join(broadcast(bucketTotals), Seq("bucket"))
+        .filter(col("n") * lit(65L) <= col("nb"))
+        .count()
+      require(violations == 0L,
+        s"s16 precondition violated: $violations top-20 token(s) fall at/below " +
+          "their bucket's Misra-Gries survival bound N_bucket/65 — the sketch " +
+          "cannot guarantee they were candidates; raise k or reduce buckets")
+      top.orderBy("rank")
     },
 
     // ---- s17: STREAMING DECONTAMINATION GATE — d25's benchmark-

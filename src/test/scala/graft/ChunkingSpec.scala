@@ -22,26 +22,32 @@ class ChunkingSpec extends SparkSpecBase {
   private val ks: IndexedSeq[Long] =
     (0 until 32).map(k => java.lang.Long.parseLong(md5hex(s"graft-cdc-$k").take(8), 16))
 
-  private def code(c: Char): Long =
-    java.lang.Long.parseLong(md5hex(c.toString).take(4), 16)
+  private def code(cp: Int): Long =
+    java.lang.Long.parseLong(md5hex(new String(Character.toChars(cp))).take(4), 16)
 
-  /** Reference chunker: 1-based boundary positions, then chunk substrings. */
+  /** Reference chunker: 1-based boundary positions IN CODE POINTS
+    * (the coordinate system of both engines' length/substring), then
+    * chunk substrings sliced at those code-point offsets. */
   private def refChunks(text: String): Seq[String] = {
-    val n = text.length
+    val cps = text.codePoints().toArray
+    val n = cps.length
     if (n == 0) return Seq.empty
-    val codes = text.map(code)
+    val codes = cps.map(code)
     val bnd = (W to n).filter { i =>
       val h = (0 until W).map(k => codes(i - 1 - k) * ks(k)).sum
       h % 4294967296L % 64 == 0
     }
     val ends = if (bnd.nonEmpty && bnd.last == n) bnd else bnd :+ n
-    ends.zip(0 +: ends.init).map { case (e, s) => text.substring(s, e) }
+    ends.zip(0 +: ends.init).map { case (e, s) => new String(cps, s, e - s) }
   }
+
+  /** Code-point length — what both engines' `length()` returns. */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
   /** Reference per-doc accounting over a corpus: (n_chunks, bytes_dup, xor). */
   private def refAccounting(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
     val occ = docs.flatMap { case (id, t) =>
-      refChunks(t).zipWithIndex.map { case (c, i) => (id, i, c.length, md5hex(c)) }
+      refChunks(t).zipWithIndex.map { case (c, i) => (id, i, cpLen(c), md5hex(c)) }
     }
     val keeper = occ.groupBy(_._4).map { case (h, os) =>
       val kdoc = os.map(_._1).min
@@ -60,7 +66,7 @@ class ChunkingSpec extends SparkSpecBase {
     val dir = scratch(name)
     import spark.implicits._
     GraftWriter.write(
-      texts.map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      texts.map { case (i, t) => (i, t, "en", "s", cpLen(t).toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars"),
       s"$dir/documents.parquet")
     dir
@@ -90,7 +96,7 @@ class ChunkingSpec extends SparkSpecBase {
     val ref = refAccounting(docs)
     for ((id, t) <- docs) {
       val (rc, rd, rx) = ref(id)
-      assert(out(id) === ((rc, rd, rd * 1000 / math.max(t.length, 1), rx)),
+      assert(out(id) === ((rc, rd, rd * 1000 / math.max(cpLen(t), 1), rx)),
         s"doc $id: got ${out(id)}, want ($rc, $rd, _, $rx)")
     }
     assert(out(3L)._2 === docs.head._2.length.toLong,
@@ -121,5 +127,32 @@ class ChunkingSpec extends SparkSpecBase {
     val commonBytes = cb.takeRight(common).map(_.length).sum.toLong
     assert(out(2L)._2 >= commonBytes,
       s"shifted doc must dedup the re-synced suffix ($commonBytes bytes): ${out(2L)}")
+  }
+
+  test("d79: non-BMP text — positions are code points, so the engine, the plan's " +
+       "substring slicing, and the reference all agree on emoji-bearing docs") {
+    // interleave supplementary-plane code points (🎉 U+1F389, 𝕏 U+1D54F)
+    // into pseudo-text: each is ONE code-point position but TWO UTF-16
+    // units, the exact misalignment the pre-fix charAt kernel had
+    val rnd = new scala.util.Random(99)
+    val emoji = Array("🎉", "𝕏")
+    val base = (0 until 300).map { i =>
+      if (i % 17 == 5) emoji(rnd.nextInt(2)) else ('a' + rnd.nextInt(26)).toChar.toString
+    }.mkString
+    assert(cpLen(base) < base.length, "test text must actually contain surrogate pairs")
+    val docs = Seq((1L, base), (2L, base), (3L, base + "tail" * 20))
+    val dir = writeDocs("d79-nonbmp", docs)
+    val out = run(dir)
+    val ref = refAccounting(docs)
+    for ((id, t) <- docs) {
+      val (rc, rd, rx) = ref(id)
+      assert(out(id) === ((rc, rd, rd * 1000 / math.max(cpLen(t), 1), rx)),
+        s"doc $id diverged on non-BMP text: got ${out(id)}, want ($rc, $rd, _, $rx)")
+    }
+    assert(out(2L)._2 === cpLen(base).toLong,
+      "the duplicate doc's dup count must be its CODE-POINT length, not UTF-16 units")
+    // kernel-level pin: ends live in code-point coordinates
+    val e = graft.functions.Cdc.ends(base)
+    assert(e.last === cpLen(base), s"last end ${e.last} must equal cpLen ${cpLen(base)}")
   }
 }

@@ -24,6 +24,23 @@ class ExtensionsSpec extends SparkSpecBase {
     spark.sql("SELECT simhash64(array('x','y'))").head().getLong(0) // total
   }
 
+  test("e1: wrong arity fails analysis with a clear message, never silently drops args") {
+    GraftExtensions.install(spark)
+    for (bad <- Seq(
+        "SELECT cdc_ends('ab', 1)",       // extra arg must not be ignored
+        "SELECT quack('a', 'b')",
+        "SELECT simhash64(array('x'), 9)",
+        "SELECT minhash_sig(array('x'), 2)",
+        "SELECT cosine_sim(array(1.0d))", // too few on a 2-arg kernel
+        "SELECT sig_match_frac(array(1L))")) {
+      val ex = intercept[Exception](spark.sql(bad).head())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("expects exactly")),
+        s"`$bad` must raise the arity error, got: ${ex.getMessage}")
+    }
+  }
+
   test("e1: spark.sql.extensions config path registers functions at session build") {
     // TestSpark's context was built with
     // spark.sql.extensions=graft.GraftExtensions (a STATIC conf); a fresh
