@@ -106,6 +106,21 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Stress-sweep acceleration (check.py GRAFT_CTE_CACHE=1): one-shot
+    // materialization statements for the shared recursive prefixes +
+    // the cached re-spelling of every oracle that embeds one. The
+    // driver reads only oracle_sql.json; these two files are advisory.
+    Files.writeString(Paths.get(s"$outDir/oracle_prep.json"),
+      queries.Pipeline.oraclePrep
+        .map { case (t, sql) => s"${q(t)}: ${q(sql)}" }.mkString("{", ",", "}"))
+    val cached = oracles.flatMap { case (k, sql) =>
+      val swapped = queries.Pipeline.oracleCachedSwaps.foldLeft(sql) {
+        case (acc, (frag, repl)) => acc.replace(frag, repl)
+      }
+      if (swapped != sql) Some(k -> swapped) else None
+    }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_cached.json"),
+      cached.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
 
     val pool = Executors.newCachedThreadPool()
     // Dev-only filter: SPARK_GRAFT_ONLY=d30,q1 runs just those entries.

@@ -1292,8 +1292,20 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
-    // ---- d7: heuristic language ID by marker-word counts, deterministic
-    // argmax tie-break (en > de > fr > es).
+    // ---- d7: heuristic language ID by marker-word counts plus a zh
+    // CHARACTER-CLASS marker (unsegmented zh prose has no whitespace
+    // marker words to count — the r9 judge's blind-spot finding — so
+    // the zh score is the CJK Unified Ideographs codepoint count, a
+    // length-difference integer over a class Java regex and RE2 spell
+    // identically, the d72/d113 discipline). zh wins on a STRICT
+    // majority over every marker count (so all-Latin text, where
+    // zh_n = 0, keeps the original cascade bit-for-bit); below that,
+    // the deterministic argmax tie-break (en > de > fr > es).
+    // NOTE the synthetic corpus's zh-labeled rows carry Latin-only
+    // text, so on THAT corpus the (zh,zh) diagonal of d92 can only be
+    // populated via planted CJK docs (TextSpec + the augmented-corpus
+    // gate) — a corpus limitation d92 measures honestly, not a model
+    // one.
     "d7_langid" -> { (s, dir) =>
       val markers = Map(
         "en" -> Seq("the", "and", "of", "is", "to", "in", "a", "for"),
@@ -1309,12 +1321,17 @@ object Pipeline {
         .withColumn("de_n", expr(score("de")))
         .withColumn("fr_n", expr(score("fr")))
         .withColumn("es_n", expr(score("es")))
+        .withColumn("zh_n", expr(
+          """cast(length(text) -
+                  length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '')) as int)"""))
         .withColumn("lang_pred",
-          when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") && col("en_n") >= col("es_n"), "en")
+          when(col("zh_n") > col("en_n") && col("zh_n") > col("de_n") &&
+               col("zh_n") > col("fr_n") && col("zh_n") > col("es_n"), "zh")
+            .when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") && col("en_n") >= col("es_n"), "en")
             .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n"), "de")
             .when(col("fr_n") >= col("es_n"), "fr")
             .otherwise("es"))
-        .select("doc_id", "en_n", "de_n", "fr_n", "es_n", "lang_pred")
+        .select("doc_id", "en_n", "de_n", "fr_n", "es_n", "zh_n", "lang_pred")
         .orderBy("doc_id")
     },
 
@@ -2665,27 +2682,37 @@ object Pipeline {
     // |Δchars| ≤ k prefilter precedes the kernel (lev ≥ |len a − len
     // b|, no qualifying pair lost); the kernel is Spark's built-in
     // THRESHOLDED levenshtein — banded O(k·n) per pair, −1 above k.
-    // The oracle spells the identical contract over DuckDB's exact
-    // levenshtein (both classic unit-cost edit distance — integer, so
-    // the match is exact).
+    // UNIT OF EDIT: UTF-8 BYTES, on both engines. DuckDB's
+    // levenshtein is byte-oriented, Spark's is code-point-oriented;
+    // they coincide on ASCII but diverge on multi-byte text (the
+    // augmented-corpus gate's CJK/emoji rows caught it), so Spark
+    // runs the kernel over the ISO-8859-1 projection of the UTF-8
+    // bytes (one code point per byte — exactly DuckDB's unit) and
+    // the similarity denominator is the larger OCTET length.
     "d52_edit_distance" -> { (s, dir) =>
       val k = 50
       val d = T(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .select(col("doc_id"), col("lang"),
+          octet_length(col("text")).cast("long").as("n_bytes"), col("text"))
       val a = d.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-          col("n_chars").as("ca"), col("text").as("ta"))
+          col("n_bytes").as("ca"), col("text").as("ta"))
         .select(col("*"), explode(array(lit(1L), lit(2L))).as("off"))
         .withColumn("doc_b", col("doc_a") + col("off"))
       val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-        col("n_chars").as("cb"), col("text").as("tb"))
+        col("n_bytes").as("cb"), col("text").as("tb"))
       a.join(b, Seq("doc_b"))
         .filter(col("lang_a") === col("lang_b") &&
           abs(col("ca") - col("cb")) <= lit(k.toLong))
-        .withColumn("lev", levenshtein(col("ta"), col("tb"), k))
+        .withColumn("lev", levenshtein(
+          expr("decode(encode(ta, 'UTF-8'), 'ISO-8859-1')"),
+          expr("decode(encode(tb, 'UTF-8'), 'ISO-8859-1')"), k))
         .filter(col("lev") >= 0)
         .select(col("doc_a"), col("doc_b"), col("off"), col("lev"),
-          expr("""cast(round((1.0 - lev / cast(greatest(ca, cb) as double))
-            * 1e4) as bigint)""").as("sim_1e4"))
+          // two empty docs: lev 0 over length 0 is a perfect match,
+          // not a 0/0 NaN
+          expr("""CASE WHEN greatest(ca, cb) = 0 THEN cast(10000 as bigint)
+            ELSE cast(round((1.0 - lev / cast(greatest(ca, cb) as double))
+            * 1e4) as bigint) END""").as("sim_1e4"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -4233,10 +4260,12 @@ object Pipeline {
     // over the corpus (the SAME queries entry — the classifier
     // evaluated IS the classifier shipped), joins back to the labeled
     // `lang` column, and aggregates the (actual, predicted) confusion
-    // matrix with per-cell share per-mille. The corpus makes the
-    // audit's point concretely: zh has NO markers in d7's four-list
-    // model, so every zh doc lands in the en row — a blind spot the
-    // accuracy number alone would hide. Shape: one classify pass, one
+    // matrix with per-cell share per-mille. d7 now carries a zh
+    // CJK-codepoint class (the r9 fix), so the remaining zh→en row on
+    // THIS corpus measures a corpus limitation — the synthetic
+    // zh-labeled rows contain Latin-only text — which the planted
+    // CJK spec and the augmented-corpus gate distinguish from the old
+    // model blind spot. Shape: one classify pass, one
     // doc_id equi join, one map-combinable aggregate; lang-count² ≤
     // 25-row output, totals broadcast back.
     "d92_langid_eval" -> { (s, dir) =>
@@ -5826,20 +5855,27 @@ object Pipeline {
       ${(0 until 3).map(d75RoundSql).mkString(",\n")}"""
 
   /** d7/d92 shared language-ID scorer CTEs, ending in
-    * `lpred(doc_id, en_n, de_n, fr_n, es_n, lang_pred)`. */
-  private lazy val langidCtes: String = """w7 AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+    * `lpred(doc_id, en_n, de_n, fr_n, es_n, zh_n, lang_pred)`. The zh
+    * score is the CJK-ideograph codepoint count (length-difference
+    * integer; RE2 and Java spell the class identically) and zh wins
+    * only on a strict majority — all-Latin text keeps the original
+    * marker-word cascade bit-for-bit. */
+  private lazy val langidCtes: String = raw"""w7 AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words
         FROM documents),
       scored AS (
         SELECT doc_id,
           CAST(len(list_filter(words, x -> list_contains(['the','and','of','is','to','in','a','for'], x))) AS INT) AS en_n,
           CAST(len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS INT) AS de_n,
           CAST(len(list_filter(words, x -> list_contains(['le','les','et','est','une','dans'], x))) AS INT) AS fr_n,
-          CAST(len(list_filter(words, x -> list_contains(['el','los','y','es','una','en'], x))) AS INT) AS es_n
+          CAST(len(list_filter(words, x -> list_contains(['el','los','y','es','una','en'], x))) AS INT) AS es_n,
+          CAST(length(text) -
+               length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS INT) AS zh_n
         FROM w7),
       lpred AS (
-        SELECT doc_id, en_n, de_n, fr_n, es_n,
-               CASE WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+        SELECT doc_id, en_n, de_n, fr_n, es_n, zh_n,
+               CASE WHEN zh_n > en_n AND zh_n > de_n AND zh_n > fr_n AND zh_n > es_n THEN 'zh'
+                    WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
                     WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
                     WHEN fr_n >= es_n THEN 'fr'
                     ELSE 'es' END AS lang_pred
@@ -6191,6 +6227,29 @@ object Pipeline {
         SELECT kind, rank, piece, cnt FROM syr WHERE rank <= 15)
       ORDER BY kind, rank"""
 
+  /** Stress-sweep oracle acceleration (r9 verdict task 1): the two
+    * RECURSIVE prefixes shared across composition audits, as
+    * standalone one-shot materialization statements. At sf1 the
+    * DuckDB side re-ran d20's closure inside d104 AND d117 and d59's
+    * packing recursion inside d116, busting the per-oracle budget
+    * while the Spark sides (which read their own persisted frames)
+    * finished in seconds. check.py (GRAFT_CTE_CACHE=1) COPYs each
+    * prep result to parquet ONCE per sweep and swaps the dependent
+    * oracles to the cached spelling ([[oracleCachedSwaps]]); the
+    * driver's official gate keeps the self-contained `oracles` map
+    * untouched. */
+  val oraclePrep: Seq[(String, String)] = Seq(
+    "graft_cte_d20_comp" -> s"WITH RECURSIVE $d20Ctes SELECT * FROM comp",
+    "graft_cte_d59_out"  -> s"WITH RECURSIVE $d59Ctes SELECT * FROM d59out")
+
+  /** Textual (fragment → replacement) swaps deriving the cached oracle
+    * spelling: the recursive CTE chain collapses to a read of the
+    * materialized table. Applied verbatim — the oracle strings
+    * interpolate the SAME lazy vals, so the match is exact. */
+  val oracleCachedSwaps: Seq[(String, String)] = Seq(
+    ("RECURSIVE " + d20Ctes) -> "comp AS (SELECT * FROM graft_cte_d20_comp)",
+    ("RECURSIVE " + d59Ctes) -> "d59out AS (SELECT * FROM graft_cte_d59_out)")
+
   val oracles: Map[String, String] = Map(
     // Full hash-family replay oracles (ReplaySql): DuckDB re-derives
     // every MinHash/SimHash signature bit-for-bit, closing the last
@@ -6348,7 +6407,7 @@ object Pipeline {
     // matrix, so the classifier evaluated IS the classifier shipped.
     "d7_langid" -> s"""
       WITH $langidCtes
-      SELECT doc_id, en_n, de_n, fr_n, es_n, lang_pred
+      SELECT doc_id, en_n, de_n, fr_n, es_n, zh_n, lang_pred
       FROM lpred
       ORDER BY doc_id""",
 
@@ -6691,19 +6750,31 @@ object Pipeline {
       GROUP BY 1, 2
       ORDER BY label, pos""",
 
+    // The sampled positions index UTF-8 BYTES, so the replay reads
+    // the hex(encode(text)) pair at byte offset floor(i·n_in/64) —
+    // exact on any text (the old substr+ascii spelling was only
+    // byte-correct on the ASCII subset; the augmented-corpus gate's
+    // CJK rows caught the divergence).
     "d21_multimodal_resize" -> """
-      WITH ex AS (
-        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_in,
-               CAST(unnest(range(64)) AS BIGINT) AS i, text
-        FROM documents WHERE length(text) > 0),
+      WITH h AS (
+        SELECT doc_id, upper(hex(encode(text))) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_in
+        FROM documents),
+      ex AS (
+        SELECT doc_id, n_in, hx, CAST(unnest(range(64)) AS BIGINT) AS i
+        FROM h WHERE n_in > 0),
       agg AS (
         SELECT doc_id,
-               CAST(sum(ascii(substr(text, CAST((i * n_in) // 64 AS INT) + 1, 1))) AS BIGINT)
+               CAST(sum(
+                 strpos('123456789ABCDEF',
+                   substr(hx, CAST((i * n_in) // 64 AS INT) * 2 + 1, 1)) * 16 +
+                 strpos('123456789ABCDEF',
+                   substr(hx, CAST((i * n_in) // 64 AS INT) * 2 + 2, 1))) AS BIGINT)
                  AS sampled_sum
         FROM ex GROUP BY doc_id)
       SELECT d.doc_id,
              CAST(octet_length(encode(d.text)) AS BIGINT) AS n_in,
-             CAST(CASE WHEN length(d.text) = 0 THEN 0 ELSE 64 END AS INT) AS n_out,
+             CAST(CASE WHEN octet_length(encode(d.text)) = 0 THEN 0 ELSE 64 END AS INT) AS n_out,
              CAST(coalesce(a.sampled_sum, 0) AS BIGINT) AS sampled_sum
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id""",
@@ -7306,19 +7377,25 @@ object Pipeline {
       FROM j
       ORDER BY doc_id""",
 
+    // UTF-8-byte unit on both engines: DuckDB's levenshtein is
+    // already byte-oriented, so text feeds it raw; lengths in the
+    // prefilter and the similarity denominator are octet lengths.
     "d52_edit_distance" -> """
       WITH offs AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)),
                                           (CAST(2 AS BIGINT))) t(off)),
       p AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, offs.off,
-               a.n_chars AS ca, b.n_chars AS cb,
+               octet_length(encode(a.text)) AS ca,
+               octet_length(encode(b.text)) AS cb,
                levenshtein(a.text, b.text) AS lev
         FROM documents a CROSS JOIN offs
         JOIN documents b ON b.doc_id = a.doc_id + offs.off
-        WHERE a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 50)
+        WHERE a.lang = b.lang
+          AND abs(octet_length(encode(a.text)) - octet_length(encode(b.text))) <= 50)
       SELECT doc_a, doc_b, off, CAST(lev AS INT) AS lev,
-             CAST(round((1.0 - lev / CAST(greatest(ca, cb) AS DOUBLE)) * 1e4)
-               AS BIGINT) AS sim_1e4
+             CASE WHEN greatest(ca, cb) = 0 THEN CAST(10000 AS BIGINT)
+                  ELSE CAST(round((1.0 - lev / CAST(greatest(ca, cb) AS DOUBLE))
+                       * 1e4) AS BIGINT) END AS sim_1e4
       FROM p
       WHERE lev <= 50
       ORDER BY doc_a, doc_b""",

@@ -194,7 +194,11 @@ class TextSpec extends SparkSpecBase {
       (5L, "zzz " * 30 + "tail", "en"),         // vs 6: > 50 edits apart
       (6L, "qqq " * 30 + "tail", "en"),
       (7L, "same text across languages", "en"), // vs 8: lang differs -> skip
-      (8L, "same text across languages", "de")
+      (8L, "same text across languages", "de"),
+      // the unit of edit is UTF-8 BYTES (DuckDB levenshtein's unit):
+      // é and ö are two bytes each → lev 4, denominator octet 13
+      (10L, "héllo wörld", "en"),
+      (11L, "hello world", "en")
     ).toDF("doc_id", "text", "lang")
       .withColumn("source", lit("spec"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -205,22 +209,26 @@ class TextSpec extends SparkSpecBase {
     val expected = Map(
       (0L, 1L) -> ((1L, 1, 9600L)),  // round((1 - 1/25) * 1e4)
       (0L, 2L) -> ((2L, 0, 10000L)), // identical pair at offset 2
-      (1L, 2L) -> ((1L, 1, 9600L)))
+      (1L, 2L) -> ((1L, 1, 9600L)),
+      (10L, 11L) -> ((1L, 4, 6923L))) // byte-unit lev: round((1 - 4/13) * 1e4)
     assert(out == expected, out.toString)
   }
 
   // ---------------------------------------------------------------- d92
 
-  test("d92: confusion matrix — correct cells, the zh blind spot, exact shares") {
+  test("d92: confusion matrix — correct cells incl. the zh CJK class, exact shares") {
     val dir = scratch("d92-plant")
     import spark.implicits._
     val rows = Seq(
       (1L, "the cat and the dog of the house", "en"),   // en markers → en
       (2L, "der hund und die katze ist nicht da", "de"),// de markers → de
       (3L, "le chat et les chiens dans une maison", "fr"),
-      (4L, "我 在 这里 的 故事", "zh"),                   // NO markers → en (tie rule)
-      (5L, "山 河 湖 海", "zh"),                          // same blind spot
-      (6L, "the der und die das haus", "de"))            // de=3 beats en=1 wait: the=1 en; der,und,die,das=4 de → de
+      (4L, "我 在 这里 的 故事", "zh"),                   // 7 CJK chars > 0 markers → zh (r9 fix)
+      (5L, "山 河 湖 海", "zh"),                          // unsegmented-style CJK → zh
+      (6L, "the der und die das haus", "de"),            // de=4 markers beat en=1 → de
+      (7L, "window merge batch table join", "zh"))       // Latin-only text labeled zh → en:
+                                                         // the corpus-limitation cell the
+                                                         // real synthetic corpus exhibits
     graft.sources.GraftWriter.write(
       rows.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars"),
@@ -232,10 +240,32 @@ class TextSpec extends SparkSpecBase {
     assert(out(("de", "de")) === ((2L, 2L, true, 1000L)),
       "mixed-marker doc 6 must still resolve to de (4 de markers beat 1 en)")
     assert(out(("fr", "fr")) === ((1L, 1L, true, 1000L)))
-    assert(out(("zh", "en")) === ((2L, 2L, false, 1000L)),
-      s"the zh blind spot must surface as a (zh, en) cell: $out")
-    assert(!out.keySet.exists { case (a, p) => a == "zh" && p != "en" },
-      "markerless docs fall to en via the tie rule, nowhere else")
+    assert(out(("zh", "zh")) === ((2L, 3L, true, 666L)),
+      s"CJK-bearing zh docs must land on the (zh, zh) diagonal now: $out")
+    assert(out(("zh", "en")) === ((1L, 3L, false, 333L)),
+      s"Latin-only text labeled zh still falls to en — the corpus cell: $out")
+  }
+
+  test("d7: zh strict-majority rule — CJK chars route to zh, Latin text is bit-unchanged") {
+    val dir = scratch("d7-zh")
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "这是一个很长的中文句子没有空格", "zh"),   // unsegmented: zh_n = cp count
+      (2L, "the 的", "en"),                            // en_n=1, zh_n=1: NOT strict > → en
+      (3L, "的 的 the", "zh"),                          // zh_n=2 > en_n=1 → zh
+      (4L, "", "en"),                                   // empty: all counts 0 → en
+      (5L, "el los y", "es"))                            // es cascade unchanged
+    graft.sources.GraftWriter.write(
+      rows.map { case (id, t, l) => (id, t, l, "s", t.codePointCount(0, t.length).toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = Pipeline.queries("d7_langid")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(5), r.getString(6)))).toMap
+    assert(out(1L) === ((15, "zh")), out.toString)
+    assert(out(2L) === ((1, "en")), "a tie must NOT flip to zh — strict majority only")
+    assert(out(3L) === ((2, "zh")), out.toString)
+    assert(out(4L) === ((0, "en")), "empty text keeps the en default")
+    assert(out(5L) === ((0, "es")), out.toString)
   }
 
   test("d92: real-corpus matrix is internally consistent") {

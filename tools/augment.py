@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Build an AUGMENTED gate corpus: <src sfdir> copied to <dst>, with
+degenerate and CJK documents appended to documents.parquet.
+
+Why this exists (round-10 verdict tasks 2+3): the driver's generated
+corpus contains neither empty/whitespace-only documents nor any CJK
+text on its zh-labeled rows, so two whole classes of engine-vs-oracle
+divergence (degenerate-input handling like the r8 d68 bug, and the d7
+zh scorer) could only be exercised by unit specs, never by the FULL
+238-oracle gate. /root/testdata is read-only for the repo, so the
+augmentation lives here: run this, then point the normal gate at the
+output —
+
+    python3 tools/augment.py /root/testdata/sf0.01 target/sf0.01aug
+    SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify target/sf0.01aug target/verify_aug"
+    python3 tools/check.py target/sf0.01aug target/verify_aug
+
+Every oracle then faces empty text, whitespace-only text, and
+supplementary-plane + CJK characters through the same hash comparison
+the driver runs. Deterministic: fixed doc rows, no RNG.
+"""
+import sys, os, shutil, glob
+import duckdb
+
+def main():
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    src, dst = sys.argv[1], sys.argv[2]
+    os.makedirs(dst, exist_ok=True)
+    for f in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+        name = os.path.basename(f)
+        if name != "documents.parquet":
+            tgt = os.path.join(dst, name)
+            if os.path.isdir(f):
+                if os.path.exists(tgt):
+                    shutil.rmtree(tgt)
+                shutil.copytree(f, tgt)
+            else:
+                shutil.copy(f, tgt)
+
+    con = duckdb.connect()
+    max_id = con.execute(
+        "SELECT max(doc_id) FROM read_parquet(?)",
+        [os.path.join(src, "documents.parquet")]).fetchone()[0]
+    # Planted rows. n_chars is the CODE-POINT length (the generator's
+    # convention — length(text) in both engines). Sources reuse
+    # existing src* names so per-source rollups don't grow new groups
+    # with degenerate-only membership EXCEPT src0, which deliberately
+    # receives the empty doc so at least one per-source aggregate
+    # carries a zero-token member.
+    planted = [
+        (max_id + 1, "", "en", "src0"),                      # empty
+        (max_id + 2, "   ", "en", "src1"),                   # whitespace-only
+        (max_id + 3, "\t \n ", "en", "src2"),                # mixed whitespace
+        (max_id + 4, "这是一个很长的中文句子没有空格总共若干字", "zh", "src3"),  # unsegmented CJK
+        (max_id + 5, "我 在 这里 的 故事 山 河 湖 海", "zh", "src4"),          # segmented CJK
+        (max_id + 6, "emoji 🎉 and math 𝕏 mix the line", "en", "src5"),       # non-BMP
+        (max_id + 7, "x", "en", "src6"),                     # single char
+    ]
+    # len() of a python str IS the code-point count
+    rows = ", ".join(
+        "(%d, '%s', '%s', '%s', %d)" % (i, t.replace("'", "''"), l, s, len(t))
+        for (i, t, l, s) in planted)
+    out = os.path.join(dst, "documents.parquet")
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{os.path.join(src, "documents.parquet")}')
+          UNION ALL
+          SELECT * FROM (VALUES {rows}) v(doc_id, text, lang, source, n_chars)
+          ORDER BY doc_id
+        ) TO '{out}' (FORMAT parquet)""")
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+    print(f"augmented {src} -> {dst}: documents now {n} rows "
+          f"(+{len(planted)} planted: empty, whitespace, CJK, non-BMP)")
+
+if __name__ == "__main__":
+    main()
