@@ -5726,8 +5726,105 @@ object Pipeline {
           expr("cast((coalesce(p0, cast(0 as bigint)) * 1000) div tp as bigint)")
             .as("share_pm"))
         .orderBy("tau_i")
+    },
+
+    // ---- d125: BLOCKLIST CONTENT GATE (C4 §2.2's "bad words" filter
+    // — Raffel et al. 2020 drop any page containing a term from a
+    // fixed blocklist; every public curation stack since runs some
+    // form of it; d60 covers structural quality, d17 PII, d50
+    // takedown — this is the remaining content-policy rung). Terms
+    // here are a neutral stand-in list with corpus support: blocked
+    // WORDS match whole lowercased whitespace tokens; blocked PHRASES
+    // match lowercased substrings, occurrences counted exactly via
+    // the length-difference-over-replace integer (both engines'
+    // replace() is the same non-overlapping left-to-right scan).
+    // Admission is C4's rule: ANY hit drops the doc. Output carries
+    // the per-source admit rate joined back broadcast, so the
+    // per-source report is part of the hash. Scale shape: the list
+    // is a LITERAL (better than a broadcast dim — zero join, full
+    // codegen); the whole gate is per-row arithmetic; nothing
+    // shuffles but the 20-row source rollup.
+    "d125_blocklist_filter" -> { (s, dir) =>
+      val words = Seq("slow", "dup", "leak")
+      val phrases = Seq("big join", "slow scan")
+      val wordList = words.map(w => s"'$w'").mkString(", ")
+      val phraseSum = phrases.map(p =>
+        s"(length(lt) - length(replace(lt, '$p', ''))) div ${p.length}")
+        .mkString(" + ")
+      val perDoc = withWords(T(s, dir, "documents"))
+        .withColumn("lt", lower(col("text")))
+        .withColumn("n_bad_words", expr(
+          s"cast(size(filter(words, x -> array_contains(array($wordList), lower(x)))) as bigint)"))
+        .withColumn("n_bad_phrases", expr(s"cast($phraseSum as bigint)"))
+        .withColumn("admitted",
+          col("n_bad_words") === 0L && col("n_bad_phrases") === 0L)
+        .select("doc_id", "source", "n_bad_words", "n_bad_phrases", "admitted")
+        .persist() // per-doc rows + the source rollup share one pass
+      val bySrc = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_src"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_adm"))
+        .withColumn("src_admit_pm", expr("n_adm * 1000 div n_src"))
+        .select("source", "src_admit_pm")
+      perDoc.join(broadcast(bySrc), Seq("source"))
+        .select("doc_id", "source", "n_bad_words", "n_bad_phrases",
+          "admitted", "src_admit_pm")
+        .orderBy("doc_id")
+    },
+
+    // ---- d126: CRAWL OPT-OUT COMPLIANCE AUDIT (robots.txt / noai
+    // directives — the crawl-governance complement of d50's takedown
+    // registry: d50 removes named docs after the fact, this excludes
+    // whole ORIGINS by their published directive before training).
+    // The per-domain directive registry is synthesized the d74 way —
+    // a deterministic rule on the canonical domain (trailing number
+    // mod 7: 0 → 'noai', 1 → 'noindex', else 'allow'), replayed
+    // identically in the oracle — and joins via d64's canonical
+    // domains (shared canonCtes), so "same origin" here provably
+    // means what the d64 cap and d69 holdout mean. Output: per-domain
+    // directive, doc/token counts, admission, and the domain's token
+    // share of the corpus (the number a compliance report quotes).
+    // Scale shape: the corpus collapses ONCE to per-domain counts
+    // (map-combinable); the registry is domain-sized; the total is a
+    // broadcast one-row frame.
+    "d126_optout_compliance" -> { (s, dir) =>
+      val dom = withCanonDomain(withWords(T(s, dir, "documents")))
+        .select(col("domain"), size(col("words")).cast("long").as("n_tok"))
+        .groupBy("domain").agg(
+          count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .withColumn("dnum", expr(
+          """CASE WHEN regexp_extract(domain, '[0-9]+$', 0) = ''
+               THEN length(domain)
+               ELSE cast(regexp_extract(domain, '[0-9]+$', 0) as int) END"""))
+        .withColumn("directive", expr(
+          "CASE dnum % 7 WHEN 0 THEN 'noai' WHEN 1 THEN 'noindex' ELSE 'allow' END"))
+        .withColumn("admitted", col("directive") === "allow")
+      val tot = dom.agg(sum("n_tokens").as("tot"))
+      dom.crossJoin(broadcast(tot))
+        .withColumn("tok_share_pm", expr("n_tokens * 1000 div tot"))
+        .select("domain", "directive", "n_docs", "n_tokens", "admitted",
+          "tok_share_pm")
+        .orderBy("domain")
     }
   )
+
+  /** d64/d126 shared URL-canonicalization CTEs (mirrors
+    * [[withCanonDomain]]), ending in `cc(doc_id, domain, canon_url)` —
+    * extracted so the opt-out compliance audit (d126) provably means
+    * the same "origin" the d64 cap certifies. */
+  private lazy val canonCtes: String = """c0 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(lower(trim(source)),
+                 '^(https?://)?(www\.)?', ''), '/+$', '') AS cu
+        FROM documents),
+      cp AS (SELECT doc_id, split_part(cu, '?', 1) AS path,
+                    split_part(cu, '?', 2) AS qs
+             FROM c0),
+      cc AS (SELECT doc_id, split_part(path, '/', 1) AS domain,
+                    CASE WHEN qs = '' THEN path
+                         ELSE path || '?' ||
+                              array_to_string(list_sort(string_split(qs, '&')), '&')
+                    END AS canon_url
+             FROM cp)"""
 
   /** d8/d101 shared quality-signal CTEs (mirrors [[withQuality]]):
     * extracted in this round so the correlation audit (d101) measures
@@ -7532,21 +7629,8 @@ object Pipeline {
     // K-smallest admission set, which is exactly the decomposition
     // claim under test. Canonicalization is replayed spelling-for-
     // spelling so the hash check covers the normalization itself.
-    "d64_domain_cap" -> """
-      WITH c0 AS (
-        SELECT doc_id,
-               regexp_replace(regexp_replace(lower(trim(source)),
-                 '^(https?://)?(www\.)?', ''), '/+$', '') AS cu
-        FROM documents),
-      cp AS (SELECT doc_id, split_part(cu, '?', 1) AS path,
-                    split_part(cu, '?', 2) AS qs
-             FROM c0),
-      cc AS (SELECT doc_id, split_part(path, '/', 1) AS domain,
-                    CASE WHEN qs = '' THEN path
-                         ELSE path || '?' ||
-                              array_to_string(list_sort(string_split(qs, '&')), '&')
-                    END AS canon_url
-             FROM cp),
+    "d64_domain_cap" -> s"""
+      WITH $canonCtes,
       r AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn,
                    CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n_dom
             FROM cc),
@@ -9469,6 +9553,66 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
         GROUP BY 1)
       SELECT tau_i, n_pairs,
              CAST((n_pairs * 1000) // tp AS BIGINT) AS share_pm
-      FROM sw CROSS JOIN tot ORDER BY tau_i"""
+      FROM sw CROSS JOIN tot ORDER BY tau_i""",
+
+    // d125: same blocked-token list_filter, same length-difference
+    // phrase occurrence integer over the same non-overlapping
+    // replace(), same per-source rollup joined back.
+    "d125_blocklist_filter" -> raw"""
+      WITH w AS (
+        SELECT doc_id, source, lower(text) AS lt,
+               string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+      h AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(words,
+                 x -> list_contains(['slow', 'dup', 'leak'], lower(x))))
+                 AS BIGINT) AS n_bad_words,
+               CAST((length(lt) - length(replace(lt, 'big join', ''))) // 8 +
+                    (length(lt) - length(replace(lt, 'slow scan', ''))) // 9
+                 AS BIGINT) AS n_bad_phrases
+        FROM w),
+      a AS (SELECT *, (n_bad_words = 0 AND n_bad_phrases = 0) AS admitted
+            FROM h),
+      srcr AS (
+        SELECT source,
+               CAST(CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+                    * 1000 // count(*) AS BIGINT) AS src_admit_pm
+        FROM a GROUP BY source)
+      SELECT a.doc_id, a.source, a.n_bad_words, a.n_bad_phrases, a.admitted,
+             s.src_admit_pm
+      FROM a JOIN srcr s USING (source)
+      ORDER BY a.doc_id""",
+
+    // d126: d64's canonicalization CTEs verbatim, the same trailing-
+    // number-mod-7 directive rule, the same integer token accounting.
+    "d126_optout_compliance" -> raw"""
+      WITH $canonCtes,
+      wt AS (
+        SELECT cc.domain,
+               CAST(len(string_split_regex(trim(d.text), '\s+'))
+                 AS BIGINT) AS n_tok
+        FROM documents d JOIN cc USING (doc_id)),
+      dom AS (
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM wt GROUP BY domain),
+      dd AS (
+        SELECT *, CASE WHEN regexp_extract(domain, '[0-9]+$$') = ''
+                       THEN length(domain)
+                       ELSE CAST(regexp_extract(domain, '[0-9]+$$') AS INT)
+                  END AS dnum
+        FROM dom),
+      dr AS (
+        SELECT domain, n_docs, n_tokens,
+               CASE dnum % 7 WHEN 0 THEN 'noai' WHEN 1 THEN 'noindex'
+                    ELSE 'allow' END AS directive
+        FROM dd),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM dr)
+      SELECT domain, directive, n_docs, n_tokens,
+             (directive = 'allow') AS admitted,
+             CAST(n_tokens * 1000 // tot AS BIGINT) AS tok_share_pm
+      FROM dr CROSS JOIN tot
+      ORDER BY domain"""
   )
 }

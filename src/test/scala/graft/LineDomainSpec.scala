@@ -216,4 +216,50 @@ class LineDomainSpec extends SparkSpecBase {
     }
     assert(rows.forall(r => r._5 === r._3 - r._4), "drift must be the share gap")
   }
+
+  // ---------------------------------------------------------------- d125
+
+  test("d125: blocklist gate — token-boundary words, counted phrases, case folding") {
+    val dir = writeDocs("d125-plant", Seq(
+      (0L, "fast merge table", "s1"),          // clean → admitted
+      (1L, "the slow scan runs", "s1"),        // word 'slow' + phrase 'slow scan'
+      (2L, "SLOW Dup LEAK", "s1"),             // case folds: 3 blocked words
+      (3L, "big join meets big join", "s2"),   // phrase twice, no blocked words
+      (4L, "", "s2"),                          // empty admits
+      (5L, "   ", "s2"),                       // whitespace-only admits
+      (6L, "slowly duplicated", "s2")))        // substring ≠ token: admits
+    val out = Pipeline.queries("d125_blocklist_filter")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))).toMap
+    assert(out(0L) === ((0L, 0L, true, 333L)))
+    assert(out(1L) === ((1L, 1L, false, 333L)), "word AND phrase hit must both count")
+    assert(out(2L) === ((3L, 0L, false, 333L)), "matching is case-folded")
+    assert(out(3L) === ((0L, 2L, false, 750L)), "phrase occurrences count exactly")
+    assert(out(4L) === ((0L, 0L, true, 750L)), "empty doc admits")
+    assert(out(5L) === ((0L, 0L, true, 750L)), "whitespace-only doc admits")
+    assert(out(6L) === ((0L, 0L, true, 750L)),
+      "blocked words match whole tokens, not substrings ('slowly' is clean)")
+  }
+
+  // ---------------------------------------------------------------- d126
+
+  test("d126: opt-out audit — canonical-domain grouping, directive classes, token shares") {
+    val dir = writeDocs("d126-plant", Seq(
+      (1L, "a b c", "HTTPS://WWW.src7/x"),  // canon domain src7 → 7 % 7 = 0 → noai
+      (2L, "d e", "src7/y/"),               // same origin through the variants
+      (3L, "f g h i", "src8"),              // 8 % 7 = 1 → noindex
+      (4L, "j k", "src9?b=1&a=2"),          // 9 % 7 = 2 → allow
+      (5L, "l", "nonum.org")))              // no trailing digit → length 9 → allow
+    val out = Pipeline.queries("d126_optout_compliance")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))).toMap
+    assert(out("src7") === (("noai", 2L, 5L, false, 416L)),
+      "URL variants must collapse to one origin before the directive applies")
+    assert(out("src8") === (("noindex", 1L, 4L, false, 333L)))
+    assert(out("src9") === (("allow", 1L, 2L, true, 166L)))
+    assert(out("nonum.org") === (("allow", 1L, 1L, true, 83L)),
+      "domains without a trailing number fall to the length rule")
+    assert(out.size === 4)
+  }
+
 }

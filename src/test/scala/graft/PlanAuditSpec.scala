@@ -1433,4 +1433,27 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"),
       s"d124 must not re-partition for the sweep:\n$p")
   }
+
+  test("d125 blocklist gate: per-row arithmetic, broadcast rollup, no corpus reshuffle") {
+    val p = plan("d125_blocklist_filter")
+    // the blocklist is a literal — no dimension join at all for matching
+    assert(p.contains("partial_count"),
+      s"d125 source rollup lost its map-side partials:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d125 per-source rates must join back broadcast:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"d125 rollup and output must share the persisted per-doc pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"d125 must not shuffle the corpus for the rollup join:\n$p")
+  }
+
+  test("d126 opt-out audit: corpus collapses to per-domain counts, total broadcasts") {
+    val p = plan("d126_optout_compliance")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"d126 domain rollup lost its map-side partials:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"d126 corpus total must broadcast back as one row:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"d126 must not materialize a product:\n$p")
+  }
 }

@@ -1,0 +1,23 @@
+#!/bin/bash
+# tools/run.sh <MainClass> [args...]
+#
+# Run a graft main (graft.Verify / graft.Bench / graft.ScaleData)
+# straight off the packaged jar, so long stress sweeps don't hold the
+# sbt project lock while development continues. Mirrors build.sbt's
+# forked-run JVM options (JDK17 add-opens for Spark 4, UTC, no UI).
+# Rebuild the jar first when sources changed: sbt -batch package
+set -euo pipefail
+cd "$(dirname "$0")/.."
+JAR=target/scala-2.13/duckdbhdfsspark_2.13-0.1.0.jar
+OPENS=(java.base/java.lang java.base/java.lang.invoke
+  java.base/java.lang.reflect java.base/java.io java.base/java.net
+  java.base/java.nio java.base/java.util java.base/java.util.concurrent
+  java.base/java.util.concurrent.atomic java.base/sun.nio.ch
+  java.base/sun.nio.cs java.base/sun.security.action
+  java.base/sun.util.calendar)
+ARGS=()
+for p in "${OPENS[@]}"; do ARGS+=(--add-opens "$p=ALL-UNNAMED"); done
+exec java "${ARGS[@]}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$JAR:/opt/spark/jars/*" "$@"
