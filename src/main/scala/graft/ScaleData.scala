@@ -33,6 +33,14 @@ object ScaleData {
     val srcDir = args(0)
     val outDir = args(1)
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset (e.g.
+    // "documents,embeddings" for the sf10 dedup/ANN probe, where
+    // replicating 6 GB of unused TPC-H fact tables would just burn
+    // the stress budget); empty/absent = all tables.
+    val only: Set[String] = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
     val stride = 100000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -67,14 +75,15 @@ object ScaleData {
       fs.delete(new Path(tmp), true)
     }
 
-    def scaled(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
-      val base = Tables.load(spark, srcDir, name)
-      landFile((0 until copies).map(i => f(base, i)).reduce(_ unionAll _), name)
-      println(s"[scale] $name x$copies done")
-    }
+    def scaled(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      if (wanted(name)) {
+        val base = Tables.load(spark, srcDir, name)
+        landFile((0 until copies).map(i => f(base, i)).reduce(_ unionAll _), name)
+        println(s"[scale] $name x$copies done")
+      }
 
     // shared dimensions: one copy (25 nations / 5 regions at any SF)
-    Seq("region", "nation").foreach { n =>
+    Seq("region", "nation").filter(wanted).foreach { n =>
       landFile(Tables.load(spark, srcDir, n), n)
       println(s"[scale] $n passthrough done")
     }

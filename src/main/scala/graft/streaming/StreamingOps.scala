@@ -54,6 +54,26 @@ object StreamingOps {
     s.table(name)
   }
 
+  /** Run `body` with the session's streaming state store pinned to
+    * RocksDB, restoring the previous provider after (VERDICT r9 #5).
+    * Every STATEFUL entry (s3/s5/s13/s14/s16 — join buffers, GroupState
+    * maps) runs under this: the default HDFSBackedStateStoreProvider
+    * holds all state as JVM-heap HashMaps, which is fine on a bounded
+    * replay but the wrong default at 100 TB where join/session state
+    * must be disk-resident per executor with bounded memory. The swap
+    * is pure configuration — the state encoding contract is
+    * provider-independent, so results are byte-equal (StreamingSpec
+    * pins provider parity on the join and GroupState shapes).
+    */
+  def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Shared by s13/s14: the events table staged as a SENTINEL-CLOSED
     * landing zone — the data file plus two far-future sentinel files
     * (user_id −1, one row per event type so every side's watermark
@@ -411,8 +431,9 @@ object StreamingOps {
       // restore the session default
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
-      val sunk = try runToTable(s, joined, "graft_s5", OutputMode.Append())
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val sunk = try withRocksDb(s) {
+          runToTable(s, joined, "graft_s5", OutputMode.Append())
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       sunk
         .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
           (col("p_ts").cast("long") - col("v_ts").cast("long")).as("lag_sec"))
@@ -689,16 +710,10 @@ object StreamingOps {
       // the provider swap is pure configuration, results byte-equal
       // (StreamingSpec pins provider parity on the shared join shape).
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      val prevStore = s.conf.get("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       s.conf.set("spark.sql.shuffle.partitions", 8)
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val sunk = try runToTable(s, joined, "graft_s13", OutputMode.Append())
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prev)
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", prevStore)
-        }
+      val sunk = try withRocksDb(s) {
+          runToTable(s, joined, "graft_s13", OutputMode.Append())
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       sunk.filter(col("p_user") >= 0)
         .select(col("purchase_id"), col("view_id"),
           col("p_user").as("user_id"),
@@ -732,8 +747,9 @@ object StreamingOps {
           GroupStateTimeout.EventTimeTimeout())(timeoutSessionize)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
-      val sunk = try runToTable(s, sessions.toDF(), "graft_s14", OutputMode.Append())
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val sunk = try withRocksDb(s) {
+          runToTable(s, sessions.toDF(), "graft_s14", OutputMode.Append())
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       sunk.filter(col("user_id") >= 0)
         .orderBy("user_id", "session_id")
     },
@@ -749,8 +765,9 @@ object StreamingOps {
         .as[Ev]
       val sessions = evs.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
-      runToTable(s, sessions.toDF(), "graft_s3", OutputMode.Append())
-        .orderBy("user_id", "session_id")
+      withRocksDb(s) {
+        runToTable(s, sessions.toDF(), "graft_s3", OutputMode.Append())
+      }.orderBy("user_id", "session_id")
     },
 
     // ---- s15: STREAMING MANIFEST MAINTENANCE — the live half of the
@@ -820,8 +837,9 @@ object StreamingOps {
           GroupStateTimeout.NoTimeout())(mgFold)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
-      val sunk = try runToTable(s, summaries.toDF(), "graft_s16", OutputMode.Append())
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val sunk = try withRocksDb(s) {
+          runToTable(s, summaries.toDF(), "graft_s16", OutputMode.Append())
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       val cand = sunk.groupBy("bucket")
         .agg(expr("max_by(toks, seq)").as("toks"))
         .select(explode(col("toks")).as("tok")).distinct()

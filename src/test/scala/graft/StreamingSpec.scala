@@ -171,6 +171,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(rocksRows == defRows && rocksRows.nonEmpty, s"$rocksRows vs $defRows")
   }
 
+  test("s3/s14/s16: RocksDB state store yields identical GroupState results") {
+    // VERDICT r9 #5 widened the RocksDB pin from s13 alone to every
+    // stateful entry. The join shape is covered above; this pins
+    // provider parity on the OTHER stateful shape those entries use —
+    // flatMapGroupsWithState (s3/s14's sessionizers, s16's Misra-Gries
+    // fold all hold a per-key GroupState map) — and confirms RocksDB
+    // actually served the operator via its custom metrics.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(rocks: Boolean, name: String): (Set[(Long, Long, Double)], Boolean) = {
+      def body: (Set[(Long, Long, Double)], Boolean) = {
+        val in = MemoryStream[StreamingOps.Ev]
+        val sessions = in.toDS().groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+            StreamingOps.sessionize)
+        val q = sessions.toDF().writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          in.addData(
+            StreamingOps.Ev(1L, ts(0), 1L, 1.0),
+            StreamingOps.Ev(1L, ts(45), 2L, 3.0),
+            StreamingOps.Ev(2L, ts(0), 3L, 5.0))
+          q.processAllAvailable()
+          in.addData(StreamingOps.Ev(1L, ts(500), 4L, 4.0))
+          q.processAllAvailable()
+          val rows = spark.table(name)
+            .select("session_id", "n_events", "session_value")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+          val usedRocks = q.lastProgress.stateOperators.exists(
+            _.customMetrics.keySet.toArray.exists(_.toString.startsWith("rocksdb")))
+          (rows, usedRocks)
+        } finally q.stop()
+      }
+      if (rocks) StreamingOps.withRocksDb(spark)(body) else body
+    }
+    val (defRows, defRocks) = run(rocks = false, "spec_gs_hdfs")
+    val (rocksRows, rocksUsed) = run(rocks = true, "spec_gs_rocks")
+    assert(!defRocks && rocksUsed, "provider swap did not take effect")
+    assert(rocksRows == defRows && rocksRows.nonEmpty, s"$rocksRows vs $defRows")
+  }
+
   test("s13: left-outer interval join emits unmatched only after watermark close") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
