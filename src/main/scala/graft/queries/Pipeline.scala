@@ -5804,6 +5804,268 @@ object Pipeline {
         .select("domain", "directive", "n_docs", "n_tokens", "admitted",
           "tok_share_pm")
         .orderBy("domain")
+    },
+
+    // ---- d127: SECRET / CREDENTIAL SCAN (the leak gate every public
+    // pipeline runs beside PII — d17 scrubs personal identifiers,
+    // this catches CREDENTIALS: cloud access-key ids, PEM private-key
+    // blocks, long hex tokens — TruffleHog-class patterns reduced to
+    // the deterministic regex core). Three secret classes plus a
+    // 'key value' assignment-shaped stand-in phrase with corpus
+    // support (the d125 neutral-stand-in discipline; the real classes
+    // are exercised by planted spec fixtures). Counts are exact
+    // non-overlapping left-to-right matches — identical in Java and
+    // RE2 — and secret_chars is the redaction byte budget via the
+    // length-difference-over-replace integer. Patterns stay in the
+    // RE2 ∩ Java common subset (d113 discipline). Scale shape: pure
+    // per-row regex Project over the scan (codegen; text never
+    // shuffles) into ONE partial-aggregated groupBy(source).
+    "d127_secret_scan" -> { (s, dir) =>
+      val aws = "AKIA[0-9A-Z]{16}"
+      val pem = "-----BEGIN [A-Z]+ PRIVATE KEY-----"
+      val hex = "[0-9a-f]{32}"
+      T(s, dir, "documents")
+        .select(col("source"),
+          expr(s"cast(regexp_count(text, '$aws') as bigint)").as("n_aws"),
+          expr(s"cast(regexp_count(text, '$pem') as bigint)").as("n_pem"),
+          expr(s"cast(regexp_count(text, '$hex') as bigint)").as("n_hex"),
+          expr("""cast((length(lower(text)) -
+                 length(replace(lower(text), 'key value', ''))) div 9
+                 as bigint)""").as("n_kv"),
+          expr(s"""cast(length(text) - length(regexp_replace(text,
+                 '$aws|$pem|$hex', '')) as bigint)""").as("secret_chars"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_aws") + col("n_pem") + col("n_hex") > 0L, 1L)
+            .otherwise(0L)).as("docs_flagged"),
+          sum("n_aws").as("n_aws"), sum("n_pem").as("n_pem"),
+          sum("n_hex").as("n_hex"), sum("n_kv").as("n_kv"),
+          sum("secret_chars").as("secret_chars"))
+        .withColumn("clean_pm",
+          expr("(n_docs - docs_flagged) * 1000 div n_docs"))
+        .orderBy("source")
+    },
+
+    // ---- d128: CODE-VS-PROSE DETECTOR (the routing heuristic behind
+    // every code/prose corpus split — StarCoder/The-Stack-era
+    // pipelines classify BEFORE tokenizer choice and mixture weights,
+    // since code takes a different tokenizer and temperature): three
+    // deterministic per-mille signals — keyword density over whole
+    // lowercased tokens (stand-in list with corpus support, the d125
+    // discipline), symbol-char density ({}()[];=<>#), and
+    // snake_case/camelCase identifier density — OR'd at fixed
+    // thresholds into is_code. Degenerate inputs (empty/whitespace
+    // docs) guard the divisions to 0 (the d68 lesson). Per-doc rows
+    // carry the per-source code share joined back broadcast (the
+    // d125 report shape). Scale: per-row arithmetic end to end;
+    // nothing shuffles but the source rollup.
+    "d128_code_detect" -> { (s, dir) =>
+      val kws = Seq("join", "merge", "filter", "sort", "hash")
+      val kwList = kws.map(w => s"'$w'").mkString(", ")
+      val perDoc = T(s, dir, "documents")
+        // RAW tokens: lowering before the split would erase the very
+        // camelCase signal ident_pm exists to count — case folds only
+        // inside the keyword compare
+        .withColumn("toks", expr(
+          """array_remove(split(trim(text), '\\s+'), '')"""))
+        .withColumn("n_tok", expr("cast(size(toks) as bigint)"))
+        .withColumn("kw_pm", expr(
+          s"""CASE WHEN n_tok = 0 THEN cast(0 as bigint)
+              ELSE cast(size(filter(toks, x ->
+                array_contains(array($kwList), lower(x)))) as bigint) * 1000
+                div n_tok END"""))
+        .withColumn("sym_pm", expr(
+          """CASE WHEN length(text) = 0 THEN cast(0 as bigint)
+             ELSE cast(length(text) - length(regexp_replace(text,
+               '[{}()\\[\\];=<>#]', '')) as bigint) * 1000
+               div length(text) END"""))
+        .withColumn("ident_pm", expr(
+          """CASE WHEN n_tok = 0 THEN cast(0 as bigint)
+             ELSE cast(size(filter(toks, x ->
+               x rlike '^([a-z]+_[a-z0-9_]+|[a-z]+[A-Z][A-Za-z0-9]*)$'))
+               as bigint) * 1000 div n_tok END"""))
+        .withColumn("is_code",
+          col("kw_pm") >= 220L || col("sym_pm") >= 50L ||
+            col("ident_pm") >= 100L)
+        .select("doc_id", "source", "kw_pm", "sym_pm", "ident_pm", "is_code")
+        .persist() // per-doc rows + the source rollup share one pass
+      val bySrc = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_src"),
+        sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"))
+        .withColumn("src_code_pm", expr("n_code * 1000 div n_src"))
+        .select("source", "src_code_pm")
+      perDoc.join(broadcast(bySrc), Seq("source"))
+        .select("doc_id", "source", "kw_pm", "sym_pm", "ident_pm",
+          "is_code", "src_code_pm")
+        .orderBy("doc_id")
+    },
+
+    // ---- d129: LICENSE GATE (the provenance rung code-data
+    // pipelines run before anything else — The Stack admits by
+    // detected license, and "all rights reserved" text is excluded
+    // from permissive corpora): first-match-wins marker cascade —
+    // explicit legal phrases (substring, 0 corpus hits, spec-planted)
+    // outrank the stand-in word markers with corpus support (d125
+    // discipline: customer → proprietary, vector → cc-by, spark →
+    // apache-2.0), else unknown. Admission = not proprietary. Output
+    // is the per-(source, license) doc/token rollup plus the
+    // per-source admitted-token per-mille — the mixture-planning
+    // numbers. Scale: the cascade is per-row literal arithmetic; the
+    // corpus collapses ONCE to the (source, license) aggregate
+    // (map-combinable); the per-source totals broadcast back.
+    "d129_license_gate" -> { (s, dir) =>
+      val cells = T(s, dir, "documents")
+        .withColumn("lt", lower(col("text")))
+        .withColumn("words", split(trim(col("lt")), "\\s+"))
+        .withColumn("license", expr(
+          """CASE
+             WHEN contains(lt, 'all rights reserved')
+               OR array_contains(words, 'customer') THEN 'proprietary'
+             WHEN contains(lt, 'spdx-license-identifier: mit') THEN 'mit'
+             WHEN array_contains(words, 'vector') THEN 'cc-by'
+             WHEN array_contains(words, 'spark') THEN 'apache-2.0'
+             ELSE 'unknown' END"""))
+        .withColumn("n_tok", expr(
+          "cast(size(array_remove(words, '')) as bigint)"))
+        .groupBy("source", "license").agg(
+          count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .withColumn("admitted", col("license") =!= "proprietary")
+      val bySrc = cells.groupBy("source").agg(
+        sum("n_tokens").as("src_tok"),
+        sum(when(col("admitted"), col("n_tokens")).otherwise(0L))
+          .as("adm_tok"))
+        .withColumn("src_admit_tok_pm", expr(
+          "CASE WHEN src_tok = 0 THEN cast(0 as bigint) " +
+            "ELSE adm_tok * 1000 div src_tok END"))
+        .select("source", "src_admit_tok_pm")
+      cells.join(broadcast(bySrc), Seq("source"))
+        .select("source", "license", "n_docs", "n_tokens", "admitted",
+          "src_admit_tok_pm")
+        .orderBy("source", "license")
+    },
+
+    // ---- d130: SCRIPT-MIX AUDIT (the writing-system composition
+    // report langid and mojibake triage both read — a doc mixing
+    // Latin and CJK at comparable mass is spam, boilerplate chrome,
+    // or an encoding accident; d113 catches byte damage, this
+    // catches legitimate-bytes-wrong-mix): per-doc code-point counts
+    // for Latin letters, ASCII digits, CJK ideographs (the d7 zh
+    // class), and whitespace via the length-difference-over-replace
+    // integer; dominant script by fixed precedence (cjk > latin >
+    // digit > none on ties); mixed = latin AND cjk both present.
+    // Classes stay in the RE2 ∩ Java subset — [\x{4e00}-\x{9fff}]
+    // parses identically in both engines (d113 discipline; non-BMP
+    // symbols land in 'other' by construction). Scale: per-row regex
+    // Project into ONE partial-aggregated groupBy(source).
+    "d130_script_mix" -> { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("source"),
+          expr("cast(length(text) as bigint)").as("n_chars"),
+          expr("""cast(length(text) - length(regexp_replace(text,
+                 '[A-Za-z]', '')) as bigint)""").as("latin"),
+          expr("""cast(length(text) - length(regexp_replace(text,
+                 '[0-9]', '')) as bigint)""").as("digit"),
+          expr("""cast(length(text) - length(regexp_replace(text,
+                 '[\\x{4e00}-\\x{9fff}]', '')) as bigint)""").as("cjk"),
+          expr("""cast(length(text) - length(regexp_replace(text,
+                 '[ \\t\\n\\x0B\\f\\r]', '')) as bigint)""").as("ws"))
+        .withColumn("other",
+          expr("n_chars - latin - digit - cjk - ws"))
+        .withColumn("dom", expr(
+          """CASE WHEN cjk > 0 AND cjk >= latin AND cjk >= digit THEN 'cjk'
+             WHEN latin > 0 AND latin >= digit THEN 'latin'
+             WHEN digit > 0 THEN 'digit'
+             ELSE 'none' END"""))
+        .withColumn("mixed", col("latin") > 0L && col("cjk") > 0L)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dom") === "latin", 1L).otherwise(0L)).as("dom_latin"),
+          sum(when(col("dom") === "cjk", 1L).otherwise(0L)).as("dom_cjk"),
+          sum(when(col("mixed"), 1L).otherwise(0L)).as("docs_mixed"),
+          sum("latin").as("latin_chars"), sum("digit").as("digit_chars"),
+          sum("cjk").as("cjk_chars"), sum("other").as("other_chars"))
+        .orderBy("source")
+    },
+
+    // ---- d131: AUDIO FINGERPRINT DEDUP (the audio rung of the
+    // perceptual-dedup family — d81 dedups images by dHash, this
+    // dedups audio payloads the Chromaprint way: per-frame spectral
+    // symbols → shingled fingerprints → inverted-index candidate
+    // pairs → set-overlap verify; a real stack swaps the energy
+    // symbol for a chroma vector, everything downstream is
+    // identical). Frames are the d76 batched-mapPartitions decode
+    // stub (32-byte frames; payload bytes never leave the decode
+    // pass); symbol = frame byte-energy mod 8 (the deterministic
+    // stand-in); fingerprint shingles = distinct symbol trigrams;
+    // candidates come from an inverted shingle index with the d15
+    // bucket discipline — singleton buckets generate nothing, buckets
+    // past 50 docs are dropped (a degenerate symbol run, not a dup
+    // signal; documented cap); pair overlap = exact shingle Jaccard
+    // in integer per-mille. Output is the O(docs) per-doc report
+    // (frames, shingles, partners at ≥250‰, best overlap), not the
+    // pair dump — the d5-contract shape. Scale: symbols shuffle once
+    // keyed by doc (3 ints, never bytes); the index join is bucketed,
+    // never all-pairs; report joins are id-keyed.
+    "d131_audio_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val frameLen = 32
+      val frames = T(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.grouped(32).flatMap { batch =>
+            batch.flatMap { case (id, bytes) =>
+              graft.functions.Media.frameSample(bytes, frameLen).zipWithIndex.map {
+                case (fr, idx) =>
+                  val energy = fr.foldLeft(0L)((a, b) => a + (b & 0xff))
+                  (id, idx, (energy % 8).toInt)
+              }
+            }
+          }
+        }.toDF("doc_id", "idx", "sym")
+      val sh = frames.groupBy("doc_id").agg(
+          count(lit(1)).as("n_frames"),
+          expr("""transform(
+               sort_array(collect_list(named_struct('idx', idx, 'sym', sym))),
+               f -> f.sym)""").as("syms"))
+        .withColumn("shingles", expr(
+          """CASE WHEN size(syms) >= 3 THEN
+               array_distinct(transform(sequence(0, size(syms) - 3),
+                 i -> concat(cast(syms[i] as string), '-',
+                             cast(syms[i + 1] as string), '-',
+                             cast(syms[i + 2] as string))))
+             ELSE array() END"""))
+        .select(col("doc_id"), col("n_frames"),
+          expr("cast(size(shingles) as bigint)").as("n_shingles"),
+          col("shingles"))
+        .persist() // index, pair denominators, and the report share it
+      val ds = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val live = ds.groupBy("sh").agg(count(lit(1)).as("nb"))
+        .filter(col("nb").between(2L, 50L)).select("sh")
+      val inB = ds.join(live, Seq("sh"))
+      val pairs = inB.as("a").join(inB.as("b"), "sh")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sh.select(col("doc_id").as("doc_a"),
+          col("n_shingles").as("na")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"),
+          col("n_shingles").as("nb")), Seq("doc_b"))
+        .withColumn("jac_pm", expr("shared * 1000 div (na + nb - shared)"))
+      val u = pairs.select(col("doc_a").as("doc_id"), col("jac_pm"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id"), col("jac_pm")))
+      val rep = u.groupBy("doc_id").agg(
+        sum(when(col("jac_pm") >= 250L, 1L).otherwise(0L)).as("n_partners"),
+        max("jac_pm").as("best_jac_pm"))
+      T(s, dir, "documents").select(col("doc_id"))
+        .join(sh.select("doc_id", "n_frames", "n_shingles"), Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+          coalesce(col("best_jac_pm"), lit(0L)).as("best_jac_pm"))
+        .orderBy("doc_id")
     }
   )
 
@@ -9613,6 +9875,224 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              (directive = 'allow') AS admitted,
              CAST(n_tokens * 1000 // tot AS BIGINT) AS tok_share_pm
       FROM dr CROSS JOIN tot
-      ORDER BY domain"""
+      ORDER BY domain""",
+
+    // d127: same non-overlapping left-to-right regex counts (RE2's
+    // regexp_extract_all ≡ Java's find() loop on these disjoint-start
+    // patterns), same replace length-difference integers.
+    "d127_secret_scan" -> raw"""
+      WITH f AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}'))
+                 AS BIGINT) AS n_aws,
+               CAST(len(regexp_extract_all(text,
+                 '-----BEGIN [A-Z]+ PRIVATE KEY-----')) AS BIGINT) AS n_pem,
+               CAST(len(regexp_extract_all(text, '[0-9a-f]{32}'))
+                 AS BIGINT) AS n_hex,
+               CAST((length(lower(text)) -
+                     length(replace(lower(text), 'key value', ''))) // 9
+                 AS BIGINT) AS n_kv,
+               CAST(length(text) - length(regexp_replace(text,
+                 'AKIA[0-9A-Z]{16}|-----BEGIN [A-Z]+ PRIVATE KEY-----|[0-9a-f]{32}',
+                 '', 'g')) AS BIGINT) AS secret_chars
+        FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN n_aws + n_pem + n_hex > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_flagged,
+             CAST(sum(n_aws) AS BIGINT) AS n_aws,
+             CAST(sum(n_pem) AS BIGINT) AS n_pem,
+             CAST(sum(n_hex) AS BIGINT) AS n_hex,
+             CAST(sum(n_kv) AS BIGINT) AS n_kv,
+             CAST(sum(secret_chars) AS BIGINT) AS secret_chars,
+             CAST((count(*) - sum(CASE WHEN n_aws + n_pem + n_hex > 0
+                                  THEN 1 ELSE 0 END)) * 1000 // count(*)
+               AS BIGINT) AS clean_pm
+      FROM f GROUP BY source ORDER BY source""",
+
+    // d128: same token/symbol/identifier per-milles (regexp_full_match
+    // ≡ the anchored rlike), same OR'd thresholds, same broadcast-back
+    // source share.
+    "d128_code_detect" -> raw"""
+      WITH t AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                   ['join', 'merge', 'filter', 'sort', 'hash'], lower(x))))
+                   AS BIGINT) * 1000 // len(toks) END AS kw_pm,
+               CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(length(text) - length(regexp_replace(text,
+                   '[{}()\[\];=<>#]', '', 'g')) AS BIGINT) * 1000
+                   // length(text) END AS sym_pm,
+               CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(len(list_filter(toks, x -> regexp_full_match(x,
+                   '[a-z]+_[a-z0-9_]+|[a-z]+[A-Z][A-Za-z0-9]*')))
+                   AS BIGINT) * 1000 // len(toks) END AS ident_pm
+        FROM t),
+      v AS (
+        SELECT *, (kw_pm >= 220 OR sym_pm >= 50 OR ident_pm >= 100)
+          AS is_code
+        FROM m),
+      srcr AS (
+        SELECT source,
+               CAST(CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT)
+                    * 1000 // count(*) AS BIGINT) AS src_code_pm
+        FROM v GROUP BY source)
+      SELECT v.doc_id, v.source, v.kw_pm, v.sym_pm, v.ident_pm, v.is_code,
+             s.src_code_pm
+      FROM v JOIN srcr s USING (source)
+      ORDER BY v.doc_id""",
+
+    // d129: same first-match-wins cascade over the same lowered text
+    // and whole tokens, same (source, license) rollup and admitted-
+    // token per-mille.
+    "d129_license_gate" -> raw"""
+      WITH w AS (
+        SELECT doc_id, source, lower(text) AS lt,
+               string_split_regex(trim(lower(text)), '\s+') AS words
+        FROM documents),
+      lic AS (
+        SELECT source,
+               CASE
+                 WHEN contains(lt, 'all rights reserved')
+                   OR list_contains(words, 'customer') THEN 'proprietary'
+                 WHEN contains(lt, 'spdx-license-identifier: mit') THEN 'mit'
+                 WHEN list_contains(words, 'vector') THEN 'cc-by'
+                 WHEN list_contains(words, 'spark') THEN 'apache-2.0'
+                 ELSE 'unknown' END AS license,
+               CAST(len(list_filter(words, x -> x <> '')) AS BIGINT) AS n_tok
+        FROM w),
+      cells AS (
+        SELECT source, license, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               (license <> 'proprietary') AS admitted
+        FROM lic GROUP BY source, license),
+      srcr AS (
+        SELECT source,
+               CASE WHEN sum(n_tokens) = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(sum(CASE WHEN admitted THEN n_tokens ELSE 0 END)
+                      * 1000 // sum(n_tokens) AS BIGINT)
+               END AS src_admit_tok_pm
+        FROM cells GROUP BY source)
+      SELECT c.source, c.license, c.n_docs, c.n_tokens, c.admitted,
+             s.src_admit_tok_pm
+      FROM cells c JOIN srcr s USING (source)
+      ORDER BY c.source, c.license""",
+
+    // d130: same code-point classes (the \x{4e00} range parses
+    // identically in RE2 and Java — d113 discipline), same length-
+    // difference counts, same dominance precedence.
+    "d130_script_mix" -> raw"""
+      WITH f AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text,
+                 '[A-Za-z]', '', 'g')) AS BIGINT) AS latin,
+               CAST(length(text) - length(regexp_replace(text,
+                 '[0-9]', '', 'g')) AS BIGINT) AS digit,
+               CAST(length(text) - length(regexp_replace(text,
+                 '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS cjk,
+               CAST(length(text) - length(regexp_replace(text,
+                 '[ \t\n\x0B\f\r]', '', 'g')) AS BIGINT) AS ws
+        FROM documents),
+      g AS (
+        SELECT source, n_chars, latin, digit, cjk, ws,
+               n_chars - latin - digit - cjk - ws AS other,
+               CASE WHEN cjk > 0 AND cjk >= latin AND cjk >= digit THEN 'cjk'
+                    WHEN latin > 0 AND latin >= digit THEN 'latin'
+                    WHEN digit > 0 THEN 'digit'
+                    ELSE 'none' END AS dom,
+               (latin > 0 AND cjk > 0) AS mixed
+        FROM f)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN dom = 'latin' THEN 1 ELSE 0 END) AS BIGINT)
+               AS dom_latin,
+             CAST(sum(CASE WHEN dom = 'cjk' THEN 1 ELSE 0 END) AS BIGINT)
+               AS dom_cjk,
+             CAST(sum(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_mixed,
+             CAST(sum(latin) AS BIGINT) AS latin_chars,
+             CAST(sum(digit) AS BIGINT) AS digit_chars,
+             CAST(sum(cjk) AS BIGINT) AS cjk_chars,
+             CAST(sum(other) AS BIGINT) AS other_chars
+      FROM g GROUP BY source ORDER BY source""",
+
+    // d131: the d76 hex/strpos byte-energy replay at 32-byte frames,
+    // the same mod-8 symbols, trigram shingles, 2..50 bucket window,
+    // and exact per-mille Jaccard.
+    "d131_audio_fingerprint" -> """
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents),
+      f AS (
+        SELECT doc_id, unnest(range((nb + 31) // 32)) AS idx, hx, nb
+        FROM b WHERE nb > 0),
+      e AS (
+        SELECT doc_id, idx,
+               CAST(list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(least(32, nb - idx * 32)),
+                   i -> CAST(strpos('123456789ABCDEF',
+                          substr(hx, CAST(2 * (idx * 32 + i) + 1 AS INTEGER), 1)) * 16
+                        + strpos('123456789ABCDEF',
+                          substr(hx, CAST(2 * (idx * 32 + i) + 2 AS INTEGER), 1))
+                        AS BIGINT))),
+                 (a, bb) -> a + bb) % 8 AS INTEGER) AS sym
+        FROM f),
+      seq AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+               list(sym ORDER BY idx) AS syms
+        FROM e GROUP BY doc_id),
+      shl AS (
+        SELECT doc_id, n_frames,
+               CASE WHEN len(syms) >= 3 THEN
+                 list_distinct(list_transform(range(len(syms) - 2),
+                   i -> syms[i + 1]::VARCHAR || '-' ||
+                        syms[i + 2]::VARCHAR || '-' ||
+                        syms[i + 3]::VARCHAR))
+               ELSE [] END AS sh
+        FROM seq),
+      ds AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+      live AS (SELECT sh FROM ds GROUP BY sh
+               HAVING count(*) BETWEEN 2 AND 50),
+      db AS (SELECT ds.doc_id, ds.sh FROM ds JOIN live USING (sh)),
+      pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM db a JOIN db b USING (sh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pj AS (
+        SELECT pr.doc_a, pr.doc_b, pr.shared,
+               CAST(pr.shared * 1000 //
+                 (CAST(len(sa.sh) AS BIGINT) + CAST(len(sb.sh) AS BIGINT)
+                  - pr.shared) AS BIGINT) AS jac_pm
+        FROM pr
+        JOIN shl sa ON sa.doc_id = pr.doc_a
+        JOIN shl sb ON sb.doc_id = pr.doc_b),
+      u AS (
+        SELECT doc_a AS doc_id, jac_pm FROM pj
+        UNION ALL
+        SELECT doc_b AS doc_id, jac_pm FROM pj),
+      rep AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN jac_pm >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_partners,
+               CAST(max(jac_pm) AS BIGINT) AS best_jac_pm
+        FROM u GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(s.n_frames, 0) AS n_frames,
+             CAST(coalesce(len(s.sh), 0) AS BIGINT) AS n_shingles,
+             coalesce(r.n_partners, 0) AS n_partners,
+             coalesce(r.best_jac_pm, 0) AS best_jac_pm
+      FROM documents d
+      LEFT JOIN shl s USING (doc_id)
+      LEFT JOIN rep r USING (doc_id)
+      ORDER BY d.doc_id"""
   )
 }

@@ -126,4 +126,74 @@ class MultimodalSpec extends SparkSpecBase {
     assert(hamming <= 2, s"one changed byte must flip at most two bits, got $hamming")
     assert(out(2L)._3 >= 1L, s"the tweaked doc must rerank as near-dup: ${out(2L)}")
   }
+
+  test("d131 audio fingerprint: dup pair at 1000‰, edited pair matches the reference, degenerate docs zero") {
+    import spark.implicits._
+    val dir = scratch("d131-plant")
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 200).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // flip one byte inside the third 32-byte frame: exactly one frame
+    // symbol may change, so the two fingerprints stay overlapping
+    val edited = base.updated(70, base(70) match { case 'z' => 'a'; case c => (c + 1).toChar })
+    val texts = Seq((0L, base), (1L, base), (2L, edited),
+      (3L, "ab"),   // 1 frame → 0 shingles
+      (4L, ""))     // 0 frames
+    graft.sources.GraftWriter.write(
+      texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+
+    // independent imperative reference: frames → mod-8 symbols →
+    // distinct trigram shingles → pairwise jaccard per-mille
+    def shingles(t: String): Set[String] = {
+      val syms = t.getBytes("UTF-8").grouped(32)
+        .map(fr => fr.foldLeft(0L)((a, b) => a + (b & 0xff)) % 8).toSeq
+      if (syms.length < 3) Set.empty
+      else syms.sliding(3).map(_.mkString("-")).toSet
+    }
+    def jacPm(a: Set[String], b: Set[String]): Long = {
+      val i = (a & b).size; if (i == 0) 0L else i * 1000L / (a.size + b.size - i)
+    }
+    val sBase = shingles(base); val sEd = shingles(edited)
+    val expectedEditJac = jacPm(sBase, sEd)
+
+    val out = Pipeline.queries("d131_audio_fingerprint")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val exp0Partners = 1L + (if (expectedEditJac >= 250L) 1L else 0L)
+    assert(out(0L) === ((7L, sBase.size.toLong, exp0Partners, 1000L)),
+      "identical payloads share the full fingerprint at 1000‰")
+    assert(out(1L)._4 === 1000L)
+    assert(out(2L)._2 === sEd.size.toLong)
+    assert(out(2L)._4 === expectedEditJac,
+      s"edited doc's best overlap must equal the imperative reference ($expectedEditJac)")
+    assert(expectedEditJac > 0L && expectedEditJac < 1000L,
+      "the planted edit must yield a PARTIAL overlap for the test to bite")
+    assert(out(3L) === ((1L, 0L, 0L, 0L)), "a <3-frame doc has no fingerprint")
+    assert(out(4L) === ((0L, 0L, 0L, 0L)), "an empty payload has no frames")
+  }
+
+  test("d131 audio fingerprint: a >50-doc bucket is a degenerate run, not a dup signal") {
+    import spark.implicits._
+    val dir = scratch("d131-cap")
+    // 51 byte-identical constant payloads: 3 frames, ONE shingle, one
+    // bucket of 51 docs — past the cap, so the index must drop it and
+    // report zero partners everywhere (a constant-energy run carries
+    // no dup information; real dups are caught by their OTHER shingles)
+    val texts = (0L until 51L).map(id => (id, "x" * 96))
+    graft.sources.GraftWriter.write(
+      texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val rows = Pipeline.queries("d131_audio_fingerprint")(spark, dir).collect()
+    assert(rows.length === 51)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 3L && r.getLong(2) === 1L,
+        s"constant payload must read 3 frames / 1 distinct shingle: $r")
+      assert(r.getLong(3) === 0L && r.getLong(4) === 0L,
+        s"capped bucket must generate no pairs: $r")
+    }
+  }
+
+  private val Pipeline = graft.queries.Pipeline
 }

@@ -1456,4 +1456,48 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"),
       s"d126 must not materialize a product:\n$p")
   }
+
+  test("d127 secret scan: one partial-aggregated pass, no joins, no corpus shuffle") {
+    val p = plan("d127_secret_scan")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"d127 source rollup lost its map-side partials:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"d127 is a pure Project→aggregate — no join belongs in its plan:\n$p")
+  }
+
+  test("d128 code detect: persisted per-doc pass, broadcast share join, no reshuffle") {
+    val p = plan("d128_code_detect")
+    assert(p.contains("InMemoryTableScan"),
+      s"d128 rollup and output must share the persisted per-doc pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d128 per-source shares must join back broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"d128 must not shuffle the corpus for the share join:\n$p")
+  }
+
+  test("d129 license gate: map-combinable cells aggregate, broadcast share join") {
+    val p = plan("d129_license_gate")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"d129 cells aggregate lost its map-side partials:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d129 per-source admitted share must join back broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"d129 must not shuffle for the share join:\n$p")
+  }
+
+  test("d131 audio fingerprint: persisted fingerprint frame, bucketed index, no cartesian") {
+    val p = plan("d131_audio_fingerprint")
+    assert(p.contains("InMemoryTableScan"),
+      s"d131 index, denominators and report must share the persisted fingerprints:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d131 candidate generation must stay bucketed, never all-pairs:\n$p")
+  }
+
+  test("d130 script mix: one partial-aggregated regex pass, no joins") {
+    val p = plan("d130_script_mix")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"d130 source rollup lost its map-side partials:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"d130 is a pure Project→aggregate — no join belongs in its plan:\n$p")
+  }
 }
