@@ -6066,6 +6066,259 @@ object Pipeline {
           coalesce(col("n_partners"), lit(0L)).as("n_partners"),
           coalesce(col("best_jac_pm"), lit(0L)).as("best_jac_pm"))
         .orderBy("doc_id")
+    },
+
+    // ---- d132: URL-LEVEL RECRAWL DEDUP (the cheapest rung of the
+    // dedup ladder, run BEFORE any text-level pass in Dolma/CC-style
+    // pipelines: a recrawl refetches the same page under cosmetic URL
+    // variants — scheme, www., trailing slash, query-param order —
+    // and only the freshest fetch should survive). Per-doc crawl URLs
+    // and revisions are synthesized deterministically (url = source +
+    // '/page' + id%50 under four variant classes; rev = id%3 — the
+    // d74 snapshot idiom), canonicalized with the IDENTICAL
+    // canonicalization d64/d69/d126 certify (scheme/www./trailing-
+    // slash strip + query-param sort), then deduped per canon_url by
+    // the two-step map-combinable argmax (max rev, then max doc_id —
+    // the d63 keeper discipline, no struct-ordering dependence).
+    // Scale shape: text is never read; the corpus reduces to
+    // (doc_id, canon_url, rev) at the scan; both keeper steps are
+    // hash-keyed equi-joins on canon_url.
+    "d132_url_dedup" -> { (s, dir) =>
+      val cr = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("url0", concat(col("source"), lit("/page"),
+          (col("doc_id") % 50).cast("string")))
+        .withColumn("url", expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN concat('https://www.', url0)
+             WHEN 1 THEN concat('http://', url0, '/')
+             WHEN 2 THEN concat(url0, '?b=2&a=1')
+             ELSE url0 END"""))
+        .withColumn("c1", regexp_replace(lower(trim(col("url"))),
+          "^(https?://)?(www\\.)?", ""))
+        .withColumn("c2", regexp_replace(col("c1"), "/+$", ""))
+        .withColumn("path", expr("split_part(c2, '?', 1)"))
+        .withColumn("qs", expr("split_part(c2, '?', 2)"))
+        .withColumn("canon_url", when(col("qs") === "", col("path"))
+          .otherwise(concat(col("path"), lit("?"),
+            array_join(array_sort(split(col("qs"), "&")), "&"))))
+        .withColumn("rev", (col("doc_id") % 3).cast("long"))
+        .select("doc_id", "canon_url", "rev")
+      val mr = cr.groupBy("canon_url").agg(
+        max("rev").as("mrev"), count(lit(1)).as("n_variants"))
+      val kd = cr.join(mr, Seq("canon_url"))
+        .filter(col("rev") === col("mrev"))
+        .groupBy("canon_url").agg(max("doc_id").as("kdoc"))
+      cr.join(mr, Seq("canon_url")).join(kd, Seq("canon_url"))
+        .withColumn("kept", col("doc_id") === col("kdoc"))
+        .select("doc_id", "canon_url", "rev", "n_variants", "kept")
+        .orderBy("doc_id")
+    },
+
+    // ---- d133: DIALOGUE TURN AUDIT (chat/instruction-data
+    // governance — multi-turn conversations are curated on STRUCTURE
+    // before content: degenerate one-turn dumps, assistant-dominated
+    // transcripts, and "parrot" turns that echo the previous turn are
+    // all drop signals in post-training pipelines). Turns are the d31
+    // fixed-window idiom (16-word spans; roles alternate user/
+    // assistant by turn parity); signals per doc — turn count,
+    // assistant-token per-mille, adjacent-turn word-set Jaccard
+    // (max + count of parrot pairs at ≥ 500‰) — are ALL computed with
+    // per-row higher-order folds over the one words array: zero
+    // joins, zero shuffles, text read exactly once. Empty/whitespace
+    // docs guard every division to 0 (the d68 lesson).
+    "d133_turn_stats" -> { (s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("words", expr(
+          """filter(split(trim(text), '\\s+'), x -> x <> '')"""))
+        .withColumn("n_tok", expr("cast(size(words) as bigint)"))
+        .withColumn("n_turns", expr("cast((n_tok + 15) div 16 as bigint)"))
+        // n_tok = 0 guards matter doubly here: sequence(1, 0) is
+        // DESCENDING in Spark ([1, 0]), and turns[-1] throws under ANSI
+        .withColumn("turns", expr(
+          """CASE WHEN n_tok = 0 THEN array()
+             ELSE transform(sequence(1, cast(n_turns as int)),
+               i -> slice(words, (i - 1) * 16 + 1, 16)) END"""))
+        .withColumn("asst_tok", expr(
+          """CASE WHEN n_tok = 0 THEN cast(0 as bigint)
+             ELSE aggregate(sequence(1, cast(n_turns as int)),
+               cast(0 as bigint),
+               (acc, i) -> acc + (CASE WHEN i % 2 = 0
+                 THEN cast(size(turns[i - 1]) as bigint)
+                 ELSE cast(0 as bigint) END)) END"""))
+        .withColumn("adj_jac", expr(
+          """CASE WHEN n_turns >= 2 THEN
+               transform(sequence(1, cast(n_turns as int) - 1),
+                 i -> cast(size(array_intersect(
+                        array_distinct(turns[i - 1]),
+                        array_distinct(turns[i]))) as bigint) * 1000
+                      div cast(size(array_union(turns[i - 1], turns[i]))
+                        as bigint))
+             ELSE array() END"""))
+        .select(col("doc_id"), col("n_tok"),
+          when(col("n_tok") === 0L, 0L).otherwise(col("n_turns"))
+            .as("n_turns"),
+          expr("""CASE WHEN n_tok = 0 THEN cast(0 as bigint)
+                  ELSE asst_tok * 1000 div n_tok END""").as("asst_tok_pm"),
+          expr("""cast(size(filter(adj_jac, j -> j >= 500)) as bigint)""")
+            .as("parrot_pairs"),
+          expr("""CASE WHEN size(adj_jac) = 0 THEN cast(0 as bigint)
+                  ELSE array_max(adj_jac) END""").as("max_adj_jac_pm"))
+        .orderBy("doc_id")
+    },
+
+    // ---- d134: MOVING-AVERAGE TYPE-TOKEN RATIO (MATTR, Covington &
+    // McFall 2010 — the lexical-diversity signal that, unlike d8's
+    // whole-doc uniq_ratio, is LENGTH-INVARIANT and thus comparable
+    // across docs: a global TTR inevitably decays with length, so
+    // quality gates that threshold on it silently favor short docs).
+    // Full 50-token windows at stride 25; per-window TTR in integer
+    // x10000; mattr = mean of window TTRs (integer div — both engines
+    // floor). Docs shorter than one window fall back to the global
+    // TTR at the same scale (n_windows = 0 marks them); empty docs
+    // are all-zero. Per-row higher-order folds over one words array —
+    // zero joins, zero shuffles, the d133 scale argument.
+    "d134_mattr" -> { (s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("words", expr(
+          """filter(split(trim(text), '\\s+'), x -> x <> '')"""))
+        .withColumn("n_tok", expr("cast(size(words) as bigint)"))
+        .withColumn("n_windows", expr(
+          """CASE WHEN n_tok >= 50 THEN (n_tok - 50) div 25 + 1
+             ELSE cast(0 as bigint) END"""))
+        // the n_windows = 0 guard keeps sequence() ascending-only
+        .withColumn("wttr", expr(
+          """CASE WHEN n_windows = 0 THEN array()
+             ELSE transform(sequence(1, cast(n_windows as int)),
+               i -> cast(size(array_distinct(
+                      slice(words, (i - 1) * 25 + 1, 50))) as bigint)
+                    * 10000 div 50) END"""))
+        .select(col("doc_id"), col("n_tok"), col("n_windows"),
+          expr("""CASE
+                  WHEN n_windows > 0 THEN
+                    aggregate(wttr, cast(0 as bigint), (a, x) -> a + x)
+                      div n_windows
+                  WHEN n_tok > 0 THEN
+                    cast(size(array_distinct(words)) as bigint) * 10000
+                      div n_tok
+                  ELSE cast(0 as bigint) END""").as("mattr_x4"))
+        .orderBy("doc_id")
+    },
+
+    // ---- d135: SOFT DEDUP WEIGHTS (SoftDeDup — reweight common text
+    // instead of removing it: hard dedup at a threshold is an
+    // all-or-nothing call, while down-weighting by "commonness" keeps
+    // the tail of near-common docs at reduced sampling mass; the
+    // DataComp-LM-era alternative to d1/d2's binary gates). Per-doc
+    // commonness = mean corpus document-frequency of its DISTINCT
+    // words, integer x1000 (a doc of corpus-unique words scores 1000;
+    // boilerplate scores ~n_docs*1000); weight_pm = 1e6 div
+    // commonness, capped at 1000 — so all-unique docs keep full mass
+    // and commonness-k docs keep ~1/k. Per-source effective mass
+    // per-mille joins back broadcast (the d125 report shape). Scale:
+    // the corpus reduces to distinct (doc, word) pairs at the scan
+    // (text never shuffles — words do, once, hash-keyed); the df
+    // table is vocab-sized and joins equi on the word.
+    "d135_softdedup" -> { (s, dir) =>
+      val dw = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(expr(
+          """array_distinct(filter(split(trim(text), '\\s+'),
+               x -> x <> ''))""")).as("word"))
+        .persist() // df build + per-doc fold read one pair pass
+      val df_ = dw.groupBy("word").agg(count(lit(1)).as("df"))
+      val perDoc = dw.join(df_, Seq("word"))
+        .groupBy("doc_id", "source").agg(
+          count(lit(1)).as("n_distinct"), sum("df").as("sum_df"))
+        .withColumn("commonness_x1000",
+          expr("sum_df * 1000 div n_distinct"))
+        .withColumn("weight_pm",
+          expr("least(cast(1000 as bigint), 1000000 div commonness_x1000)"))
+      val bySrc = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_src"), sum("weight_pm").as("w_sum"))
+        .withColumn("src_eff_pm", expr("w_sum div n_src"))
+        .select("source", "src_eff_pm")
+      // empty/whitespace docs have no distinct words — they carry full
+      // weight (nothing common about them) and re-enter via the left
+      // join below so the report stays O(docs) complete
+      T(s, dir, "documents").select("doc_id", "source")
+        .join(perDoc.drop("source"), Seq("doc_id"), "left")
+        .join(broadcast(bySrc), Seq("source"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("commonness_x1000"), lit(0L)).as("commonness_x1000"),
+          coalesce(col("weight_pm"), lit(1000L)).as("weight_pm"),
+          // a source of ONLY empty docs has no df rows — full mass
+          coalesce(col("src_eff_pm"), lit(1000L)).as("src_eff_pm"))
+        .orderBy("doc_id")
+    },
+
+    // ---- d136: PREFERENCE-PAIR AUDIT (DPO/RLHF data governance —
+    // the known failure mode of preference corpora is LENGTH BIAS:
+    // when the chosen response is systematically longer than the
+    // rejected one, the tuned model learns verbosity, not quality.
+    // Pairs are synthesized deterministically as (doc 2k, doc 2k+1);
+    // chosen = the higher d8-certified quality_score (tie → lower
+    // doc_id), replayed from the SAME qualityCtes the d8 gate
+    // certifies). Per pair: chosen/rejected ids + tokens, the length
+    // ratio per-mille, word-set overlap per-mille (near-identical
+    // pairs teach nothing), and chosen_longer; the corpus-level
+    // length-bias rate joins back broadcast as a one-row frame.
+    // Scale: each side reduces to (pair_id, score, n_tok, wset) at
+    // the scan; the pairing is ONE equi shuffle on pair_id; the bias
+    // rate is a one-row aggregate.
+    "d136_preference_pairs" -> { (s, dir) =>
+      val side = withQuality(withWords(T(s, dir, "documents")))
+        .withColumn("pair_id", expr("doc_id div 2"))
+        .withColumn("par", expr("cast(doc_id % 2 as int)"))
+        .select(col("pair_id"), col("par"), col("doc_id"),
+          col("quality_score"), col("n_tokens").cast("long").as("n_tok"),
+          // withWords keeps split()'s '' artifact on empty docs (d8's
+          // certified n_tokens contract needs it) — the OVERLAP set
+          // must not count it as a shared word
+          expr("array_sort(array_distinct(filter(words, x -> x <> '')))")
+            .as("wset"))
+      val a = side.filter(col("par") === 0).drop("par")
+        .withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("quality_score", "q_a")
+        .withColumnRenamed("n_tok", "tok_a")
+        .withColumnRenamed("wset", "ws_a")
+      val b = side.filter(col("par") === 1).drop("par")
+        .withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("quality_score", "q_b")
+        .withColumnRenamed("n_tok", "tok_b")
+        .withColumnRenamed("wset", "ws_b")
+      val pairs = a.join(b, Seq("pair_id"))
+        .withColumn("a_chosen",
+          col("q_a") > col("q_b") || (col("q_a") === col("q_b")))
+        .select(col("pair_id"),
+          when(col("a_chosen"), col("id_a")).otherwise(col("id_b"))
+            .as("chosen_id"),
+          when(col("a_chosen"), col("id_b")).otherwise(col("id_a"))
+            .as("rejected_id"),
+          when(col("a_chosen"), col("tok_a")).otherwise(col("tok_b"))
+            .as("chosen_tok"),
+          when(col("a_chosen"), col("tok_b")).otherwise(col("tok_a"))
+            .as("rejected_tok"),
+          expr("""CASE WHEN size(array_union(ws_a, ws_b)) = 0
+                  THEN cast(0 as bigint)
+                  ELSE cast(size(array_intersect(ws_a, ws_b)) as bigint)
+                       * 1000 div cast(size(array_union(ws_a, ws_b))
+                         as bigint) END""").as("overlap_pm"))
+        .withColumn("len_ratio_pm", expr(
+          """CASE WHEN rejected_tok = 0 THEN cast(0 as bigint)
+             ELSE chosen_tok * 1000 div rejected_tok END"""))
+        .withColumn("chosen_longer", col("chosen_tok") > col("rejected_tok"))
+        .persist() // pair rows + the one-row bias rate share the join
+      val bias = pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("chosen_longer"), 1L).otherwise(0L)).as("n_longer"))
+        .withColumn("len_bias_pm", expr("n_longer * 1000 div n_pairs"))
+        .select("len_bias_pm")
+      pairs.crossJoin(broadcast(bias))
+        .select("pair_id", "chosen_id", "rejected_id", "chosen_tok",
+          "rejected_tok", "len_ratio_pm", "overlap_pm", "chosen_longer",
+          "len_bias_pm")
+        .orderBy("pair_id")
     }
   )
 
@@ -10093,6 +10346,220 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
       FROM documents d
       LEFT JOIN shl s USING (doc_id)
       LEFT JOIN rep r USING (doc_id)
-      ORDER BY d.doc_id"""
+      ORDER BY d.doc_id""",
+
+    // d132: the same URL synthesis, the d64 canonicalization verbatim,
+    // and the same two-step (max rev, then max doc_id) keeper.
+    "d132_url_dedup" -> """
+      WITH u1 AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'https://www.' || source || '/page' ||
+                             CAST(doc_id % 50 AS VARCHAR)
+                 WHEN 1 THEN 'http://' || source || '/page' ||
+                             CAST(doc_id % 50 AS VARCHAR) || '/'
+                 WHEN 2 THEN source || '/page' ||
+                             CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1'
+                 ELSE source || '/page' || CAST(doc_id % 50 AS VARCHAR)
+               END AS url
+        FROM documents),
+      c0 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(lower(trim(url)),
+                 '^(https?://)?(www\.)?', ''), '/+$', '') AS cu
+        FROM u1),
+      cp AS (SELECT doc_id, split_part(cu, '?', 1) AS path,
+                    split_part(cu, '?', 2) AS qs
+             FROM c0),
+      cr AS (
+        SELECT doc_id,
+               CASE WHEN qs = '' THEN path
+                    ELSE path || '?' ||
+                         array_to_string(list_sort(string_split(qs, '&')), '&')
+               END AS canon_url,
+               CAST(doc_id % 3 AS BIGINT) AS rev
+        FROM cp),
+      mr AS (SELECT canon_url, max(rev) AS mrev,
+                    CAST(count(*) AS BIGINT) AS n_variants
+             FROM cr GROUP BY 1),
+      kd AS (SELECT cr.canon_url, max(cr.doc_id) AS kdoc
+             FROM cr JOIN mr ON mr.canon_url = cr.canon_url
+                            AND cr.rev = mr.mrev
+             GROUP BY 1)
+      SELECT cr.doc_id, cr.canon_url, cr.rev, mr.n_variants,
+             cr.doc_id = kd.kdoc AS kept
+      FROM cr JOIN mr USING (canon_url) JOIN kd USING (canon_url)
+      ORDER BY cr.doc_id""",
+
+    // d133: the same 16-word turn windows (DuckDB's 1-based inclusive
+    // list slice ≡ Spark's slice(arr, start, len) — both clamp at the
+    // end), the same parity token sum and adjacent-turn Jaccard.
+    "d133_turn_stats" -> raw"""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '') AS words
+        FROM documents),
+      t AS (
+        SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_tok,
+               CAST((len(words) + 15) // 16 AS BIGINT) AS n_turns
+        FROM w),
+      tt AS (
+        SELECT doc_id, n_tok, n_turns,
+               CASE WHEN n_tok = 0 THEN []
+                    ELSE list_transform(range(1, CAST(n_turns AS INTEGER) + 1),
+                      i -> words[(i - 1) * 16 + 1 : (i - 1) * 16 + 16])
+               END AS turns
+        FROM t),
+      sig AS (
+        SELECT doc_id, n_tok, n_turns, turns,
+               CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(list_sum(list_transform(
+                      range(1, CAST(n_turns AS INTEGER) + 1),
+                      i -> CASE WHEN i % 2 = 0
+                           THEN CAST(len(turns[i]) AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+               END AS asst_tok,
+               CASE WHEN n_turns >= 2 THEN
+                 list_transform(range(1, CAST(n_turns AS INTEGER)),
+                   i -> CAST(len(list_intersect(list_distinct(turns[i]),
+                          list_distinct(turns[i + 1]))) AS BIGINT) * 1000
+                        // CAST(len(list_distinct(turns[i] || turns[i + 1]))
+                          AS BIGINT))
+               ELSE [] END AS adj_jac
+        FROM tt)
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT) ELSE n_turns END
+               AS n_turns,
+             CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)
+                  ELSE asst_tok * 1000 // n_tok END AS asst_tok_pm,
+             CAST(len(list_filter(adj_jac, j -> j >= 500)) AS BIGINT)
+               AS parrot_pairs,
+             CASE WHEN len(adj_jac) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE list_max(adj_jac) END AS max_adj_jac_pm
+      FROM sig
+      ORDER BY doc_id""",
+
+    // d134: the same 50-token/stride-25 windows and integer means.
+    "d134_mattr" -> raw"""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '') AS words
+        FROM documents),
+      t AS (
+        SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_tok,
+               CASE WHEN len(words) >= 50
+                    THEN CAST((len(words) - 50) // 25 + 1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS n_windows
+        FROM w),
+      ww AS (
+        SELECT doc_id, words, n_tok, n_windows,
+               CASE WHEN n_windows = 0 THEN []
+                    ELSE list_transform(range(1, CAST(n_windows AS INTEGER) + 1),
+                      i -> CAST(len(list_distinct(
+                             words[(i - 1) * 25 + 1 : (i - 1) * 25 + 50]))
+                           AS BIGINT) * 10000 // 50)
+               END AS wttr
+        FROM t)
+      SELECT doc_id, n_tok, n_windows,
+             CASE
+               WHEN n_windows > 0 THEN
+                 CAST(list_sum(wttr) AS BIGINT) // n_windows
+               WHEN n_tok > 0 THEN
+                 CAST(len(list_distinct(words)) AS BIGINT) * 10000 // n_tok
+               ELSE CAST(0 AS BIGINT) END AS mattr_x4
+      FROM ww
+      ORDER BY doc_id""",
+
+    // d135: the same distinct-word df table, integer commonness mean,
+    // and capped inverse weight; empty docs re-enter at full weight.
+    "d135_softdedup" -> raw"""
+      WITH dw AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '')) AS word
+        FROM documents),
+      dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+              FROM dw GROUP BY word),
+      pd AS (
+        SELECT dw.doc_id, dw.source,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(dfq.df) AS BIGINT) AS sum_df
+        FROM dw JOIN dfq USING (word)
+        GROUP BY 1, 2),
+      pw AS (
+        SELECT doc_id, source, n_distinct,
+               sum_df * 1000 // n_distinct AS commonness_x1000,
+               least(CAST(1000 AS BIGINT),
+                 1000000 // (sum_df * 1000 // n_distinct)) AS weight_pm
+        FROM pd),
+      bs AS (
+        SELECT source,
+               CAST(sum(weight_pm) AS BIGINT) // CAST(count(*) AS BIGINT)
+                 AS src_eff_pm
+        FROM pw GROUP BY source)
+      SELECT d.doc_id, d.source,
+             coalesce(pw.n_distinct, 0) AS n_distinct,
+             coalesce(pw.commonness_x1000, 0) AS commonness_x1000,
+             coalesce(pw.weight_pm, 1000) AS weight_pm,
+             coalesce(bs.src_eff_pm, 1000) AS src_eff_pm
+      FROM documents d
+      LEFT JOIN pw ON pw.doc_id = d.doc_id
+      LEFT JOIN bs ON bs.source = d.source
+      ORDER BY d.doc_id""",
+
+    // d136: the d8 quality CTEs feed the same chosen/rejected split
+    // (higher score wins, tie → the even doc), the same word-set
+    // overlap and length-ratio integers, and the one-row bias rate.
+    "d136_preference_pairs" -> (raw"""
+      WITH $qualityCtes,
+      ws AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> x <> ''))) AS wset
+        FROM documents),
+      side AS (
+        SELECT q8.doc_id // 2 AS pair_id,
+               CAST(q8.doc_id % 2 AS INT) AS par,
+               q8.doc_id, q8.quality_score,
+               CAST(q8.n_tokens AS BIGINT) AS n_tok, ws.wset
+        FROM q8 JOIN ws USING (doc_id)),
+      pr AS (
+        SELECT a.pair_id,
+               CASE WHEN a.quality_score >= b.quality_score
+                    THEN a.doc_id ELSE b.doc_id END AS chosen_id,
+               CASE WHEN a.quality_score >= b.quality_score
+                    THEN b.doc_id ELSE a.doc_id END AS rejected_id,
+               CASE WHEN a.quality_score >= b.quality_score
+                    THEN a.n_tok ELSE b.n_tok END AS chosen_tok,
+               CASE WHEN a.quality_score >= b.quality_score
+                    THEN b.n_tok ELSE a.n_tok END AS rejected_tok,
+               CASE WHEN len(list_distinct(a.wset || b.wset)) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(len(list_intersect(a.wset, b.wset)) AS BIGINT)
+                         * 1000 // CAST(len(list_distinct(a.wset || b.wset))
+                           AS BIGINT) END AS overlap_pm
+        FROM side a JOIN side b
+          ON a.pair_id = b.pair_id AND a.par = 0 AND b.par = 1),
+      pp AS (
+        SELECT pair_id, chosen_id, rejected_id, chosen_tok, rejected_tok,
+               CASE WHEN rejected_tok = 0 THEN CAST(0 AS BIGINT)
+                    ELSE chosen_tok * 1000 // rejected_tok END
+                 AS len_ratio_pm,
+               overlap_pm,
+               chosen_tok > rejected_tok AS chosen_longer
+        FROM pr),
+      bias AS (
+        SELECT CAST(sum(CASE WHEN chosen_longer THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+                 AS len_bias_pm
+        FROM pp)
+      SELECT pp.pair_id, pp.chosen_id, pp.rejected_id, pp.chosen_tok,
+             pp.rejected_tok, pp.len_ratio_pm, pp.overlap_pm,
+             pp.chosen_longer, bias.len_bias_pm
+      FROM pp, bias
+      ORDER BY pp.pair_id""")
   )
 }

@@ -374,4 +374,137 @@ class LineDomainSpec extends SparkSpecBase {
     assert(out("s2") === ((5L, 1L, 1L, 1L, 3L, 5L, 1L, 2L)))
   }
 
+  // ---------------------------------------------------------------- d132
+
+  test("d132: URL variants canonicalize together; keeper = max rev then max id") {
+    // ids ≡ 1 (mod 50), source s1: variant classes 1 (trailing slash)
+    // and 3 (bare) → ONE canon key 's1/page1'; revs = id % 3
+    val dir = writeDocs("d132-plant", Seq(
+      (1L, "t", "s1"),   // http://…/page1/  rev 1
+      (51L, "t", "s1"),  // bare             rev 0
+      (101L, "t", "s1"), // http://…/page1/  rev 2  ← keeper (max rev)
+      (151L, "t", "s1"), // bare             rev 1
+      (2L, "t", "s1"),   // ?b=2&a=1 variant — its OWN canon key
+      (7L, "t", "s2"),   // bare page7       rev 1  ┐ rev tie →
+      (307L, "t", "s2"), // bare page7       rev 1  ┘ max id keeps
+      (4L, "t", "s1"),   // https://www.…page4  rev 1 ┐ class-0 pair:
+      (104L, "t", "s1")))// https://www.…page4  rev 2 ┘ strip proven
+    val out = Pipeline.queries("d132_url_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === (("s1/page1", 1L, 4L, false)))
+    assert(out(51L) === (("s1/page1", 0L, 4L, false)))
+    assert(out(101L) === (("s1/page1", 2L, 4L, true)),
+      "the max-rev fetch must be the keeper")
+    assert(out(151L) === (("s1/page1", 1L, 4L, false)))
+    assert(out(2L) === (("s1/page2?a=1&b=2", 2L, 1L, true)),
+      "query params sort but the param'd URL stays its own key")
+    assert(out(7L) === (("s2/page7", 1L, 2L, false)))
+    assert(out(307L) === (("s2/page7", 1L, 2L, true)),
+      "a rev tie must break to the larger doc_id")
+    assert(out(4L) === (("s1/page4", 1L, 2L, false)),
+      "https://www. must strip to the bare canonical form")
+    assert(out(104L) === (("s1/page4", 2L, 2L, true)))
+  }
+
+  // ---------------------------------------------------------------- d133
+
+  test("d133: turn windows, parity token split, parrot detection, degenerates") {
+    val t16 = (1 to 16).map(i => s"w$i").mkString(" ")
+    val half = ((1 to 8).map(i => s"w$i") ++ (1 to 8).map(i => s"v$i")).mkString(" ")
+    val dir = writeDocs("d133-plant", Seq(
+      (0L, s"$t16 $t16 x y z", "s"),  // 35 tok, 3 turns; t2 parrots t1
+      (1L, (1 to 20).map(i => s"u$i").mkString(" "), "s"), // 2 turns, no echo
+      (2L, s"$t16 $half", "s"),       // adjacent overlap 8/24 = 333‰
+      (3L, "a b", "s"),               // single turn
+      (4L, "", "s"),
+      (5L, "   ", "s")))
+    val out = Pipeline.queries("d133_turn_stats")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // doc 0: turns (16,16,3); assistant turn 2 → 16*1000/35 = 457;
+    // (t1,t2) identical → 1000‰ parrot; (t2,t3) disjoint → 0
+    assert(out(0L) === ((35L, 3L, 457L, 1L, 1000L)))
+    // doc 1: turns (16,4); asst 4*1000/20 = 200; no overlap
+    assert(out(1L) === ((20L, 2L, 200L, 0L, 0L)))
+    // doc 2: turns (16,16); 8 shared of 24 union → 333‰, under the bar
+    assert(out(2L) === ((32L, 2L, 500L, 0L, 333L)))
+    assert(out(3L) === ((2L, 1L, 0L, 0L, 0L)), "a one-turn doc has no pairs")
+    assert(out(4L) === ((0L, 0L, 0L, 0L, 0L)))
+    assert(out(5L) === ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  // ---------------------------------------------------------------- d134
+
+  test("d134: window TTRs and the mean; sub-window fallback; degenerates") {
+    val d50 = (1 to 50).map(i => s"d$i").mkString(" ")
+    val z50 = Seq.fill(50)("z").mkString(" ")
+    val dir = writeDocs("d134-plant", Seq(
+      (0L, s"$d50 $z50", "s"),  // windows: 50, 26, 1 distinct
+      (1L, (1 to 49).map(i => s"q$i").mkString(" "), "s"), // fallback
+      (2L, "t t t t t u u u u u", "s"),                    // fallback 2000
+      (3L, "", "s"),
+      (4L, "   ", "s")))
+    val out = Pipeline.queries("d134_mattr")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 0: wttr = (10000, 5200, 200) → mean 15400/3 = 5133
+    assert(out(0L) === ((100L, 3L, 5133L)),
+      "hand-computed window TTRs must average to 5133")
+    assert(out(1L) === ((49L, 0L, 10000L)),
+      "a 49-token all-distinct doc takes the global-TTR fallback")
+    assert(out(2L) === ((10L, 0L, 2000L)))
+    assert(out(3L) === ((0L, 0L, 0L)))
+    assert(out(4L) === ((0L, 0L, 0L)))
+  }
+
+  // ---------------------------------------------------------------- d135
+
+  test("d135: df-mean commonness, inverse weights, source mass, empty doc") {
+    val dir = writeDocs("d135-plant", Seq(
+      (0L, "u1 u2 u3", "sa"),  // all df=1 → commonness 1000, full weight
+      (1L, "c1 c2", "sb"),     // ┐ df(c1)=4 (doc 4 too), df(c2)=3
+      (2L, "c1 c2", "sb"),     // ├ → commonness 3500, weight 285
+      (3L, "c1 c2", "sb"),     // ┘
+      (4L, "u4 c1", "sb"),     // mean df (1+4)/2 → 2500 → weight 400
+      (5L, "", "sa")))         // no words → full weight, not counted in eff
+    val out = Pipeline.queries("d135_softdedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out(0L) === (("sa", 3L, 1000L, 1000L, 1000L)),
+      "a corpus-unique doc keeps full mass")
+    assert(out(1L) === (("sb", 2L, 3500L, 285L, 313L)))
+    assert(out(2L) === (("sb", 2L, 3500L, 285L, 313L)))
+    assert(out(3L) === (("sb", 2L, 3500L, 285L, 313L)),
+      "a thrice-repeated doc keeps ~2/7 of its mass")
+    assert(out(4L) === (("sb", 2L, 2500L, 400L, 313L)),
+      "sb effective mass = (285*3 + 400)/4 = 313")
+    assert(out(5L) === (("sa", 0L, 0L, 1000L, 1000L)),
+      "an empty doc re-enters at full weight")
+  }
+
+  // ---------------------------------------------------------------- d136
+
+  test("d136: chosen by quality, tie to the even doc, overlap + bias exact") {
+    val dir = writeDocs("d136-plant", Seq(
+      (0L, (1 to 10).map(i => s"a$i").mkString(" "), "s"), // q=.76  chosen
+      (1L, "a a b b c", "s"),                              // q=.57
+      (2L, "same words here", "s"),                        // tie →
+      (3L, "same words here", "s"),                        //   even chosen
+      (4L, (1 to 11).map(i => s"p$i").mkString(" "), "s"), // q≈.766 chosen
+      (5L, ((1 to 10) ++ (1 to 10)).map(i => s"m$i").mkString(" "), "s")))
+    val out = Pipeline.queries("d136_preference_pairs")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7), r.getLong(8)))).toMap
+    assert(out(0L) === ((0L, 1L, 10L, 5L, 2000L, 0L, true, 333L)),
+      "higher-quality doc 0 is chosen; disjoint word sets overlap 0")
+    assert(out(1L) === ((2L, 3L, 3L, 3L, 1000L, 1000L, false, 333L)),
+      "a quality tie chooses the even doc; identical texts overlap 1000")
+    assert(out(2L) === ((4L, 5L, 11L, 20L, 550L, 0L, false, 333L)),
+      "chosen may be SHORTER — bias rate counts only 1 of 3 pairs")
+  }
+
 }

@@ -1500,4 +1500,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"d130 is a pure Project→aggregate — no join belongs in its plan:\n$p")
   }
+
+  test("d132 url dedup: text never read, keeper joins equi, no cartesian") {
+    val f = formatted("d132_url_dedup")
+    assert(!f.contains("text"),
+      s"d132 must reduce to (id, canon, rev) at the scan — no text column:\n$f")
+    val p = plan("d132_url_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d132 keeper steps must stay equi-keyed:\n$p")
+  }
+
+  test("d133/d134: per-row higher-order folds — no joins, no width shuffles") {
+    for (name <- Seq("d133_turn_stats", "d134_mattr")) {
+      val p = plan(name)
+      assert(!p.contains("Join"),
+        s"$name is per-row arithmetic — no join belongs in its plan:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"$name must not shuffle the corpus (only the output range sort):\n$p")
+    }
+  }
+
+  test("d135 softdedup: persisted pair pass shared, broadcast source mass") {
+    val p = plan("d135_softdedup")
+    assert(p.contains("InMemoryTableScan"),
+      s"d135 df build and per-doc fold must share the persisted pair pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d135 per-source mass must join back broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"d135 must not materialize a product:\n$p")
+  }
+
+  test("d136 preference pairs: one pair_id shuffle, persisted pairs, one-row bias broadcast") {
+    val p = plan("d136_preference_pairs")
+    assert(p.contains("InMemoryTableScan"),
+      s"d136 pair rows and the bias rate must share the persisted join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"d136's only product is the broadcast one-row bias frame:\n$p")
+  }
 }
