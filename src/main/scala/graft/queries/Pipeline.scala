@@ -6319,6 +6319,149 @@ object Pipeline {
           "rejected_tok", "len_ratio_pm", "overlap_pm", "chosen_longer",
           "len_bias_pm")
         .orderBy("pair_id")
+    },
+
+    // ---- d137: WORD-LEVEL EDIT DISTANCE / WER PAIRS (the ASR- and
+    // MT-eval metric — d52 measures CHARACTER edits, but transcription
+    // and translation quality is scored on WORD operations: WER =
+    // word-level Levenshtein / reference length). Trick: a word-level
+    // DP needs no custom expression — map each pair's joint vocabulary
+    // to single codepoints (1-based joint-array position → chr) and
+    // run the engines' native character Levenshtein on the encoded
+    // strings; both engines then count exactly one unit per word
+    // operation. Codepoints stay ≤ 127 so the encoded string is
+    // single-byte UTF-8 — char-counting and byte-counting Levenshtein
+    // implementations agree — so pairs past 127 distinct words
+    // are excluded by a DETERMINISTIC guard mirrored in the oracle
+    // (a production run would widen the alphabet; the guard is the
+    // documented bound, not a silent cap). Pairing is d52's adjacent
+    // (id, id+1) same-lang rule at offset 1. Scale: per-pair work is
+    // O(|a|·|b|) like any WER scorer; the join is equi on doc_id.
+    "d137_wer_pairs" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), expr(
+          """filter(split(trim(text), '\\s+'), x -> x <> '')""").as("w"))
+      val a = d.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+        col("w").as("wa"))
+      val b = d.select((col("doc_id") - 1).as("doc_a"),
+        col("lang").as("lang_b"), col("w").as("wb"))
+      a.join(b, Seq("doc_a"))
+        .filter(col("lang_a") === col("lang_b"))
+        .withColumn("joint",
+          expr("array_sort(array_distinct(concat(wa, wb)))"))
+        .filter(expr("size(joint) BETWEEN 1 AND 127 AND size(wa) > 0"))
+        .withColumn("sa", expr(
+          "concat_ws('', transform(wa, x -> chr(array_position(joint, x))))"))
+        .withColumn("sb", expr(
+          "concat_ws('', transform(wb, x -> chr(array_position(joint, x))))"))
+        .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
+          expr("cast(size(wa) as bigint)").as("ref_tok"),
+          expr("cast(size(wb) as bigint)").as("hyp_tok"),
+          // empty-hypothesis branch is explicit: some Levenshtein
+          // implementations (DuckDB's included) NULL on '' input, and
+          // lev(ref, '') = |ref| by definition anyway
+          expr("""CASE WHEN size(wb) = 0 THEN cast(size(wa) as bigint)
+                  ELSE cast(levenshtein(sa, sb) as bigint) END""")
+            .as("word_lev"))
+        .withColumn("wer_pm", expr("word_lev * 1000 div ref_tok"))
+        .orderBy("doc_a")
+    },
+
+    // ---- d138: CONTAMINATION n-GRAM SWEEP (the decontam DESIGN
+    // study d25 fixes one point of: the match length n is THE knob —
+    // GPT-3 used 13-grams, most open pipelines 8, aggressive setups
+    // 5 — and the right choice is corpus-dependent: short n
+    // over-flags boilerplate, long n misses paraphrased leaks. Sweep
+    // n ∈ {5, 8, 13} over d25's OWN eval split (doc_id % 97 = 0) and
+    // admission bar (≥10% of a doc's grams leaked): per n, the
+    // at-risk train docs, the flagged docs, and the distinct leaked
+    // grams). Scale shape: ONE persisted words pass; the gram frame
+    // is (doc, n, md5) — text never shuffles — built by one nested
+    // higher-order transform (rows = 3× token count, the documented
+    // sweep cost); the eval side broadcasts (eval sets are small by
+    // construction); every aggregate is map-combinable.
+    "d138_contam_n_sweep" -> { (s, dir) =>
+      val grams = T(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          """filter(split(trim(text), '\\s+'), x -> x <> '')""").as("words"))
+        .select(col("doc_id"), explode(expr(
+          """flatten(transform(array(5, 8, 13), n ->
+               CASE WHEN size(words) >= n THEN
+                 transform(sequence(0, size(words) - n),
+                   p -> named_struct('n', cast(n as bigint),
+                     'g', md5(concat_ws(' ', slice(words, p + 1, n)))))
+               ELSE array() END))""")).as("gr"))
+        .select(col("doc_id"), col("gr.n").as("n"), col("gr.g").as("g"))
+        .persist() // bench side, train side, and totals read one pass
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("n", "g").distinct()
+      val train = grams.filter(col("doc_id") % 97 =!= 0)
+      val perDoc = train.groupBy("doc_id", "n")
+        .agg(count(lit(1)).as("n_grams"))
+      val hits = train.join(broadcast(bench), Seq("n", "g"), "left_semi")
+        .groupBy("doc_id", "n").agg(count(lit(1)).as("n_contam"))
+      val flagged = perDoc.join(hits, Seq("doc_id", "n"), "left")
+        .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+        .withColumn("contaminated",
+          col("n_contam") * 10 >= col("n_grams"))
+      val leaked = train.select("n", "g").distinct()
+        .join(broadcast(bench), Seq("n", "g"), "left_semi")
+        .groupBy("n").agg(count(lit(1)).as("leaked_grams"))
+      flagged.groupBy("n").agg(
+        count(lit(1)).as("train_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L))
+          .as("contaminated_docs"))
+        .withColumn("contam_doc_pm",
+          expr("contaminated_docs * 1000 div train_docs"))
+        .join(leaked, Seq("n"), "left")
+        .withColumn("leaked_grams", coalesce(col("leaked_grams"), lit(0L)))
+        .select("n", "train_docs", "contaminated_docs", "contam_doc_pm",
+          "leaked_grams")
+        .orderBy("n")
+    },
+
+    // ---- d139: TERM BURSTINESS (Church & Gale — the variance-to-
+    // mean ratio of a term's per-doc counts: function words arrive
+    // ~Poisson (VMR ≈ 1) while content and boilerplate words BURST
+    // (VMR ≫ 1); a corpus whose common terms all sit at VMR ≈ 1 is
+    // template spam, and a quality gate reading only frequency can't
+    // see that). For the top-20 corpus terms (total occurrences,
+    // term-asc tie-break, elected by the d73/d28 salted two-stage
+    // rank — no vocab-sized single partition): collection frequency,
+    // document frequency, and the exact integer VMR over ALL docs
+    // (absent = 0 handled arithmetically: VMR_x4 = (N·Σc² − (Σc)²) ·
+    // 10000 div (N·Σc) — zero-count docs enter through N alone, so
+    // nothing is exploded for them). Scale: one (term, doc) count
+    // aggregate moves, top-20-filtered by a broadcast semi first.
+    "d139_burstiness" -> { (s, dir) =>
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          """filter(split(trim(text), '\\s+'), x -> x <> '')""")).as("term"))
+        .persist() // election + per-doc counts read one token pass
+      val top = toks.groupBy("term").agg(count(lit(1)).as("cf"))
+        .withColumn("bk", pmod(crc32(col("term")), lit(64)))
+        .withColumn("rb", row_number().over(
+          Window.partitionBy("bk").orderBy(desc("cf"), asc("term"))))
+        .filter(col("rb") <= 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("cf"), asc("term"))))
+        .filter(col("rank") <= 20)
+        .select("rank", "term", "cf")
+      val n = T(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val perDoc = toks.join(broadcast(top.select("term")), Seq("term"),
+          "left_semi")
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+      perDoc.groupBy("term").agg(
+          sum("c").as("sumc"),
+          sum(expr("c * c")).as("sumsq"),
+          count(lit(1)).as("df"))
+        .join(broadcast(top), Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("vmr_x4", expr(
+          "(n_docs * sumsq - sumc * sumc) * 10000 div (n_docs * sumc)"))
+        .select(col("rank").cast("long").as("rank"), col("term"),
+          col("cf"), col("df"), col("vmr_x4"))
+        .orderBy("rank")
     }
   )
 
@@ -10560,6 +10703,113 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              pp.rejected_tok, pp.len_ratio_pm, pp.overlap_pm,
              pp.chosen_longer, bias.len_bias_pm
       FROM pp, bias
-      ORDER BY pp.pair_id""")
+      ORDER BY pp.pair_id"""),
+
+    // d137: the same joint-vocab single-byte encoding (list_position ≡
+    // array_position, both 1-based; codepoints ≤ 127 keep char- and
+    // byte-counting Levenshteins equal) and the same adjacency rule.
+    "d137_wer_pairs" -> raw"""
+      WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '') AS words
+        FROM documents),
+      pr AS (
+        SELECT a.doc_id AS doc_a, a.doc_id + 1 AS doc_b,
+               a.words AS wa, b.words AS wb,
+               list_sort(list_distinct(a.words || b.words)) AS joint
+        FROM w a JOIN w b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang),
+      enc AS (
+        SELECT doc_a, doc_b,
+               CAST(len(wa) AS BIGINT) AS ref_tok,
+               CAST(len(wb) AS BIGINT) AS hyp_tok,
+               array_to_string(list_transform(wa,
+                 x -> chr(CAST(list_position(joint, x) AS INTEGER))), '') AS sa,
+               array_to_string(list_transform(wb,
+                 x -> chr(CAST(list_position(joint, x) AS INTEGER))), '') AS sb
+        FROM pr
+        WHERE len(joint) BETWEEN 1 AND 127 AND len(wa) > 0),
+      lv AS (
+        SELECT doc_a, doc_b, ref_tok, hyp_tok,
+               CASE WHEN hyp_tok = 0 THEN ref_tok
+                    ELSE CAST(levenshtein(sa, sb) AS BIGINT) END AS word_lev
+        FROM enc)
+      SELECT doc_a, doc_b, ref_tok, hyp_tok, word_lev,
+             word_lev * 1000 // ref_tok AS wer_pm
+      FROM lv
+      ORDER BY doc_a""",
+
+    // d138: the same three-way gram sweep, eval split, ≥10% bar, and
+    // instance-counting semi (bench is distinct, so the inner join
+    // matches each train gram instance at most once).
+    "d138_contam_n_sweep" -> raw"""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '') AS words
+        FROM documents),
+      ns AS (SELECT unnest([5, 8, 13]) AS n),
+      g AS (
+        SELECT w.doc_id, CAST(ns.n AS BIGINT) AS n,
+               unnest(list_transform(range(len(w.words) - ns.n + 1),
+                 p -> md5(array_to_string(
+                   w.words[p + 1 : p + ns.n], ' ')))) AS g
+        FROM w, ns
+        WHERE len(w.words) >= ns.n),
+      bench AS (SELECT DISTINCT n, g FROM g WHERE doc_id % 97 = 0),
+      train AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+      pd AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_grams
+             FROM train GROUP BY 1, 2),
+      h AS (SELECT t.doc_id, t.n, CAST(count(*) AS BIGINT) AS n_contam
+            FROM train t JOIN bench b ON b.n = t.n AND b.g = t.g
+            GROUP BY 1, 2),
+      fl AS (SELECT pd.doc_id, pd.n, pd.n_grams,
+                    coalesce(h.n_contam, 0) AS n_contam
+             FROM pd LEFT JOIN h ON h.doc_id = pd.doc_id AND h.n = pd.n),
+      lk AS (SELECT t.n, CAST(count(*) AS BIGINT) AS leaked_grams
+             FROM (SELECT DISTINCT n, g FROM train) t
+             JOIN bench b ON b.n = t.n AND b.g = t.g
+             GROUP BY 1),
+      agg AS (SELECT n, CAST(count(*) AS BIGINT) AS train_docs,
+                     CAST(sum(CASE WHEN n_contam * 10 >= n_grams
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS contaminated_docs
+              FROM fl GROUP BY n)
+      SELECT agg.n, agg.train_docs, agg.contaminated_docs,
+             agg.contaminated_docs * 1000 // agg.train_docs
+               AS contam_doc_pm,
+             coalesce(lk.leaked_grams, 0) AS leaked_grams
+      FROM agg LEFT JOIN lk USING (n)
+      ORDER BY agg.n""",
+
+    // d139: the same top-20 election (count desc, term asc) and the
+    // same exact integer VMR with absent-doc zeros entering via N.
+    "d139_burstiness" -> raw"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '')) AS term
+        FROM documents),
+      cfq AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+              FROM toks GROUP BY term),
+      topt AS (
+        SELECT term, cf, rank FROM (
+          SELECT term, cf,
+                 CAST(row_number() OVER (ORDER BY cf DESC, term ASC)
+                   AS BIGINT) AS rank
+          FROM cfq) WHERE rank <= 20),
+      pd AS (SELECT t.term, t.doc_id, CAST(count(*) AS BIGINT) AS c
+             FROM toks t JOIN topt ON topt.term = t.term
+             GROUP BY 1, 2),
+      st AS (SELECT term, CAST(sum(c) AS BIGINT) AS sumc,
+                    CAST(sum(c * c) AS BIGINT) AS sumsq,
+                    CAST(count(*) AS BIGINT) AS df
+             FROM pd GROUP BY term),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+      SELECT topt.rank, topt.term, topt.cf, st.df,
+             (nn.n_docs * st.sumsq - st.sumc * st.sumc) * 10000
+               // (nn.n_docs * st.sumc) AS vmr_x4
+      FROM st JOIN topt USING (term), nn
+      ORDER BY topt.rank"""
   )
 }

@@ -507,4 +507,82 @@ class LineDomainSpec extends SparkSpecBase {
       "chosen may be SHORTER — bias rate counts only 1 of 3 pairs")
   }
 
+  // ---------------------------------------------------------------- d137
+
+  test("d137: WORD-level lev — sub/del/ins exact, empty hyp, vocab guard") {
+    val big = (1 to 130).map(i => s"g$i").mkString(" ")
+    val dir = writeDocs("d137-plant", Seq(
+      (0L, "the cat sat on the mat", "s"),
+      (1L, "the cat sat on that mat", "s"), // 1 word sub (char-lev 2!)
+      (2L, "same text", "s"),
+      (3L, "same text", "s"),
+      (4L, "a b c d", "s"),
+      (5L, "a c d", "s"),                   // 1 deletion
+      (6L, "x y", "s"),
+      (7L, "x q y", "s"),                   // 1 insertion
+      (8L, "x y", "s"),
+      (9L, "", "s"),                        // empty hyp → lev = |ref|
+      (10L, big, "s"),                      // 130-word joint vocab →
+      (11L, "h1 h2", "s")))                 //   pair excluded by guard
+    val out = Pipeline.queries("d137_wer_pairs")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) === ((6L, 6L, 1L, 166L)),
+      "one word substitution costs ONE unit (char-lev would say 2)")
+    assert(out(2L) === ((2L, 2L, 0L, 0L)))
+    assert(out(4L) === ((4L, 3L, 1L, 250L)), "one deletion")
+    assert(out(6L) === ((2L, 3L, 1L, 500L)), "one insertion")
+    assert(out(8L) === ((2L, 0L, 2L, 1000L)),
+      "an empty hypothesis costs the full reference")
+    assert(!out.contains(9L), "an empty reference pair is excluded")
+    assert(!out.contains(10L), "a >127-word joint vocab pair is excluded")
+  }
+
+  // ---------------------------------------------------------------- d138
+
+  test("d138: per-n contamination flips — 5-gram catches what 13 misses") {
+    val ev = (1 to 20).map(i => s"e$i").mkString(" ")
+    val run7 = (5 to 11).map(i => s"e$i").mkString(" ")
+    val dir = writeDocs("d138-plant", Seq(
+      (0L, ev, "s"),                                            // eval doc
+      (1L, ev, "s"),                                            // full copy
+      (2L, ((1 to 10).map(i => s"u$i").mkString(" ")) + " " + run7 + " " +
+           ((11 to 20).map(i => s"u$i").mkString(" ")), "s"),   // 7-word leak
+      (3L, (1 to 15).map(i => s"c$i").mkString(" "), "s"),      // clean
+      (4L, (1 to 10).map(i => s"d$i").mkString(" "), "s")))     // short
+    val out = Pipeline.queries("d138_contam_n_sweep")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // n=5: docs 1..4 all have 5-grams; full copy 1000‰ + the 7-word
+    // run's 3 leaked of 23 grams = 130‰ ≥ 100‰ → BOTH flagged;
+    // leaked = eval's 16 distinct 5-grams
+    assert(out(5L) === ((4L, 2L, 500L, 16L)))
+    // n=8: the 7-word run holds no full 8-gram — only the copy flags
+    assert(out(8L) === ((4L, 1L, 250L, 13L)))
+    // n=13: the 10-word doc has no 13-grams (train_docs drops to 3)
+    assert(out(13L) === ((3L, 1L, 333L, 8L)))
+  }
+
+  // ---------------------------------------------------------------- d139
+
+  test("d139: bursty vs uniform VMR exact; cf tie breaks by term") {
+    val dir = writeDocs("d139-plant", Seq(
+      (0L, "b b b b f", "s"),
+      (1L, "f x", "s"),
+      (2L, "f y", "s"),
+      (3L, "f z", "s")))
+    val out = Pipeline.queries("d139_burstiness")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // b: 4 occurrences all in one of 4 docs → VMR = 3.0; ties with f
+    // on cf=4 but 'b' < 'f' wins rank 1
+    assert(out(1L) === (("b", 4L, 1L, 30000L)),
+      "a fully-bursty term reads VMR 3.0 exactly")
+    assert(out(2L) === (("f", 4L, 4L, 0L)),
+      "a one-per-doc term has zero variance")
+    assert(out(3L) === (("x", 1L, 1L, 7500L)),
+      "a singleton's VMR = 1 - mean = 0.75")
+    assert(out.size === 5)
+  }
+
 }

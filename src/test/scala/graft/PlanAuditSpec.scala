@@ -1537,4 +1537,32 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"),
       s"d136's only product is the broadcast one-row bias frame:\n$p")
   }
+
+  test("d137 wer pairs: equi-keyed adjacency join, no cartesian") {
+    val p = plan("d137_wer_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d137 pairing must stay an equi join on the shifted id:\n$p")
+  }
+
+  test("d138 contam sweep: persisted gram pass, broadcast bench semi, no corpus product") {
+    val p = plan("d138_contam_n_sweep")
+    assert(p.contains("InMemoryTableScan"),
+      s"d138 bench/train/leak passes must share the persisted gram frame:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d138's eval side must broadcast into the semi:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"d138 must not materialize a product:\n$p")
+  }
+
+  test("d139 burstiness: persisted token pass, broadcast top-20, partial aggregation") {
+    val p = plan("d139_burstiness")
+    assert(p.contains("InMemoryTableScan"),
+      s"d139 election and per-doc counts must share the persisted token pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d139's top-20 must broadcast into the semi filter:\n$p")
+    assert(p.contains("partial_sum"),
+      s"d139 stats aggregate lost its map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"d139's only product is the broadcast one-row doc count:\n$p")
+  }
 }
