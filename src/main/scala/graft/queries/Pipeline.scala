@@ -533,6 +533,46 @@ object Pipeline {
     * nsalt = 1 and zero explosion overhead. Homogeneous-corpus bounded
     * completion is spec-verified (DedupSpec).
     */
+  /** d20's cluster labeling — salted per-chunk union-find over d4Pairs
+    * edges, merged per block via cogroup — extracted (round 10) so the
+    * d142 purity audit provably reads the SAME components the d20
+    * entry certifies. Returns the PERSISTED (doc_id, root) frame;
+    * every consumer (size aggregate, final join, lang join) reads the
+    * cache — without it the cogroup and the d4 pair generation
+    * upstream execute twice (caught by Explain audit). */
+  private[graft] def d20Components(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExtensions.install(s)
+    val saltCap = 2000 // same chunk cap as d4's pair scan
+    val blocked = T(s, dir, "documents")
+      .select(col("doc_id"), concat_ws(" ", col("lang"), lenBucket).as("blk"))
+    val blockSizes = blocked.groupBy(col("blk")).agg(count(lit(1)).as("block_n"))
+    val salted = blocked.join(broadcast(blockSizes), "blk")
+      .withColumn("nsalt", ceil(col("block_n") / lit(saltCap.toDouble)).cast("int"))
+    // level 1: contracted (node → local root) links per edge chunk
+    // (d4Pairs, not the d4 query: the presentation sort would be paid
+    // on the full edge set and immediately discarded by groupByKey)
+    val links = d4Pairs(s, dir)
+      .select("doc_a", "doc_b")
+      .join(salted.select(col("doc_id").as("doc_a"), col("blk"), col("nsalt")), "doc_a")
+      .select(col("blk"), pmod(col("doc_a"), col("nsalt")).cast("int").as("salt"),
+        col("doc_a"), col("doc_b"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Long, Long)]) =>
+        unionFindLabels(Iterator.empty, it.map(t => (t._3, t._4)))
+          .map { case (d, r) => (key._1, d, r) }
+      }
+    // level 2: per-block merge of contracted links + isolated members
+    val docsK = blocked.as[(Long, String)]
+      .groupByKey(_._2).mapValues(_._1)
+    val linksK = links.groupByKey(_._1).mapValues(t => (t._2, t._3))
+    docsK.cogroup(linksK) { (_, docs, linkEdges) =>
+      unionFindLabels(docs, linkEdges)
+    }.toDF("doc_id", "root")
+      .persist()
+  }
+
   private def d4Pairs(s: SparkSession, dir: String): DataFrame = {
     GraftExtensions.install(s)
     val saltCap = 2000 // docs per block chunk before the scan splits
@@ -788,39 +828,7 @@ object Pipeline {
     // The DuckDB oracle is an exact recursive-CTE transitive closure, so
     // the block-local = global equivalence is itself oracle-verified.
     "d20_dedup_clusters" -> { (s, dir) =>
-      import s.implicits._
-      GraftExtensions.install(s)
-      val saltCap = 2000 // same chunk cap as d4's pair scan
-      val blocked = T(s, dir, "documents")
-        .select(col("doc_id"), concat_ws(" ", col("lang"), lenBucket).as("blk"))
-      val blockSizes = blocked.groupBy(col("blk")).agg(count(lit(1)).as("block_n"))
-      val salted = blocked.join(broadcast(blockSizes), "blk")
-        .withColumn("nsalt", ceil(col("block_n") / lit(saltCap.toDouble)).cast("int"))
-      // level 1: contracted (node → local root) links per edge chunk
-      // (d4Pairs, not the d4 query: the presentation sort would be paid
-      // on the full edge set and immediately discarded by groupByKey)
-      val links = d4Pairs(s, dir)
-        .select("doc_a", "doc_b")
-        .join(salted.select(col("doc_id").as("doc_a"), col("blk"), col("nsalt")), "doc_a")
-        .select(col("blk"), pmod(col("doc_a"), col("nsalt")).cast("int").as("salt"),
-          col("doc_a"), col("doc_b"))
-        .as[(String, Int, Long, Long)]
-        .groupByKey(t => (t._1, t._2))
-        .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Long, Long)]) =>
-          unionFindLabels(Iterator.empty, it.map(t => (t._3, t._4)))
-            .map { case (d, r) => (key._1, d, r) }
-        }
-      // level 2: per-block merge of contracted links + isolated members
-      val docsK = blocked.as[(Long, String)]
-        .groupByKey(_._2).mapValues(_._1)
-      val linksK = links.groupByKey(_._1).mapValues(t => (t._2, t._3))
-      val labeled = docsK.cogroup(linksK) { (_, docs, linkEdges) =>
-        unionFindLabels(docs, linkEdges)
-      }.toDF("doc_id", "root")
-        // both the size aggregate and the final join read the labeling;
-        // without this the cogroup AND the d4 pair generation upstream
-        // execute twice (caught by Explain audit: duplicated subtree)
-        .persist()
+      val labeled = d20Components(s, dir)
       val sizes = labeled.groupBy(col("root"))
         .agg(count(lit(1)).as("cluster_size"))
       labeled.join(sizes, "root")
@@ -6462,6 +6470,173 @@ object Pipeline {
         .select(col("rank").cast("long").as("rank"), col("term"),
           col("cf"), col("df"), col("vmr_x4"))
         .orderBy("rank")
+    },
+
+    // ---- d140: DEDUP WATERFALL (the ladder REPORT every dataset
+    // paper publishes — how much mass each dedup rung removes when
+    // run in PRODUCTION ORDER, each rung over the previous rung's
+    // survivors; d91's funnel counts corpus-wide flags, this runs the
+    // sequential cascade: URL keeper (d132's rule) → exact-hash
+    // keeper (d1's rule) → near-dup drop (d4's blocked jaccard at
+    // ≥ 0.8, greedy keep-smallest-id — the LSH-dedup admission rule,
+    // deliberately NOT the transitive closure: that is d20's job and
+    // the waterfall measures what the cheap rungs buy BEFORE it).
+    // Per source: docs at entry and after each rung, final yield
+    // per-mille. Scale: rungs 1-2 are hash-keyed keeper aggregates;
+    // rung 3 is the d4 blocked self-join over ALREADY-DEDUPED
+    // survivors (the blocking that keeps it non-quadratic), and only
+    // ids ride every join.
+    "d140_dedup_waterfall" -> { (s, dir) =>
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          col("text"))
+      // rung 1: URL keeper — d132's synthesis + canonicalization rule
+      val cr = base
+        .withColumn("url0", concat(col("source"), lit("/page"),
+          (col("doc_id") % 50).cast("string")))
+        .withColumn("url", expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN concat('https://www.', url0)
+             WHEN 1 THEN concat('http://', url0, '/')
+             WHEN 2 THEN concat(url0, '?b=2&a=1')
+             ELSE url0 END"""))
+        .withColumn("c1", regexp_replace(lower(trim(col("url"))),
+          "^(https?://)?(www\\.)?", ""))
+        .withColumn("c2", regexp_replace(col("c1"), "/+$", ""))
+        .withColumn("path", expr("split_part(c2, '?', 1)"))
+        .withColumn("qs", expr("split_part(c2, '?', 2)"))
+        .withColumn("canon_url", when(col("qs") === "", col("path"))
+          .otherwise(concat(col("path"), lit("?"),
+            array_join(array_sort(split(col("qs"), "&")), "&"))))
+        .withColumn("rev", (col("doc_id") % 3).cast("long"))
+      val mr = cr.groupBy("canon_url").agg(max("rev").as("mrev"))
+      val kd = cr.join(mr, Seq("canon_url"))
+        .filter(col("rev") === col("mrev"))
+        .groupBy("canon_url").agg(max("doc_id").as("kdoc"))
+      val s1 = cr.join(kd, Seq("canon_url"))
+        .filter(col("doc_id") === col("kdoc"))
+        .select("doc_id", "source", "lang", "n_chars", "text")
+        .persist() // exact keeper + near-dup sides read one frame
+      // rung 2: exact keeper over URL survivors
+      val k2 = s1.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("kdoc2"))
+      val s2 = s1.withColumn("h", md5(col("text")))
+        .join(k2, Seq("h")).filter(col("doc_id") === col("kdoc2"))
+        .select("doc_id", "source", "lang", "n_chars", "text")
+        .persist()
+      // rung 3: greedy near-dup drop over exact survivors (d4's
+      // blocking + 4-dp jaccard at >= 0.8; drop the larger id)
+      val w = s2.select(col("doc_id"), col("lang"),
+        expr("cast(floor(n_chars / 100.0) as int)").as("len_bucket"),
+        expr("array_distinct(split(trim(text), '\\\\s+'))").as("wset"))
+      val drops = w.as("a").join(w.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.len_bucket") === col("b.len_bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(expr(
+          """round(cast(size(array_intersect(a.wset, b.wset)) as double) /
+             size(array_union(a.wset, b.wset)), 4) >= 0.8"""))
+        .select(col("b.doc_id").as("doc_id")).distinct()
+      val s3 = s2.join(drops, Seq("doc_id"), "left_anti")
+      val e0 = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val e1 = s1.groupBy("source").agg(count(lit(1)).as("after_url"))
+      val e2 = s2.groupBy("source").agg(count(lit(1)).as("after_exact"))
+      val e3 = s3.groupBy("source").agg(count(lit(1)).as("after_near"))
+      e0.join(e1, Seq("source"), "left").join(e2, Seq("source"), "left")
+        .join(e3, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("after_url"), lit(0L)).as("after_url"),
+          coalesce(col("after_exact"), lit(0L)).as("after_exact"),
+          coalesce(col("after_near"), lit(0L)).as("after_near"))
+        .withColumn("yield_pm", expr("after_near * 1000 div n_docs"))
+        .orderBy("source")
+    },
+
+    // ---- d141: PER-LANGUAGE SOURCE DIVERSITY (the concentration
+    // audit behind multilingual curation — a low-resource language
+    // fed by ONE domain inherits that domain's bias and its
+    // boilerplate wholesale, so per-lang mixture weights (d34/d62)
+    // must read provenance spread, not just mass): inverse Simpson
+    // index of each lang's source distribution in exact integers —
+    // inv_simpson_x100 = (Σc)² · 100 div Σc² — the "effective number
+    // of sources ×100" (1 source → 100, k equal sources → 100k);
+    // plus the top-source share per-mille (max c · 1000 div Σc, the
+    // same signal from the other end). Scale: ONE (lang, source)
+    // count aggregate moves — text never read; the lang-level fold is
+    // over a lang×source-sized frame.
+    "d141_lang_source_diversity" -> { (s, dir) =>
+      val cells = T(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      cells.groupBy("lang").agg(
+          sum("c").as("n_docs"),
+          sum(expr("c * c")).as("sumsq"),
+          max("c").as("maxc"),
+          count(lit(1)).as("n_sources"))
+        .withColumn("inv_simpson_x100",
+          expr("n_docs * n_docs * 100 div sumsq"))
+        .withColumn("top_share_pm", expr("maxc * 1000 div n_docs"))
+        .select("lang", "n_docs", "n_sources", "inv_simpson_x100",
+          "top_share_pm")
+        .orderBy("lang")
+    },
+
+    // ---- d142: DUP-CLUSTER LANGUAGE PURITY (template detection via
+    // cross-language duplication — a dup cluster spanning LANGUAGES
+    // is not a re-crawl, it is boilerplate chrome or machine
+    // translation, the classic CommonCrawl template signal; d20
+    // certifies the clusters, d7 certifies the language calls, this
+    // reads both): per d20-cluster distinct d7-predicted langs, and
+    // the one-row corpus report — clusters, multi-doc clusters,
+    // cross-lang clusters, their per-mille of multi-doc mass, and the
+    // docs inside them. Composition discipline: the oracle
+    // concatenates the two certified CTE chains verbatim, so the
+    // purity audit provably reads the SAME clusters and the SAME
+    // language calls. Scale: one equi join of two O(docs) id-keyed
+    // frames, then two map-combinable aggregates.
+    "d142_cluster_purity" -> { (s, dir) =>
+      val comp = d20Components(s, dir).select("doc_id", "root")
+      val markers = Map(
+        "en" -> Seq("the", "and", "of", "is", "to", "in", "a", "for"),
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+        "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+        "es" -> Seq("el", "los", "y", "es", "una", "en"))
+      def score(lang: String): String = {
+        val lst = markers(lang).map(w => s"'$w'").mkString(", ")
+        s"cast(size(filter(words, x -> array_contains(array($lst), x))) as int)"
+      }
+      val pred = withWords(T(s, dir, "documents"))
+        .withColumn("en_n", expr(score("en")))
+        .withColumn("de_n", expr(score("de")))
+        .withColumn("fr_n", expr(score("fr")))
+        .withColumn("es_n", expr(score("es")))
+        .withColumn("zh_n", expr(
+          """cast(length(text) -
+                  length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '')) as int)"""))
+        .withColumn("lang_pred",
+          when(col("zh_n") > col("en_n") && col("zh_n") > col("de_n") &&
+               col("zh_n") > col("fr_n") && col("zh_n") > col("es_n"), "zh")
+            .when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") &&
+                  col("en_n") >= col("es_n"), "en")
+            .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n"), "de")
+            .when(col("fr_n") >= col("es_n"), "fr")
+            .otherwise("es"))
+        .select("doc_id", "lang_pred")
+      val perCluster = comp.join(pred, Seq("doc_id"))
+        .groupBy("root").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("lang_pred").as("n_langs"))
+      perCluster.agg(
+          count(lit(1)).as("n_clusters"),
+          sum(when(col("n_docs") > 1L, 1L).otherwise(0L)).as("multi_clusters"),
+          sum(when(col("n_langs") > 1L, 1L).otherwise(0L))
+            .as("crosslang_clusters"),
+          sum(when(col("n_langs") > 1L, col("n_docs")).otherwise(0L))
+            .as("docs_in_crosslang"))
+        .withColumn("crosslang_pm_of_multi", expr(
+          """CASE WHEN multi_clusters = 0 THEN cast(0 as bigint)
+             ELSE crosslang_clusters * 1000 div multi_clusters END"""))
+        .select("n_clusters", "multi_clusters", "crosslang_clusters",
+          "docs_in_crosslang", "crosslang_pm_of_multi")
     }
   )
 
@@ -10810,6 +10985,120 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
              (nn.n_docs * st.sumsq - st.sumc * st.sumc) * 10000
                // (nn.n_docs * st.sumc) AS vmr_x4
       FROM st JOIN topt USING (term), nn
-      ORDER BY topt.rank"""
+      ORDER BY topt.rank""",
+
+    // d140: the same sequential cascade — d132's URL rule, d1's exact
+    // keeper, d4's blocked 4-dp jaccard at ≥ 0.8 with the greedy
+    // keep-smallest-id drop — each rung over the previous survivors.
+    "d140_dedup_waterfall" -> """
+      WITH u1 AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'https://www.' || source || '/page' ||
+                             CAST(doc_id % 50 AS VARCHAR)
+                 WHEN 1 THEN 'http://' || source || '/page' ||
+                             CAST(doc_id % 50 AS VARCHAR) || '/'
+                 WHEN 2 THEN source || '/page' ||
+                             CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1'
+                 ELSE source || '/page' || CAST(doc_id % 50 AS VARCHAR)
+               END AS url
+        FROM documents),
+      c0 AS (
+        SELECT *, regexp_replace(regexp_replace(lower(trim(url)),
+                 '^(https?://)?(www\.)?', ''), '/+$', '') AS cu
+        FROM u1),
+      cr AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               CASE WHEN split_part(cu, '?', 2) = ''
+                    THEN split_part(cu, '?', 1)
+                    ELSE split_part(cu, '?', 1) || '?' ||
+                         array_to_string(list_sort(string_split(
+                           split_part(cu, '?', 2), '&')), '&')
+               END AS canon_url,
+               CAST(doc_id % 3 AS BIGINT) AS rev
+        FROM c0),
+      mr AS (SELECT canon_url, max(rev) AS mrev FROM cr GROUP BY 1),
+      kd AS (SELECT cr.canon_url, max(cr.doc_id) AS kdoc
+             FROM cr JOIN mr ON mr.canon_url = cr.canon_url
+                            AND cr.rev = mr.mrev
+             GROUP BY 1),
+      s1 AS (SELECT cr.doc_id, cr.source, cr.lang, cr.n_chars, cr.text
+             FROM cr JOIN kd USING (canon_url)
+             WHERE cr.doc_id = kd.kdoc),
+      k2 AS (SELECT md5(text) AS h, min(doc_id) AS kdoc2
+             FROM s1 GROUP BY 1),
+      s2 AS (SELECT s1.* FROM s1
+             JOIN k2 ON k2.h = md5(s1.text) AND s1.doc_id = k2.kdoc2),
+      w AS (
+        SELECT doc_id, lang,
+               CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS wset
+        FROM s2),
+      drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM w a JOIN w b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+             AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
+                    len(list_distinct(a.wset || b.wset)), 4) >= 0.8),
+      s3 AS (SELECT * FROM s2
+             WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+      e0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY 1),
+      e1 AS (SELECT source, CAST(count(*) AS BIGINT) AS after_url
+             FROM s1 GROUP BY 1),
+      e2 AS (SELECT source, CAST(count(*) AS BIGINT) AS after_exact
+             FROM s2 GROUP BY 1),
+      e3 AS (SELECT source, CAST(count(*) AS BIGINT) AS after_near
+             FROM s3 GROUP BY 1)
+      SELECT e0.source, e0.n_docs,
+             coalesce(e1.after_url, 0) AS after_url,
+             coalesce(e2.after_exact, 0) AS after_exact,
+             coalesce(e3.after_near, 0) AS after_near,
+             coalesce(e3.after_near, 0) * 1000 // e0.n_docs AS yield_pm
+      FROM e0
+      LEFT JOIN e1 USING (source)
+      LEFT JOIN e2 USING (source)
+      LEFT JOIN e3 USING (source)
+      ORDER BY e0.source""",
+
+    // d141: the same one (lang, source) aggregate and integer indices.
+    "d141_lang_source_diversity" -> """
+      WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2)
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT) * 100
+               // CAST(sum(c * c) AS BIGINT) AS inv_simpson_x100,
+             CAST(max(c) AS BIGINT) * 1000 // CAST(sum(c) AS BIGINT)
+               AS top_share_pm
+      FROM cells
+      GROUP BY lang
+      ORDER BY lang""",
+
+    // d142: BOTH certified chains verbatim — d20's recursive closure
+    // (cache-swappable) and d7's langid scorer — joined on doc_id.
+    "d142_cluster_purity" -> s"""
+      WITH RECURSIVE $d20Ctes, $langidCtes,
+      pc AS (
+        SELECT c.root, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT l.lang_pred) AS BIGINT) AS n_langs
+        FROM comp c JOIN lpred l USING (doc_id)
+        GROUP BY c.root)
+      SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS multi_clusters,
+             CAST(sum(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS crosslang_clusters,
+             CAST(sum(CASE WHEN n_langs > 1 THEN n_docs ELSE 0 END)
+               AS BIGINT) AS docs_in_crosslang,
+             CASE WHEN sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) = 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(sum(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END)
+                       * 1000 // sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) END AS crosslang_pm_of_multi
+      FROM pc"""
   )
 }

@@ -585,4 +585,71 @@ class LineDomainSpec extends SparkSpecBase {
     assert(out.size === 5)
   }
 
+  // ---------------------------------------------------------------- d140
+
+  test("d140: each rung removes its own doc; a 0.54-jaccard pair survives") {
+    val near1 = (1 to 10).map(i => s"n$i").mkString(" ")
+    val near2 = (1 to 9).map(i => s"n$i").mkString(" ") + " nX"
+    val m7 = (1 to 7).map(i => s"m$i").mkString(" ")
+    val dir = writeDocs("d140-plant", Seq(
+      (1L, "urlvar one page", "s"),   // ┐ same canon s/page1, rev tie
+      (151L, "urlvar one page", "s"), // ┘ → URL rung drops 1
+      (2L, "exact copy text here", "s"),  // ┐ distinct canons, same text
+      (4L, "exact copy text here", "s"),  // ┘ → exact rung drops 4
+      (3L, near1, "s"),               // ┐ jaccard 9/11 = .8182 ≥ .8
+      (7L, near2, "s"),               // ┘ → near rung drops 7
+      (8L, s"$m7 a1 a2 a3", "s"),     // ┐ jaccard 7/13 = .5385 < .8
+      (9L, s"$m7 b1 b2 b3", "s"),     // ┘ → both survive
+      (6L, "solo unique words here altogether", "s")))
+    val out = Pipeline.queries("d140_dedup_waterfall")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out("s") === ((9L, 8L, 7L, 6L, 666L)),
+      "waterfall: 9 → 8 (url) → 7 (exact) → 6 (near), yield 666‰")
+  }
+
+  // ---------------------------------------------------------------- d141
+
+  test("d141: inverse-Simpson reads 100 for one source, 400 for four equal") {
+    val dir = scratch("d141-plant")
+    import spark.implicits._
+    val rows =
+      (0L until 4L).map(i => (i, s"t$i", "mono", "sA", 2L)) ++
+      Seq((4L, "q0", "quad", "sA", 2L), (5L, "q1", "quad", "sB", 2L),
+          (6L, "q2", "quad", "sC", 2L), (7L, "q3", "quad", "sD", 2L)) ++
+      Seq((8L, "k0", "skew", "sA", 2L), (9L, "k1", "skew", "sA", 2L),
+          (10L, "k2", "skew", "sA", 2L), (11L, "k3", "skew", "sB", 2L))
+    GraftWriter.write(
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/documents.parquet")
+    val out = Pipeline.queries("d141_lang_source_diversity")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("mono") === ((4L, 1L, 100L, 1000L)),
+      "one source = effective source count exactly 1.00")
+    assert(out("quad") === ((4L, 4L, 400L, 250L)),
+      "four equal sources = effective count exactly 4.00")
+    assert(out("skew") === ((4L, 2L, 160L, 750L)),
+      "3+1 split = 16·100/10 = 1.60 effective sources")
+  }
+
+  // ---------------------------------------------------------------- d142
+
+  test("d142: a near-dup pair straddling PREDICTED langs flags cross-lang") {
+    val dir = writeDocs("d142-plant", Seq(
+      // near-dups (jaccard 3/5 = 0.6): A scores en ('the'), B scores zh
+      (0L, "the the the w1 w2 w3", "s"),
+      (1L, "w1 w2 w3 深圳深圳", "s"),
+      // identical pair, both score en → pure multi-doc cluster
+      (2L, "same cluster words here five six", "s"),
+      (3L, "same cluster words here five six", "s"),
+      (4L, "lonely standalone document", "s")))
+    val out = Pipeline.queries("d142_cluster_purity")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.head === ((3L, 2L, 1L, 2L, 500L)),
+      "3 clusters, 2 multi-doc, exactly the zh/en one cross-lang (500‰)")
+  }
+
 }

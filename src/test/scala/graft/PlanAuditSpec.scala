@@ -1565,4 +1565,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"),
       s"d139's only product is the broadcast one-row doc count:\n$p")
   }
+
+  test("d140 waterfall: persisted survivor frames, equi rungs, no cartesian") {
+    val p = plan("d140_dedup_waterfall")
+    assert(p.contains("InMemoryTableScan"),
+      s"d140's rungs must read the persisted survivor frames:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d140's near rung must stay inside the (lang, bucket) block:\n$p")
+  }
+
+  test("d141 diversity: one partial-aggregated pass, no joins") {
+    val p = plan("d141_lang_source_diversity")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"d141 lost its map-side partials:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"d141 is two stacked aggregates — no join belongs in its plan:\n$p")
+  }
+
+  test("d142 purity: reads the persisted d20 labeling, no cartesian") {
+    val p = plan("d142_cluster_purity")
+    assert(p.contains("InMemoryTableScan"),
+      s"d142 must read the same persisted labeling d20 certifies:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d142's lang join must stay equi on doc_id:\n$p")
+  }
 }
