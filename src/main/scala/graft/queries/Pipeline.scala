@@ -540,7 +540,28 @@ object Pipeline {
     * every consumer (size aggregate, final join, lang join) reads the
     * cache — without it the cogroup and the d4 pair generation
     * upstream execute twice (caught by Explain audit). */
-  private[graft] def d20Components(s: SparkSession, dir: String): DataFrame = {
+  /** Session-scoped registry for shared PERSISTED helper frames
+    * (round 11, unpersist-discipline task): repeated calls for the
+    * same (session, dir, helper) return the ONE already-persisted
+    * frame instead of persisting a fresh identical plan per consumer —
+    * previously every d20/d104/d116/d117/d142 invocation left its own
+    * cached (doc_id, root) labeling (plus the upstream d4 pair scan)
+    * alive for the JVM lifetime, accreting memory and logging
+    * CacheManager "already cached" warnings across a 256-entry bench
+    * run. Bounded by construction: one entry per distinct corpus dir,
+    * and reuse is also the right cost model — the labeling is computed
+    * once per corpus, not once per consuming query.
+    */
+  private val helperCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def cachedHelper(s: SparkSession, dir: String, helper: String)(
+      build: => DataFrame): DataFrame =
+    helperCache.computeIfAbsent((s, dir, helper), _ => build.persist())
+
+  private[graft] def d20Components(s: SparkSession, dir: String): DataFrame =
+    cachedHelper(s, dir, "d20Components")(d20ComponentsPlan(s, dir))
+
+  private def d20ComponentsPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftExtensions.install(s)
     val saltCap = 2000 // same chunk cap as d4's pair scan
@@ -570,7 +591,7 @@ object Pipeline {
     docsK.cogroup(linksK) { (_, docs, linkEdges) =>
       unionFindLabels(docs, linkEdges)
     }.toDF("doc_id", "root")
-      .persist()
+    // persisted by the cachedHelper registry, not here
   }
 
   private def d4Pairs(s: SparkSession, dir: String): DataFrame = {
@@ -605,6 +626,47 @@ object Pipeline {
         round(expr("jaccard_sim_sorted(set_a, set_b)"), 4) >= 0.5)
       .select(col("doc_a"), col("doc_b"),
         round(expr("jaccard_sim_sorted(set_a, set_b)"), 4).as("jaccard"))
+  }
+
+  /** d7's marker-word language scorer — the ONE Spark-side definition
+    * (round 11; the d20Components precedent) consumed by d7, d92 and
+    * d142, so the classifier the d142 purity audit and the d92
+    * confusion matrix read is provably the classifier d7 ships. The
+    * oracle side already shares [[langidCtes]] the same way. Returns
+    * the UNSORTED scored frame `(doc_id, en_n, de_n, fr_n, es_n, zh_n,
+    * lang_pred)`; presentation sort is the caller's. zh scores by CJK
+    * codepoint count (class regex — Java and RE2 spell it identically)
+    * and wins only on a STRICT majority; below that the deterministic
+    * argmax cascade (en > de > fr > es). Pure per-row column
+    * expressions: no shuffle, stays inside whole-stage codegen.
+    */
+  private[graft] def d7Pred(s: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "and", "of", "is", "to", "in", "a", "for"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+      "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+      "es" -> Seq("el", "los", "y", "es", "una", "en"))
+    def score(lang: String): String = {
+      val lst = markers(lang).map(w => s"'$w'").mkString(", ")
+      s"cast(size(filter(words, x -> array_contains(array($lst), x))) as int)"
+    }
+    withWords(T(s, dir, "documents"))
+      .withColumn("en_n", expr(score("en")))
+      .withColumn("de_n", expr(score("de")))
+      .withColumn("fr_n", expr(score("fr")))
+      .withColumn("es_n", expr(score("es")))
+      .withColumn("zh_n", expr(
+        """cast(length(text) -
+                length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '')) as int)"""))
+      .withColumn("lang_pred",
+        when(col("zh_n") > col("en_n") && col("zh_n") > col("de_n") &&
+             col("zh_n") > col("fr_n") && col("zh_n") > col("es_n"), "zh")
+          .when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") &&
+                col("en_n") >= col("es_n"), "en")
+          .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n"), "de")
+          .when(col("fr_n") >= col("es_n"), "fr")
+          .otherwise("es"))
+      .select("doc_id", "en_n", "de_n", "fr_n", "es_n", "zh_n", "lang_pred")
   }
 
   /** Rounded euclidean distance between two double-array columns —
@@ -1315,32 +1377,7 @@ object Pipeline {
     // gate) — a corpus limitation d92 measures honestly, not a model
     // one.
     "d7_langid" -> { (s, dir) =>
-      val markers = Map(
-        "en" -> Seq("the", "and", "of", "is", "to", "in", "a", "for"),
-        "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
-        "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
-        "es" -> Seq("el", "los", "y", "es", "una", "en"))
-      def score(lang: String): String = {
-        val lst = markers(lang).map(w => s"'$w'").mkString(", ")
-        s"cast(size(filter(words, x -> array_contains(array($lst), x))) as int)"
-      }
-      withWords(T(s, dir, "documents"))
-        .withColumn("en_n", expr(score("en")))
-        .withColumn("de_n", expr(score("de")))
-        .withColumn("fr_n", expr(score("fr")))
-        .withColumn("es_n", expr(score("es")))
-        .withColumn("zh_n", expr(
-          """cast(length(text) -
-                  length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '')) as int)"""))
-        .withColumn("lang_pred",
-          when(col("zh_n") > col("en_n") && col("zh_n") > col("de_n") &&
-               col("zh_n") > col("fr_n") && col("zh_n") > col("es_n"), "zh")
-            .when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") && col("en_n") >= col("es_n"), "en")
-            .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n"), "de")
-            .when(col("fr_n") >= col("es_n"), "fr")
-            .otherwise("es"))
-        .select("doc_id", "en_n", "de_n", "fr_n", "es_n", "zh_n", "lang_pred")
-        .orderBy("doc_id")
+      d7Pred(s, dir).orderBy("doc_id")
     },
 
     // ---- d8: document quality scoring (length/punct/uniqueness ratios).
@@ -4277,7 +4314,10 @@ object Pipeline {
     // doc_id equi join, one map-combinable aggregate; lang-count² ≤
     // 25-row output, totals broadcast back.
     "d92_langid_eval" -> { (s, dir) =>
-      val pred = queries("d7_langid")(s, dir).select("doc_id", "lang_pred")
+      // d7Pred directly (not queries("d7_langid")): same classifier,
+      // minus d7's presentation sort that the confusion-matrix
+      // aggregate would immediately destroy.
+      val pred = d7Pred(s, dir).select("doc_id", "lang_pred")
       val conf = T(s, dir, "documents").select(col("doc_id"), col("lang"))
         .join(pred, Seq("doc_id"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
@@ -6008,8 +6048,16 @@ object Pipeline {
     // candidates come from an inverted shingle index with the d15
     // bucket discipline — singleton buckets generate nothing, buckets
     // past 50 docs are dropped (a degenerate symbol run, not a dup
-    // signal; documented cap); pair overlap = exact shingle Jaccard
-    // in integer per-mille. Output is the O(docs) per-doc report
+    // signal; documented cap); pair overlap = shingle Jaccard in
+    // integer per-mille over LIVE-BUCKET shingles only — BOTH the
+    // intersection (shared count from surviving buckets) and the
+    // union (na + nb − shared, where na/nb are per-doc totals) see
+    // the bucket filter asymmetrically, so a pair also sharing
+    // capped-bucket shingles reads systematically low: a documented
+    // bucketed-index approximation (the oracle mirrors it exactly),
+    // NOT the exact full-set Jaccard (r10 advice — the full-set
+    // variant would need an array_intersect rerank over the persisted
+    // shingle arrays). Output is the O(docs) per-doc report
     // (frames, shingles, partners at ≥250‰, best overlap), not the
     // pair dump — the d5-contract shape. Scale: symbols shuffle once
     // keyed by doc (3 ints, never bytes); the index join is bucketed,
@@ -6483,9 +6531,10 @@ object Pipeline {
     // the waterfall measures what the cheap rungs buy BEFORE it).
     // Per source: docs at entry and after each rung, final yield
     // per-mille. Scale: rungs 1-2 are hash-keyed keeper aggregates;
-    // rung 3 is the d4 blocked self-join over ALREADY-DEDUPED
-    // survivors (the blocking that keeps it non-quadratic), and only
-    // ids ride every join.
+    // rung 3 is the CHUNK-SALTED d4 blocked self-join (saltCap 2000,
+    // the d4Pairs idiom) over ALREADY-DEDUPED survivors — blocking
+    // bounds the candidate set and salting splits a hot block's pair
+    // scan across tasks, so no single task ever owns a block's O(n²).
     "d140_dedup_waterfall" -> { (s, dir) =>
       val base = T(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
@@ -6525,18 +6574,40 @@ object Pipeline {
         .select("doc_id", "source", "lang", "n_chars", "text")
         .persist()
       // rung 3: greedy near-dup drop over exact survivors (d4's
-      // blocking + 4-dp jaccard at >= 0.8; drop the larger id)
+      // blocking + 4-dp jaccard at >= 0.8; drop the larger id).
+      // Chunk-salted exactly like d4Pairs (saltCap 2000, round 11): an
+      // unsalted block self-join lands a hot (lang, len_bucket) block's
+      // whole O(n²) pair scan in ONE task — side a carries
+      // salt = doc_id mod nsalt, side b explodes every salt value, so
+      // each pair is still met EXACTLY once and the oracle hash is
+      // unchanged. The size-ratio conjuncts are implied by J >= 0.8
+      // (J <= min/max, so 5·min >= 4·max) — they short-circuit before
+      // the set kernel without dropping any qualifying pair.
       val w = s2.select(col("doc_id"), col("lang"),
         expr("cast(floor(n_chars / 100.0) as int)").as("len_bucket"),
         expr("array_distinct(split(trim(text), '\\\\s+'))").as("wset"))
-      val drops = w.as("a").join(w.as("b"),
-          col("a.lang") === col("b.lang") &&
-          col("a.len_bucket") === col("b.len_bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .filter(expr(
-          """round(cast(size(array_intersect(a.wset, b.wset)) as double) /
-             size(array_union(a.wset, b.wset)), 4) >= 0.8"""))
-        .select(col("b.doc_id").as("doc_id")).distinct()
+        .withColumn("wn", size(col("wset")))
+      val bsz = w.groupBy("lang", "len_bucket").agg(count(lit(1)).as("block_n"))
+      val sized = w.join(broadcast(bsz), Seq("lang", "len_bucket"))
+        .withColumn("nsalt", ceil(col("block_n") / lit(2000.0)).cast("int"))
+      val na = sized.select(col("doc_id").as("doc_a"), col("lang"),
+        col("len_bucket"),
+        pmod(col("doc_id"), col("nsalt")).cast("int").as("salt"),
+        col("wset").as("set_a"), col("wn").as("wn_a"))
+      val nb = sized.select(col("doc_id").as("doc_b"),
+        col("lang").as("lang2"), col("len_bucket").as("len_bucket2"),
+        explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
+        col("wset").as("set_b"), col("wn").as("wn_b"))
+      val drops = na.join(nb,
+          col("lang") === col("lang2") &&
+          col("len_bucket") === col("len_bucket2") &&
+          col("salt") === col("salt2") &&
+          col("doc_a") < col("doc_b") &&
+          col("wn_a") * 5 >= col("wn_b") * 4 &&
+          col("wn_b") * 5 >= col("wn_a") * 4 &&
+          expr("""round(cast(size(array_intersect(set_a, set_b)) as double) /
+             size(array_union(set_a, set_b)), 4)""") >= 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
       val s3 = s2.join(drops, Seq("doc_id"), "left_anti")
       val e0 = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
       val e1 = s1.groupBy("source").agg(count(lit(1)).as("after_url"))
@@ -6595,37 +6666,15 @@ object Pipeline {
     // frames, then two map-combinable aggregates.
     "d142_cluster_purity" -> { (s, dir) =>
       val comp = d20Components(s, dir).select("doc_id", "root")
-      val markers = Map(
-        "en" -> Seq("the", "and", "of", "is", "to", "in", "a", "for"),
-        "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
-        "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
-        "es" -> Seq("el", "los", "y", "es", "una", "en"))
-      def score(lang: String): String = {
-        val lst = markers(lang).map(w => s"'$w'").mkString(", ")
-        s"cast(size(filter(words, x -> array_contains(array($lst), x))) as int)"
-      }
-      val pred = withWords(T(s, dir, "documents"))
-        .withColumn("en_n", expr(score("en")))
-        .withColumn("de_n", expr(score("de")))
-        .withColumn("fr_n", expr(score("fr")))
-        .withColumn("es_n", expr(score("es")))
-        .withColumn("zh_n", expr(
-          """cast(length(text) -
-                  length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '')) as int)"""))
-        .withColumn("lang_pred",
-          when(col("zh_n") > col("en_n") && col("zh_n") > col("de_n") &&
-               col("zh_n") > col("fr_n") && col("zh_n") > col("es_n"), "zh")
-            .when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") &&
-                  col("en_n") >= col("es_n"), "en")
-            .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n"), "de")
-            .when(col("fr_n") >= col("es_n"), "fr")
-            .otherwise("es"))
-        .select("doc_id", "lang_pred")
+      // the SAME classifier d7 ships and d92 audits — one definition
+      val pred = d7Pred(s, dir).select("doc_id", "lang_pred")
       val perCluster = comp.join(pred, Seq("doc_id"))
         .groupBy("root").agg(
           count(lit(1)).as("n_docs"),
           countDistinct("lang_pred").as("n_langs"))
-      perCluster.agg(
+      // constant-key rollup (the d33/d117 empty-corpus contract): a
+      // bare global agg would emit one row on zero clusters
+      perCluster.groupBy(lit("corpus").as("scope")).agg(
           count(lit(1)).as("n_clusters"),
           sum(when(col("n_docs") > 1L, 1L).otherwise(0L)).as("multi_clusters"),
           sum(when(col("n_langs") > 1L, 1L).otherwise(0L))
@@ -6635,7 +6684,7 @@ object Pipeline {
         .withColumn("crosslang_pm_of_multi", expr(
           """CASE WHEN multi_clusters = 0 THEN cast(0 as bigint)
              ELSE crosslang_clusters * 1000 div multi_clusters END"""))
-        .select("n_clusters", "multi_clusters", "crosslang_clusters",
+        .select("scope", "n_clusters", "multi_clusters", "crosslang_clusters",
           "docs_in_crosslang", "crosslang_pm_of_multi")
     }
   )
@@ -11087,7 +11136,8 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                CAST(count(DISTINCT l.lang_pred) AS BIGINT) AS n_langs
         FROM comp c JOIN lpred l USING (doc_id)
         GROUP BY c.root)
-      SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+      SELECT 'corpus' AS scope,
+             CAST(count(*) AS BIGINT) AS n_clusters,
              CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS multi_clusters,
              CAST(sum(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -11099,6 +11149,7 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                   ELSE CAST(sum(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END)
                        * 1000 // sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
                        AS BIGINT) END AS crosslang_pm_of_multi
-      FROM pc"""
+      FROM pc
+      GROUP BY 1"""
   )
 }

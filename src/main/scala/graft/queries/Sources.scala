@@ -480,10 +480,11 @@ object Sources {
     // z, WRITES lineitem z-sorted through the production writer,
     // reads it back, and reports per-z-bucket (count, min/max/span of
     // both dims) — so the oracle's recomputation from the canonical
-    // table also certifies the write/read roundtrip. At 100 TB the
-    // same plan is repartitionByRange(z) + sortWithinPartitions —
-    // the layout job every lakehouse runs before handing a table to
-    // selective scans.
+    // table also certifies the write/read roundtrip. The write IS the
+    // 100 TB plan: repartitionByRange(z) + sortWithinPartitions — a
+    // distributed range sort producing many z-disjoint files (the
+    // layout job every lakehouse runs before handing a table to
+    // selective scans), never a single-task global sort.
     "a17_zorder" -> { (s, dir) =>
       val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val mx = li.agg(max("l_orderkey").as("mo"), max("l_partkey").as("mp"))
@@ -499,7 +500,15 @@ object Sources {
         .withColumn("z", expr(morton))
         .select("xq", "yq", "z")
       val out = s"$scratchDir/a17/lineitem_z"
-      GraftWriter.write(z.repartition(1).sortWithinPartitions("z"), out,
+      // the layout SURVEY documents and the one a 100 TB table needs:
+      // RANGE-partition on z then sort within each partition — globally
+      // z-clustered output across MANY files (range boundaries make
+      // files disjoint in z, so zone maps prune), instead of the old
+      // repartition(1) single-file global sort that serializes the
+      // whole table through one task. The zb-bucket audit below is
+      // layout-independent, so the oracle is unchanged.
+      GraftWriter.write(
+        z.repartitionByRange(8, col("z")).sortWithinPartitions("z"), out,
         format = Some("parquet"))
       GraftReader.read(s, out, "parquet")
         .withColumn("zb", expr("cast(z div 1024 as bigint)"))

@@ -647,7 +647,7 @@ class LineDomainSpec extends SparkSpecBase {
       (4L, "lonely standalone document", "s")))
     val out = Pipeline.queries("d142_cluster_purity")(spark, dir)
       .collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(out.head === ((3L, 2L, 1L, 2L, 500L)),
       "3 clusters, 2 multi-doc, exactly the zh/en one cross-lang (500‰)")
   }

@@ -1572,6 +1572,14 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d140's rungs must read the persisted survivor frames:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"d140's near rung must stay inside the (lang, bucket) block:\n$p")
+    // the rung-3 self-join must be the SALTED d4Pairs idiom: salt is a
+    // join key (hot blocks split across tasks) — an unsalted block
+    // self-join puts a block's whole O(n²) pair scan in one task
+    assert("""salt\#\d+L? = salt2\#\d+""".r.findFirstIn(p).isDefined ||
+           (p.contains("salt") && p.contains("salt2")),
+      s"d140 rung 3 lost its salt join key:\n$p")
+    assert(p.contains("pmod"),
+      s"d140 rung 3 must derive salt = doc_id mod nsalt:\n$p")
   }
 
   test("d141 diversity: one partial-aggregated pass, no joins") {

@@ -243,6 +243,14 @@ class SourcesSpec extends SparkSpecBase {
       assert(xs <= 31, s"bucket $zb x_span $xs breaks the structural bound")
       assert(ys <= 31, s"bucket $zb y_span $ys breaks the structural bound")
     }
+    // the write path must be the distributed range sort, not a
+    // repartition(1) global sort: >1 output file, span bound intact
+    val zFiles = new java.io.File(
+      s"${graft.queries.Sources.scratchDir}/a17/lineitem_z")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(zFiles > 1,
+      s"a17 wrote $zFiles parquet file(s) — the z layout must be a " +
+        "multi-file repartitionByRange write, not a single-task sort")
     // the comparison layout: same quantization, orderkey-sorted into 64
     // equal-count buckets — the second dimension spans most of the domain
     val li = Tables.load(spark, sfTiny, "lineitem")
