@@ -6686,6 +6686,131 @@ object Pipeline {
              ELSE crosslang_clusters * 1000 div multi_clusters END"""))
         .select("scope", "n_clusters", "multi_clusters", "crosslang_clusters",
           "docs_in_crosslang", "crosslang_pm_of_multi")
+    },
+
+    // ---- d143: MATRYOSHKA TRUNCATION AUDIT (MRL, Kusupati et al.
+    // 2022: nested-prefix embeddings let retrieval serve a cheap
+    // prefix of every vector; the audit any dim-reduction rollout
+    // needs before flipping the switch is recall@k of the truncated
+    // ranking against the full-dim ranking): per d5-probe query
+    // (vec_id < 10), cosine top-5 over the full 64 dims vs top-5 over
+    // the FIRST-32-dim prefix; per query the overlap count and recall
+    // per-mille. Exactness: both rankings round cosine at 4 dp BEFORE
+    // ranking with the vec_id tie-break (the d5 discipline); overlap
+    // and recall are exact integers. Shape for 100 TB: the probe set
+    // broadcasts; the corpus scans ONCE with both scores computed per
+    // row in one codegen project (the slice feeds the same fused
+    // cosine kernel); the shuffle carries (qid, nid, 2 scores), never
+    // vectors; ranks are the bounded per-query d5 window. At
+    // production scale the identical audit runs over d6's ANN
+    // candidate set instead of the brute-force scan.
+    "d143_mrl_truncation" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val q = broadcast(emb.select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        .filter(col("qid") < 10))
+      val scored = emb.join(q, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(expr("cosine_sim(qvec, vec)"), 4).as("cs_full"),
+          round(expr("cosine_sim(slice(qvec, 1, 32), slice(vec, 1, 32))"), 4)
+            .as("cs_half"))
+      val wf = Window.partitionBy("qid").orderBy(col("cs_full").desc, col("nid"))
+      val wh = Window.partitionBy("qid").orderBy(col("cs_half").desc, col("nid"))
+      val ov = scored
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rh", row_number().over(wh))
+        .groupBy("qid").agg(
+          sum(when(col("rf") <= 5 && col("rh") <= 5, 1L).otherwise(0L))
+            .as("n_overlap"))
+      q.select("qid").join(ov, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0) * 1000 div 5").as("recall_pm"))
+        .orderBy("qid")
+    },
+
+    // ---- d144: RECIPROCAL-RANK-FUSION HYBRID RETRIEVAL (RRF,
+    // Cormack/Clarke/Buettcher 2009 — the standard way production
+    // search fuses heterogeneous rankers without score calibration;
+    // here the two dense rankers every vector store exposes: cosine
+    // similarity and euclidean distance, which rank DIFFERENTLY on
+    // unnormalized vectors): per d5-probe query, rank the corpus by
+    // 4-dp cosine (desc) and by 6-dp euclidean (asc), keep each
+    // ranker's top-20, fuse with rrf = Σ 1/(60 + rank) over the lists
+    // the doc appears in, report the fused top-5. Exactness: each
+    // per-doc rrf is at most ONE addition of two identically-computed
+    // IEEE doubles (no accumulation-order hazard), rounded at 6 dp
+    // BEFORE the fused rank with the nid tie-break. Shape for 100 TB:
+    // probe broadcast, ONE corpus scan computing both scores per row,
+    // id-and-scores-only shuffle into the bounded per-query windows —
+    // the d5 exact-baseline shape; production swaps the scan for d6's
+    // ANN candidates per ranker.
+    "d144_rrf_fusion" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val q = broadcast(emb.select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        .filter(col("qid") < 10))
+      val scored = emb.join(q, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(expr("cosine_sim(qvec, vec)"), 4).as("cs"),
+          euclid("qvec", "vec").as("eu"))
+      val wc = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
+      val we = Window.partitionBy("qid").orderBy(col("eu").asc, col("nid"))
+      val fused = scored
+        .withColumn("rank_cos", row_number().over(wc))
+        .withColumn("rank_eu", row_number().over(we))
+        .filter(col("rank_cos") <= 20 || col("rank_eu") <= 20)
+        .withColumn("rrf_r", round(
+          when(col("rank_cos") <= 20,
+            lit(1.0) / (lit(60) + col("rank_cos"))).otherwise(lit(0.0)) +
+          when(col("rank_eu") <= 20,
+            lit(1.0) / (lit(60) + col("rank_eu"))).otherwise(lit(0.0)), 6))
+      val wr = Window.partitionBy("qid").orderBy(col("rrf_r").desc, col("nid"))
+      fused.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 5)
+        .select("qid", "nid", "rank_cos", "rank_eu", "rrf_r", "rn")
+        .orderBy("qid", "rn")
+    },
+
+    // ---- d145: DEDUP QUALITY SHIFT — what exact dedup does to the
+    // QUALITY MIX, per source (the survivor-bias audit dataset papers
+    // report next to the d140 waterfall: boilerplate duplicates
+    // cluster at characteristic quality scores, so the post-dedup
+    // distribution shifts and per-source mixture weights tuned on the
+    // raw corpus are stale): d8's quality score integerized at 4 dp,
+    // d1's exact keeper rule (min doc_id per content hash, corpus-
+    // wide — so a source can lose ALL its docs to earlier copies
+    // elsewhere, reported honestly as n_kept = 0), per-source mean
+    // quality at entry vs among kept, and the shift — ALL in exact
+    // int64 with the d103 half-up-at-integer-scale mean (sum/n of
+    // 4-dp doubles is the one shape engines round apart). Shape for
+    // 100 TB: ONE scored pass persisted (entry stats + keeper join
+    // read it), one hash-keyed keeper aggregate, two map-combinable
+    // source rollups — text never shuffles (the hash rides instead).
+    "d145_dedup_quality_shift" -> { (s, dir) =>
+      val base = withQuality(withWords(T(s, dir, "documents")))
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+          expr("cast(round(quality_score * 10000) as bigint)").as("q_i"))
+        .persist() // entry rollup + keeper join read one scored pass
+      val keep = base.groupBy("h").agg(min("doc_id").as("kdoc"))
+      val kept = base.join(keep, Seq("h"))
+        .filter(col("doc_id") === col("kdoc"))
+      val e = base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("q_i").as("sqe"))
+      val k = kept.groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("q_i").as("sqk"))
+      e.join(k, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          // q_i ∈ [0, 10000] ⇒ sums non-negative: plain half-up div
+          expr("(2 * sqe + n_docs) div (2 * n_docs)").as("mean_q0_i"),
+          expr("""CASE WHEN n_kept IS NULL THEN cast(0 as bigint)
+                  ELSE (2 * sqk + n_kept) div (2 * n_kept) END""")
+            .as("mean_q1_i"))
+        .withColumn("shift_i", col("mean_q1_i") - col("mean_q0_i"))
+        .orderBy("source")
     }
   )
 
@@ -11150,6 +11275,94 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                        * 1000 // sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
                        AS BIGINT) END AS crosslang_pm_of_multi
       FROM pc
-      GROUP BY 1"""
+      GROUP BY 1""",
+
+    // d143: the d5 cosine replay twice — full vectors and the 1-based
+    // 32-element list prefix — then exact set overlap of the two top-5s.
+    "d143_mrl_truncation" -> """
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                 FROM embeddings),
+           sc AS (SELECT qid, vec_id,
+                         round(list_cosine_similarity(qe, ce), 4) AS cs_full,
+                         round(list_cosine_similarity(qe[1:32], ce[1:32]), 4)
+                           AS cs_half
+                  FROM q CROSS JOIN c WHERE vec_id <> qid),
+           r AS (SELECT qid, vec_id,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY cs_full DESC, vec_id) AS rf,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY cs_half DESC, vec_id) AS rh
+                 FROM sc),
+           ov AS (SELECT qid, CAST(sum(CASE WHEN rf <= 5 AND rh <= 5
+                                            THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_overlap
+                  FROM r GROUP BY qid)
+      SELECT q.qid, COALESCE(ov.n_overlap, 0) AS n_overlap,
+             CAST(COALESCE(ov.n_overlap, 0) * 1000 // 5 AS BIGINT) AS recall_pm
+      FROM q LEFT JOIN ov ON ov.qid = q.qid
+      ORDER BY q.qid""",
+
+    // d144: same probe replay with both rankers; per-doc rrf is one
+    // addition of two identically-computed doubles, 6-dp rounded
+    // before the fused rank (nid tie-break) — no accumulation order.
+    "d144_rrf_fusion" -> """
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                 FROM embeddings),
+           sc AS (SELECT qid, vec_id AS nid,
+                         round(list_cosine_similarity(qe, ce), 4) AS cs,
+                         round(list_distance(qe, ce), 6) AS eu
+                  FROM q CROSS JOIN c WHERE vec_id <> qid),
+           r AS (SELECT qid, nid,
+                        CAST(row_number() OVER (PARTITION BY qid
+                          ORDER BY cs DESC, nid) AS INT) AS rank_cos,
+                        CAST(row_number() OVER (PARTITION BY qid
+                          ORDER BY eu ASC, nid) AS INT) AS rank_eu
+                 FROM sc),
+           f AS (SELECT qid, nid, rank_cos, rank_eu,
+                        round(CASE WHEN rank_cos <= 20
+                                   THEN 1.0 / (60 + rank_cos) ELSE 0.0 END +
+                              CASE WHEN rank_eu <= 20
+                                   THEN 1.0 / (60 + rank_eu) ELSE 0.0 END, 6)
+                          AS rrf_r
+                 FROM r WHERE rank_cos <= 20 OR rank_eu <= 20),
+           t AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                          ORDER BY rrf_r DESC, nid) AS INT) AS rn
+                 FROM f)
+      SELECT qid, nid, rank_cos, rank_eu, rrf_r, rn
+      FROM t WHERE rn <= 5
+      ORDER BY qid, rn""",
+
+    // d145: d8's qualityCtes verbatim (the composed-scorer discipline)
+    // + d1's keeper rule + the d103 half-up integer-scale means.
+    "d145_dedup_quality_shift" -> s"""
+      WITH $qualityCtes,
+      sq AS (SELECT d.doc_id, d.source, md5(d.text) AS h,
+                    CAST(round(q.quality_score * 10000) AS BIGINT) AS q_i
+             FROM documents d JOIN q8 q USING (doc_id)),
+      kp AS (SELECT h, min(doc_id) AS kdoc FROM sq GROUP BY 1),
+      e AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(q_i) AS BIGINT) AS sqe
+            FROM sq GROUP BY 1),
+      k AS (SELECT sq.source, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(sq.q_i) AS BIGINT) AS sqk
+            FROM sq JOIN kp ON sq.h = kp.h AND sq.doc_id = kp.kdoc
+            GROUP BY 1)
+      SELECT e.source, e.n_docs,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             CAST((2 * e.sqe + e.n_docs) // (2 * e.n_docs) AS BIGINT)
+               AS mean_q0_i,
+             CAST(CASE WHEN k.n_kept IS NULL THEN 0
+                       ELSE (2 * k.sqk + k.n_kept) // (2 * k.n_kept) END
+               AS BIGINT) AS mean_q1_i,
+             CAST(CASE WHEN k.n_kept IS NULL THEN 0
+                       ELSE (2 * k.sqk + k.n_kept) // (2 * k.n_kept) END
+                  - (2 * e.sqe + e.n_docs) // (2 * e.n_docs)
+               AS BIGINT) AS shift_i
+      FROM e LEFT JOIN k ON k.source = e.source
+      ORDER BY e.source"""
   )
 }

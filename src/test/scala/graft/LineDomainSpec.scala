@@ -652,4 +652,30 @@ class LineDomainSpec extends SparkSpecBase {
       "3 clusters, 2 multi-doc, exactly the zh/en one cross-lang (500‰)")
   }
 
+  // ---------------------------------------------------------------- d145
+
+  test("d145: dedup shifts per-source quality means; a fully-duplicated source reports 0 kept") {
+    // quality = .4*uniq + .3*(1-punct) + .3*min(1, tokens/50); all
+    // texts punct-free, 5 tokens: 5 distinct words -> 7300; "x x x x x"
+    // (uniq .2) -> 4100. Keeper = min doc_id per hash CORPUS-WIDE.
+    val dir = writeDocs("d145-plant", Seq(
+      (0L, "alpha beta gamma delta epsilon", "a"), // kept
+      (1L, "alpha beta gamma delta epsilon", "a"), // dup of 0 -> dropped
+      (2L, "x x x x x", "a"),                      // kept, low quality
+      (3L, "alpha beta gamma delta epsilon", "b"), // keeper lives in a
+      (4L, "lambda mu nu xi omicron", "b"),        // kept
+      (5L, "alpha beta gamma delta epsilon", "c"))) // source loses ALL docs
+    val out = Pipeline.queries("d145_dedup_quality_shift")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // a: entry mean (7300+7300+4100)/3 = 6233.33 -> 6233 half-up at
+    // integer scale; kept {0, 2} mean 5700; shift -533
+    assert(out("a") === ((3L, 2L, 6233L, 5700L, -533L)))
+    // b: dup's keeper is doc 0 in source a -> only doc 4 kept, no shift
+    assert(out("b") === ((2L, 1L, 7300L, 7300L, 0L)))
+    // c: every doc lost to an earlier copy elsewhere -> honest zeros
+    assert(out("c") === ((1L, 0L, 7300L, 0L, -7300L)))
+  }
+
 }

@@ -1597,4 +1597,35 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"d142's lang join must stay equi on doc_id:\n$p")
   }
+
+  test("d143 mrl: probe broadcasts, one corpus scan, bounded per-query windows") {
+    // the d5 exact-baseline shape: the ONLY non-equi join is the 10-row
+    // probe broadcast (the documented d106 broadcast-NL contract); both
+    // rankings must come off one scan (one BNLJ, not two)
+    val p = plan("d143_mrl_truncation")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"d143 must score both prefixes off ONE probe-broadcast scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("""\bWindow\b""".r.findAllIn(p).length == 2,
+      s"d143 needs exactly the two per-query rank windows:\n$p")
+  }
+
+  test("d144 rrf: one probe-broadcast scan feeds both rankers, three rank windows") {
+    val p = plan("d144_rrf_fusion")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"d144 must compute cosine AND euclid off ONE probe-broadcast scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("""\bWindow\b""".r.findAllIn(p).length == 3,
+      s"d144 needs the two ranker windows plus the fused rank:\n$p")
+  }
+
+  test("d145 quality shift: persisted scored pass, hash-keyed keeper, partials, no text shuffle") {
+    val p = plan("d145_dedup_quality_shift")
+    assert(p.contains("InMemoryTableScan"),
+      s"d145's entry rollup and keeper join must read one persisted scored pass:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"d145 rollups lost their map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d145's keeper and source joins must stay equi:\n$p")
+  }
 }

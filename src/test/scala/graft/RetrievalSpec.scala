@@ -58,4 +58,79 @@ class RetrievalSpec extends SparkSpecBase {
       assert(!rs.exists(_._3 == q), s"query $q retrieved itself")
     }
   }
+
+  /** Embeddings plant shared by the d143/d144 geometric specs: vectors
+    * are built dimension-by-dimension so every ranking is decidable by
+    * exact cosine/euclid arguments, never by jitter luck. */
+  private def writeEmb(name: String, rows: Seq[(Long, Array[Float])]): String = {
+    val dir = scratch(name)
+    import spark.implicits._
+    GraftWriter.write(
+      rows.map { case (id, v) => (id, v, 0) }
+        .toDF("vec_id", "embedding", "label"),
+      s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def vec(entries: (Int, Float)*): Array[Float] = {
+    val v = Array.fill(64)(0f)
+    entries.foreach { case (i, x) => v(i) = x }
+    v
+  }
+
+  // ---------------------------------------------------------------- d143
+
+  test("d143: truncation recall is 1000 for prefix-faithful, 0 for prefix-inverted") {
+    // q0 = ones(64): its 5 full-cosine friends (exact scaled copies,
+    // ids 10-14) are ALSO its half-cosine friends -> overlap 5/5.
+    // q1 = [d*e0 | K*e32]: full friends (ids 20-24) flip the sign of
+    // the FIRST-half component only (full cosine ~1 because K
+    // dominates, half cosine = -1); the half ranking is instead won by
+    // ids 25-29 (same first half, opposite second half) -> overlap 0.
+    val d = 0.001f; val k = 10f
+    val ones = Array.fill(64)(1f)
+    val rows =
+      Seq(0L -> ones, 1L -> vec(0 -> d, 32 -> k)) ++
+      (2 to 9).map(i => i.toLong -> vec(i -> 1f, (32 + i) -> 1f)) ++
+      (10 to 14).map(i => i.toLong -> ones.map(_ * 2f)) ++
+      (20 to 24).map(i => i.toLong -> vec(0 -> -d, 32 -> k)) ++
+      (25 to 29).map(i => i.toLong -> vec(0 -> d, 32 -> -k)) ++
+      (30 to 49).map(i => i.toLong -> vec((i % 20 + 2) -> 1f, (34 + i % 20) -> 1f))
+    val dir = writeEmb("d143-plant", rows)
+    val out = Pipeline.queries("d143_mrl_truncation")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) === ((5L, 1000L)), "scaled-copy friends survive truncation")
+    assert(out(1L) === ((0L, 0L)), "prefix-inverted friends vanish under truncation")
+    assert(out.size == 10, "one row per probe query")
+  }
+
+  // ---------------------------------------------------------------- d144
+
+  test("d144: RRF elects the doc that is second in BOTH rankers over each solo winner") {
+    // q0 = e0. A (id 10) = 100*e0: cosine #1 but euclid rank 37 (>20,
+    // so zero euclid contribution). X (id 11) = [1, .05]: cosine #2
+    // AND euclid #1. B (id 12) = [.9, -.3]: cosine #3, euclid #2.
+    // 25 fillers + the 9 other probe ids sit at distance sqrt(2) with
+    // cosine 0. rrf(X) = 1/62 + 1/61 beats rrf(B) = 1/63 + 1/62 beats
+    // every dual-ranked filler; A's lone 1/61 drops it out of the
+    // top-5 entirely - fusion demotes the calibration-free solo winner.
+    val rows =
+      Seq(0L -> vec(0 -> 1f),
+          10L -> vec(0 -> 100f),
+          11L -> vec(0 -> 1f, 1 -> 0.05f),
+          12L -> vec(0 -> 0.9f, 1 -> -0.3f)) ++
+      (1 to 9).map(i => i.toLong -> vec((40 + i) -> 1f)) ++
+      (13 to 37).map(i => i.toLong -> vec((i - 11) -> 1f))
+    val dir = writeEmb("d144-plant", rows)
+    val got = Pipeline.queries("d144_rrf_fusion")(spark, dir)
+      .collect().filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(5)))
+    assert(got.length == 5, s"q0 must fuse a top-5, got ${got.length}")
+    val (nid1, rc1, re1, _) = got.find(_._4 == 1).get
+    assert(nid1 == 11L && rc1 == 2 && re1 == 1,
+      s"fused #1 must be the dual runner-up X, got nid=$nid1 rc=$rc1 re=$re1")
+    assert(got.find(_._4 == 2).get._1 == 12L, "fused #2 must be B (3rd cos, 2nd eu)")
+    assert(!got.exists(_._1 == 10L),
+      "the cosine solo winner with out-of-list euclid rank must miss the fused top-5")
+  }
 }
