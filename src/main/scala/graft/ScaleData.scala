@@ -96,7 +96,27 @@ object ScaleData {
     scaled("documents") { (df, i) =>
       val shifted = shift("doc_id")(df, i)
       if (i == 0) shifted
-      else shifted.withColumn("lang", concat(lit(s"x${i}_"), col("lang")))
+      else {
+        // Rotate the alphabet per copy (round 11): byte-identical text
+        // copies share every TEXT-KEYED lsh bucket (minhash bands,
+        // shingle indexes — keys that carry no lang), so the candidate
+        // pair mass of d15/d55-style operators grew ×copies² — a
+        // replication artifact, not a scale property (the r11 sf10
+        // probe hit it as a d15 timeout and a d55 spill-to-disk-full).
+        // A Caesar rotation is injective per copy, so every WITHIN-copy
+        // jaccard/shingle/winnowing structure is preserved exactly,
+        // while cross-copy token spaces go disjoint — a genuinely 10×
+        // corpus has ×10 buckets of the original sizes, which is what
+        // this now produces. Length-preserving ⇒ n_chars stays valid.
+        val r = i % 26 match { case 0 => 13; case k => k }
+        val lower = "abcdefghijklmnopqrstuvwxyz"
+        val upper = lower.toUpperCase
+        val rot = (lower.drop(r) + lower.take(r)) +
+          (upper.drop(r) + upper.take(r))
+        shifted
+          .withColumn("lang", concat(lit(s"x${i}_"), col("lang")))
+          .withColumn("text", translate(col("text"), lower + upper, rot))
+      }
     }
     scaled("embeddings") { (df, i) =>
       val shifted = shift("vec_id")(df, i)

@@ -555,8 +555,15 @@ object Pipeline {
   private val helperCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   private def cachedHelper(s: SparkSession, dir: String, helper: String)(
-      build: => DataFrame): DataFrame =
-    helperCache.computeIfAbsent((s, dir, helper), _ => build.persist())
+      build: => DataFrame): DataFrame = {
+    val df = helperCache.computeIfAbsent((s, dir, helper), _ => build)
+    // Verify/Bench clearCache() between queries: re-pin a frame whose
+    // cache entry was dropped, so every consuming query still reads ONE
+    // persisted labeling (persist is skipped when already live — that
+    // skip is exactly what kills the "already cached" warnings).
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
 
   private[graft] def d20Components(s: SparkSession, dir: String): DataFrame =
     cachedHelper(s, dir, "d20Components")(d20ComponentsPlan(s, dir))
