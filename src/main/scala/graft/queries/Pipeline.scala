@@ -398,13 +398,25 @@ object Pipeline {
   /** Undirected sign-LSH candidate pairs over the whole embedding
     * corpus, scored with the exact cosine kernel — the shared engine
     * behind d13 (threshold near-dup pairs) and d54 (corpus-wide kNN
-    * graph). Shape (the 100 TB contract): bucket keys are 48
-    * hyperplane tables at [[adaptiveBits]] width, shuffles carry
-    * (bucket, id) only, candidate (id_a, id_b) pairs dedup BEFORE the
-    * kernel, and vectors join back per-id — so the quadratic
-    * within-bucket pair mass stays occupancy-bounded as the corpus
-    * grows and raw vectors never ride a shuffle. Returns one row per
-    * unordered candidate pair: (id_a < id_b, cos_sim rounded 4dp).
+    * graph). Shape (the 100 TB contract, re-measured round 11): bucket
+    * keys are 48 hyperplane tables at [[adaptiveBits]] width; vectors
+    * ride ONLY the linear (bucket, id, vec) shuffle — corpus × tables
+    * rows — and the kernel runs INSIDE the bucket join's codegen, so
+    * what leaves the join is (id_a, id_b, cos): the quadratic
+    * candidate stream never carries arrays. Multi-table duplicate
+    * collisions dedup AFTER scoring via a map-combinable first-agg on
+    * the slim scored rows. The previous shape (ids-only distinct
+    * FIRST, vectors joined back per side) measured ~5× fewer kernel
+    * evals at sf0.1 — but its second vector join shuffled vec_a on
+    * every candidate row: at the sf10 probe (200k vectors, 351M
+    * candidate rows) that exchange alone was ~180 GB and spilled the
+    * host's disk dry. 5× redundant evals of a fused 64-mult loop is
+    * noise; a candidate-mass array shuffle is the cliff. Returns one
+    * row per unordered candidate pair: (id_a < id_b, cos_sim 4dp).
+    * Degenerate-bucket note: a pathological bucket (occupancy ≫ the
+    * [[adaptiveBits]] target) concentrates its pair scan in one task;
+    * the production recipe is the d4Pairs chunk-salting idiom, not
+    * needed at the probe's max occupancy (~500).
     */
   private def lshScoredPairs(s: SparkSession, dir: String): DataFrame = {
     GraftExtensions.install(s)
@@ -415,22 +427,17 @@ object Pipeline {
     val bits = adaptiveBits(T(s, dir, "embeddings").count(),
       s.conf.get("graft.lsh.occupancy",
         sys.env.getOrElse("GRAFT_LSH_OCCUPANCY", "80")).toLong)
-    // Id-only candidates + distinct BEFORE the kernel: with 48 tables
-    // a true pair collides in many buckets, so deduping first cuts
-    // kernel invocations ~5× — the opposite trade from d15, where the
-    // dedup input was the dominant cost (both shapes were measured;
-    // see BENCH_NOTES.md).
-    val banded = emb.select(col("vec_id"),
+    val banded = emb.select(col("vec_id"), col("vec"),
       explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
       .persist() // both self-join sides; one bucket-build pass
-    val a = banded.select(col("bkt"), col("vec_id").as("id_a"))
-    val b = banded.select(col("bkt").as("bkt2"), col("vec_id").as("id_b"))
-    val cand = a.join(b, col("bkt") === col("bkt2") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand.join(emb.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(emb.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), "id_b")
+    val a = banded.select(col("bkt"), col("vec_id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = banded.select(col("bkt").as("bkt2"), col("vec_id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, col("bkt") === col("bkt2") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
+      .groupBy("id_a", "id_b").agg(first(col("cos_sim")).as("cos_sim"))
   }
 
   /** One alternating round of Kiveris et al.'s star-contraction
@@ -1158,9 +1165,17 @@ object Pipeline {
       // partitions the ~1-job-per-round loop is pure task-launch floor.
       // On a real cluster this stays at the session default.
       val prev = s.conf.get("spark.sql.shuffle.partitions")
+      // EAGER checkpoint: shuffle-partition count binds at EXECUTION,
+      // not plan construction, so a lazy checkpoint here would defer
+      // the corpus-scale edge BUILD (LSH candidate join + kernel +
+      // distinct) until after the conf drops to 8 — at the sf10 probe
+      // that ran the whole candidate join in 8 tasks and spilled the
+      // host's disk dry. Materializing eagerly keeps the build at the
+      // session default; only the contraction loop over the (orders-
+      // of-magnitude smaller) materialized edge set runs low-partition.
       var cur = lshScoredPairs(s, dir).filter(col("cos_sim") >= thr)
         .select(col("id_b").as("u"), col("id_a").as("v")) // id_a < id_b
-        .distinct().localCheckpoint(false)
+        .distinct().localCheckpoint(true)
       var converged = false
       var rounds = 0
       // fixpoint via one-row edge-set signatures: (count, xor of
@@ -1180,7 +1195,7 @@ object Pipeline {
       }
       try {
         s.conf.set("spark.sql.shuffle.partitions", 8)
-        var curSig = edgeSig(cur) // materializes cur's lazy checkpoint
+        var curSig = edgeSig(cur) // reads the eager checkpoint
         while (!converged && rounds < 20) {
           val next = smallStar(largeStar(cur)).localCheckpoint(false)
           val nextSig = edgeSig(next)
