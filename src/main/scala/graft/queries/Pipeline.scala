@@ -957,16 +957,28 @@ object Pipeline {
           col("wn_a") * 100000L >= col("wn_b") * 79995L &&
           col("wn_b") * 100000L >= col("wn_a") * 79995L)
         .select("r_a", "r_b").distinct()
-      val dim = broadcast(reps.select(col("rep_id"), col("wset")))
+      // Adaptive dim strategy (round 11 — the sf10 probe showed the
+      // UNCONDITIONAL broadcast hint growing with the corpus, ~390 k
+      // wset rows at sf10; a hint never flips on its own): broadcast
+      // the wset dim while the rep table is genuinely dim-sized, fall
+      // back to plain equi joins (id-keyed, AQE-planned) past 1 M reps.
+      // The count is free — reps is persisted and everything downstream
+      // materializes it anyway. The id-only membership map is 16 B/row,
+      // so its broadcast threshold is higher.
+      val nReps = reps.count()
+      val repDim = reps.select(col("rep_id"), col("wset"))
+      val dim = if (nReps <= 1000000L) broadcast(repDim) else repDim
       val repPairs = candRep
         .join(dim.select(col("rep_id").as("r_a"), col("wset").as("set_a")), "r_a")
         .join(dim.select(col("rep_id").as("r_b"), col("wset").as("set_b")), "r_b")
         .select(col("r_a"), col("r_b"),
           round(expr("jaccard_sim_sorted(set_a, set_b)"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
-      val m = broadcast(w.select(col("gid"), col("doc_id"))
+      val mFrame = w.select(col("gid"), col("doc_id"))
         .join(reps.select(col("gid"), col("rep_id")), "gid")
-        .select(col("doc_id"), col("rep_id")))
+        .select(col("doc_id"), col("rep_id"))
+      // membership is DOC-count-sized (one 16 B id pair per doc)
+      val m = if (w.count() <= 10000000L) broadcast(mFrame) else mFrame
       val cross = repPairs
         .join(m.select(col("rep_id").as("r_a"), col("doc_id").as("da")), "r_a")
         .join(m.select(col("rep_id").as("r_b"), col("doc_id").as("db")), "r_b")
@@ -6833,6 +6845,46 @@ object Pipeline {
             .as("mean_q1_i"))
         .withColumn("shift_i", col("mean_q1_i") - col("mean_q0_i"))
         .orderBy("source")
+    },
+
+    // ---- d146: LSH CAPACITY AUDIT — the capacity-planning pass run
+    // BEFORE any corpus-wide LSH job (this round's sf10 probe did
+    // exactly this by hand to locate a 351M-candidate-row cliff in
+    // d55's engine; this entry is that measurement productized):
+    // bucket the corpus with the SAME 48-table sign-LSH banding at the
+    // SAME adaptive signature width the d13/d54/d55 engine uses, then
+    // report the occupancy distribution in log2 bands — bucket count,
+    // doc mass, max occupancy, and the exact candidate-pair mass
+    // Σ c(c−1)/2 each band would feed into the pair join. pair_rows
+    // is THE number that decides whether the dedup job fits: linear
+    // bands (occ_b small) are healthy; mass concentrating in high
+    // occ_b bands means the signature width or the data needs work
+    // BEFORE the quadratic stage runs. Exactness: counts and the
+    // ⌊log2⌋-via-bin-length bucket (the d104 idiom — no float log)
+    // are all int64; sig_bits itself is cross-checked because both
+    // engines derive it from their own count. Shape for 100 TB: one
+    // linear (bucket, id) explode into two map-combinable aggregates —
+    // no join anywhere; strictly cheaper than the job it plans.
+    "d146_lsh_capacity" -> { (s, dir) =>
+      GraftExtensions.install(s)
+      val emb = T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val bits = adaptiveBits(T(s, dir, "embeddings").count(),
+        s.conf.get("graft.lsh.occupancy",
+          sys.env.getOrElse("GRAFT_LSH_OCCUPANCY", "80")).toLong)
+      val occ = emb.select(col("vec_id"),
+          explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
+        .groupBy("bkt").agg(count(lit(1)).as("c"))
+      occ.withColumn("occ_b", expr("cast(length(bin(c)) - 1 as int)"))
+        .groupBy("occ_b").agg(
+          count(lit(1)).as("n_buckets"),
+          sum("c").as("docs_mass"),
+          max("c").as("max_occ"),
+          sum(expr("c * (c - 1) div 2")).as("pair_rows"))
+        .withColumn("sig_bits", lit(bits))
+        .select("occ_b", "sig_bits", "n_buckets", "docs_mass", "max_occ",
+          "pair_rows")
+        .orderBy("occ_b")
     }
   )
 
@@ -11385,6 +11437,23 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                   - (2 * e.sqe + e.n_docs) // (2 * e.n_docs)
                AS BIGINT) AS shift_i
       FROM e LEFT JOIN k ON k.source = e.source
-      ORDER BY e.source"""
+      ORDER BY e.source""",
+
+    // d146: the d13 replay's bucket-key CTEs (nb/iv/keys — the tail
+    // cand/e/sc CTEs go unreferenced and unevaluated), occupancy
+    // counted and banded with the same bin-length ⌊log2⌋ as Spark.
+    "d146_lsh_capacity" -> s"""
+      WITH $lshScoredSql,
+      occ AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c
+              FROM keys GROUP BY bkt)
+      SELECT CAST(length(bin(c)) - 1 AS INTEGER) AS occ_b,
+             CAST((SELECT b FROM nb) AS INTEGER) AS sig_bits,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(c) AS BIGINT) AS docs_mass,
+             CAST(max(c) AS BIGINT) AS max_occ,
+             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pair_rows
+      FROM occ
+      GROUP BY 1
+      ORDER BY occ_b"""
   )
 }

@@ -1335,4 +1335,30 @@ class DedupSpec extends SparkSpecBase {
         r.getLong(3), r.getLong(4))).toSeq
     assert(got === Seq((6, 30L, 2400L, 2370L, 1000L)), s"got $got")
   }
+
+  test("d146: occupancy audit conserves mass and sees a planted identical clique") {
+    // 5 byte-identical vectors share EVERY (table, signature) bucket;
+    // 45 spread singles fill the rest. n = 50 -> sig_bits = 6. Mass
+    // conservation is exact: sum(docs_mass) = 48 tables x 50 docs, and
+    // the clique alone contributes >= 48 x C(5,2) candidate pair rows.
+    val dir = scratch("planted-capacity")
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    val cliqueVec = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val rows = (0 until 5).map(i => (i.toLong, cliqueVec, 0)) ++
+      (5 until 50).map { i =>
+        (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f), 1)
+      }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Pipeline.queries("d146_lsh_capacity")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.forall(_._2 == 6), s"n=50 must pick sig_bits 6: ${got.toSeq}")
+    assert(got.map(_._4).sum === 48L * 50L,
+      "docs_mass must conserve: every doc lands in exactly one bucket per table")
+    assert(got.map(_._6).sum >= 48L * 10L,
+      "the identical 5-clique must contribute C(5,2) pair rows in all 48 tables")
+    assert(got.map(_._5).max >= 5L, "max occupancy must see the clique bucket")
+  }
 }

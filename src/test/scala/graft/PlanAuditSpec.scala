@@ -1619,6 +1619,18 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d144 needs the two ranker windows plus the fused rank:\n$p")
   }
 
+  test("d146 capacity: one linear explode into stacked aggregates, no join") {
+    // the audit must stay strictly cheaper than the job it plans: one
+    // (bucket, id) explode, two map-combinable aggregates, NO join and
+    // no window anywhere in the plan
+    val p = plan("d146_lsh_capacity")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"d146 lost its map-side partials:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"d146 is two stacked aggregates — no join belongs in its plan:\n$p")
+    assert(!p.contains("Window"), s"d146 must not rank anything:\n$p")
+  }
+
   test("d145 quality shift: persisted scored pass, hash-keyed keeper, partials, no text shuffle") {
     val p = plan("d145_dedup_quality_shift")
     assert(p.contains("InMemoryTableScan"),
