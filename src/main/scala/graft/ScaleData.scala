@@ -97,25 +97,26 @@ object ScaleData {
       val shifted = shift("doc_id")(df, i)
       if (i == 0) shifted
       else {
-        // Rotate the alphabet per copy (round 11): byte-identical text
+        // Permute the alphabet per copy (round 11): byte-identical text
         // copies share every TEXT-KEYED lsh bucket (minhash bands,
         // shingle indexes — keys that carry no lang), so the candidate
         // pair mass of d15/d55-style operators grew ×copies² — a
         // replication artifact, not a scale property (the r11 sf10
         // probe hit it as a d15 timeout and a d55 spill-to-disk-full).
-        // A Caesar rotation is injective per copy, so every WITHIN-copy
-        // jaccard/shingle/winnowing structure is preserved exactly,
-        // while cross-copy token spaces go disjoint — a genuinely 10×
-        // corpus has ×10 buckets of the original sizes, which is what
-        // this now produces. Length-preserving ⇒ n_chars stays valid.
-        val r = i % 26 match { case 0 => 13; case k => k }
+        // A seeded per-copy alphabet PERMUTATION (not a 26-class Caesar
+        // rotation, which repeats at copies ≥ 27 — review finding) is
+        // injective per copy, so every WITHIN-copy jaccard / shingle /
+        // winnowing structure is preserved exactly, while cross-copy
+        // token spaces are distinct for any practical copy count
+        // (collision odds ~copies²/26!). Length-preserving ⇒ n_chars
+        // stays valid. Deterministic: seeded Fisher-Yates per copy.
         val lower = "abcdefghijklmnopqrstuvwxyz"
-        val upper = lower.toUpperCase
-        val rot = (lower.drop(r) + lower.take(r)) +
-          (upper.drop(r) + upper.take(r))
+        val perm = new scala.util.Random(i.toLong)
+          .shuffle(lower.toList).mkString
         shifted
           .withColumn("lang", concat(lit(s"x${i}_"), col("lang")))
-          .withColumn("text", translate(col("text"), lower + upper, rot))
+          .withColumn("text", translate(col("text"),
+            lower + lower.toUpperCase, perm + perm.toUpperCase))
       }
     }
     scaled("embeddings") { (df, i) =>

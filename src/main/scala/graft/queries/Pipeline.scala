@@ -427,17 +427,25 @@ object Pipeline {
     val bits = adaptiveBits(T(s, dir, "embeddings").count(),
       s.conf.get("graft.lsh.occupancy",
         sys.env.getOrElse("GRAFT_LSH_OCCUPANCY", "80")).toLong)
-    val banded = emb.select(col("vec_id"), col("vec"),
-      explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
-      .persist() // both self-join sides; one bucket-build pass
-    val a = banded.select(col("bkt"), col("vec_id").as("id_a"),
-      col("vec").as("vec_a"))
-    val b = banded.select(col("bkt").as("bkt2"), col("vec_id").as("id_b"),
-      col("vec").as("vec_b"))
-    a.join(b, col("bkt") === col("bkt2") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
-      .groupBy("id_a", "id_b").agg(first(col("cos_sim")).as("cos_sim"))
+    // The SLIM scored-pair stream goes through the registry (keyed by
+    // bits — the spec occupancy knob changes the banding): d13/d54/d55
+    // share ONE computed pair set per corpus instead of three. The
+    // heavy (bucket, id, vec) frame is deliberately NOT persisted —
+    // the two join sides re-run the explode once per corpus (one extra
+    // plane-dot pass), which beats pinning corpus × 48 × vec rows in
+    // storage for the JVM lifetime (review finding).
+    cachedHelper(s, dir, s"lshScoredPairs:$bits") {
+      val banded = emb.select(col("vec_id"), col("vec"),
+        explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
+      val a = banded.select(col("bkt"), col("vec_id").as("id_a"),
+        col("vec").as("vec_a"))
+      val b = banded.select(col("bkt").as("bkt2"), col("vec_id").as("id_b"),
+        col("vec").as("vec_b"))
+      a.join(b, col("bkt") === col("bkt2") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
+        .groupBy("id_a", "id_b").agg(first(col("cos_sim")).as("cos_sim"))
+    }
   }
 
   /** One alternating round of Kiveris et al.'s star-contraction
@@ -561,8 +569,17 @@ object Pipeline {
     */
   private val helperCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // CONTRACT: corpus dirs are immutable for the JVM lifetime (true for
+  // Verify/Bench/the spec suite — every spec writes a fresh scratch
+  // dir); a dir rewritten in-place would be served the stale frame.
+  // Bounded: entries accrete per distinct (session, dir, helper); the
+  // spec suite is the only caller that generates many dirs, so past 64
+  // entries the registry resets wholesale — correctness is unaffected
+  // (the next call rebuilds), it only sheds pinned plans/sessions
+  // (review finding: the map held strong refs forever).
   private def cachedHelper(s: SparkSession, dir: String, helper: String)(
       build: => DataFrame): DataFrame = {
+    if (helperCache.size > 64) helperCache.clear()
     val df = helperCache.computeIfAbsent((s, dir, helper), _ => build)
     // Verify/Bench clearCache() between queries: re-pin a frame whose
     // cache entry was dropped, so every consuming query still reads ONE
@@ -6614,9 +6631,11 @@ object Pipeline {
       // whole O(n²) pair scan in ONE task — side a carries
       // salt = doc_id mod nsalt, side b explodes every salt value, so
       // each pair is still met EXACTLY once and the oracle hash is
-      // unchanged. The size-ratio conjuncts are implied by J >= 0.8
-      // (J <= min/max, so 5·min >= 4·max) — they short-circuit before
-      // the set kernel without dropping any qualifying pair.
+      // unchanged. The size-ratio conjuncts must match what the
+      // ROUNDED threshold admits: round(J,4) >= 0.8 ⇔ J >= 0.79995,
+      // so the bound is 100000·min(wn) >= 79995·max(wn) — the d15/d4
+      // spelling; a plain 5·min >= 4·max would drop boundary pairs
+      // (J ∈ [0.79995, 0.8)) that the oracle keeps.
       val w = s2.select(col("doc_id"), col("lang"),
         expr("cast(floor(n_chars / 100.0) as int)").as("len_bucket"),
         expr("array_distinct(split(trim(text), '\\\\s+'))").as("wset"))
@@ -6637,8 +6656,8 @@ object Pipeline {
           col("len_bucket") === col("len_bucket2") &&
           col("salt") === col("salt2") &&
           col("doc_a") < col("doc_b") &&
-          col("wn_a") * 5 >= col("wn_b") * 4 &&
-          col("wn_b") * 5 >= col("wn_a") * 4 &&
+          col("wn_a") * 100000L >= col("wn_b") * 79995L &&
+          col("wn_b") * 100000L >= col("wn_a") * 79995L &&
           expr("""round(cast(size(array_intersect(set_a, set_b)) as double) /
              size(array_union(set_a, set_b)), 4)""") >= 0.8)
         .select(col("doc_b").as("doc_id")).distinct()
