@@ -133,4 +133,69 @@ class RetrievalSpec extends SparkSpecBase {
     assert(!got.exists(_._1 == 10L),
       "the cosine solo winner with out-of-list euclid rank must miss the fused top-5")
   }
+
+  test("d143/d144 randomized: both audits match an independent reference on 60 random vectors") {
+    // seeded random corpus, full outputs compared against plain-Scala
+    // implementations of the DECLARED semantics (4-dp/6-dp HALF_UP
+    // rounds before ranking, id tie-breaks) — the d61/RandomizedRef
+    // idiom; failures reproduce under the fixed seed
+    val rnd = new scala.util.Random(4099)
+    val n = 60
+    val vecs = (0 until n).map(i => i.toLong -> Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val dir = writeEmb("d143-144-rand", vecs)
+    val byId = vecs.toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < d) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+    }
+    def eu(a: Array[Float], b: Array[Float]): Double = {
+      var ss = 0.0; var i = 0
+      while (i < 64) {
+        val d = a(i).toDouble - b(i).toDouble; ss += d * d; i += 1
+      }
+      math.sqrt(ss)
+    }
+    // ---- d143 reference
+    val want143 = (0L until 10L).map { q =>
+      val others = vecs.filter(_._1 != q)
+      def top5(d: Int) = others
+        .map { case (id, v) => (id, r4(cos(byId(q), v, d))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      val ov = (top5(64) & top5(32)).size.toLong
+      q -> ((ov, ov * 1000L / 5L))
+    }.toMap
+    val got143 = Pipeline.queries("d143_mrl_truncation")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got143 === want143, s"d143 diverged: got $got143 want $want143")
+    // ---- d144 reference
+    val want144 = (0L until 10L).flatMap { q =>
+      val others = vecs.filter(_._1 != q)
+      val cosR = others.map { case (id, v) => id -> r4(cos(byId(q), v, 64)) }
+      val euR = others.map { case (id, v) => id -> r6(eu(byId(q), v)) }
+      val rc = cosR.sortBy { case (id, c) => (-c, id) }.map(_._1)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val re = euR.sortBy { case (id, e) => (e, id) }.map(_._1)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      others.map(_._1)
+        .filter(id => rc(id) <= 20 || re(id) <= 20)
+        .map { id =>
+          val rrf = r6((if (rc(id) <= 20) 1.0 / (60 + rc(id)) else 0.0) +
+                       (if (re(id) <= 20) 1.0 / (60 + re(id)) else 0.0))
+          (id, rc(id), re(id), rrf)
+        }
+        .sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(5).zipWithIndex
+        .map { case ((id, c, e, rrf), i) => (q, id, c, e, rrf, i + 1) }
+    }.toSet
+    val got144 = Pipeline.queries("d144_rrf_fusion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4), r.getInt(5))).toSet
+    assert(got144 === want144,
+      s"d144 diverged: extra=${got144 -- want144} missing=${want144 -- got144}")
+  }
 }
