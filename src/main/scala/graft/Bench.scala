@@ -32,9 +32,13 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "40").toLong
   // Must be comfortably below the driver's outer wall budget (~450 s),
   // which also has to cover sbt launch + session startup + warmup on a
-  // host observed to run up to ~4x slower than local runs.
+  // host observed to run up to ~4x slower than local runs. 320 (round
+  // 12, shed=0 task): r11's driver run hit the 300 s guard with 299.2 s
+  // of measured work and shed its last 3 entries (~6 s); +20 s of
+  // headroom covers exactly that tail while still leaving ≥130 s of
+  // outer margin for launch + startup + the capped 15 s quiesce.
   val GlobalBudgetSec: Long =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "300").toLong
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "320").toLong
 
   /** Queries in the order they should spend budget: the operators whose
     * runtime actually measures work (dedup/similarity/pipeline kernels,
@@ -77,6 +81,24 @@ object Bench {
       case _ => 2 // relational / events / extension entries
     }
   }
+
+  /** Within the streaming rank, run CHEAPEST-FIRST (round 12, shed=0
+    * task): budget exhaustion sheds from the END of the run order, and
+    * r11's driver run shed s7/s8/s9 (sub-2 s each, alphabetically last)
+    * after s17 had already spent 22 s — exactly the wrong entries to
+    * lose. Order is the measured r10/r11 driver walls ascending; a
+    * name not in the table (a future entry) sorts last in the block —
+    * unproven cost is what shedding should hit first.
+    */
+  private val streamOrder: Map[String, Int] = Seq(
+    "s15_stream_manifest", "s10_stream_incremental_dedup",
+    "s7_stream_foreach_batch", "s8_stream_enrich",
+    "s9_stream_session_window", "s12_stream_checkpoint_recovery",
+    "s11_stream_available_now", "s14_stream_timeout_session",
+    "s2_stream_dedup", "s3_stream_session", "s4_stream_window_append",
+    "s16_stream_heavy_hitters", "s1_stream_window",
+    "s6_stream_dedup_watermark", "s13_stream_outer_join",
+    "s5_stream_join", "s17_stream_decontam").zipWithIndex.toMap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,7 +173,7 @@ object Bench {
     // iterating (the driver invokes with no args → full suite)
     val wanted = SparkEntry.queries.toSeq
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
-      .sortBy { case (n, _) => (priorityRank(n), n) }
+      .sortBy { case (n, _) => (priorityRank(n), streamOrder.getOrElse(n, 99), n) }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val shed = scala.collection.mutable.Set.empty[String]
     wanted.foreach { case (name, fn) =>

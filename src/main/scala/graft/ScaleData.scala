@@ -110,13 +110,24 @@ object ScaleData {
         // token spaces are distinct for any practical copy count
         // (collision odds ~copies²/26!). Length-preserving ⇒ n_chars
         // stays valid. Deterministic: seeded Fisher-Yates per copy.
+        // Digits get their own seeded permutation (advisor r11: a
+        // letters-only map left numeric tokens byte-identical across
+        // copies, so number-heavy text still collapsed cross-copy LSH
+        // buckets). Caveat, documented not fixed: punctuation-only and
+        // CJK-bearing tokens still share cross-copy shingles — the
+        // driver corpora are ASCII-word-dominated, so the residue is
+        // noise there; a CJK-heavy stress corpus would need
+        // copy-salted shingle keys in the probe instead.
         val lower = "abcdefghijklmnopqrstuvwxyz"
-        val perm = new scala.util.Random(i.toLong)
-          .shuffle(lower.toList).mkString
+        val digits = "0123456789"
+        val rnd = new scala.util.Random(i.toLong)
+        val perm = rnd.shuffle(lower.toList).mkString
+        val dperm = rnd.shuffle(digits.toList).mkString
         shifted
           .withColumn("lang", concat(lit(s"x${i}_"), col("lang")))
           .withColumn("text", translate(col("text"),
-            lower + lower.toUpperCase, perm + perm.toUpperCase))
+            lower + lower.toUpperCase + digits,
+            perm + perm.toUpperCase + dperm))
       }
     }
     scaled("embeddings") { (df, i) =>

@@ -357,18 +357,21 @@ object Pipeline {
           array_join(array_sort(split(col("qs"), "&")), "&"))))
       .withColumn("domain", expr("split_part(path, '/', 1)"))
 
-  /** One tokenize + sort + dedup + group-hash pass per doc, PERSISTED —
-    * every consumer (rep aggregation, banding, membership expansion)
-    * reads it without re-scanning the corpus. Review finding: d15/d23's
-    * membership join previously re-ran the full token pass, doubling
-    * the dominant corpus scan. gid is injective for whitespace-split
-    * words (no token contains a space).
+  /** One tokenize + sort + dedup + group-hash pass per doc, PERSISTED
+    * through the session registry (round 12: a per-call persist() of
+    * this identical plan was the spec suite's "already cached"
+    * CacheManager warning — specs call d15/d23 twice on one dir; now
+    * d15/d23/d85 share ONE cached token pass per corpus) — every
+    * consumer (rep aggregation, banding, membership expansion) reads it
+    * without re-scanning the corpus. gid is injective for
+    * whitespace-split words (no token contains a space).
     */
-  private def collapsedWordSets(df: DataFrame): DataFrame =
-    withWords(df)
-      .select(col("doc_id"), array_sort(array_distinct(col("words"))).as("wset"))
-      .withColumn("gid", md5(concat_ws(" ", col("wset"))))
-      .persist()
+  private def collapsedWordSets(s: SparkSession, dir: String): DataFrame =
+    cachedHelper(s, dir, "collapsedWordSets") {
+      withWords(T(s, dir, "documents"))
+        .select(col("doc_id"), array_sort(array_distinct(col("words"))).as("wset"))
+        .withColumn("gid", md5(concat_ws(" ", col("wset"))))
+    }
 
   /** d47's operating path: screen the new batch (doc_id % 5 == 0)
     * against a Bloom sketch of the existing corpus' word-set
@@ -413,10 +416,19 @@ object Pipeline {
     * host's disk dry. 5× redundant evals of a fused 64-mult loop is
     * noise; a candidate-mass array shuffle is the cliff. Returns one
     * row per unordered candidate pair: (id_a < id_b, cos_sim 4dp).
-    * Degenerate-bucket note: a pathological bucket (occupancy ≫ the
-    * [[adaptiveBits]] target) concentrates its pair scan in one task;
-    * the production recipe is the d4Pairs chunk-salting idiom, not
-    * needed at the probe's max occupancy (~500).
+    * Degenerate-bucket guard (round 12, closing the r11 residual): a
+    * pathological bucket (mass-duplicate vectors after a bad upstream
+    * join — occupancy ≫ the [[adaptiveBits]] target) would concentrate
+    * its whole quadratic pair scan in ONE task. Buckets over saltCap
+    * rows chunk-salt the self-join with the d4Pairs idiom — side a
+    * carries salt = id mod nsalt, side b explodes every salt value —
+    * so each pair is still met EXACTLY once (results unchanged) while
+    * the scan splits across nsalt tasks. nsalt derives per-bucket from
+    * a broadcast bucket-size aggregate (key + count rows — dim-sized
+    * at any bits ≤ 16); normal buckets get nsalt = 1 and zero
+    * explosion overhead. Planted mega-bucket completion + result
+    * equality is spec-verified (DedupSpec) via the graft.lsh.saltCap
+    * session knob.
     */
   private def lshScoredPairs(s: SparkSession, dir: String): DataFrame = {
     GraftExtensions.install(s)
@@ -434,19 +446,46 @@ object Pipeline {
     // the two join sides re-run the explode once per corpus (one extra
     // plane-dot pass), which beats pinning corpus × 48 × vec rows in
     // storage for the JVM lifetime (review finding).
-    cachedHelper(s, dir, s"lshScoredPairs:$bits") {
+    val saltCap = s.conf.get("graft.lsh.saltCap", "2000").toInt
+    cachedHelper(s, dir, s"lshScoredPairs:$bits:$saltCap") {
       val banded = emb.select(col("vec_id"), col("vec"),
         explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
-      val a = banded.select(col("bkt"), col("vec_id").as("id_a"),
-        col("vec").as("vec_a"))
-      val b = banded.select(col("bkt").as("bkt2"), col("vec_id").as("id_b"),
-        col("vec").as("vec_b"))
-      a.join(b, col("bkt") === col("bkt2") && col("id_a") < col("id_b"))
+      val bktSizes = banded.groupBy(col("bkt")).agg(count(lit(1)).as("bkt_n"))
+      val sized = banded.join(broadcast(bktSizes), "bkt")
+        .withColumn("nsalt", ceil(col("bkt_n") / lit(saltCap.toDouble)).cast("int"))
+      val a = sized.select(col("bkt"),
+        pmod(col("vec_id"), col("nsalt")).cast("int").as("salt"),
+        col("vec_id").as("id_a"), col("vec").as("vec_a"))
+      val b = sized.select(col("bkt").as("bkt2"),
+        explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
+        col("vec_id").as("id_b"), col("vec").as("vec_b"))
+      a.join(b, col("bkt") === col("bkt2") && col("salt") === col("salt2") &&
+          col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
         .groupBy("id_a", "id_b").agg(first(col("cos_sim")).as("cos_sim"))
     }
   }
+
+  /** Corpus kNN edge list — top-5 by (cos desc, nid) per node over the
+    * symmetric [[lshScoredPairs]] stream; d54's graph contract as a
+    * shared registry-persisted helper. d97's propagation rounds and
+    * d99's pagerank rounds read the SAME edge list the d54 entry
+    * certifies (composition discipline), and the registry replaces the
+    * two per-call persists of byte-identical plans that logged the
+    * spec suite's last CacheManager "already cached" warning (round
+    * 12). Ids and one double only — vectors never enter the frame. */
+  private def lshKnnEdges(s: SparkSession, dir: String): DataFrame =
+    cachedHelper(s, dir, "lshKnnEdges") {
+      val sc0 = lshScoredPairs(s, dir)
+      val bi = sc0.select(col("id_a").as("vec_id"), col("id_b").as("nid"),
+          col("cos_sim"))
+        .union(sc0.select(col("id_b").as("vec_id"), col("id_a").as("nid"),
+          col("cos_sim")))
+      val wk = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
+      bi.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 5).select("vec_id", "nid")
+    }
 
   /** One alternating round of Kiveris et al.'s star-contraction
     * connected components ("Connected Components in MapReduce and
@@ -575,11 +614,18 @@ object Pipeline {
   // Bounded: entries accrete per distinct (session, dir, helper); the
   // spec suite is the only caller that generates many dirs, so past 64
   // entries the registry resets wholesale — correctness is unaffected
-  // (the next call rebuilds), it only sheds pinned plans/sessions
-  // (review finding: the map held strong refs forever).
+  // (the next call rebuilds). Eviction UNPERSISTS each dropped frame
+  // first (advisor r11): clearing only the map would leave the evicted
+  // frames' blocks pinned in their sessions' CacheManagers for the JVM
+  // lifetime — the exact accretion the registry exists to prevent.
   private def cachedHelper(s: SparkSession, dir: String, helper: String)(
       build: => DataFrame): DataFrame = {
-    if (helperCache.size > 64) helperCache.clear()
+    if (helperCache.size > 64) {
+      helperCache.values.forEach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+      helperCache.clear()
+    }
     val df = helperCache.computeIfAbsent((s, dir, helper), _ => build)
     // Verify/Bench clearCache() between queries: re-pin a frame whose
     // cache entry was dropped, so every consuming query still reads ONE
@@ -956,10 +1002,11 @@ object Pipeline {
     // rule can only guard predicates that contain the kernel itself.
     "d15_jaccard_lsh" -> { (s, dir) =>
       GraftExtensions.install(s)
-      val w = collapsedWordSets(T(s, dir, "documents")) // persisted token pass
-      val reps = w.groupBy(col("gid"))
-        .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
-        .persist() // banding + kernel dim + membership all read it
+      val w = collapsedWordSets(s, dir) // registry-persisted token pass
+      val reps = cachedHelper(s, dir, "d15Reps") { // banding + kernel dim
+        w.groupBy(col("gid"))                      // + membership read it
+          .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
+      }
       // wn (one int per row) rides the band shuffle so the J ≥ 0.8 size
       // bound prunes collisions BEFORE the distinct + kernel stages: the
       // JaccardPrefilter rule can only guard the kernel filter below, not
@@ -978,13 +1025,20 @@ object Pipeline {
       // UNCONDITIONAL broadcast hint growing with the corpus, ~390 k
       // wset rows at sf10; a hint never flips on its own): broadcast
       // the wset dim while the rep table is genuinely dim-sized, fall
-      // back to plain equi joins (id-keyed, AQE-planned) past 1 M reps.
-      // The count is free — reps is persisted and everything downstream
-      // materializes it anyway. The id-only membership map is 16 B/row,
-      // so its broadcast threshold is higher.
-      val nReps = reps.count()
+      // back to plain equi joins (id-keyed, AQE-planned) past it.
+      // Round 12 (advisor): the gate is a BYTE estimate, not a row
+      // count — wset payloads vary with doc length, and 1 M long-doc
+      // rows can be multi-GB driver-side while the explicit broadcast()
+      // hint bypasses autoBroadcastJoinThreshold's byte safety. One
+      // aggregate over the persisted reps prices each row at ~16 B
+      // of struct overhead + token bytes; the hint flips off past
+      // 256 MB. The id-only membership map is 16 B/row, so its gate
+      // stays a row count.
+      val dimBytes = reps.agg(coalesce(sum(expr(
+        "aggregate(wset, 16L, (acc, x) -> acc + length(x) + 16L)")), lit(0L)))
+        .head().getLong(0)
       val repDim = reps.select(col("rep_id"), col("wset"))
-      val dim = if (nReps <= 1000000L) broadcast(repDim) else repDim
+      val dim = if (dimBytes <= (256L << 20)) broadcast(repDim) else repDim
       val repPairs = candRep
         .join(dim.select(col("rep_id").as("r_a"), col("wset").as("set_a")), "r_a")
         .join(dim.select(col("rep_id").as("r_b"), col("wset").as("set_b")), "r_b")
@@ -1032,28 +1086,41 @@ object Pipeline {
       // self-join moves (key, id) only; the 128-long signatures join
       // back per-rep from a broadcast dim (shuffle join on rep_id at
       // 100 TB) — tokens never shuffle anywhere.
-      val w = collapsedWordSets(T(s, dir, "documents")) // persisted token pass
+      val w = collapsedWordSets(s, dir) // registry-persisted token pass
       val reps = w.groupBy(col("gid"))
         .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
-      val base = reps
-        .select(col("gid"), col("rep_id"), expr("minhash_sig(wset)").as("sig"),
+      val base = cachedHelper(s, dir, "d23Base") {
+        reps.select(col("gid"), col("rep_id"), expr("minhash_sig(wset)").as("sig"),
           expr("minhash_bands(wset, 16)").as("keys"))
-        .persist()
+      }
       val banded = base.select(col("rep_id"), explode(col("keys")).as("key"))
       val a = banded.select(col("key"), col("rep_id").as("r_a"))
       val b = banded.select(col("key").as("key2"), col("rep_id").as("r_b"))
       val candRep = a.join(b, col("key") === col("key2") && col("r_a") < col("r_b"))
         .select("r_a", "r_b").distinct()
-      val dim = broadcast(base.select(col("rep_id"), col("sig")))
+      // Adaptive sig-dim strategy (round 12 — the d15 fix, applied to
+      // the LAST corpus-growing unconditional broadcast in the repo):
+      // signatures are a FIXED ~1 KB/rep (128 longs + array overhead),
+      // so the byte gate reduces to a rep count — broadcast while reps
+      // ≤ 100 k (~100 MB), id-keyed equi join (AQE-planned) past it.
+      // The count is free: base is persisted and every downstream
+      // consumer materializes it. The knob exists so PlanAuditSpec can
+      // drive the flip both ways on a small corpus.
+      val sigCap = s.conf.get("graft.d23.sigBroadcastCap", "100000").toLong
+      val sigDim = base.select(col("rep_id"), col("sig"))
+      val dim = if (base.count() <= sigCap) broadcast(sigDim) else sigDim
       val repPairs = candRep
         .join(dim.select(col("rep_id").as("r_a"), col("sig").as("sig_a")), "r_a")
         .join(dim.select(col("rep_id").as("r_b"), col("sig").as("sig_b")), "r_b")
         .select(col("r_a"), col("r_b"),
           round(expr("sig_match_frac(sig_a, sig_b)"), 4).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.7)
-      val m = broadcast(w.select(col("gid"), col("doc_id"))
+      // membership is DOC-count-sized (one 16 B id pair per doc) — the
+      // d15 gate verbatim
+      val mFrame = w.select(col("gid"), col("doc_id"))
         .join(base.select(col("gid"), col("rep_id")), "gid")
-        .select(col("doc_id"), col("rep_id")))
+        .select(col("doc_id"), col("rep_id"))
+      val m = if (w.count() <= 10000000L) broadcast(mFrame) else mFrame
       val cross = repPairs
         .join(m.select(col("rep_id").as("r_a"), col("doc_id").as("da")), "r_a")
         .join(m.select(col("rep_id").as("r_b"), col("doc_id").as("db")), "r_b")
@@ -4016,7 +4083,7 @@ object Pipeline {
     // eval costs a constant factor of the dedup run it audits.
     "d85_lsh_recall" -> { (s, dir) =>
       GraftExtensions.install(s)
-      val w = collapsedWordSets(T(s, dir, "documents")) // persisted token pass
+      val w = collapsedWordSets(s, dir) // registry-persisted token pass
       val reps = w.groupBy(col("gid"))
         .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
         .persist() // band keys + nothing else re-derives signatures
@@ -4076,19 +4143,29 @@ object Pipeline {
       val stats = docs
         .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
         .withColumn("one", lit(1))
+      // Dictionary-encode terms to 8-byte hash ids BEFORE the postings
+      // shuffle (round 12 — the sf10 probe measured the string-keyed
+      // postings spilling at ×3.5 over linear): every shuffle/join key
+      // from here on is one long instead of a word string; the output
+      // carries no term text, so results are bit-identical as long as
+      // no two corpus words collide in 64 bits (~n²/2⁶⁴ — and the
+      // oracle gate would catch one at the test SFs). The scoring
+      // arithmetic never reads the word, only its counts.
       val tf = docs
         .select(col("doc_id"), col("dl"), explode(col("words")).as("word"))
-        .groupBy("doc_id", "dl", "word")
+        .select(col("doc_id"), col("dl"), xxhash64(col("word")).as("wid"))
+        .groupBy("doc_id", "dl", "wid")
         .agg(count(lit(1)).cast("double").as("cnt"))
         .persist() // document frequencies + the probe join read one pass
-      val dfreq = tf.groupBy("word").agg(count(lit(1)).cast("double").as("dfreq"))
+      val dfreq = tf.groupBy("wid").agg(count(lit(1)).cast("double").as("dfreq"))
       val qd = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"), array_distinct(col("words")).as("qw"))
         .persist() // the explode reads the cache
       val qterms = qd.select(col("query_id"), explode(col("qw")).as("word"))
-      val scored = qterms.join(tf, Seq("word"))
+        .select(col("query_id"), xxhash64(col("word")).as("wid"))
+      val scored = qterms.join(tf, Seq("wid"))
         .filter(col("doc_id") =!= col("query_id"))
-        .join(dfreq, Seq("word"))
+        .join(dfreq, Seq("wid"))
         .withColumn("one", lit(1)).join(broadcast(stats), Seq("one"))
         .withColumn("ts", expr(
           """ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * cnt * 2.2 /
@@ -4583,13 +4660,8 @@ object Pipeline {
     // round); the kNN frame persists once; rounds are fixed at 3, so
     // the lineage stays bounded (the d55 lesson at component scale).
     "d97_label_propagation" -> { (s, dir) =>
-      val sc0 = lshScoredPairs(s, dir)
-      val bi = sc0.select(col("id_a").as("vec_id"), col("id_b").as("nid"), col("cos_sim"))
-        .union(sc0.select(col("id_b").as("vec_id"), col("id_a").as("nid"), col("cos_sim")))
-      val wk = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
-      val knn = bi.withColumn("rn", row_number().over(wk))
-        .filter(col("rn") <= 5).select("vec_id", "nid")
-        .persist() // every propagation round reads the same edge list
+      // every propagation round reads the one registry-cached edge list
+      val knn = lshKnnEdges(s, dir)
       var st = T(s, dir, "embeddings").select(
         col("vec_id"), col("label").as("true_label"),
         (col("vec_id") % 5 === 0).as("seed"),
@@ -4707,13 +4779,8 @@ object Pipeline {
     // the d55/d97 iteration shape; the edge list and the degree
     // spine persist once; state rows are (id, two ints).
     "d99_pagerank" -> { (s, dir) =>
-      val sc0 = lshScoredPairs(s, dir)
-      val bi = sc0.select(col("id_a").as("vec_id"), col("id_b").as("nid"), col("cos_sim"))
-        .union(sc0.select(col("id_b").as("vec_id"), col("id_a").as("nid"), col("cos_sim")))
-      val wk = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
-      val knn = bi.withColumn("rn", row_number().over(wk))
-        .filter(col("rn") <= 5).select("vec_id", "nid")
-        .persist() // degrees + every round read the same edge list
+      // degrees + every round read the one registry-cached edge list
+      val knn = lshKnnEdges(s, dir)
       val outd = knn.groupBy("vec_id").agg(count(lit(1)).as("outdeg"))
       val ind = knn.groupBy("nid").agg(count(lit(1)).as("in_deg"))
       var st = T(s, dir, "embeddings").select(col("vec_id"))
@@ -5293,20 +5360,56 @@ object Pipeline {
     // top-20 runs the d64/d73 SALTED two-stage rank, never a global
     // sort of the gram table.
     "d112_memorization_risk" -> { (s, dir) =>
+      // Round 12 de-spill (the sf10 probe measured the gram-string
+      // count shuffle at ×12.5/decade): the aggregate keys are 16-byte
+      // unhex(md5(gram)) binaries — the gram STRINGS (8 words each)
+      // never enter a shuffle. The text comes back at the very end, for
+      // the ≤ top-20-boundary candidates only, via a linear semi-join
+      // against the persisted gram projection; md5 at 128 bits is
+      // collision-safe, so counts and output are bit-identical to the
+      // string-keyed plan (oracle unchanged). The top-20 threshold is
+      // first derived on the binary keys (any tie-break finds the same
+      // 20th-largest COUNT), then the exact gram-tie-break rank runs
+      // over the count-qualified candidates with their recovered text.
       val wd = withWords(T(s, dir, "documents"))
         .filter(expr("size(words) >= 8"))
         .select(col("doc_id"), col("source"), expr(
           """transform(sequence(0, size(words) - 8),
                i -> concat_ws(' ', slice(words, i + 1, 8)))""").as("grams"))
-        .persist()
+        .persist() // the count pass and the name-recovery pass read it
       val st = wd
         .select(col("doc_id"), col("source"), explode(col("grams")).as("gram"))
-        .groupBy("gram").agg(
+        .select(unhex(md5(col("gram"))).as("gkey"), col("doc_id"), col("source"))
+        .groupBy("gkey").agg(
           count(lit(1)).as("n_occurrences"),
           countDistinct(col("doc_id")).as("n_docs"),
           countDistinct(col("source")).as("n_sources"))
         .filter(col("n_occurrences") >= 2)
-      st.withColumn("bk", pmod(crc32(col("gram")), lit(64)))
+        .persist() // threshold rank + candidate filter read one aggregate
+      val thr = st.withColumn("bk", pmod(crc32(col("gkey")), lit(64)))
+        .withColumn("rb", row_number().over(Window.partitionBy("bk")
+          .orderBy(desc("n_occurrences"), asc("gkey"))))
+        .filter(col("rb") <= 20)
+        .withColumn("rg", row_number().over(
+          Window.orderBy(desc("n_occurrences"), asc("gkey"))))
+        .filter(col("rg") <= 20)
+        .agg(min("n_occurrences").as("thr"))
+        .withColumn("one", lit(1))
+      val cand = st.withColumn("one", lit(1)).join(broadcast(thr), "one")
+        .filter(col("n_occurrences") >= col("thr"))
+        .persist() // name-recovery semi-join + final rank read one filter
+      // recover gram text for the candidates only (no broadcast hint:
+      // a pathological all-tied corpus can make the boundary tie-group
+      // corpus-sized, and a linear shuffle semi-join absorbs that)
+      val names = wd.select(explode(col("grams")).as("gram"))
+        .select(unhex(md5(col("gram"))).as("gkey"), col("gram"))
+        .join(cand.select("gkey"), Seq("gkey"), "left_semi")
+        // min over byte-identical values (md5 is injective here): the
+        // dedup aggregate stays KEYED on the 16-byte gkey — a distinct
+        // would put the gram string back into a shuffle key
+        .groupBy("gkey").agg(min("gram").as("gram"))
+      cand.join(names, "gkey")
+        .withColumn("bk", pmod(crc32(col("gram")), lit(64)))
         .withColumn("rb", row_number().over(Window.partitionBy("bk")
           .orderBy(desc("n_occurrences"), asc("gram"))))
         .filter(col("rb") <= 20)
@@ -11379,8 +11482,20 @@ ${(0 until 4).map(d81BandSql).mkString(",\n")}
                  FROM embeddings),
            sc AS (SELECT qid, vec_id,
                          round(list_cosine_similarity(qe, ce), 4) AS cs_full,
-                         round(list_cosine_similarity(qe[1:32], ce[1:32]), 4)
-                           AS cs_half
+                         -- zero-norm prefix convention mirrored from the
+                         -- engine (advisor r11): Spark's cosine_sim
+                         -- returns 0.0 on a zero-norm side where DuckDB's
+                         -- list_cosine_similarity yields NaN; a nonzero
+                         -- vector CAN have an all-zero 32-dim prefix, so
+                         -- the truncated ranking needs the guard even
+                         -- though the full-dim one never trips it
+                         CASE WHEN list_sum(list_transform(qe[1:32],
+                                     x -> x * x)) = 0
+                                OR list_sum(list_transform(ce[1:32],
+                                     x -> x * x)) = 0
+                              THEN 0.0
+                              ELSE round(list_cosine_similarity(
+                                     qe[1:32], ce[1:32]), 4) END AS cs_half
                   FROM q CROSS JOIN c WHERE vec_id <> qid),
            r AS (SELECT qid, vec_id,
                         row_number() OVER (PARTITION BY qid

@@ -888,9 +888,13 @@ object StreamingOps {
     // the lake). The per-doc rule is STATELESS (explode → broadcast
     // semi-join → per-doc count inside the batch), so the union over
     // ANY batch boundaries equals the batch classification — pinned by
-    // staging the corpus as FOUR files replayed one per trigger, then
+    // staging the corpus as TWO files replayed one per trigger, then
     // hash-comparing against the batch oracle (d25's own CTEs + a
-    // per-source rollup). foreachBatch writes per-batchId directories
+    // per-source rollup). Two batches prove the same cross-batch-union
+    // claim four did at half the micro-batch machinery cost (round 12,
+    // bench shed=0 task — this entry alone was 22.7 s of the r11
+    // driver's 300 s budget); StreamingSpec still exercises deeper
+    // multi-batch replays. foreachBatch writes per-batchId directories
     // (the s7 idempotent-retry recipe). At 100 TB the benchmark side
     // is eval-set-sized and broadcasts; per batch nothing but
     // (doc_id, source, counts) rows move.
@@ -903,7 +907,7 @@ object StreamingOps {
       val bench = graft.queries.Pipeline.withShingles(
           docs.filter(col("doc_id") % 97 === 0))
         .select(explode(col("shingles")).as("shingle")).distinct()
-      docs.repartition(4).write.mode("overwrite").parquet(in)
+      docs.repartition(2).write.mode("overwrite").parquet(in)
       val schema = s.read.parquet(in).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(in)

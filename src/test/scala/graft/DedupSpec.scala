@@ -446,6 +446,44 @@ class DedupSpec extends SparkSpecBase {
     assert(want.subsetOf(got), s"missing: ${want -- got}")
   }
 
+  test("lshScoredPairs: a planted mega-bucket chunk-salts — bounded tasks, results unchanged") {
+    // VERDICT r11 #2: mass-duplicate vectors (a bad upstream join)
+    // concentrate one LSH bucket far past the adaptiveBits occupancy
+    // target; the d4Pairs chunk-salting must split that bucket's pair
+    // scan across nsalt tasks while still meeting every pair EXACTLY
+    // once. 220 identical vectors + 30 randoms, saltCap = 50 → the
+    // identical clique's buckets carry nsalt = 5 in all 48 tables.
+    val dir = scratch("planted-megabucket-emb")
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dup = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 220).map(i => (i.toLong, dup)) ++
+      (0 until 30).map(i => (1000L + i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    GraftWriter.write(rows.toDF("vec_id", "embedding").withColumn("label", lit(0)),
+      s"$dir/embeddings.parquet")
+    def run(): Array[(Long, Long, Double)] =
+      Pipeline.queries("d13_embed_neardup")(spark, dir)
+        .select("id_a", "id_b", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    val plain = run() // default saltCap 2000: nsalt = 1 everywhere
+    val salted = try {
+      spark.conf.set("graft.lsh.saltCap", "50")
+      val p = Pipeline.queries("d13_embed_neardup")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("\\bsalt#\\d+".r.findFirstIn(p).isDefined,
+        s"salt column missing from the salted plan:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      run()
+    } finally spark.conf.unset("graft.lsh.saltCap")
+    assert(salted.sameElements(plain),
+      s"salting changed the pair set: ${salted.length} vs ${plain.length} rows")
+    // the identical clique must surface completely: C(220,2) pairs at 1.0
+    val clique = plain.filter { case (a, b, _) => a < 220 && b < 220 }
+    assert(clique.length == 220 * 219 / 2, s"clique pairs: ${clique.length}")
+    assert(clique.forall(_._3 == 1.0))
+  }
+
   test("d36: semdedup drops the higher id of planted near-dup pairs") {
     val dir = scratch("planted-semdedup")
     import spark.implicits._

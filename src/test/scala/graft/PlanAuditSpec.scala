@@ -618,6 +618,56 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d86 aggregates lost their map-side partials:\n$p")
   }
 
+  test("d23: signature-dim broadcast is corpus-adaptive — the hint flips both ways") {
+    // VERDICT r11 #1 (the d15 fix applied to the last corpus-growing
+    // unconditional broadcast): while reps <= graft.d23.sigBroadcastCap
+    // the 128-long sig dim broadcasts; past the cap both sig joins must
+    // become id-keyed shuffle equi joins. autoBroadcastJoinThreshold is
+    // pinned to -1 for both runs so the test isolates the EXPLICIT
+    // hint's behavior from the planner's own byte-based auto-broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pOn = plan("d23_minhash_estimate") // tiny corpus, default cap: hinted
+      val onB = "BroadcastHashJoin".r.findAllIn(pOn).length
+      spark.conf.set("graft.d23.sigBroadcastCap", "0")
+      val pOff = plan("d23_minhash_estimate")
+      val offB = "BroadcastHashJoin".r.findAllIn(pOff).length
+      // the two sig-dim joins flip; the doc-count-gated membership
+      // broadcasts stay (w is tiny here)
+      assert(onB >= offB + 2, s"sig-dim hint did not flip: on=$onB off=$offB\n$pOff")
+      assert(pOff.contains("SortMergeJoin") || pOff.contains("ShuffledHashJoin"),
+        s"past the cap the sig joins must shuffle id-keyed:\n$pOff")
+      assert(!pOff.contains("CartesianProduct") &&
+        !pOff.contains("BroadcastNestedLoopJoin"), pOff)
+    } finally {
+      spark.conf.unset("graft.d23.sigBroadcastCap")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("d86: postings shuffle 8-byte term ids — word strings are never a join key") {
+    // round 12 de-spill: every scoring join is keyed on wid =
+    // xxhash64(word); a join keyed on the raw string would re-open the
+    // sf10 spill (345 s, ×3.5 over linear)
+    val p = plan("d86_bm25_topk")
+    assert(p.contains("xxhash64"), s"term dictionary encoding missing:\n$p")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(_.contains("wid#")),
+      s"no join keyed on the hashed term id:\n$p")
+    assert(!joinLines.exists(_.contains("word#")),
+      s"a join still keys on the word string:\n${joinLines.mkString("\n")}")
+  }
+
+  test("d112: gram counts aggregate on 16-byte binary keys — gram text is never a shuffle key") {
+    val p = plan("d112_memorization_risk")
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.exists(_.contains("gkey#")),
+      s"no shuffle keyed on the binary gram key:\n$p")
+    assert(!exch.exists(_.contains("gram#")),
+      s"a shuffle still keys on the gram string:\n${exch.mkString("\n")}")
+  }
+
   test("d87 dataset card: median runs on the histogram, never a per-source doc sort") {
     // the lower median must come from the d65 histogram idiom — the
     // Window runs over the metadata-sized (source, n_tokens) count
@@ -1251,9 +1301,23 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d112 must explode a cached gram projection:\n$p")
     assert(p.contains("partial_count"),
       s"d112 gram counts lost their map-side partials:\n$p")
-    assert("Window \\[".r.findAllIn(p).length <= 2,
-      s"d112 must use exactly the two rank windows:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // two salted rank pairs since round 12: one derives the top-20
+    // count threshold on the binary keys, one runs the exact
+    // gram-tie-break rank over the count-qualified candidates; every
+    // global window is pre-filtered to <= 64 buckets x 20 survivors.
+    // The printed tree inlines the PERSISTED candidate filter's
+    // subplan (and its rank pair) under both consumers — execution
+    // reads one cache — so the two pairs print as up to 6 Windows.
+    assert("Window \\[".r.findAllIn(p).length <= 6,
+      s"d112 must use the two salted rank pairs, nothing more:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"d112's ranks must run as bounded per-partition heaps:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only BNLJ allowed is the one-row count-threshold join (the
+    // d37/d86 broadcast-scalar idiom); it prints under both consumers
+    // of the persisted candidate filter
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      s"d112 grew a non-scalar non-equi join:\n$p")
   }
 
   test("d113 encoding audit: pure per-row project, one partial aggregate") {
