@@ -109,6 +109,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 256 KB scan-split floor — see the Verify builder's note: the
+      // 4 MB default under-splits dense single-file corpora and starves
+      // compute-heavy text scans of cores at probe scale.
+      .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

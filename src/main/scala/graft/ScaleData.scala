@@ -64,7 +64,18 @@ object ScaleData {
     val hconf = spark.sparkContext.hadoopConfiguration
     def landFile(df: DataFrame, name: String): Unit = {
       val tmp = s"$outDir/_tmp_$name"
-      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      // 2 MB row groups (round 12): repartition(1) under the default
+      // 128 MB parquet block size lands the whole table in ONE row
+      // group, and Spark assigns a row group to the single split that
+      // contains its midpoint — every probe scan's map stage ran as ONE
+      // task regardless of split count (event-log evidence: d112's
+      // dominant stage, 32 tasks, 186 of 200 task-seconds in one task).
+      // Real corpora are many-file/many-row-group; small groups restore
+      // that shape while keeping the single-file layout the a3/a8
+      // provenance oracles pin.
+      df.repartition(1).write.mode("overwrite")
+        .option("parquet.block.size", (2L * 1024 * 1024).toString)
+        .parquet(tmp)
       val fs = new Path(outDir).getFileSystem(hconf)
       val part = fs.listStatus(new Path(tmp)).map(_.getPath)
         .find(_.getName.startsWith("part-"))

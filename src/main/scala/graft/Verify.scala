@@ -45,8 +45,17 @@ object Verify {
     sys.env.getOrElse("SPARK_GRAFT_STRESS_CONTRACT", "")
 
   private[graft] def pairClusterContract(df: DataFrame, simCol: String): DataFrame = {
-    val u = df.select(col("doc_a").as("doc"), col("doc_b").as("other"), col(simCol).as("s"))
-      .unionAll(df.select(col("doc_b").as("doc"), col("doc_a").as("other"), col(simCol).as("s")))
+    // Pin the pair stream before symmetrizing: unionAll makes the
+    // whole upstream query DAG a COMMON SUBPLAN of both branches, and
+    // Spark does not CSE across union — the r12 sf10 event log showed
+    // d23's entire salted band join + kernel running TWICE (4 of its 6
+    // dominant stages were duplicate pairs). The pin halves contract-
+    // mode probe cost; Verify's per-query clearCache() releases it.
+    val pinned =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      else df
+    val u = pinned.select(col("doc_a").as("doc"), col("doc_b").as("other"), col(simCol).as("s"))
+      .unionAll(pinned.select(col("doc_b").as("doc"), col("doc_a").as("other"), col(simCol).as("s")))
     // DECIMAL(38,0) sums, dumped as strings: BIGINT sums wrap silently
     // in Spark but raise in DuckDB's HUGEINT→BIGINT cast, so at the
     // 10⁸-pair scales this mode exists for an overflow would fail
@@ -81,6 +90,15 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Scan-split floor (round 12): the default 4 MB openCostInBytes
+      // caps a dense single-file corpus at bytes/4MB input tasks — the
+      // sf10 probe's 55 MB documents file fed d112's gram-explode map
+      // stage only 14 of 32 cores (215 s of its 318 s wall; event-log
+      // evidence, BENCH_NOTES r12). Compute-dense text scans want the
+      // split floor well below the byte heuristic; 256 KB still packs
+      // small files sanely. At 100 TB corpora arrive as many files and
+      // this knob is moot — it exists for the single-file probe shape.
+      .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -143,7 +143,7 @@ object Pipeline {
              THEN transform(sequence(1, length(word)), i -> substring(word, i, 1))
              ELSE array() END"""))
       .withColumn("prs", pairExpr)
-      .persist()
+      .transform(pinOnce)
     var recs = Seq.empty[DataFrame]
     for (r <- 1 to rounds) {
       val best = wf.select(col("wf"), explode(col("prs")).as("p"))
@@ -152,7 +152,7 @@ object Pipeline {
         .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("m"))
         .select(col("m.a").as("best_a"), col("m.b").as("best_b"),
           (-col("m.nc")).as("best_cnt"))
-        .persist() // one row; the merge AND the rule record read it
+        .transform(pinOnce) // one row; the merge AND the rule record read it
       recs = recs :+ best.filter(col("best_a").isNotNull)
         .select(lit("merge").as("kind"), lit(r).cast("int").as("rank"),
           concat(col("best_a"), lit(" "), col("best_b")).as("piece"),
@@ -180,7 +180,7 @@ object Pipeline {
              ELSE syms END"""))
         .select(col("word"), col("wf"), col("syms"))
         .withColumn("prs", pairExpr)
-        .persist()
+        .transform(pinOnce)
     }
     (recs, wf)
   }
@@ -416,6 +416,19 @@ object Pipeline {
     * host's disk dry. 5× redundant evals of a fused 64-mult loop is
     * noise; a candidate-mass array shuffle is the cliff. Returns one
     * row per unordered candidate pair: (id_a < id_b, cos_sim 4dp).
+    * Hybrid kernel placement (round 12, the r11 verdict's optional
+    * task 7): while the corpus is small (rows ≤
+    * graft.lsh.vecBroadcastCap — see the measured-default note at the
+    * knob), the self-join moves IDS ONLY, distincts the candidate
+    * pairs, and joins both vectors back from ONE broadcast dim —
+    * map-side, so the r11 cliff (a candidate-mass vector SHUFFLE)
+    * cannot reopen, and the kernel runs once per unique pair (~5×
+    * fewer evals at sf0.1: the d13/d54 latency the in-join shape
+    * paid). Past the cap — the probe and 100 TB regimes — vectors
+    * ride the banded join and collisions dedup after scoring, exactly
+    * the shape the sf10 probe certified. Both paths score identical
+    * pairs with the identical kernel, so results are bit-equal
+    * (spec-pinned both ways via the cap knob).
     * Degenerate-bucket guard (round 12, closing the r11 residual): a
     * pathological bucket (mass-duplicate vectors after a bad upstream
     * join — occupancy ≫ the [[adaptiveBits]] target) would concentrate
@@ -436,7 +449,8 @@ object Pipeline {
       .withColumn("vec", col("embedding").cast("array<double>"))
     // occupancy knob: session conf (specs), env (one-off oracle
     // certification runs through Verify), default 80 (the contract)
-    val bits = adaptiveBits(T(s, dir, "embeddings").count(),
+    val nVec = T(s, dir, "embeddings").count()
+    val bits = adaptiveBits(nVec,
       s.conf.get("graft.lsh.occupancy",
         sys.env.getOrElse("GRAFT_LSH_OCCUPANCY", "80")).toLong)
     // The SLIM scored-pair stream goes through the registry (keyed by
@@ -447,23 +461,56 @@ object Pipeline {
     // plane-dot pass), which beats pinning corpus × 48 × vec rows in
     // storage for the JVM lifetime (review finding).
     val saltCap = s.conf.get("graft.lsh.saltCap", "2000").toInt
-    cachedHelper(s, dir, s"lshScoredPairs:$bits:$saltCap") {
+    // Cap default 10 k, set by measurement not by broadcast-size limits
+    // (a 250 k cap would broadcast fine): the r12 sf10 probe measured
+    // the broadcast path at ~12 µs/pair — per-pair hash-map probes +
+    // per-row vector materialization — losing to the streaming in-join
+    // kernel once candidate mass ≫ corpus (d13: 290.9 s vs the in-join
+    // 197.7 s at 200 k vectors / 351 M pairs). 10 k covers the regime
+    // where pair counts are small and the one-eval-per-pair saving is
+    // the whole cost (the bench SFs), and leaves every probed scale on
+    // the sf10-certified in-join shape.
+    val vecCap = s.conf.get("graft.lsh.vecBroadcastCap", "10000").toLong
+    cachedHelper(s, dir, s"lshScoredPairs:$bits:$saltCap:${nVec <= vecCap}") {
       val banded = emb.select(col("vec_id"), col("vec"),
         explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
       val bktSizes = banded.groupBy(col("bkt")).agg(count(lit(1)).as("bkt_n"))
       val sized = banded.join(broadcast(bktSizes), "bkt")
         .withColumn("nsalt", ceil(col("bkt_n") / lit(saltCap.toDouble)).cast("int"))
-      val a = sized.select(col("bkt"),
-        pmod(col("vec_id"), col("nsalt")).cast("int").as("salt"),
-        col("vec_id").as("id_a"), col("vec").as("vec_a"))
-      val b = sized.select(col("bkt").as("bkt2"),
-        explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
-        col("vec_id").as("id_b"), col("vec").as("vec_b"))
-      a.join(b, col("bkt") === col("bkt2") && col("salt") === col("salt2") &&
-          col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
-        .groupBy("id_a", "id_b").agg(first(col("cos_sim")).as("cos_sim"))
+      if (nVec <= vecCap) {
+        // broadcast-dim path: ids-only banded self-join → distinct
+        // pairs → map-side vector lookups → one kernel eval per pair
+        val a = sized.select(col("bkt"),
+          pmod(col("vec_id"), col("nsalt")).cast("int").as("salt"),
+          col("vec_id").as("id_a"))
+        val b = sized.select(col("bkt").as("bkt2"),
+          explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
+          col("vec_id").as("id_b"))
+        val cand = a.join(b, col("bkt") === col("bkt2") &&
+            col("salt") === col("salt2") && col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val dim = broadcast(emb.select(col("vec_id"), col("vec")))
+        cand
+          .join(dim.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), "id_a")
+          .join(dim.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
+      } else {
+        // in-join path: vectors ride the banded join, kernel scores
+        // every collision, dedup after — no candidate-mass vector
+        // shuffle anywhere (the sf10-certified shape)
+        val a = sized.select(col("bkt"),
+          pmod(col("vec_id"), col("nsalt")).cast("int").as("salt"),
+          col("vec_id").as("id_a"), col("vec").as("vec_a"))
+        val b = sized.select(col("bkt").as("bkt2"),
+          explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
+          col("vec_id").as("id_b"), col("vec").as("vec_b"))
+        a.join(b, col("bkt") === col("bkt2") && col("salt") === col("salt2") &&
+            col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
+          .groupBy("id_a", "id_b").agg(first(col("cos_sim")).as("cos_sim"))
+      }
     }
   }
 
@@ -631,6 +678,18 @@ object Pipeline {
     // cache entry was dropped, so every consuming query still reads ONE
     // persisted labeling (persist is skipped when already live — that
     // skip is exactly what kills the "already cached" warnings).
+    pinOnce(df)
+  }
+
+  /** persist() that first consults the CacheManager BY PLAN (round 12:
+    * Dataset.storageLevel does a cacheManager lookup on the logical
+    * plan, not an object-identity check) — a second invocation of the
+    * same query on the same dir builds an identical plan, and a bare
+    * persist() there logs CacheManager's "already cached" warning once
+    * per call site while reusing the cache anyway. Skipping the
+    * redundant call is behavior-identical and keeps spec-suite runs
+    * warning-free, the same discipline bench earned in round 11. */
+  private def pinOnce(df: DataFrame): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
     df
   }
@@ -823,7 +882,7 @@ object Pipeline {
     val emb = T(s, dir, "embeddings")
       .withColumn("vec", col("embedding").cast("array<double>"))
       .select("vec_id", "vec")
-      .persist() // scanned once per Lloyd iteration
+      .transform(pinOnce) // scanned once per Lloyd iteration
     var cents = emb.filter(col("vec_id") < kCells)
       .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
     var used = cents
@@ -878,7 +937,7 @@ object Pipeline {
       val banded = withShingles(T(s, dir, "documents"))
         .select(col("doc_id"),
           posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "band_key")))
-        .persist()
+        .transform(pinOnce)
       val a = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
       val b = banded.select(col("band").as("band2"), col("band_key").as("band_key2"),
         col("doc_id").as("doc_b"))
@@ -900,7 +959,7 @@ object Pipeline {
           posexplode(expr(
             "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
             .as(Seq("chunk", "chunk_val")))
-        .persist() // both self-join sides; one simhash pass
+        .transform(pinOnce) // both self-join sides; one simhash pass
       val a = chunks.select(col("chunk"), col("chunk_val"),
         col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
       val b = chunks.select(col("chunk").as("chunk2"), col("chunk_val").as("chunk_val2"),
@@ -1082,10 +1141,9 @@ object Pipeline {
       // (within-group estimates are exactly 1.0 — every component
       // agrees). Without the collapse, this corpus's 248-doc identical
       // cliques alone put ~10⁶ collision rows per band into the
-      // distinct. One token pass computes signature AND band keys; band
-      // self-join moves (key, id) only; the 128-long signatures join
-      // back per-rep from a broadcast dim (shuffle join on rep_id at
-      // 100 TB) — tokens never shuffle anywhere.
+      // distinct. One token pass computes signature AND band keys;
+      // tokens never shuffle anywhere; how signatures reach the kernel
+      // is corpus-adaptive (see below).
       val w = collapsedWordSets(s, dir) // registry-persisted token pass
       val reps = w.groupBy(col("gid"))
         .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
@@ -1093,28 +1151,55 @@ object Pipeline {
         reps.select(col("gid"), col("rep_id"), expr("minhash_sig(wset)").as("sig"),
           expr("minhash_bands(wset, 16)").as("keys"))
       }
-      val banded = base.select(col("rep_id"), explode(col("keys")).as("key"))
-      val a = banded.select(col("key"), col("rep_id").as("r_a"))
-      val b = banded.select(col("key").as("key2"), col("rep_id").as("r_b"))
-      val candRep = a.join(b, col("key") === col("key2") && col("r_a") < col("r_b"))
-        .select("r_a", "r_b").distinct()
-      // Adaptive sig-dim strategy (round 12 — the d15 fix, applied to
-      // the LAST corpus-growing unconditional broadcast in the repo):
-      // signatures are a FIXED ~1 KB/rep (128 longs + array overhead),
-      // so the byte gate reduces to a rep count — broadcast while reps
-      // ≤ 100 k (~100 MB), id-keyed equi join (AQE-planned) past it.
-      // The count is free: base is persisted and every downstream
-      // consumer materializes it. The knob exists so PlanAuditSpec can
-      // drive the flip both ways on a small corpus.
+      // Adaptive sig strategy, round-12 SECOND cut. First cut (the d15
+      // fix verbatim: broadcast the sig dim below a rep cap, id-keyed
+      // equi joins past it) CRASHED the sf10 probe — flipped to shuffle
+      // joins, every candidate row sorts through two exchanges with a
+      // ~1 KB signature attached (the lshScoredPairs r11 cliff, sigs
+      // for vectors; ~70 GB of sort spill filled the disk). The join
+      // that is safe at every scale is the one whose shuffled bytes are
+      // linear in REPS, not candidates: past the cap, signatures ride
+      // the BAND self-join (reps × 16 bands × 1 KB — at 100 TB that is
+      // cluster-aggregate shuffle volume, evenly hash-partitioned) and
+      // sig_match_frac scores each collision in-join; collisions dedup
+      // AFTER scoring on slim (r_a, r_b, est) rows. Mega band-buckets
+      // (mass near-dup short docs) chunk-salt with the d4Pairs idiom so
+      // no bucket's pair scan lands in one task. Below the cap the dim
+      // broadcasts and the band join moves ids only — one kernel eval
+      // per distinct pair, zero redundancy (the small-corpus fast path).
+      // Both paths score identical pairs with the identical kernel.
       val sigCap = s.conf.get("graft.d23.sigBroadcastCap", "100000").toLong
-      val sigDim = base.select(col("rep_id"), col("sig"))
-      val dim = if (base.count() <= sigCap) broadcast(sigDim) else sigDim
-      val repPairs = candRep
-        .join(dim.select(col("rep_id").as("r_a"), col("sig").as("sig_a")), "r_a")
-        .join(dim.select(col("rep_id").as("r_b"), col("sig").as("sig_b")), "r_b")
-        .select(col("r_a"), col("r_b"),
-          round(expr("sig_match_frac(sig_a, sig_b)"), 4).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.7)
+      val saltCap = s.conf.get("graft.lsh.saltCap", "2000").toInt
+      val repPairs = (if (base.count() <= sigCap) {
+        val banded = base.select(col("rep_id"), explode(col("keys")).as("key"))
+        val a = banded.select(col("key"), col("rep_id").as("r_a"))
+        val b = banded.select(col("key").as("key2"), col("rep_id").as("r_b"))
+        val candRep = a.join(b, col("key") === col("key2") && col("r_a") < col("r_b"))
+          .select("r_a", "r_b").distinct()
+        val dim = broadcast(base.select(col("rep_id"), col("sig")))
+        candRep
+          .join(dim.select(col("rep_id").as("r_a"), col("sig").as("sig_a")), "r_a")
+          .join(dim.select(col("rep_id").as("r_b"), col("sig").as("sig_b")), "r_b")
+          .select(col("r_a"), col("r_b"),
+            round(expr("sig_match_frac(sig_a, sig_b)"), 4).as("est_jaccard"))
+      } else {
+        val banded = base.select(col("rep_id"), col("sig"),
+          explode(col("keys")).as("key"))
+        val keySizes = banded.groupBy(col("key")).agg(count(lit(1)).as("key_n"))
+        val sized = banded.join(broadcast(keySizes), "key")
+          .withColumn("nsalt", ceil(col("key_n") / lit(saltCap.toDouble)).cast("int"))
+        val a = sized.select(col("key"),
+          pmod(col("rep_id"), col("nsalt")).cast("int").as("salt"),
+          col("rep_id").as("r_a"), col("sig").as("sig_a"))
+        val b = sized.select(col("key").as("key2"),
+          explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
+          col("rep_id").as("r_b"), col("sig").as("sig_b"))
+        a.join(b, col("key") === col("key2") && col("salt") === col("salt2") &&
+            col("r_a") < col("r_b"))
+          .select(col("r_a"), col("r_b"),
+            round(expr("sig_match_frac(sig_a, sig_b)"), 4).as("est_jaccard"))
+          .groupBy("r_a", "r_b").agg(first(col("est_jaccard")).as("est_jaccard"))
+      }).filter(col("est_jaccard") >= 0.7)
       // membership is DOC-count-sized (one 16 B id pair per doc) — the
       // d15 gate verbatim
       val mFrame = w.select(col("gid"), col("doc_id"))
@@ -1534,7 +1619,7 @@ object Pipeline {
       // this is the checkpointed term-frequency table), instead of
       // re-exploding the token stream three times (audited via Explain:
       // the naive shape scanned + shuffled the heaviest intermediate 3×)
-      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt")).persist()
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt")).transform(pinOnce)
       val totals = tf.groupBy("doc_id").agg(sum(col("cnt")).as("total"))
       val dfreq = tf.groupBy("word").agg(count(lit(1)).as("dfreq"))
       val n = docs.agg(count(lit(1)).as("n_docs")).withColumn("one", lit(1))
@@ -1579,7 +1664,7 @@ object Pipeline {
       // one explode; frequencies and the instance-weighted mean both
       // come from the (doc, word, cnt) aggregate, so the word join moves
       // distinct pairs, not token instances (d16's audit finding)
-      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt")).persist()
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt")).transform(pinOnce)
       val freq = tf.groupBy("word").agg(sum(col("cnt")).as("wfreq"))
       val total = freq.agg(sum(col("wfreq")).as("n_total")).withColumn("one", lit(1))
       tf.join(freq, "word")
@@ -1631,7 +1716,7 @@ object Pipeline {
     "d25_contamination" -> { (s, dir) =>
       val sh = withShingles(T(s, dir, "documents"))
         .select(col("doc_id"), col("shingles"))
-        .persist() // benchmark side + training side + totals: one pass
+        .transform(pinOnce) // benchmark side + training side + totals: one pass
       val bench = sh.filter(col("doc_id") % 97 === 0)
         .select(explode(col("shingles")).as("shingle")).distinct()
       val train = sh.filter(col("doc_id") % 97 =!= 0)
@@ -1719,7 +1804,7 @@ object Pipeline {
       val emb = T(s, dir, "embeddings")
         .withColumn("vec", col("embedding").cast("array<double>"))
         .select("vec_id", "vec")
-        .persist() // consumed by centroids, assignment, queries, rerank
+        .transform(pinOnce) // consumed by centroids, assignment, queries, rerank
       val centArr = centroidArray(emb.orderBy("vec_id").limit(nCells)
         .select(col("vec_id").as("cid"), col("vec").as("cvec")))
       val cellOf = emb.crossJoin(centArr)
@@ -1797,7 +1882,7 @@ object Pipeline {
                THEN array_distinct(transform(sequence(0, size(words) - 3),
                       i -> concat_ws(' ', slice(words, i + 1, 3))))
                ELSE array(concat_ws(' ', words)) END"""))
-        .persist() // benchmark side + survivor side read the same pass
+        .transform(pinOnce) // benchmark side + survivor side read the same pass
       // stage 1: quality bounds
       val quality = docs.filter(col("n_tok").between(20, 400) && col("dup_pm") < 300)
       // stage 2: exact dedup — keep the min doc_id per content hash
@@ -1853,7 +1938,7 @@ object Pipeline {
                  THEN transform(sequence(0, size(words) div $K - 1),
                         i -> md5(concat_ws(' ', slice(words, i * $K + 1, $K))))
                  ELSE array() END""").as("hchunks"))
-        .persist() // chunk-explode side + final per-doc join read one pass
+        .transform(pinOnce) // chunk-explode side + final per-doc join read one pass
       val chunks = base.select(col("doc_id"), explode(col("hchunks")).as("h"))
       val dup = chunks.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -1890,7 +1975,7 @@ object Pipeline {
                       i -> md5(concat_ws(' ', slice(words, i + 1, $W)))))
                ELSE array(md5(concat_ws(' ', words))) END"""))
         .withColumn("thash", md5(col("text")))
-        .persist() // batch and existing sides split one tokenize pass
+        .transform(pinOnce) // batch and existing sides split one tokenize pass
       val batch = docs.filter(col("doc_id") % 5 === 0)
       val existing = docs.filter(col("doc_id") % 5 =!= 0)
       val exact = batch
@@ -2144,7 +2229,7 @@ object Pipeline {
       val words = withWords(T(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
       val tf = words.groupBy("doc_id", "lang", "word")
-        .agg(count(lit(1)).as("cnt")).persist()
+        .agg(count(lit(1)).as("cnt")).transform(pinOnce)
       val freq = tf.groupBy("word").agg(sum(col("cnt")).as("wfreq"))
       val total = freq.agg(sum(col("wfreq")).as("n_total")).withColumn("one", lit(1))
       val scored = tf.join(freq, "word")
@@ -2180,7 +2265,7 @@ object Pipeline {
       val emb = T(s, dir, "embeddings")
         .withColumn("vec", col("embedding").cast("array<double>"))
         .select("vec_id", "vec")
-        .persist() // centroids, assignment and both pair sides share it
+        .transform(pinOnce) // centroids, assignment and both pair sides share it
       val centArr = centroidArray(emb.filter(col("vec_id") < kCells)
         .select(col("vec_id").as("cid"), col("vec").as("cvec")))
       val cellOf = emb.crossJoin(centArr)
@@ -2216,7 +2301,7 @@ object Pipeline {
       val docs = withWords(T(s, dir, "documents"))
         .select(col("doc_id"), col("words"),
           size(col("words")).cast("double").as("dl"))
-        .persist() // corpus stats + hit scan read one tokenize pass
+        .transform(pinOnce) // corpus stats + hit scan read one tokenize pass
       val stats = docs
         .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
         .withColumn("one", lit(1))
@@ -2337,7 +2422,7 @@ object Pipeline {
         .withColumn("h", bucket)
         .groupBy(col("doc_id"), col("h"))
         .agg(count(lit(1)).as("cnt"), first(col("lang")).as("lang"))
-        .persist() // shared by the dictionary pass and the score pass;
+        .transform(pinOnce) // shared by the dictionary pass and the score pass;
                    // Bench/Verify clearCache() between entries (d22's recipe)
       val bstats = pairs.groupBy(col("h"))
         .agg(sum(col("cnt")).as("cnt_r"),
@@ -2436,7 +2521,7 @@ object Pipeline {
                i -> struct(words[i] AS w1, words[i + 1] AS w2))""")).as("b"))
         .select(col("doc_id"), col("b.w1"), col("b.w2"))
       val tf2 = bg.groupBy("doc_id", "w1", "w2")
-        .agg(count(lit(1)).cast("double").as("cnt")).persist()
+        .agg(count(lit(1)).cast("double").as("cnt")).transform(pinOnce)
       val c2 = tf2.groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
       val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
       tf2.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -2502,7 +2587,7 @@ object Pipeline {
         .withColumn("h", bucket)
         .groupBy(col("doc_id"), col("h"))
         .agg(count(lit(1)).as("cnt"), first(col("lang")).as("lang"))
-        .persist() // train + score read the same tokenize pass
+        .transform(pinOnce) // train + score read the same tokenize pass
       val bl = pairs.groupBy(col("lang"), col("h")).agg(sum(col("cnt")).as("c_lh"))
       val lt = bl.groupBy(col("lang")).agg(sum(col("c_lh")).as("n_l"))
       val dc = pairs.select("doc_id", "lang").distinct()
@@ -2569,7 +2654,7 @@ object Pipeline {
                 struct(m AS sub, slice(vec, m * $subDim + 1, $subDim) AS svec))"""))
           .as("e"))
         .select(col("vec_id"), col("e.sub"), col("e.svec"))
-        .persist() // read by train, encode, and LUT passes
+        .transform(pinOnce) // read by train, encode, and LUT passes
       val seeds = subs.filter(col("vec_id") < K)
         .select(col("sub"), col("vec_id").cast("int").as("cid"),
           col("svec").as("cvec"))
@@ -2594,7 +2679,7 @@ object Pipeline {
         .groupBy("sub", "cid").agg(expr(
           "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
           .as("cvec"))
-        .persist() // encode + LUT read the trained codebook
+        .transform(pinOnce) // encode + LUT read the trained codebook
       val codes = subs.join(subArray(cb), Seq("sub"))
         .withColumn("best", argBest(sqdToCent, asc = true, scType = "bigint"))
         .select(col("vec_id"), col("sub"), col("best.cid").as("cid"))
@@ -2732,7 +2817,7 @@ object Pipeline {
                i -> struct(words[i] AS w1, words[i + 1] AS w2))""")).as("b"))
         .select(col("doc_id"), col("b.w1"), col("b.w2"))
       val tf2 = bg.groupBy("doc_id", "w1", "w2")
-        .agg(count(lit(1)).as("cnt")).persist()
+        .agg(count(lit(1)).as("cnt")).transform(pinOnce)
       val c2 = tf2.groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
       val pre = c2.groupBy("w1")
         .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_w1"))
@@ -3009,7 +3094,7 @@ object Pipeline {
         // 23 s vs 0.4 s at sf0.01). Materializing the tiny per-doc
         // (n_grams, n_selected, mins) frame makes every consumer a
         // cache read — d31's explode-side idiom.
-        .persist()
+        .transform(pinOnce)
       val fps = sel.select(col("doc_id"),
           explode(col("mins")).as("ck"))
         .select(col("doc_id"), substring(col("ck"), 1, 32).as("fp"))
@@ -3048,7 +3133,7 @@ object Pipeline {
         .groupBy("lang").agg(sum("n_tok").as("lang_tokens"))
         .withColumn("weight", expr(
           "cast(floor(sqrt(cast(lang_tokens * 1000000 as double))) as bigint)"))
-        .persist() // per-lang table; totals + rates read it, not the corpus twice
+        .transform(pinOnce) // per-lang table; totals + rates read it, not the corpus twice
       val tot = byLang.agg(sum("lang_tokens").as("total_tokens"),
         sum("weight").as("total_weight"))
       byLang.crossJoin(broadcast(tot))
@@ -3087,7 +3172,7 @@ object Pipeline {
         .select(col("doc_id"), col("idx").cast("long").as("idx"),
           md5(col("line")).as("h"),
           expr("cast(size(split(line, '\\\\s+')) as bigint)").as("n_tok"))
-        .persist() // keeper argmin + flagging join read one line pass
+        .transform(pinOnce) // keeper argmin + flagging join read one line pass
       val kd = lines.groupBy("h").agg(min("doc_id").as("kdoc"))
       val keeper = lines.select("h", "doc_id", "idx")
         .join(kd, Seq("h")).filter(col("doc_id") === col("kdoc"))
@@ -3125,7 +3210,7 @@ object Pipeline {
       val K = 20L
       val canon = withCanonDomain(T(s, dir, "documents"))
         .select("doc_id", "domain", "canon_url")
-        .persist() // rank chain, domain counts, and final join share it
+        .transform(pinOnce) // rank chain, domain counts, and final join share it
       val salted = canon
         .withColumn("rs", row_number().over(
           Window.partitionBy(col("domain"), pmod(col("doc_id"), lit(64L)))
@@ -3164,7 +3249,7 @@ object Pipeline {
       val q = withQuality(withWords(T(s, dir, "documents")))
         .select(col("doc_id"),
           expr("cast(round(quality_score * 10000) as bigint)").as("score_m"))
-        .persist() // histogram + count + final flagging: one quality pass
+        .transform(pinOnce) // histogram + count + final flagging: one quality pass
       val hist = q.groupBy("score_m").agg(count(lit(1)).as("c"))
       val cum = hist.withColumn("cum",
         sum("c").over(Window.orderBy(desc("score_m"))
@@ -3282,7 +3367,7 @@ object Pipeline {
           .as("ch"))
         .filter(col("ch") =!= " ")
         .groupBy("ch").agg(count(lit(1)).as("cnt"))
-        .persist() // charset-sized; totals + rank read it without a 2nd corpus pass
+        .transform(pinOnce) // charset-sized; totals + rank read it without a 2nd corpus pass
       val tot = cf.agg(sum("cnt").as("total"))
       cf.withColumn("rank", row_number().over(
           Window.orderBy(desc("cnt"), asc("ch"))))
@@ -3398,7 +3483,7 @@ object Pipeline {
       val B = 32L
       val toks = withWords(T(s, dir, "documents"))
         .select(col("doc_id"), size(col("words")).cast("long").as("n_tok"))
-        .persist() // class histogram + bucket counts + cell ranks: one pass
+        .transform(pinOnce) // class histogram + bucket counts + cell ranks: one pass
       val offL = toks.groupBy("n_tok").agg(count(lit(1)).as("c"))
         .withColumn("off",
           coalesce(sum("c").over(Window.orderBy(desc("n_tok"))
@@ -3499,7 +3584,7 @@ object Pipeline {
       val tf = withWords(T(s, dir, "documents"))
         .select(col("doc_id"), explode(col("words")).as("term"))
         .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-        .persist() // term stats + winner postings read one (term,doc) pass
+        .transform(pinOnce) // term stats + winner postings read one (term,doc) pass
       val st = tf.groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       val top = st
         .withColumn("bk", pmod(crc32(col("term")), lit(64)))
@@ -3510,7 +3595,7 @@ object Pipeline {
           Window.orderBy(desc("df"), asc("term"))).cast("int"))
         .filter(col("rank") <= TOP)
         .select("rank", "term", "df", "cf")
-        .persist() // 50 rows, read twice: the semi-gate and the stats join
+        .transform(pinOnce) // 50 rows, read twice: the semi-gate and the stats join
       val firstK = tf
         .join(broadcast(top.select("term")), Seq("term"), "left_semi")
         .withColumn("rs", row_number().over(
@@ -3803,7 +3888,7 @@ object Pipeline {
                         CASE WHEN j = 1 THEN 0 ELSE element_at(ends, j - 1) END))))
              END"""))
         .select(col("doc_id"), col("n"), col("chunks"))
-        .persist() // the explode AND the final doc join read one hash pass
+        .transform(pinOnce) // the explode AND the final doc join read one hash pass
       val occ = docs.select(col("doc_id"), expr("inline(chunks)"))
       val kd = occ.groupBy("ch").agg(min("doc_id").as("kdoc"))
       val keeper = occ.join(kd, Seq("ch")).filter(col("doc_id") === col("kdoc"))
@@ -3911,7 +3996,7 @@ object Pipeline {
             }
           }
         }.toDF("doc_id", "b0", "b1", "b2", "b3")
-        .persist() // band explode + pair rerank + final join read one decode pass
+        .transform(pinOnce) // band explode + pair rerank + final join read one decode pass
       val bands = hashes.select(col("doc_id"),
           posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
             .as(Seq("k", "bv")))
@@ -3927,7 +4012,7 @@ object Pipeline {
         .withColumn("hamming", expr(
           """bit_count(a0 ^ c0) + bit_count(a1 ^ c1) +
              bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"""))
-        .persist() // both direction counts read one candidate pass
+        .transform(pinOnce) // both direction counts read one candidate pass
       val perDoc = pairs.select(col("da").as("doc_id"), col("hamming"))
         .unionAll(pairs.select(col("db").as("doc_id"), col("hamming")))
         .groupBy("doc_id").agg(
@@ -3970,7 +4055,7 @@ object Pipeline {
         .filter(col("n_tok") >= 16)
         .withColumn("pkey", md5(expr("concat_ws(' ', slice(words, 1, 16))")))
         .select("doc_id", "pkey", "n_tok", "words")
-        .persist() // group agg + member verification read one pass
+        .transform(pinOnce) // group agg + member verification read one pass
       val keepers = wd.groupBy("pkey").agg(
           count(lit(1)).as("gsz"),
           expr("""max_by(named_struct('kid', doc_id, 'kn', n_tok, 'kwords', words),
@@ -4007,9 +4092,9 @@ object Pipeline {
                THEN array_distinct(transform(sequence(0, size(words) - 3),
                       i -> md5(concat_ws(' ', words[i], words[i + 1], words[i + 2]))))
                ELSE cast(array() as array<string>) END""").as("grams"))
-        .persist() // the explode AND the final all-docs join read one gram pass
+        .transform(pinOnce) // the explode AND the final all-docs join read one gram pass
       val occ = ga.select(col("doc_id"), explode(col("grams")).as("g"))
-        .persist() // first-occurrence argmin + per-doc flagging read one explode
+        .transform(pinOnce) // first-occurrence argmin + per-doc flagging read one explode
       val fd = occ.groupBy("g").agg(min("doc_id").as("fdoc"))
       val perDoc = occ.join(fd, Seq("g"))
         .groupBy("doc_id").agg(
@@ -4046,7 +4131,7 @@ object Pipeline {
         .select(col("vec_id"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
         .select(col("dim").cast("long").as("dim"), col("x"))
-        .persist() // absmax AND the quant pass read one explode
+        .transform(pinOnce) // absmax AND the quant pass read one explode
       val am = ex.groupBy("dim").agg(max(abs(col("x"))).as("absmax"))
       ex.join(broadcast(am), Seq("dim"))
         .withColumn("q", expr(
@@ -4086,10 +4171,10 @@ object Pipeline {
       val w = collapsedWordSets(s, dir) // registry-persisted token pass
       val reps = w.groupBy(col("gid"))
         .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
-        .persist() // band keys + nothing else re-derives signatures
+        .transform(pinOnce) // band keys + nothing else re-derives signatures
       val keys = reps.select(col("rep_id"),
           explode(expr("minhash_bands(wset, 16)")).as("bkey"))
-        .persist() // both sides of the shared-band semi read it
+        .transform(pinOnce) // both sides of the shared-band semi read it
       val side = w.select(col("doc_id"), col("gid"))
         .join(reps.select(col("gid"), col("rep_id")), Seq("gid"))
         .join(w.select(col("doc_id"), col("wset")), Seq("doc_id"))
@@ -4103,7 +4188,7 @@ object Pipeline {
         .withColumn("uni", expr("cast(size(sa) + size(sb) as bigint) - inter"))
         .withColumn("decile", expr("cast(least(9L, inter * 10 div uni) as int)"))
         .select("da", "db", "ra", "rb", "decile")
-        .persist() // the shared-band probe and the decile agg read one pass
+        .transform(pinOnce) // the shared-band probe and the decile agg read one pass
       val shared = pairs.filter(col("ra") =!= col("rb"))
         .join(keys.select(col("rep_id").as("ra"), col("bkey")), Seq("ra"))
         .join(keys.select(col("rep_id").as("rb"), col("bkey")), Seq("rb", "bkey"))
@@ -4139,7 +4224,7 @@ object Pipeline {
       val docs = withWords(T(s, dir, "documents"))
         .select(col("doc_id"), col("words"),
           size(col("words")).cast("double").as("dl"))
-        .persist() // stats + postings + query side read one tokenize pass
+        .transform(pinOnce) // stats + postings + query side read one tokenize pass
       val stats = docs
         .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
         .withColumn("one", lit(1))
@@ -4156,11 +4241,11 @@ object Pipeline {
         .select(col("doc_id"), col("dl"), xxhash64(col("word")).as("wid"))
         .groupBy("doc_id", "dl", "wid")
         .agg(count(lit(1)).cast("double").as("cnt"))
-        .persist() // document frequencies + the probe join read one pass
+        .transform(pinOnce) // document frequencies + the probe join read one pass
       val dfreq = tf.groupBy("wid").agg(count(lit(1)).cast("double").as("dfreq"))
       val qd = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"), array_distinct(col("words")).as("qw"))
-        .persist() // the explode reads the cache
+        .transform(pinOnce) // the explode reads the cache
       val qterms = qd.select(col("query_id"), explode(col("qw")).as("word"))
         .select(col("query_id"), xxhash64(col("word")).as("wid"))
       val scored = qterms.join(tf, Seq("wid"))
@@ -4205,7 +4290,7 @@ object Pipeline {
         .select(col("source"), col("lang"),
           col("n_tokens").cast("long").as("nt"),
           expr("cast(round(quality_score * 10000) as bigint)").as("score_m"))
-        .persist() // the card aggregate and the median histogram read one pass
+        .transform(pinOnce) // the card aggregate and the median histogram read one pass
       val card = q.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum("nt").as("n_tokens"),
@@ -4248,13 +4333,13 @@ object Pipeline {
       val emb = T(s, dir, "embeddings")
         .withColumn("vec", col("embedding").cast("array<double>"))
         .select("vec_id", "label", "vec")
-        .persist() // seeds + assignment read one pass
+        .transform(pinOnce) // seeds + assignment read one pass
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
       val asg = emb.crossJoin(centroidArray(cents))
         .withColumn("best", argBest(euclidToCent("vec"), asc = true))
         .select(col("vec_id"), col("label"), col("vec"), col("best.cid").as("cid"))
-        .persist() // both pair sides + the final left join read one assignment
+        .transform(pinOnce) // both pair sides + the final left join read one assignment
       val x = asg.select(col("cid"), col("vec_id").as("ida"),
         col("label").as("la"), col("vec").as("va"))
       val y = asg.select(col("cid"), col("vec_id").as("idb"),
@@ -4351,10 +4436,10 @@ object Pipeline {
                THEN array_distinct(transform(sequence(0, size(words) - 5),
                       i -> md5(concat_ws(' ', slice(words, i + 1, 5)))))
                ELSE cast(array() as array<string>) END""").as("grams"))
-        .persist() // the d61 lesson: the explode reads the cache
+        .transform(pinOnce) // the d61 lesson: the explode reads the cache
       val occ = sg.select(col("source"), explode(col("grams")).as("g"))
         .distinct()
-        .persist() // totals + both pair sides read one distinct pass
+        .transform(pinOnce) // totals + both pair sides read one distinct pass
       val tot = occ.groupBy("source").agg(count(lit(1)).as("tot"))
       occ.as("a").join(occ.as("b"),
           col("a.g") === col("b.g") && col("a.source") < col("b.source"))
@@ -4395,7 +4480,7 @@ object Pipeline {
         .filter(col("n_tok") >= 16)
         .withColumn("pkey", md5(expr("concat_ws(' ', slice(words, 1, 16))")))
         .select("doc_id", "pkey", "n_tok", "words")
-        .persist() // keeper election + member verification read one pass
+        .transform(pinOnce) // keeper election + member verification read one pass
       val keepers = wd.groupBy("pkey").agg(
           count(lit(1)).as("gsz"),
           expr("""max_by(named_struct('kid2', doc_id, 'kwords', words),
@@ -4480,7 +4565,7 @@ object Pipeline {
                THEN transform(sequence(0, size(words) - 2),
                       i -> named_struct('a', words[i], 'b', words[i + 1]))
                ELSE array() END""").as("prs"))
-        .persist() // unigram explode + bigram explode read one tokenize pass
+        .transform(pinOnce) // unigram explode + bigram explode read one tokenize pass
       val uni = w.select(explode(col("words")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
       val nTok = uni.agg(sum("c").as("n_tok")).withColumn("one", lit(1))
@@ -4574,7 +4659,7 @@ object Pipeline {
       val proj = emb.select(
         col("vec_id") +: col("vec") +:
           (0 until 8).map(j => expr(rpProj("vec", j, 0)).as(s"p$j")): _*)
-        .persist()
+        .transform(pinOnce)
       val b = proj.select(
         col("vec_id").as("b_vec_id") +: col("vec").as("b_vec") +:
           (0 until 8).map(j => col(s"p$j").as(s"bp$j")): _*)
@@ -4615,7 +4700,7 @@ object Pipeline {
         .select(col("tok") +: col("n") +: (0 until 4).map(r => expr(
           s"cast(conv(substring(md5(concat('graft-cm:$r:', tok)), 1, 2), 16, 10) as int)")
           .as(s"c$r")): _*)
-        .persist() // sketch build + truth probe read one hash pass
+        .transform(pinOnce) // sketch build + truth probe read one hash pass
       val cells = hashed.select(col("n"), explode(expr(
           """array(named_struct('r', 0, 'c', c0), named_struct('r', 1, 'c', c1),
                    named_struct('r', 2, 'c', c2), named_struct('r', 3, 'c', c3))"""))
@@ -4717,7 +4802,7 @@ object Pipeline {
         .crossJoin(centroidArray(cents))
         .withColumn("best", argBest(euclidToCent("vec"), asc = true))
         .select(col("vec_id"), col("lang"), col("vec"), col("best.cid").as("cid"))
-        .persist() // pair sides + the total en spine read one assignment
+        .transform(pinOnce) // pair sides + the total en spine read one assignment
       val x = asg.filter(col("lang") === "en")
         .select(col("cid"), col("vec_id").as("ida"), col("vec").as("va"))
       val y = asg.filter(col("lang") === "fr")
@@ -4726,7 +4811,7 @@ object Pipeline {
         .withColumn("cos_m", expr(
           "cast(round(cosine_sim(va, vb) * 10000) as bigint)"))
         .select("ida", "idb", "cos_m")
-        .persist() // two top-k rankings + the margin join share the kernel
+        .transform(pinOnce) // two top-k rankings + the margin join share the kernel
       val sx = pr.withColumn("rn", row_number().over(
           Window.partitionBy("ida").orderBy(desc("cos_m"), asc("idb"))))
         .filter(col("rn") <= 4)
@@ -4741,7 +4826,7 @@ object Pipeline {
                THEN cast(floor(1000.0 * 2 * cos_m * kx * ky
                      / (sx * ky + sy * kx) + 0.5) as bigint)
                ELSE cast(-1 as bigint) END"""))
-        .persist() // forward and backward elections read one margin pass
+        .transform(pinOnce) // forward and backward elections read one margin pass
       val fwd = sc.filter(col("margin_pm") >= 0).groupBy("ida")
         .agg(max(struct(col("margin_pm"), (-col("idb")).as("nj"),
           col("cos_m"))).as("fb"))
@@ -4905,7 +4990,7 @@ object Pipeline {
     "d102_vocab_growth" -> { (s, dir) =>
       val toks = withWords(T(s, dir, "documents"))
         .select(col("doc_id"), col("words"))
-        .persist() // decile mass + first-occurrence share one tokenize
+        .transform(pinOnce) // decile mass + first-occurrence share one tokenize
       val bounds = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
         count(lit(1)).as("n_docs"))
       val perB = toks.crossJoin(broadcast(bounds))
@@ -4933,7 +5018,7 @@ object Pipeline {
         .withColumn("n_docs_cum", sum("d0").over(w))
         .withColumn("n_tokens_cum", sum("t0").over(w))
         .withColumn("n_types_cum", sum("y0").over(w))
-        .persist() // ten rows: the fit and the output both read it
+        .transform(pinOnce) // ten rows: the fit and the output both read it
       val fit = cum
         .filter(col("n_tokens_cum") > 0 && col("n_types_cum") > 0)
         .select(
@@ -5155,7 +5240,7 @@ object Pipeline {
         .select(col("doc_id"), col("lang"),
           expr("cast(size(words) as bigint)").as("n_tok"))
         .withColumn("bucket", expr("doc_id div 64"))
-        .persist() // bucket sums + the per-doc pass share one tokenize
+        .transform(pinOnce) // bucket sums + the per-doc pass share one tokenize
       val bs = toks.groupBy("lang", "bucket").agg(sum("n_tok").as("bt"))
         .withColumn("chunk", expr("bucket div 4096"))
       val w1 = Window.partitionBy("lang", "chunk").orderBy("bucket")
@@ -5239,7 +5324,7 @@ object Pipeline {
       val nr = tf.groupBy(col("r0").as("r"))
         .agg(count(lit(1)).as("nt"))
         .withColumn("mass", expr("r * nt"))
-        .persist() // head rows, tail rollup and the N_{r+1} lookup share it
+        .transform(pinOnce) // head rows, tail rollup and the N_{r+1} lookup share it
       val guard = tf.groupBy(lit(1).as("g")).agg(count(lit(1)).as("v"))
       val spine = guard.filter(col("v") > 0)
         .select(explode(expr(
@@ -5283,7 +5368,7 @@ object Pipeline {
       val cell = splits.join(toks, Seq("doc_id"))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-        .persist() // three dimension rollups + the output read it
+        .transform(pinOnce) // three dimension rollups + the output read it
       val bySplit = cell.groupBy("split").agg(sum("n_tokens").as("split_tokens"))
       val byLang = cell.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
       val tot = cell.agg(sum("n_tokens").as("total_tokens"))
@@ -5325,7 +5410,7 @@ object Pipeline {
           .as("score_i"), expr("cast(n_tokens as bigint)").as("n_tok"))
       val g = q.groupBy("score_i")
         .agg(count(lit(1)).as("nd"), sum("n_tok").as("nt"))
-        .persist() // totals + the sweep share the histogram
+        .transform(pinOnce) // totals + the sweep share the histogram
       val tot = g.agg(sum("nd").as("td"), sum("nt").as("tt"))
       val spine = tot.filter(col("td") > 0)
         .select(explode(expr(
@@ -5376,7 +5461,7 @@ object Pipeline {
         .select(col("doc_id"), col("source"), expr(
           """transform(sequence(0, size(words) - 8),
                i -> concat_ws(' ', slice(words, i + 1, 8)))""").as("grams"))
-        .persist() // the count pass and the name-recovery pass read it
+        .transform(pinOnce) // the count pass and the name-recovery pass read it
       val st = wd
         .select(col("doc_id"), col("source"), explode(col("grams")).as("gram"))
         .select(unhex(md5(col("gram"))).as("gkey"), col("doc_id"), col("source"))
@@ -5385,7 +5470,7 @@ object Pipeline {
           countDistinct(col("doc_id")).as("n_docs"),
           countDistinct(col("source")).as("n_sources"))
         .filter(col("n_occurrences") >= 2)
-        .persist() // threshold rank + candidate filter read one aggregate
+        .transform(pinOnce) // threshold rank + candidate filter read one aggregate
       val thr = st.withColumn("bk", pmod(crc32(col("gkey")), lit(64)))
         .withColumn("rb", row_number().over(Window.partitionBy("bk")
           .orderBy(desc("n_occurrences"), asc("gkey"))))
@@ -5397,13 +5482,23 @@ object Pipeline {
         .withColumn("one", lit(1))
       val cand = st.withColumn("one", lit(1)).join(broadcast(thr), "one")
         .filter(col("n_occurrences") >= col("thr"))
-        .persist() // name-recovery semi-join + final rank read one filter
-      // recover gram text for the candidates only (no broadcast hint:
-      // a pathological all-tied corpus can make the boundary tie-group
-      // corpus-sized, and a linear shuffle semi-join absorbs that)
+        .transform(pinOnce) // name-recovery semi-join + final rank read one filter
+      // Recover gram text for the candidates only. The gate side is
+      // normally ≤ the 20-boundary tie group, so BROADCAST it and the
+      // recovery pass is a pure map-side scan (first-cut r12 sf10 probe:
+      // leaving this to a shuffle semi-join re-materialized the full
+      // exploded gram stream — strings and all — through one exchange,
+      // 447.8 s vs the string-keyed plan's 189.1 s; the hint-free
+      // "absorb the pathological corpus" stance re-opened the exact
+      // spill this plan exists to close). The pathological all-tied
+      // corpus where the tie group is corpus-sized is handled the d15
+      // way: the count is one agg over the PERSISTED cand, and past
+      // 2 M keys (~32 MB of gkeys) the join falls back to shuffle.
+      val candKeys = cand.select("gkey")
+      val gate = if (cand.count() <= 2000000L) broadcast(candKeys) else candKeys
       val names = wd.select(explode(col("grams")).as("gram"))
         .select(unhex(md5(col("gram"))).as("gkey"), col("gram"))
-        .join(cand.select("gkey"), Seq("gkey"), "left_semi")
+        .join(gate, Seq("gkey"), "left_semi")
         // min over byte-identical values (md5 is injective here): the
         // dedup aggregate stays KEYED on the 16-byte gkey — a distinct
         // would put the gram string back into a shuffle key
@@ -5478,7 +5573,7 @@ object Pipeline {
       val sc = withWords(T(s, dir, "documents"))
         .select(col("source"), explode(col("words")).as("word"))
         .groupBy("source", "word").agg(count(lit(1)).as("c"))
-        .persist() // frequencies, source totals and the pair pass share it
+        .transform(pinOnce) // frequencies, source totals and the pair pass share it
       val ns = sc.groupBy("source").agg(sum("c").as("n_src"))
       val freq = sc.groupBy("word").agg(sum("c").as("wfreq"))
       val total = freq.agg(sum("wfreq").as("n_total"))
@@ -5528,7 +5623,7 @@ object Pipeline {
           expr("cast(round(quality_score * 10000) as bigint)").as("q_i"))
         .groupBy("source", "fold")
         .agg(count(lit(1)).as("nk"), sum("q_i").as("sk"))
-        .persist() // totals + replica rows read it
+        .transform(pinOnce) // totals + replica rows read it
       val tot = folds.groupBy("source")
         .agg(sum("nk").as("n"), sum("sk").as("st"),
           count(lit(1)).as("k"))
@@ -5656,7 +5751,7 @@ object Pipeline {
       val j = a.join(b, Seq("word"), "full_outer")
         .select(coalesce(col("c1"), lit(0L)).as("c1"),
           coalesce(col("c2"), lit(0L)).as("c2"))
-        .persist() // totals + the term pass share it
+        .transform(pinOnce) // totals + the term pass share it
       val tot = j.agg(sum("c1").as("n1"), sum("c2").as("n2"))
       j.crossJoin(broadcast(tot))
         .withColumn("aa", expr("cast(c1 as double) * cast(n2 as double)"))
@@ -5708,7 +5803,7 @@ object Pipeline {
     "d119_eval_exposure" -> { (s, dir) =>
       val sh = withShingles(T(s, dir, "documents"))
         .select(col("doc_id"), col("shingles"))
-        .persist() // bench side + train side share one shingle pass
+        .transform(pinOnce) // bench side + train side share one shingle pass
       val bench = sh.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bench_id"),
           explode(col("shingles")).as("shingle"))
@@ -5796,7 +5891,7 @@ object Pipeline {
         .groupBy("score_i").agg(
           sum(expr("CASE WHEN admitted THEN 1 ELSE 0 END")).as("a"),
           sum(expr("CASE WHEN admitted THEN 0 ELSE 1 END")).as("r"))
-        .persist() // totals + the cumulative pass share it
+        .transform(pinOnce) // totals + the cumulative pass share it
       val w = Window.orderBy("score_i")
         .rowsBetween(Window.unboundedPreceding, -1)
       hist.withColumn("rb", coalesce(sum("r").over(w), lit(0L)))
@@ -5832,7 +5927,7 @@ object Pipeline {
         .select("doc_id", "global_pos")
         .join(T(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
         .select(col("global_pos"), col("source"))
-        .persist() // both sides of the adjacency self-join read it
+        .transform(pinOnce) // both sides of the adjacency self-join read it
       val nxt = sp.select((col("global_pos") - 1).as("global_pos"),
         col("source").as("next_source"))
       val ex = T(s, dir, "documents").groupBy("source")
@@ -5881,7 +5976,7 @@ object Pipeline {
         .select(col("source"), (col("pos0") + 1).cast("long").as("pos"),
           col("tok"))
         .groupBy("source", "pos", "tok").agg(count(lit(1)).as("c"))
-        .persist() // totals + the term pass share it
+        .transform(pinOnce) // totals + the term pass share it
       val nn = grp.groupBy("source", "pos")
         .agg(sum("c").as("n"), max("c").as("topc"),
           count(lit(1)).as("n_types"))
@@ -5914,7 +6009,7 @@ object Pipeline {
       val hist = queries("d4_ngram_jaccard")(s, dir)
         .select(expr("cast(round(jaccard * 10000) as bigint)").as("j_i"))
         .groupBy("j_i").agg(count(lit(1)).as("c"))
-        .persist() // totals + the sweep share it
+        .transform(pinOnce) // totals + the sweep share it
       val tot = hist.agg(sum("c").as("tp"))
       val spine = tot.filter(col("tp") > 0)
         .select(explode(expr(
@@ -5961,7 +6056,7 @@ object Pipeline {
         .withColumn("admitted",
           col("n_bad_words") === 0L && col("n_bad_phrases") === 0L)
         .select("doc_id", "source", "n_bad_words", "n_bad_phrases", "admitted")
-        .persist() // per-doc rows + the source rollup share one pass
+        .transform(pinOnce) // per-doc rows + the source rollup share one pass
       val bySrc = perDoc.groupBy("source").agg(
         count(lit(1)).as("n_src"),
         sum(when(col("admitted"), 1L).otherwise(0L)).as("n_adm"))
@@ -6090,7 +6185,7 @@ object Pipeline {
           col("kw_pm") >= 220L || col("sym_pm") >= 50L ||
             col("ident_pm") >= 100L)
         .select("doc_id", "source", "kw_pm", "sym_pm", "ident_pm", "is_code")
-        .persist() // per-doc rows + the source rollup share one pass
+        .transform(pinOnce) // per-doc rows + the source rollup share one pass
       val bySrc = perDoc.groupBy("source").agg(
         count(lit(1)).as("n_src"),
         sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"))
@@ -6248,7 +6343,7 @@ object Pipeline {
         .select(col("doc_id"), col("n_frames"),
           expr("cast(size(shingles) as bigint)").as("n_shingles"),
           col("shingles"))
-        .persist() // index, pair denominators, and the report share it
+        .transform(pinOnce) // index, pair denominators, and the report share it
       val ds = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
       val live = ds.groupBy("sh").agg(count(lit(1)).as("nb"))
         .filter(col("nb").between(2L, 50L)).select("sh")
@@ -6434,7 +6529,7 @@ object Pipeline {
         .select(col("doc_id"), col("source"), explode(expr(
           """array_distinct(filter(split(trim(text), '\\s+'),
                x -> x <> ''))""")).as("word"))
-        .persist() // df build + per-doc fold read one pair pass
+        .transform(pinOnce) // df build + per-doc fold read one pair pass
       val df_ = dw.groupBy("word").agg(count(lit(1)).as("df"))
       val perDoc = dw.join(df_, Seq("word"))
         .groupBy("doc_id", "source").agg(
@@ -6518,7 +6613,7 @@ object Pipeline {
           """CASE WHEN rejected_tok = 0 THEN cast(0 as bigint)
              ELSE chosen_tok * 1000 div rejected_tok END"""))
         .withColumn("chosen_longer", col("chosen_tok") > col("rejected_tok"))
-        .persist() // pair rows + the one-row bias rate share the join
+        .transform(pinOnce) // pair rows + the one-row bias rate share the join
       val bias = pairs.agg(
         count(lit(1)).as("n_pairs"),
         sum(when(col("chosen_longer"), 1L).otherwise(0L)).as("n_longer"))
@@ -6602,7 +6697,7 @@ object Pipeline {
                      'g', md5(concat_ws(' ', slice(words, p + 1, n)))))
                ELSE array() END))""")).as("gr"))
         .select(col("doc_id"), col("gr.n").as("n"), col("gr.g").as("g"))
-        .persist() // bench side, train side, and totals read one pass
+        .transform(pinOnce) // bench side, train side, and totals read one pass
       val bench = grams.filter(col("doc_id") % 97 === 0)
         .select("n", "g").distinct()
       val train = grams.filter(col("doc_id") % 97 =!= 0)
@@ -6647,7 +6742,7 @@ object Pipeline {
       val toks = T(s, dir, "documents")
         .select(col("doc_id"), explode(expr(
           """filter(split(trim(text), '\\s+'), x -> x <> '')""")).as("term"))
-        .persist() // election + per-doc counts read one token pass
+        .transform(pinOnce) // election + per-doc counts read one token pass
       val top = toks.groupBy("term").agg(count(lit(1)).as("cf"))
         .withColumn("bk", pmod(crc32(col("term")), lit(64)))
         .withColumn("rb", row_number().over(
@@ -6719,14 +6814,14 @@ object Pipeline {
       val s1 = cr.join(kd, Seq("canon_url"))
         .filter(col("doc_id") === col("kdoc"))
         .select("doc_id", "source", "lang", "n_chars", "text")
-        .persist() // exact keeper + near-dup sides read one frame
+        .transform(pinOnce) // exact keeper + near-dup sides read one frame
       // rung 2: exact keeper over URL survivors
       val k2 = s1.groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("kdoc2"))
       val s2 = s1.withColumn("h", md5(col("text")))
         .join(k2, Seq("h")).filter(col("doc_id") === col("kdoc2"))
         .select("doc_id", "source", "lang", "n_chars", "text")
-        .persist()
+        .transform(pinOnce)
       // rung 3: greedy near-dup drop over exact survivors (d4's
       // blocking + 4-dp jaccard at >= 0.8; drop the larger id).
       // Chunk-salted exactly like d4Pairs (saltCap 2000, round 11): an
@@ -6949,7 +7044,7 @@ object Pipeline {
       val base = withQuality(withWords(T(s, dir, "documents")))
         .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
           expr("cast(round(quality_score * 10000) as bigint)").as("q_i"))
-        .persist() // entry rollup + keeper join read one scored pass
+        .transform(pinOnce) // entry rollup + keeper join read one scored pass
       val keep = base.groupBy("h").agg(min("doc_id").as("kdoc"))
       val kept = base.join(keep, Seq("h"))
         .filter(col("doc_id") === col("kdoc"))

@@ -90,6 +90,23 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.keys.exists { case (a, b) => a < 20 && b < 20 })
   }
 
+  test("d23: broadcast-dim and in-band-join sig paths emit the identical pair set") {
+    // round 12: past graft.d23.sigBroadcastCap signatures ride the
+    // salted band self-join and score in-join (sigs-per-candidate
+    // shuffles crashed the sf10 probe); both placements must produce
+    // bit-equal estimates — same pairs, same kernel.
+    def run(): Map[(Long, Long), Double] =
+      Pipeline.queries("d23_minhash_estimate")(spark, plantedDir)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val small = run() // default cap: broadcast-dim path
+    val big = try {
+      spark.conf.set("graft.d23.sigBroadcastCap", "0")
+      run()
+    } finally spark.conf.unset("graft.d23.sigBroadcastCap")
+    assert(small.nonEmpty && big == small,
+      s"paths diverged: ${big.size} vs ${small.size} pairs")
+  }
+
   /** Single-block corpus: every doc shares (lang, len bucket), so with
     * saltCap = 2000 the 2400 docs force nsalt = 2 — exercising d4's
     * chunk-salted pair scan AND d20's two-level union-find. 30 clusters
@@ -482,6 +499,48 @@ class DedupSpec extends SparkSpecBase {
     val clique = plain.filter { case (a, b, _) => a < 220 && b < 220 }
     assert(clique.length == 220 * 219 / 2, s"clique pairs: ${clique.length}")
     assert(clique.forall(_._3 == 1.0))
+  }
+
+  test("lshScoredPairs: hybrid kernel placement — broadcast-dim and in-join paths agree") {
+    // VERDICT r11 #7: below graft.lsh.vecBroadcastCap the self-join
+    // moves ids only and the kernel reads both vectors from ONE
+    // broadcast dim (map-side — the r11 candidate-mass vector SHUFFLE
+    // cannot reopen, and each unique pair is scored once); past the
+    // cap vectors ride the banded join (the sf10-certified shape).
+    // Both paths must emit the identical pair set and scores.
+    val dir = scratch("hybrid-kernel-emb")
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 40).map { i => // 40 jittered near-dups + 160 randoms
+      (i.toLong, base.map(x => x + rnd.nextGaussian().toFloat * 0.01f))
+    } ++ (0 until 160).map(i =>
+      (1000L + i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    GraftWriter.write(rows.toDF("vec_id", "embedding").withColumn("label", lit(0)),
+      s"$dir/embeddings.parquet")
+    def run(): Array[(Long, Long, Double)] =
+      Pipeline.queries("d13_embed_neardup")(spark, dir)
+        .select("id_a", "id_b", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    // default cap 250k ≫ 200 rows: broadcast-dim path, pinned in-plan
+    val pSmall = Pipeline.queries("d13_embed_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[id_a".r.findFirstIn(pSmall).isDefined &&
+      "BroadcastHashJoin \\[id_b".r.findFirstIn(pSmall).isDefined,
+      s"broadcast-dim path must join both vectors map-side:\n$pSmall")
+    val small = run()
+    val big = try {
+      spark.conf.set("graft.lsh.vecBroadcastCap", "0")
+      val pBig = Pipeline.queries("d13_embed_neardup")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin \\[id_a".r.findFirstIn(pBig).isEmpty,
+        s"past the cap the kernel must run inside the banded join:\n$pBig")
+      assert(!pBig.contains("CartesianProduct"), pBig)
+      run()
+    } finally spark.conf.unset("graft.lsh.vecBroadcastCap")
+    assert(small.nonEmpty && big.sameElements(small),
+      s"hybrid paths diverged: ${big.length} vs ${small.length} rows")
   }
 
   test("d36: semdedup drops the higher id of planted near-dup pairs") {

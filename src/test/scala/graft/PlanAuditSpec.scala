@@ -618,26 +618,35 @@ class PlanAuditSpec extends SparkSpecBase {
       s"d86 aggregates lost their map-side partials:\n$p")
   }
 
-  test("d23: signature-dim broadcast is corpus-adaptive — the hint flips both ways") {
-    // VERDICT r11 #1 (the d15 fix applied to the last corpus-growing
-    // unconditional broadcast): while reps <= graft.d23.sigBroadcastCap
-    // the 128-long sig dim broadcasts; past the cap both sig joins must
-    // become id-keyed shuffle equi joins. autoBroadcastJoinThreshold is
-    // pinned to -1 for both runs so the test isolates the EXPLICIT
-    // hint's behavior from the planner's own byte-based auto-broadcast.
+  test("d23: signature placement is corpus-adaptive — broadcast dim vs in-band-join kernel") {
+    // VERDICT r11 #1, second cut (the first — shuffle equi joins past
+    // the cap — sorted a ~1 KB signature per candidate row and crashed
+    // the r12 sf10 probe on spill): below graft.d23.sigBroadcastCap the
+    // sig dim BROADCASTS and the band join moves ids only; past the cap
+    // there is NO per-candidate sig join at all — signatures ride the
+    // salted band self-join and sig_match_frac scores each collision
+    // in-join. autoBroadcastJoinThreshold is pinned to -1 for both runs
+    // so the test isolates the EXPLICIT hints from auto-broadcast.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the r_a-keyed BHJs are the sig dim AND the membership map: the
+      // membership broadcast stays in both paths, so the sig-dim join's
+      // presence shows up as a COUNT difference of exactly one per side
+      def raB(p: String) = "BroadcastHashJoin \\[r_a".r.findAllIn(p).length
+      def rbB(p: String) = "BroadcastHashJoin \\[r_b".r.findAllIn(p).length
       val pOn = plan("d23_minhash_estimate") // tiny corpus, default cap: hinted
-      val onB = "BroadcastHashJoin".r.findAllIn(pOn).length
+      assert(raB(pOn) >= 2 && rbB(pOn) >= 2,
+        s"below the cap both sig-dim joins must broadcast:\n$pOn")
       spark.conf.set("graft.d23.sigBroadcastCap", "0")
       val pOff = plan("d23_minhash_estimate")
-      val offB = "BroadcastHashJoin".r.findAllIn(pOff).length
-      // the two sig-dim joins flip; the doc-count-gated membership
-      // broadcasts stay (w is tiny here)
-      assert(onB >= offB + 2, s"sig-dim hint did not flip: on=$onB off=$offB\n$pOff")
+      assert(raB(pOff) == raB(pOn) - 1 && rbB(pOff) == rbB(pOn) - 1,
+        s"past the cap no join may move signatures per candidate row " +
+          s"(on: ${raB(pOn)}/${rbB(pOn)}, off: ${raB(pOff)}/${rbB(pOff)}):\n$pOff")
       assert(pOff.contains("SortMergeJoin") || pOff.contains("ShuffledHashJoin"),
-        s"past the cap the sig joins must shuffle id-keyed:\n$pOff")
+        s"past the cap the salted band self-join must shuffle on its key:\n$pOff")
+      assert("\\bsalt#\\d+".r.findFirstIn(pOff).isDefined,
+        s"mega-bucket salt column missing from the scaled band join:\n$pOff")
       assert(!pOff.contains("CartesianProduct") &&
         !pOff.contains("BroadcastNestedLoopJoin"), pOff)
     } finally {
@@ -1306,17 +1315,20 @@ class PlanAuditSpec extends SparkSpecBase {
     // gram-tie-break rank over the count-qualified candidates; every
     // global window is pre-filtered to <= 64 buckets x 20 survivors.
     // The printed tree inlines the PERSISTED candidate filter's
-    // subplan (and its rank pair) under both consumers — execution
-    // reads one cache — so the two pairs print as up to 6 Windows.
-    assert("Window \\[".r.findAllIn(p).length <= 6,
+    // subplan (and its rank pair) under every consumer — execution
+    // reads one cache — and the adaptive broadcast gate added a third
+    // consumer (the name-recovery key set), so the two pairs print as
+    // up to 10 Windows.
+    assert("Window \\[".r.findAllIn(p).length <= 10,
       s"d112 must use the two salted rank pairs, nothing more:\n$p")
     assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
       s"d112's ranks must run as bounded per-partition heaps:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     // the only BNLJ allowed is the one-row count-threshold join (the
-    // d37/d86 broadcast-scalar idiom); it prints under both consumers
-    // of the persisted candidate filter
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+    // d37/d86 broadcast-scalar idiom); ONE logical join, printed once
+    // under each inlined copy of the persisted candidate subplan (four
+    // copies since the adaptive name-recovery gate)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4,
       s"d112 grew a non-scalar non-equi join:\n$p")
   }
 

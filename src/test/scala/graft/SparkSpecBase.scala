@@ -16,6 +16,8 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror Verify/Bench's 256 KB scan-split floor (round 12)
+      .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
