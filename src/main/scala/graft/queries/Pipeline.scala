@@ -470,7 +470,8 @@ object Pipeline {
     // where pair counts are small and the one-eval-per-pair saving is
     // the whole cost (the bench SFs), and leaves every probed scale on
     // the sf10-certified in-join shape.
-    val vecCap = s.conf.get("graft.lsh.vecBroadcastCap", "10000").toLong
+    val vecCap = s.conf.get("graft.lsh.vecBroadcastCap",
+      sys.env.getOrElse("GRAFT_VEC_BCAST_CAP", "10000")).toLong
     cachedHelper(s, dir, s"lshScoredPairs:$bits:$saltCap:${nVec <= vecCap}") {
       val banded = emb.select(col("vec_id"), col("vec"),
         explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
