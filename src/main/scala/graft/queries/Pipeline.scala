@@ -674,7 +674,21 @@ object Pipeline {
       }
       helperCache.clear()
     }
-    val df = helperCache.computeIfAbsent((s, dir, helper), _ => build)
+    // get-then-putIfAbsent, NOT computeIfAbsent: helper builds NEST
+    // (lshKnnEdges builds by calling lshScoredPairs, itself registered
+    // here), and a nested computeIfAbsent on one ConcurrentHashMap
+    // throws IllegalStateException("Recursive update") — found by the
+    // r12 sf10 probe running d97/d99 as the FIRST family queries in a
+    // JVM (every earlier run had d13/d54/d55 seed the inner entry
+    // first). The non-atomic swap is safe here: builds are
+    // deterministic plans, so a racing double-build yields identical
+    // frames and the CacheManager dedupes the persist by plan.
+    val key = (s, dir, helper)
+    val df = Option(helperCache.get(key)).getOrElse {
+      val built = build
+      helperCache.putIfAbsent(key, built)
+      helperCache.get(key)
+    }
     // Verify/Bench clearCache() between queries: re-pin a frame whose
     // cache entry was dropped, so every consuming query still reads ONE
     // persisted labeling (persist is skipped when already live — that

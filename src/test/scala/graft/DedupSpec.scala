@@ -543,6 +543,24 @@ class DedupSpec extends SparkSpecBase {
       s"hybrid paths diverged: ${big.length} vs ${small.length} rows")
   }
 
+  test("registry: nested helper builds run (d99 as the FIRST family query on a fresh corpus)") {
+    // r12 sf10 probe regression: lshKnnEdges builds inside the session
+    // registry by calling lshScoredPairs — itself registry-cached — and
+    // a nested ConcurrentHashMap.computeIfAbsent threw "Recursive
+    // update" whenever d97/d99 ran before any other lshScoredPairs
+    // consumer had seeded the inner entry. This corpus dir is FRESH, so
+    // the nested build is exercised unseeded.
+    val dir = scratch("nested-helper-emb")
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), i % 5))
+    GraftWriter.write(rows.toDF("vec_id", "embedding", "label"),
+      s"$dir/embeddings.parquet")
+    val out = Pipeline.queries("d99_pagerank")(spark, dir)
+    assert(out.count() == 60)
+  }
+
   test("d36: semdedup drops the higher id of planted near-dup pairs") {
     val dir = scratch("planted-semdedup")
     import spark.implicits._
