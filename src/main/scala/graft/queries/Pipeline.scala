@@ -1185,7 +1185,8 @@ object Pipeline {
       // Both paths score identical pairs with the identical kernel.
       val sigCap = s.conf.get("graft.d23.sigBroadcastCap", "100000").toLong
       val saltCap = s.conf.get("graft.lsh.saltCap", "2000").toInt
-      val repPairs = (if (base.count() <= sigCap) {
+      val nRepsD23 = base.count() // free: base is registry-persisted
+      val repPairs = (if (nRepsD23 <= sigCap) {
         val banded = base.select(col("rep_id"), explode(col("keys")).as("key"))
         val a = banded.select(col("key"), col("rep_id").as("r_a"))
         val b = banded.select(col("key").as("key2"), col("rep_id").as("r_b"))
@@ -1200,8 +1201,17 @@ object Pipeline {
       } else {
         val banded = base.select(col("rep_id"), col("sig"),
           explode(col("keys")).as("key"))
-        val keySizes = banded.groupBy(col("key")).agg(count(lit(1)).as("key_n"))
-        val sized = banded.join(broadcast(keySizes), "key")
+        // keySizes cardinality is CORPUS-GROWING (band keys are hashes,
+        // ~reps × 16 distinct rows — unlike lshScoredPairs' bktSizes,
+        // which adaptiveBits bounds at 48 × 2^16): broadcast it only
+        // while reps ≤ 500 k (~240 MB of key+count rows worst-case),
+        // plain equi join past that — the count pass is sig-free and
+        // counting a mega bucket is linear, so the fallback join's own
+        // key-colocation cannot re-concentrate quadratic work.
+        val keySizes = base.select(explode(col("keys")).as("key"))
+          .groupBy(col("key")).agg(count(lit(1)).as("key_n"))
+        val ks = if (nRepsD23 <= 500000L) broadcast(keySizes) else keySizes
+        val sized = banded.join(ks, "key")
           .withColumn("nsalt", ceil(col("key_n") / lit(saltCap.toDouble)).cast("int"))
         val a = sized.select(col("key"),
           pmod(col("rep_id"), col("nsalt")).cast("int").as("salt"),
