@@ -1213,12 +1213,25 @@ object Pipeline {
         val ks = if (nRepsD23 <= 500000L) broadcast(keySizes) else keySizes
         val sized = banded.join(ks, "key")
           .withColumn("nsalt", ceil(col("key_n") / lit(saltCap.toDouble)).cast("int"))
+        // Size the join's partitioning from the data, not the session
+        // default (the brief's "partitions fit in executor memory"
+        // rule): each side sorts reps × 16 band rows carrying a ~1 KB
+        // sig, and at sf10 the default 32 partitions put ~400 MB of
+        // raw sort working set in every concurrent task — uniform, so
+        // AQE's skew split never fires, and the sort spilled ~10 GB
+        // (the probed tail). Explicit hash partitioning on the join
+        // keys targets ~64 MB of sig bytes per partition (bounded
+        // [32, 1024]); the SMJ reuses it, so no extra exchange.
+        val nPart = math.min(1024L, math.max(32L,
+          nRepsD23 * 16L * 1100L / (64L << 20) + 1L)).toInt
         val a = sized.select(col("key"),
           pmod(col("rep_id"), col("nsalt")).cast("int").as("salt"),
           col("rep_id").as("r_a"), col("sig").as("sig_a"))
+          .repartition(nPart, col("key"), col("salt"))
         val b = sized.select(col("key").as("key2"),
           explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
           col("rep_id").as("r_b"), col("sig").as("sig_b"))
+          .repartition(nPart, col("key2"), col("salt2"))
         a.join(b, col("key") === col("key2") && col("salt") === col("salt2") &&
             col("r_a") < col("r_b"))
           .select(col("r_a"), col("r_b"),
