@@ -44,6 +44,12 @@ object Verify {
   private def contractMode: String =
     sys.env.getOrElse("SPARK_GRAFT_STRESS_CONTRACT", "")
 
+  /** CALLER CONTRACT (advisor r12): this persists the full pair stream
+    * and deliberately does NOT unpersist it — releasing it is the
+    * caller's job (Verify's loop runs spark.catalog.clearCache() after
+    * every query). Any future caller outside that loop must unpersist
+    * the input itself or it pins a 10^8-row frame for the JVM
+    * lifetime. */
   private[graft] def pairClusterContract(df: DataFrame, simCol: String): DataFrame = {
     // Pin the pair stream before symmetrizing: unionAll makes the
     // whole upstream query DAG a COMMON SUBPLAN of both branches, and

@@ -449,7 +449,7 @@ object Pipeline {
       .withColumn("vec", col("embedding").cast("array<double>"))
     // occupancy knob: session conf (specs), env (one-off oracle
     // certification runs through Verify), default 80 (the contract)
-    val nVec = T(s, dir, "embeddings").count()
+    val nVec = cachedCount(s, dir, "nEmbeddings")(T(s, dir, "embeddings").count())
     val bits = adaptiveBits(nVec,
       s.conf.get("graft.lsh.occupancy",
         sys.env.getOrElse("GRAFT_LSH_OCCUPANCY", "80")).toLong)
@@ -654,25 +654,40 @@ object Pipeline {
     * and reuse is also the right cost model — the labeling is computed
     * once per corpus, not once per consuming query.
     */
+  private final case class HelperEntry(df: DataFrame,
+      touched: java.util.concurrent.atomic.AtomicLong)
   private val helperCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), HelperEntry]()
+  private val helperClock = new java.util.concurrent.atomic.AtomicLong()
   // CONTRACT: corpus dirs are immutable for the JVM lifetime (true for
   // Verify/Bench/the spec suite — every spec writes a fresh scratch
   // dir); a dir rewritten in-place would be served the stale frame.
   // Bounded: entries accrete per distinct (session, dir, helper); the
   // spec suite is the only caller that generates many dirs, so past 64
-  // entries the registry resets wholesale — correctness is unaffected
-  // (the next call rebuilds). Eviction UNPERSISTS each dropped frame
-  // first (advisor r11): clearing only the map would leave the evicted
-  // frames' blocks pinned in their sessions' CacheManagers for the JVM
-  // lifetime — the exact accretion the registry exists to prevent.
+  // entries the LEAST-RECENTLY-TOUCHED half is dropped (advisor r12:
+  // the earlier wholesale clear() also unpersisted frames captured by
+  // an in-flight nested build in ANOTHER suite thread, silently
+  // recomputing the upstream pair scans the registry exists to share —
+  // LRU-half eviction spares every recently-returned frame).
+  // Correctness is unaffected either way (the next call rebuilds).
+  // Eviction UNPERSISTS each dropped frame first (advisor r11):
+  // removing only the map entry would leave the evicted frames' blocks
+  // pinned in their sessions' CacheManagers for the JVM lifetime — the
+  // exact accretion the registry exists to prevent.
   private def cachedHelper(s: SparkSession, dir: String, helper: String)(
       build: => DataFrame): DataFrame = {
     if (helperCache.size > 64) {
-      helperCache.values.forEach { df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      import scala.jdk.CollectionConverters._
+      val oldestHalf = helperCache.entrySet().asScala.toSeq
+        .sortBy(_.getValue.touched.get()).take(helperCache.size / 2)
+      oldestHalf.foreach { e =>
+        // remove(k, v) — never unpersist an entry another thread just
+        // replaced or re-touched past our snapshot's eviction line
+        if (helperCache.remove(e.getKey, e.getValue)) {
+          try e.getValue.df.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        }
       }
-      helperCache.clear()
     }
     // get-then-putIfAbsent, NOT computeIfAbsent: helper builds NEST
     // (lshKnnEdges builds by calling lshScoredPairs, itself registered
@@ -682,18 +697,51 @@ object Pipeline {
     // JVM (every earlier run had d13/d54/d55 seed the inner entry
     // first). The non-atomic swap is safe here: builds are
     // deterministic plans, so a racing double-build yields identical
-    // frames and the CacheManager dedupes the persist by plan.
+    // frames and the CacheManager dedupes the persist by plan. The
+    // winner is taken from putIfAbsent's atomic RETURN value (advisor
+    // r12: a re-read get() could observe another thread's eviction
+    // between the two calls and hand pinOnce a null).
     val key = (s, dir, helper)
-    val df = Option(helperCache.get(key)).getOrElse {
-      val built = build
-      helperCache.putIfAbsent(key, built)
-      helperCache.get(key)
+    val entry = {
+      val cur = helperCache.get(key)
+      if (cur != null) cur
+      else {
+        val fresh = HelperEntry(build,
+          new java.util.concurrent.atomic.AtomicLong(helperClock.incrementAndGet()))
+        Option(helperCache.putIfAbsent(key, fresh)).getOrElse(fresh)
+      }
     }
+    entry.touched.set(helperClock.incrementAndGet())
     // Verify/Bench clearCache() between queries: re-pin a frame whose
     // cache entry was dropped, so every consuming query still reads ONE
     // persisted labeling (persist is skipped when already live — that
     // skip is exactly what kills the "already cached" warnings).
-    pinOnce(df)
+    pinOnce(entry.df)
+  }
+
+  /** Session-scoped registry for adaptive-path SCALARS (round 13,
+    * verdict task 8): the corpus row counts and capacity estimates that
+    * pick between broadcast/in-join/banding shapes were re-running a
+    * driver-side count() action on every invocation even when the
+    * frame itself was registry-cached — distributed and metadata-cheap,
+    * but at 100 TB an extra full-scan count per cold consumer is real.
+    * Same immutable-dir contract as [[helperCache]]; values are plain
+    * longs, so eviction needs no unpersist and a wholesale reset is
+    * safe at any time.
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+  private[graft] def cachedCount(s: SparkSession, dir: String, key: String)(
+      compute: => Long): Long = {
+    if (countCache.size > 512) countCache.clear()
+    val k = (s, dir, key)
+    val cur = countCache.get(k)
+    if (cur != null) cur.longValue
+    else {
+      val v = compute
+      Option(countCache.putIfAbsent(k, java.lang.Long.valueOf(v)))
+        .map(_.longValue).getOrElse(v)
+    }
   }
 
   /** persist() that first consults the CacheManager BY PLAN (round 12:
@@ -1108,9 +1156,10 @@ object Pipeline {
       // of struct overhead + token bytes; the hint flips off past
       // 256 MB. The id-only membership map is 16 B/row, so its gate
       // stays a row count.
-      val dimBytes = reps.agg(coalesce(sum(expr(
-        "aggregate(wset, 16L, (acc, x) -> acc + length(x) + 16L)")), lit(0L)))
-        .head().getLong(0)
+      val dimBytes = cachedCount(s, dir, "d15DimBytes")(
+        reps.agg(coalesce(sum(expr(
+          "aggregate(wset, 16L, (acc, x) -> acc + length(x) + 16L)")), lit(0L)))
+          .head().getLong(0))
       val repDim = reps.select(col("rep_id"), col("wset"))
       val dim = if (dimBytes <= (256L << 20)) broadcast(repDim) else repDim
       val repPairs = candRep
@@ -1123,7 +1172,8 @@ object Pipeline {
         .join(reps.select(col("gid"), col("rep_id")), "gid")
         .select(col("doc_id"), col("rep_id"))
       // membership is DOC-count-sized (one 16 B id pair per doc)
-      val m = if (w.count() <= 10000000L) broadcast(mFrame) else mFrame
+      val m = if (cachedCount(s, dir, "nDocsCollapsed")(w.count()) <= 10000000L)
+        broadcast(mFrame) else mFrame
       val cross = repPairs
         .join(m.select(col("rep_id").as("r_a"), col("doc_id").as("da")), "r_a")
         .join(m.select(col("rep_id").as("r_b"), col("doc_id").as("db")), "r_b")
@@ -1185,7 +1235,7 @@ object Pipeline {
       // Both paths score identical pairs with the identical kernel.
       val sigCap = s.conf.get("graft.d23.sigBroadcastCap", "100000").toLong
       val saltCap = s.conf.get("graft.lsh.saltCap", "2000").toInt
-      val nRepsD23 = base.count() // free: base is registry-persisted
+      val nRepsD23 = cachedCount(s, dir, "d23NReps")(base.count())
       val repPairs = (if (nRepsD23 <= sigCap) {
         val banded = base.select(col("rep_id"), explode(col("keys")).as("key"))
         val a = banded.select(col("key"), col("rep_id").as("r_a"))
@@ -1243,7 +1293,8 @@ object Pipeline {
       val mFrame = w.select(col("gid"), col("doc_id"))
         .join(base.select(col("gid"), col("rep_id")), "gid")
         .select(col("doc_id"), col("rep_id"))
-      val m = if (w.count() <= 10000000L) broadcast(mFrame) else mFrame
+      val m = if (cachedCount(s, dir, "nDocsCollapsed")(w.count()) <= 10000000L)
+        broadcast(mFrame) else mFrame
       val cross = repPairs
         .join(m.select(col("rep_id").as("r_a"), col("doc_id").as("da")), "r_a")
         .join(m.select(col("rep_id").as("r_b"), col("doc_id").as("db")), "r_b")
@@ -7124,7 +7175,8 @@ object Pipeline {
       GraftExtensions.install(s)
       val emb = T(s, dir, "embeddings")
         .withColumn("vec", col("embedding").cast("array<double>"))
-      val bits = adaptiveBits(T(s, dir, "embeddings").count(),
+      val bits = adaptiveBits(cachedCount(s, dir, "nEmbeddings")(
+          T(s, dir, "embeddings").count()),
         s.conf.get("graft.lsh.occupancy",
           sys.env.getOrElse("GRAFT_LSH_OCCUPANCY", "80")).toLong)
       val occ = emb.select(col("vec_id"),

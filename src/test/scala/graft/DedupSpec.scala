@@ -523,7 +523,7 @@ class DedupSpec extends SparkSpecBase {
         .select("id_a", "id_b", "cos_sim").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(t => (t._1, t._2))
-    // default cap 250k ≫ 200 rows: broadcast-dim path, pinned in-plan
+    // default cap 10k ≫ 200 rows: broadcast-dim path, pinned in-plan
     val pSmall = Pipeline.queries("d13_embed_neardup")(spark, dir)
       .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin \\[id_a".r.findFirstIn(pSmall).isDefined &&
