@@ -69,6 +69,35 @@ object GraftExtensions {
         "anything else returns silently WRONG results - use jaccard_sim instead. " +
         "Set -Dgraft.jaccard.checkSorted=true to fail fast on violations."),
       fixedArity("jaccard_sim_sorted", 2)(e => JaccardSim(e(0), e(1), assumeSorted = true))),
+    ("jaccard_sim_sorted_bail", info("jaccard_sim_sorted_bail",
+      "jaccard_sim_sorted_bail(a, b, thr) - jaccard_sim_sorted with an early-exit bailout: " +
+        "returns the exact Jaccard when it is (or can still reach) >= thr, or -1.0 as soon " +
+        "as the remaining elements provably cannot reach thr - behavior-identical to " +
+        "jaccard_sim_sorted for any consumer that filters at >= thr. thr must be a double " +
+        "literal, interpreted at 5-decimal grain (pass the pre-rounding boundary: 0.79995 " +
+        "for a round(J,4) >= 0.8 filter). Same sortedness contract as jaccard_sim_sorted."),
+      fixedArity("jaccard_sim_sorted_bail", 3)(e => e(2) match {
+        // a bare SQL literal like 0.79995 parses as DECIMAL(5,5), so
+        // accept any numeric literal, not just DoubleType
+        case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+          val t = lit.dataType match {
+            case org.apache.spark.sql.types.DoubleType =>
+              lit.value.asInstanceOf[Double]
+            case org.apache.spark.sql.types.FloatType =>
+              lit.value.asInstanceOf[Float].toDouble
+            case _: org.apache.spark.sql.types.DecimalType =>
+              lit.value.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+            case other => throw new IllegalArgumentException(
+              s"jaccard_sim_sorted_bail(a, b, thr) — thr must be a numeric literal, got $other")
+          }
+          if (t <= 0.0 || t > 1.0)
+            throw new IllegalArgumentException(
+              s"jaccard_sim_sorted_bail: threshold must be in (0, 1], got $t")
+          JaccardSim(e(0), e(1), assumeSorted = true,
+            bailBelow = Some(math.round(t * 100000)))
+        case _ => throw new IllegalArgumentException(
+          "jaccard_sim_sorted_bail(a, b, thr) — thr must be a numeric literal")
+      })),
     ("is_subset_sorted", info("is_subset_sorted",
       "is_subset_sorted(a, b) - true iff a is a subset of b. WARNING: both inputs MUST " +
         "be sorted ascending (binary order) and deduplicated, e.g. array_sort(array_distinct(x)); " +

@@ -3,14 +3,22 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** sig_match_frac(a, b) → fraction of positions where two equal-length
-  * bigint signature arrays agree — the MinHash Jaccard estimator
+  * signature arrays agree — the MinHash Jaccard estimator
   * (J ≈ matches/k). Whole-stage-codegen kernel: one fused loop, no
   * boolean/array materialization per pair (the interpreted
   * zip_with+filter formulation allocated two arrays per candidate pair
   * and dominated d23's runtime 10×).
+  *
+  * Accepts array<bigint> (full 64-bit components) or array<int>
+  * (32-bit-truncated components — round 13's d23 transport cut: the
+  * in-band estimate only needs component EQUALITY, and truncating to
+  * the low 32 bits halves the bytes the salted band join shuffles
+  * while changing the match fraction only on 2^-32-probability
+  * truncation collisions; the oracle replays the same truncation).
+  * Both arguments must be the same element type.
   */
 case class SigMatchFrac(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -18,22 +26,43 @@ case class SigMatchFrac(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sig_match_frac"
 
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => LongType
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+    val types = Seq(left, right).map(_.dataType)
+    val ok = types.forall {
+      case ArrayType(LongType, _) | ArrayType(IntegerType, _) => true
+      case _ => false
+    } && (types.head match {
+      case ArrayType(et1, _) => types(1) match {
+        case ArrayType(et2, _) => et1 == et2
+        case _ => false
+      }
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<bigint> arguments")
+      s"$prettyName requires two array<bigint> or two array<int> arguments")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    SigMatchFrac.matchFrac(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = elemType match {
+    case IntegerType =>
+      SigMatchFrac.matchFracInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case _ =>
+      SigMatchFrac.matchFrac(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = elemType match {
+      case IntegerType => "matchFracInt"
+      case _ => "matchFrac"
+    }
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expressions.SigMatchFrac.matchFrac($a, $b);")
+      s"${ev.value} = graft.expressions.SigMatchFrac.$kernel($a, $b);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SigMatchFrac =
@@ -54,6 +83,22 @@ object SigMatchFrac {
       // accepts containsNull arrays; reading the slot raw would treat
       // null as 0 and report spurious agreement)
       if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) m += 1
+      i += 1
+    }
+    m.toDouble / n
+  }
+
+  /** 32-bit-component variant — identical contract over array<int>. */
+  def matchFracInt(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sig_match_frac: signature length mismatch ($n vs ${y.numElements()})")
+    if (n == 0) return 0.0
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getInt(i) == y.getInt(i)) m += 1
       i += 1
     }
     m.toDouble / n

@@ -819,10 +819,17 @@ object Pipeline {
     // the cheap predicates (observed via Explain), making the kernel
     // run for every hash-matched pair; conjunct order is preserved, so
     // doc_a<doc_b and the size-ratio test short-circuit first.
+    // The condition's kernel is the BAIL variant (round 13): it aborts
+    // the merge with -1.0 once J provably cannot reach 0.49995 (the
+    // exact pre-rounding boundary of round(J,4) >= 0.5), so
+    // non-qualifying block pairs stop scanning early; qualifying pairs
+    // return the bit-exact value and pass the same comparison. The
+    // output projection recomputes with the plain kernel — it only
+    // runs for survivors.
     a.join(b, col("lang") === col("lang2") && col("len_bucket") === col("len_bucket2") &&
         col("salt") === col("salt2") && col("doc_a") < col("doc_b") &&
         col("wn_a") * 2 >= col("wn_b") && col("wn_b") * 2 >= col("wn_a") &&
-        round(expr("jaccard_sim_sorted(set_a, set_b)"), 4) >= 0.5)
+        round(expr("jaccard_sim_sorted_bail(set_a, set_b, 0.49995)"), 4) >= 0.5)
       .select(col("doc_a"), col("doc_b"),
         round(expr("jaccard_sim_sorted(set_a, set_b)"), 4).as("jaccard"))
   }
@@ -1162,11 +1169,19 @@ object Pipeline {
           .head().getLong(0))
       val repDim = reps.select(col("rep_id"), col("wset"))
       val dim = if (dimBytes <= (256L << 20)) broadcast(repDim) else repDim
+      // Bail kernel (round 13, verdict task 2): the merge aborts with
+      // -1.0 the moment the remaining elements provably cannot reach
+      // J >= 0.79995 (the exact pre-rounding boundary of the >= 0.8
+      // filter below) — candidates that share a band key but diverge
+      // early stop paying the full sorted-merge scan, which is most of
+      // them in the kernel-join-bound regime the sf10 probe named.
+      // Identical output: survivors return the bit-exact merge value,
+      // bailed pairs were about to be filtered anyway.
       val repPairs = candRep
         .join(dim.select(col("rep_id").as("r_a"), col("wset").as("set_a")), "r_a")
         .join(dim.select(col("rep_id").as("r_b"), col("wset").as("set_b")), "r_b")
         .select(col("r_a"), col("r_b"),
-          round(expr("jaccard_sim_sorted(set_a, set_b)"), 4).as("jaccard"))
+          round(expr("jaccard_sim_sorted_bail(set_a, set_b, 0.79995)"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
       val mFrame = w.select(col("gid"), col("doc_id"))
         .join(reps.select(col("gid"), col("rep_id")), "gid")
@@ -1212,8 +1227,23 @@ object Pipeline {
       val w = collapsedWordSets(s, dir) // registry-persisted token pass
       val reps = w.groupBy(col("gid"))
         .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
+      // Signature components TRUNCATED to their low 32 bits for the
+      // estimate path (round 13, verdict task 1): the kernel only tests
+      // component EQUALITY, so the match fraction over truncated
+      // components differs from the full-width one only on
+      // 2^-32-probability truncation collisions (≈ 10^-4 expected extra
+      // matches across the whole sf10 candidate set) — and the ORACLE
+      // replays the same truncation, so the gate compares like with
+      // like. The payoff is transport: the salted band join ships
+      // reps × 16 band rows each carrying the signature, and
+      // array<int> halves those bytes vs array<bigint> (the r12 probe
+      // named exactly this sort's volume as d23's scale tail).
+      // shiftleft/shiftright sign-extends the low word into int range —
+      // a plain cast of the masked value would overflow under ANSI.
       val base = cachedHelper(s, dir, "d23Base") {
-        reps.select(col("gid"), col("rep_id"), expr("minhash_sig(wset)").as("sig"),
+        reps.select(col("gid"), col("rep_id"),
+          expr("transform(minhash_sig(wset), x -> cast(shiftright(shiftleft(x, 32), 32) as int))")
+            .as("sig"),
           expr("minhash_bands(wset, 16)").as("keys"))
       }
       // Adaptive sig strategy, round-12 SECOND cut. First cut (the d15
@@ -1224,7 +1254,7 @@ object Pipeline {
       // for vectors; ~70 GB of sort spill filled the disk). The join
       // that is safe at every scale is the one whose shuffled bytes are
       // linear in REPS, not candidates: past the cap, signatures ride
-      // the BAND self-join (reps × 16 bands × 1 KB — at 100 TB that is
+      // the BAND self-join (reps × 16 bands × 0.5 KB — at 100 TB that is
       // cluster-aggregate shuffle volume, evenly hash-partitioned) and
       // sig_match_frac scores each collision in-join; collisions dedup
       // AFTER scoring on slim (r_a, r_b, est) rows. Mega band-buckets
@@ -1265,15 +1295,17 @@ object Pipeline {
           .withColumn("nsalt", ceil(col("key_n") / lit(saltCap.toDouble)).cast("int"))
         // Size the join's partitioning from the data, not the session
         // default (the brief's "partitions fit in executor memory"
-        // rule): each side sorts reps × 16 band rows carrying a ~1 KB
-        // sig, and at sf10 the default 32 partitions put ~400 MB of
-        // raw sort working set in every concurrent task — uniform, so
-        // AQE's skew split never fires, and the sort spilled ~10 GB
-        // (the probed tail). Explicit hash partitioning on the join
-        // keys targets ~64 MB of sig bytes per partition (bounded
-        // [32, 1024]); the SMJ reuses it, so no extra exchange.
+        // rule): each side sorts reps × 16 band rows carrying a
+        // ~0.5 KB truncated sig (128 ints + row overhead — half the
+        // r12 shape's 128 longs), and at sf10 the default 32
+        // partitions put hundreds of MB of raw sort working set in
+        // every concurrent task — uniform, so AQE's skew split never
+        // fires, and the sort spilled ~10 GB (the probed tail).
+        // Explicit hash partitioning on the join keys targets ~64 MB
+        // of sig bytes per partition (bounded [32, 1024]); the SMJ
+        // reuses it, so no extra exchange.
         val nPart = math.min(1024L, math.max(32L,
-          nRepsD23 * 16L * 1100L / (64L << 20) + 1L)).toInt
+          nRepsD23 * 16L * 600L / (64L << 20) + 1L)).toInt
         val a = sized.select(col("key"),
           pmod(col("rep_id"), col("nsalt")).cast("int").as("salt"),
           col("rep_id").as("r_a"), col("sig").as("sig_a"))
@@ -6874,6 +6906,7 @@ object Pipeline {
     // bounds the candidate set and salting splits a hot block's pair
     // scan across tasks, so no single task ever owns a block's O(n²).
     "d140_dedup_waterfall" -> { (s, dir) =>
+      GraftExtensions.install(s) // rung 3 runs the bail merge kernel
       val base = T(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
           col("text"))
@@ -6923,9 +6956,14 @@ object Pipeline {
       // so the bound is 100000·min(wn) >= 79995·max(wn) — the d15/d4
       // spelling; a plain 5·min >= 4·max would drop boundary pairs
       // (J ∈ [0.79995, 0.8)) that the oracle keeps.
+      // round 13: sort the sets once per doc and run the BAIL merge
+      // kernel in the join condition (d4's shape) instead of the
+      // interpreted array_intersect/array_union pair — same set
+      // semantics, same 4-dp rounding, but mismatching candidates exit
+      // the merge as soon as J provably cannot reach 0.79995.
       val w = s2.select(col("doc_id"), col("lang"),
         expr("cast(floor(n_chars / 100.0) as int)").as("len_bucket"),
-        expr("array_distinct(split(trim(text), '\\\\s+'))").as("wset"))
+        expr("array_sort(array_distinct(split(trim(text), '\\\\s+')))").as("wset"))
         .withColumn("wn", size(col("wset")))
       val bsz = w.groupBy("lang", "len_bucket").agg(count(lit(1)).as("block_n"))
       val sized = w.join(broadcast(bsz), Seq("lang", "len_bucket"))
@@ -6945,8 +6983,7 @@ object Pipeline {
           col("doc_a") < col("doc_b") &&
           col("wn_a") * 100000L >= col("wn_b") * 79995L &&
           col("wn_b") * 100000L >= col("wn_a") * 79995L &&
-          expr("""round(cast(size(array_intersect(set_a, set_b)) as double) /
-             size(array_union(set_a, set_b)), 4)""") >= 0.8)
+          round(expr("jaccard_sim_sorted_bail(set_a, set_b, 0.79995)"), 4) >= 0.8)
         .select(col("doc_b").as("doc_id")).distinct()
       val s3 = s2.join(drops, Seq("doc_id"), "left_anti")
       val e0 = base.groupBy("source").agg(count(lit(1)).as("n_docs"))

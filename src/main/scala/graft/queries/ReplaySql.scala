@@ -328,12 +328,20 @@ private[queries] object ReplaySql {
       |FROM b ORDER BY doc_id""".stripMargin
 
   /** d23: signature-estimated Jaccard — fraction of agreeing signature
-    * components (signed minima equality is representation-independent)
-    * ≥ 0.7, expanded like d15. */
+    * components ≥ 0.7, expanded like d15. Round 13: the Spark side
+    * ships components TRUNCATED to their low 32 bits (halving the band
+    * join's transport), so the replay compares the same truncation —
+    * `(smin % 2^32 + 2^32) % 2^32` normalizes DuckDB's sign-following
+    * modulo onto the unsigned low word (two longs agree on their low
+    * 32 bits iff these normalized values are equal; Spark's
+    * sign-extended int spelling is a bijection of the same word, so
+    * equality coincides). */
   val d23: String =
     s"""$repsPrefix,
        |mm AS (SELECT c.r_a, c.r_b,
-       |              round(sum(CASE WHEN a.smin = b.smin THEN 1 ELSE 0 END) / 128.0, 4) AS est_jaccard
+       |              round(sum(CASE WHEN (a.smin % 4294967296 + 4294967296) % 4294967296
+       |                              = (b.smin % 4294967296 + 4294967296) % 4294967296
+       |                         THEN 1 ELSE 0 END) / 128.0, 4) AS est_jaccard
        |       FROM candrep c JOIN mins a ON a.rep_id = c.r_a
        |                      JOIN mins b ON b.rep_id = c.r_b AND b.k = a.k
        |       GROUP BY c.r_a, c.r_b),

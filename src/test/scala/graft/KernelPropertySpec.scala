@@ -177,6 +177,43 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard: bail kernel is filter-equivalent to the unbailed kernel") {
+    // The r13 verdict's done-criterion for the early-exit bailout:
+    // over randomized sorted-distinct inputs and randomized thresholds,
+    //  (a) whenever the bail kernel returns a non-negative value it is
+    //      BIT-IDENTICAL to the plain merge kernel's value and that
+    //      value is >= thr (as the exact 5-dp rational), and
+    //  (b) whenever it bails (-1.0), the plain kernel's exact rational
+    //      J is < thr — i.e. any >= thr consumer filter sees identical
+    //      survivor sets and identical survivor values.
+    val r = rng(7)
+    var bails = 0
+    (1 to Rounds * 4).foreach { _ =>
+      val sa = randTokens(r).distinct.map(UTF8String.fromString).sorted.map(_.toString)
+      val sb = randTokens(r).distinct.map(UTF8String.fromString).sorted.map(_.toString)
+      val thrNum = 1L + r.nextInt(100000) // (0, 1] at 5-dp grain
+      val plain = JaccardSim.mergeJaccard(arr(sa), arr(sb))
+      val bail = JaccardSim.mergeJaccardBail(arr(sa), arr(sb), thrNum)
+      // exact rational comparison of plain J vs thrNum/100000: J =
+      // inter/union with union = |A ∪ B|
+      val (setA, setB) = (sa.toSet, sb.toSet)
+      val inter = (setA & setB).size.toLong
+      val union = (setA ++ setB).size.toLong
+      val qualifies = if (union == 0) false else inter * 100000L >= thrNum * union
+      if (bail == -1.0) {
+        bails += 1
+        assert(!qualifies,
+          s"bailed a qualifying pair: thr=$thrNum inter=$inter union=$union a=$sa b=$sb")
+      } else {
+        assert(bail == plain,
+          s"non-bailed value diverged: bail=$bail plain=$plain thr=$thrNum a=$sa b=$sb")
+      }
+      // completeness both ways: a qualifying pair must never bail
+      if (qualifies) assert(bail == plain && bail != -1.0)
+    }
+    assert(bails > Rounds, s"bailout never exercised meaningfully ($bails bails)")
+  }
+
   test("minhash bands: keys are order- and duplicate-invariant") {
     val r = rng(3)
     def keys(xs: Seq[String]): Seq[Long] =
