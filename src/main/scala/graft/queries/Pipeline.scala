@@ -450,9 +450,36 @@ object Pipeline {
     // occupancy knob: session conf (specs), env (one-off oracle
     // certification runs through Verify), default 80 (the contract)
     val nVec = cachedCount(s, dir, "nEmbeddings")(T(s, dir, "embeddings").count())
-    val bits = adaptiveBits(nVec,
+    val bits0 = adaptiveBits(nVec,
       s.conf.get("graft.lsh.occupancy",
         sys.env.getOrElse("GRAFT_LSH_OCCUPANCY", "80")).toLong)
+    // CAPACITY PRE-GATE (round 13, verdict task 3 — d146 productized):
+    // before the quadratic pair join runs, predict its exact candidate
+    // mass Σ c(c−1)/2 over the occupancy distribution at the chosen
+    // width and ESCALATE the signature width while the prediction
+    // crosses graft.lsh.pairBudget — narrower buckets shrink the
+    // quadratic stage itself, where salting only spreads it across
+    // tasks. The prediction is one linear explode+aggregate (strictly
+    // cheaper than the join it plans, vec column never read), runs
+    // once per (session, corpus, width) via the count registry, and
+    // adaptiveBits' occupancy formula stays the base width — the gate
+    // only ever RAISES it on occupancy-skewed corpora the formula's
+    // uniform assumption misses. Default budget 2e9 pairs: above every
+    // oracle-checked scale (sf10 measured 351M), so replay oracles —
+    // which derive the width from their own count(*) alone — stay
+    // bit-equal at every gated SF; production tuning via the knob
+    // trades recall for capacity by explicit opt-in. 16 is the replay
+    // prefix-table cap (see [[adaptiveBits]]); past it the gate stops
+    // and the salted chunking below remains the backstop.
+    val pairBudget = s.conf.get("graft.lsh.pairBudget",
+      sys.env.getOrElse("GRAFT_LSH_PAIR_BUDGET", "2000000000")).toLong
+    def pairMass(b: Int): Long = cachedCount(s, dir, s"lshPairMass:$b")(
+      emb.select(explode(expr(s"hyperplane_buckets(vec, 48, $b)")).as("bkt"))
+        .groupBy("bkt").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+        .head().getLong(0))
+    var bits = bits0
+    while (bits < 16 && pairMass(bits) > pairBudget) bits += 1
     // The SLIM scored-pair stream goes through the registry (keyed by
     // bits — the spec occupancy knob changes the banding): d13/d54/d55
     // share ONE computed pair set per corpus instead of three. The

@@ -524,6 +524,8 @@ class DedupSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(t => (t._1, t._2))
     // default cap 10k ≫ 200 rows: broadcast-dim path, pinned in-plan
+    // (see also the capacity pre-gate test below, which pins the
+    // escalated signature width in-plan the same way)
     val pSmall = Pipeline.queries("d13_embed_neardup")(spark, dir)
       .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin \\[id_a".r.findFirstIn(pSmall).isDefined &&
@@ -559,6 +561,44 @@ class DedupSpec extends SparkSpecBase {
       s"$dir/embeddings.parquet")
     val out = Pipeline.queries("d99_pagerank")(spark, dir)
     assert(out.count() == 60)
+  }
+
+  test("capacity pre-gate: over-budget corpus re-buckets wider, results unchanged") {
+    // VERDICT r12 #3: d146's pair-mass prediction wired in as an
+    // automatic pre-gate — when the predicted Σ c(c−1)/2 at the base
+    // signature width crosses graft.lsh.pairBudget, the engine
+    // escalates the width BEFORE the quadratic pair join runs. Corpus:
+    // 3 cliques × 12 IDENTICAL vectors — identical vectors share every
+    // hyperplane sign, so (a) the cliques collide at ANY width (the
+    // escalated run must find the same pairs) and (b) the pair mass is
+    // ≥ 48·3·C(12,2) = 9 504 at every width, so a budget of 10 drives
+    // the gate to its 16-bit cap deterministically.
+    val dir = scratch("pairbudget-emb")
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val centers = Array.fill(3)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 36).map(i => (i.toLong, centers(i % 3)))
+    GraftWriter.write(rows.toDF("vec_id", "embedding").withColumn("label", lit(0)),
+      s"$dir/embeddings.parquet")
+    def run(): (String, Array[(Long, Long, Double)]) = {
+      val df = Pipeline.queries("d13_embed_neardup")(spark, dir)
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(t => (t._1, t._2)))
+    }
+    val (pDef, resDef) = run()
+    assert("hyperplane_buckets\\([^,]+, 48, 6\\)".r.findFirstIn(pDef).isDefined,
+      s"base width must be the occupancy formula's 6 for 36 vectors:\n$pDef")
+    // 3 cliques of 12 → C(12,2)·3 = 198 within-clique pairs at cos 1.0
+    assert(resDef.length == 198 && resDef.forall(_._3 == 1.0), s"${resDef.length}")
+    val (pGated, resGated) = try {
+      spark.conf.set("graft.lsh.pairBudget", "10")
+      run()
+    } finally spark.conf.unset("graft.lsh.pairBudget")
+    assert("hyperplane_buckets\\([^,]+, 48, 16\\)".r.findFirstIn(pGated).isDefined,
+      s"over-budget corpus must escalate to the 16-bit cap:\n$pGated")
+    assert(resGated.sameElements(resDef),
+      s"pre-gate changed results: ${resGated.length} vs ${resDef.length} rows")
   }
 
   test("d36: semdedup drops the higher id of planted near-dup pairs") {
