@@ -820,6 +820,81 @@ object Pipeline {
     // persisted by the cachedHelper registry, not here
   }
 
+  /** d112's shared exact two-stage top-20 rank over a
+    * (gram, n_occurrences, n_docs, n_sources) count table — the
+    * d64/d73 salted pre-rank (per-bucket top-20 is a superset of the
+    * global top-20) followed by the global (n_occurrences desc, gram
+    * asc) tie-broken rank. One spelling for both corpus paths, so the
+    * fast path provably ranks the way the adaptive path does. */
+  private def d112Rank(st: DataFrame): DataFrame =
+    st.withColumn("bk", pmod(crc32(col("gram")), lit(64)))
+      .withColumn("rb", row_number().over(Window.partitionBy("bk")
+        .orderBy(desc("n_occurrences"), asc("gram"))))
+      .filter(col("rb") <= 20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n_occurrences"), asc("gram"))).cast("int"))
+      .filter(col("rank") <= 20)
+      .select("rank", "gram", "n_occurrences", "n_docs", "n_sources")
+      .orderBy("rank")
+
+  /** d112's large-corpus plan — the r12 de-spill shape (see the entry
+    * comment): md5-keyed counts, binary-key threshold pass, gram-text
+    * recovery for the qualified candidates only. */
+  private def d112Adaptive(s: SparkSession, dir: String): DataFrame = {
+    val wd = withWords(T(s, dir, "documents"))
+      .filter(expr("size(words) >= 8"))
+      .select(col("doc_id"), col("source"), expr(
+        """transform(sequence(0, size(words) - 8),
+             i -> concat_ws(' ', slice(words, i + 1, 8)))""").as("grams"))
+      .transform(pinOnce) // the count pass and the name-recovery pass read it
+    val st = wd
+      .select(col("doc_id"), col("source"), explode(col("grams")).as("gram"))
+      .select(unhex(md5(col("gram"))).as("gkey"), col("doc_id"), col("source"))
+      .groupBy("gkey").agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_occurrences") >= 2)
+      .transform(pinOnce) // threshold rank + candidate filter read one aggregate
+    val thr = st.withColumn("bk", pmod(crc32(col("gkey")), lit(64)))
+      .withColumn("rb", row_number().over(Window.partitionBy("bk")
+        .orderBy(desc("n_occurrences"), asc("gkey"))))
+      .filter(col("rb") <= 20)
+      .withColumn("rg", row_number().over(
+        Window.orderBy(desc("n_occurrences"), asc("gkey"))))
+      .filter(col("rg") <= 20)
+      .agg(min("n_occurrences").as("thr"))
+      .withColumn("one", lit(1))
+    val cand = st.withColumn("one", lit(1)).join(broadcast(thr), "one")
+      .filter(col("n_occurrences") >= col("thr"))
+      .transform(pinOnce) // name-recovery semi-join + final rank read one filter
+    // Recover gram text for the candidates only. The gate side is
+    // normally ≤ the 20-boundary tie group, so BROADCAST it and the
+    // recovery pass is a pure map-side scan (first-cut r12 sf10 probe:
+    // leaving this to a shuffle semi-join re-materialized the full
+    // exploded gram stream — strings and all — through one exchange,
+    // 447.8 s vs the string-keyed plan's 189.1 s; the hint-free
+    // "absorb the pathological corpus" stance re-opened the exact
+    // spill this plan exists to close). The pathological all-tied
+    // corpus where the tie group is corpus-sized is handled the d15
+    // way: the count is one agg over the PERSISTED cand. Cap 300 k
+    // keys (advisor r12): the gate was sized from raw gkey bytes
+    // (~32 MB at 2 M keys), but a broadcast HashedRelation carries
+    // ~10× per-row overhead — near the old threshold the relation was
+    // several-hundred-MB on the driver and every executor. 300 k keys
+    // ≈ 5 MB raw ≈ tens of MB built, safely inside an 8 g driver.
+    val candKeys = cand.select("gkey")
+    val gate = if (cand.count() <= 300000L) broadcast(candKeys) else candKeys
+    val names = wd.select(explode(col("grams")).as("gram"))
+      .select(unhex(md5(col("gram"))).as("gkey"), col("gram"))
+      .join(gate, Seq("gkey"), "left_semi")
+      // min over byte-identical values (md5 is injective here): the
+      // dedup aggregate stays KEYED on the 16-byte gkey — a distinct
+      // would put the gram string back into a shuffle key
+      .groupBy("gkey").agg(min("gram").as("gram"))
+    d112Rank(cand.join(names, "gkey"))
+  }
+
   private def d4Pairs(s: SparkSession, dir: String): DataFrame = {
     GraftExtensions.install(s)
     val saltCap = 2000 // docs per block chunk before the scan splits
@@ -5604,63 +5679,35 @@ object Pipeline {
       // first derived on the binary keys (any tie-break finds the same
       // 20th-largest COUNT), then the exact gram-tie-break rank runs
       // over the count-qualified candidates with their recovered text.
-      val wd = withWords(T(s, dir, "documents"))
-        .filter(expr("size(words) >= 8"))
-        .select(col("doc_id"), col("source"), expr(
-          """transform(sequence(0, size(words) - 8),
-               i -> concat_ws(' ', slice(words, i + 1, 8)))""").as("grams"))
-        .transform(pinOnce) // the count pass and the name-recovery pass read it
-      val st = wd
-        .select(col("doc_id"), col("source"), explode(col("grams")).as("gram"))
-        .select(unhex(md5(col("gram"))).as("gkey"), col("doc_id"), col("source"))
-        .groupBy("gkey").agg(
-          count(lit(1)).as("n_occurrences"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          countDistinct(col("source")).as("n_sources"))
-        .filter(col("n_occurrences") >= 2)
-        .transform(pinOnce) // threshold rank + candidate filter read one aggregate
-      val thr = st.withColumn("bk", pmod(crc32(col("gkey")), lit(64)))
-        .withColumn("rb", row_number().over(Window.partitionBy("bk")
-          .orderBy(desc("n_occurrences"), asc("gkey"))))
-        .filter(col("rb") <= 20)
-        .withColumn("rg", row_number().over(
-          Window.orderBy(desc("n_occurrences"), asc("gkey"))))
-        .filter(col("rg") <= 20)
-        .agg(min("n_occurrences").as("thr"))
-        .withColumn("one", lit(1))
-      val cand = st.withColumn("one", lit(1)).join(broadcast(thr), "one")
-        .filter(col("n_occurrences") >= col("thr"))
-        .transform(pinOnce) // name-recovery semi-join + final rank read one filter
-      // Recover gram text for the candidates only. The gate side is
-      // normally ≤ the 20-boundary tie group, so BROADCAST it and the
-      // recovery pass is a pure map-side scan (first-cut r12 sf10 probe:
-      // leaving this to a shuffle semi-join re-materialized the full
-      // exploded gram stream — strings and all — through one exchange,
-      // 447.8 s vs the string-keyed plan's 189.1 s; the hint-free
-      // "absorb the pathological corpus" stance re-opened the exact
-      // spill this plan exists to close). The pathological all-tied
-      // corpus where the tie group is corpus-sized is handled the d15
-      // way: the count is one agg over the PERSISTED cand, and past
-      // 2 M keys (~32 MB of gkeys) the join falls back to shuffle.
-      val candKeys = cand.select("gkey")
-      val gate = if (cand.count() <= 2000000L) broadcast(candKeys) else candKeys
-      val names = wd.select(explode(col("grams")).as("gram"))
-        .select(unhex(md5(col("gram"))).as("gkey"), col("gram"))
-        .join(gate, Seq("gkey"), "left_semi")
-        // min over byte-identical values (md5 is injective here): the
-        // dedup aggregate stays KEYED on the 16-byte gkey — a distinct
-        // would put the gram string back into a shuffle key
-        .groupBy("gkey").agg(min("gram").as("gram"))
-      cand.join(names, "gkey")
-        .withColumn("bk", pmod(crc32(col("gram")), lit(64)))
-        .withColumn("rb", row_number().over(Window.partitionBy("bk")
-          .orderBy(desc("n_occurrences"), asc("gram"))))
-        .filter(col("rb") <= 20)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(desc("n_occurrences"), asc("gram"))).cast("int"))
-        .filter(col("rank") <= 20)
-        .select("rank", "gram", "n_occurrences", "n_docs", "n_sources")
-        .orderBy("rank")
+      //
+      // Round 13 (verdict task 4 — the d13 vecBroadcastCap pattern):
+      // below graft.d112.smallCap docs the whole de-spill machinery —
+      // three pins, the threshold pass, the name-recovery semi-join —
+      // costs more than the spill it prevents (sf0.1 regressed 1.57 →
+      // 3.68 s when r12 shipped it unconditionally), so a small corpus
+      // runs the straightforward string-keyed single-aggregate plan.
+      // Identical output: same counts, same (n_occurrences desc, gram
+      // asc) tie-break, same exact two-stage top-20 — only the shuffle
+      // key representation differs. Cap 20 k: covers the bench SFs
+      // (5 k docs at sf0.1) with margin while every probed scale
+      // (50 k/500 k docs at sf1/sf10) keeps the md5-keyed shape the
+      // sf10 probe certified.
+      val nDocs = cachedCount(s, dir, "nDocuments")(
+        T(s, dir, "documents").count())
+      val smallCap = s.conf.get("graft.d112.smallCap", "20000").toLong
+      if (nDocs <= smallCap) {
+        val st = withWords(T(s, dir, "documents"))
+          .filter(expr("size(words) >= 8"))
+          .select(col("doc_id"), col("source"), explode(expr(
+            """transform(sequence(0, size(words) - 8),
+                 i -> concat_ws(' ', slice(words, i + 1, 8)))""")).as("gram"))
+          .groupBy("gram").agg(
+            count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"))
+          .filter(col("n_occurrences") >= 2)
+        d112Rank(st)
+      } else d112Adaptive(s, dir)
     },
 
     // ---- d113: ENCODING-DAMAGE AUDIT (the ftfy stage every crawl

@@ -1420,13 +1420,22 @@ class DedupSpec extends SparkSpecBase {
       docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars"),
       s"$dir/documents.parquet")
-    val got = Pipeline.queries("d112_memorization_risk")(spark, dir).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4))).toSeq
+    def run(): Seq[(Int, String, Long, Long, Long)] =
+      Pipeline.queries("d112_memorization_risk")(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    val got = run()
     val aGram = Seq.fill(8)("a").mkString(" ")
     assert(got === Seq(
       (1, p, 3L, 3L, 2L),
       (2, aGram, 2L, 1L, 1L)), s"got $got")
+    // r13's small-corpus fast path (default here) and the de-spill
+    // adaptive path must agree exactly
+    val gotAdaptive = try {
+      spark.conf.set("graft.d112.smallCap", "0")
+      run()
+    } finally spark.conf.unset("graft.d112.smallCap")
+    assert(gotAdaptive === got, s"paths diverged: $gotAdaptive vs $got")
   }
 
   test("d117: intra-domain crawl dups split from cross-domain mirrors exactly") {

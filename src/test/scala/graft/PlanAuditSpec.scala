@@ -669,12 +669,37 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("d112: gram counts aggregate on 16-byte binary keys — gram text is never a shuffle key") {
-    val p = plan("d112_memorization_risk")
+    // the de-spill shape is the LARGE-corpus path since round 13 —
+    // force it past the small-corpus cap to audit it at sfTiny
+    val p = try {
+      spark.conf.set("graft.d112.smallCap", "0")
+      plan("d112_memorization_risk")
+    } finally spark.conf.unset("graft.d112.smallCap")
     val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exch.exists(_.contains("gkey#")),
       s"no shuffle keyed on the binary gram key:\n$p")
     assert(!exch.exists(_.contains("gram#")),
       s"a shuffle still keys on the gram string:\n${exch.mkString("\n")}")
+  }
+
+  test("d112 small corpus: one string-keyed aggregate, no pins, no threshold pass") {
+    // below graft.d112.smallCap (default 20 k docs ≫ sfTiny) the entry
+    // runs the single-aggregate string-keyed plan: no persisted
+    // projection, no binary-key detour, no broadcast-scalar threshold
+    // join — just the exploded count plus the salted two-stage rank
+    val p = plan("d112_memorization_risk")
+    assert(!p.contains("InMemoryTableScan"),
+      s"fast path must not pin anything:\n$p")
+    assert(!p.contains("gkey#"),
+      s"fast path must not take the md5 detour:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"fast path has no threshold join:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram counts lost their map-side partials:\n$p")
+    assert("Window \\[".r.findAllIn(p).length == 2,
+      s"fast path is exactly one salted rank pair:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"ranks must run as bounded per-partition heaps:\n$p")
   }
 
   test("d87 dataset card: median runs on the histogram, never a per-source doc sort") {
@@ -1304,8 +1329,12 @@ class PlanAuditSpec extends SparkSpecBase {
     // generator-reevaluation lesson), the gram aggregate must combine
     // map-side, and the top-20 must be the two-stage salted rank —
     // both windows partitioned or pre-filtered, never a global sort of
-    // the full gram table
-    val p = plan("d112_memorization_risk")
+    // the full gram table. Large-corpus path (forced past the r13
+    // small-corpus cap).
+    val p = try {
+      spark.conf.set("graft.d112.smallCap", "0")
+      plan("d112_memorization_risk")
+    } finally spark.conf.unset("graft.d112.smallCap")
     assert(p.contains("InMemoryTableScan"),
       s"d112 must explode a cached gram projection:\n$p")
     assert(p.contains("partial_count"),
