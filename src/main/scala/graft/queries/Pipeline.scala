@@ -7303,6 +7303,68 @@ object Pipeline {
         .select("occ_b", "sig_bits", "n_buckets", "docs_mass", "max_occ",
           "pair_rows")
         .orderBy("occ_b")
+    },
+
+    // ---- d147: BUCKETED SNAPSHOT DIFF (round 13, verdict task 7) —
+    // d74's CDC full-outer diff with both snapshot sides WRITTEN
+    // through a12's bucketBy machinery first: bucketBy(16, doc_id) +
+    // sortBy(doc_id), one file per bucket (the pre-write
+    // repartition(16, doc_id) uses the same murmur3 hash as the bucket
+    // spec, so every task holds exactly one bucket). The diff join
+    // then plans as a full-outer SortMergeJoin with ZERO exchanges and
+    // ZERO pre-join sorts (PlanAuditSpec pins both) — at 100 TB this
+    // is THE CDC shape: each snapshot pays its bucketed write once,
+    // and every subsequent diff (and any other doc_id-keyed join —
+    // d32's incremental screens included) against a same-bucketed
+    // snapshot is shuffle-free. Output and oracle identical to d74;
+    // the only exchange left is the presentation sort.
+    "d147_bucketed_snapshot_diff" -> { (s, dir) =>
+      val base = T(s, dir, "documents")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      // dir-hashed table names: parallel spec suites run on distinct
+      // scratch corpora and must not clobber each other's catalogs
+      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      val (tOld, tNew) = (s"graft_b_snap_old_$tag", s"graft_b_snap_new_$tag")
+      Seq(tOld, tNew).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.sources.GraftWriter.removeDirectory(s, s"$wh/$t")
+      }
+      base.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("old_h"))
+        .repartition(16, col("doc_id"))
+        .write.bucketBy(16, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable(tOld)
+      base.filter(col("doc_id") % 5 =!= 2)
+        .select(col("doc_id"), md5(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("new_h"))
+        .repartition(16, col("doc_id"))
+        .write.bucketBy(16, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable(tNew)
+      // Spark ≥ 3.0 ignores the buckets' sortBy order unless this flag
+      // lists files at planning to prove one-file-per-bucket (which the
+      // pre-write repartition guarantees here). Scoped to THIS plan:
+      // planning is forced via executedPlan while the flag is set, then
+      // the session value is restored — the returned frame's physical
+      // plan is already fixed.
+      val prev = s.conf.getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      val out = try {
+        s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        val df = s.table(tOld).join(s.table(tNew), Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("old_h").isNull, "added")
+              .when(col("new_h").isNull, "removed")
+              .when(col("old_h") === col("new_h"), "unchanged")
+              .otherwise("changed"))
+          .select("doc_id", "old_h", "new_h", "status")
+          .orderBy("doc_id")
+        df.queryExecution.executedPlan // pin the sort-free plan now
+        df
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
+        case None => s.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      }
+      out
     }
   )
 
@@ -9389,6 +9451,27 @@ object Pipeline {
     // d74: same snapshot predicates, same revision suffix, same md5
     // classification over a full outer join.
     "d74_snapshot_diff" -> """
+      WITH a AS (
+        SELECT doc_id, md5(text) AS old_h
+        FROM documents WHERE doc_id % 7 <> 3),
+      b AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+                        ELSE text END) AS new_h
+        FROM documents WHERE doc_id % 5 <> 2)
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.old_h, b.new_h,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.old_h = b.new_h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      ORDER BY doc_id""",
+
+    // d147: byte-identical output contract to d74 — the bucketed
+    // storage is a physical-layout change only, so the same oracle
+    // certifies it (and any drift between the bucketed and plain
+    // snapshot paths fails the hash).
+    "d147_bucketed_snapshot_diff" -> """
       WITH a AS (
         SELECT doc_id, md5(text) AS old_h
         FROM documents WHERE doc_id % 7 <> 3),

@@ -682,6 +682,27 @@ class PlanAuditSpec extends SparkSpecBase {
       s"a shuffle still keys on the gram string:\n${exch.mkString("\n")}")
   }
 
+  test("d147 bucketed snapshot diff: full-outer SMJ with zero exchanges, zero pre-join sorts") {
+    // both snapshot sides land bucketBy(16, doc_id) + sortBy with one
+    // file per bucket, so the diff join must read the bucketed layout
+    // directly: a full-outer SortMergeJoin with NO hash exchange and NO
+    // sort below it — the only allowed exchange/sort is the final
+    // presentation orderBy (rangepartitioning). This is the 100 TB CDC
+    // pin: a regression that re-shuffles a snapshot diff re-pays the
+    // full corpus shuffle per diff instead of once per snapshot write.
+    val p = plan("d147_bucketed_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"diff must plan as a full-outer SMJ:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed diff join must not shuffle either side:\n$p")
+    // exactly one Sort: the presentation orderBy above the join — the
+    // join's own inputs read the buckets' sortBy order
+    assert("(?m)^\\s*[+:]?-? *\\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(p).length <= 1,
+      s"a pre-join sort re-appeared — bucket sort order lost:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"presentation sort should be the only exchange:\n$p")
+  }
+
   test("d112 small corpus: one string-keyed aggregate, no pins, no threshold pass") {
     // below graft.d112.smallCap (default 20 k docs ≫ sfTiny) the entry
     // runs the single-aggregate string-keyed plan: no persisted
