@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
+/** Randomized-order full-suite sweep in ONE JVM (round 13, verdict
+  * task 5): the r12 "Recursive update" registry crash was
+  * ORDER-DEPENDENT — it only fired when d97/d99 ran before any other
+  * lshScoredPairs consumer had seeded the inner registry entry — and
+  * stayed masked for a full round because the per-query dev loop runs
+  * entries SOLO in fresh JVMs and Verify/Bench always run the map in
+  * its fixed iteration order. This main runs every SparkEntry entry in
+  * a seeded random order inside one session (shared registries, shared
+  * catalog, per-query clearCache like Verify), so any hidden
+  * inter-query order dependence — registry seeding, catalog/table
+  * clobbering, leaked session conf — fails the sweep instead of
+  * shipping.
+  *
+  * Usage: graft.Sweep <sfDir> [seed]. Prints one JSON line
+  * {"seed":…,"n":…,"failed":…} on stdout; per-query progress on
+  * stderr; exit 1 iff any entry failed.
+  */
+object Sweep {
+
+  val PerQueryTimeoutSec: Long =
+    sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val seed = if (args.length > 1) args(1).toLong else 13L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val order = new scala.util.Random(seed)
+      .shuffle(SparkEntry.queries.keys.toSeq.sorted)
+    val pool = Executors.newCachedThreadPool()
+    var failed = List.empty[(String, String)]
+    order.zipWithIndex.foreach { case (name, i) =>
+      val t0 = System.nanoTime()
+      val fut = pool.submit(new Runnable {
+        override def run(): Unit = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try {
+            val n = SparkEntry.queries(name)(spark, sfDir).count()
+            System.err.println(
+              f"[sweep] ${i + 1}%3d/${order.size} $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          } finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try fut.get(PerQueryTimeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          fut.cancel(true)
+          failed ::= (name, s"timeout after ${PerQueryTimeoutSec}s")
+          System.err.println(s"[sweep] $name TIMED OUT")
+        case e: Throwable =>
+          val cause = Option(e.getCause).getOrElse(e)
+          failed ::= (name, Option(cause.getMessage).getOrElse(cause.getClass.getName))
+          System.err.println(s"[sweep] $name FAILED: ${cause.getMessage}")
+      }
+      // the Verify loop's hygiene, deliberately mirrored: released
+      // caches and a re-pinned shuffle-partition conf are part of the
+      // environment the order-dependence claim is made under
+      spark.catalog.clearCache()
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    }
+    pool.shutdownNow()
+    failed.reverse.foreach { case (n, m) => System.err.println(s"[sweep] FAILED $n: $m") }
+    println(s"""{"seed":$seed,"n":${order.size},"failed":${failed.size}}""")
+    System.out.flush()
+    Runtime.getRuntime.halt(if (failed.isEmpty) 0 else 1)
+  }
+}
