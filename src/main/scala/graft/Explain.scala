@@ -20,7 +20,14 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val raw = SparkEntry.queries(name)(spark, sfDir)
+      // honor the stress-contract env the way Verify does, so contract-
+      // mode probe plans can be audited without a full probe run
+      val df =
+        if (sys.env.getOrElse("SPARK_GRAFT_STRESS_CONTRACT", "") == "clusters"
+            && Verify.pairContractSim.contains(name))
+          Verify.pairClusterContract(raw, Verify.pairContractSim(name))
+        else raw
       println(s"\n========== $name ==========")
       df.explain("formatted")
       val files = df.inputFiles

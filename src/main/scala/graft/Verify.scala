@@ -37,31 +37,31 @@ object Verify {
     * order-free fingerprint of the full pair set at O(docs) rows.
     * The official gate never sets the env, so the contract there stays
     * the raw pair dump. */
-  private val pairContractSim: Map[String, String] = Map(
+  private[graft] val pairContractSim: Map[String, String] = Map(
     "d15_jaccard_lsh" -> "jaccard",
     "d23_minhash_estimate" -> "est_jaccard")
 
   private def contractMode: String =
     sys.env.getOrElse("SPARK_GRAFT_STRESS_CONTRACT", "")
 
-  /** CALLER CONTRACT (advisor r12): this persists the full pair stream
-    * and deliberately does NOT unpersist it — releasing it is the
-    * caller's job (Verify's loop runs spark.catalog.clearCache() after
-    * every query). Any future caller outside that loop must unpersist
-    * the input itself or it pins a 10^8-row frame for the JVM
-    * lifetime. */
   private[graft] def pairClusterContract(df: DataFrame, simCol: String): DataFrame = {
-    // Pin the pair stream before symmetrizing: unionAll makes the
-    // whole upstream query DAG a COMMON SUBPLAN of both branches, and
-    // Spark does not CSE across union — the r12 sf10 event log showed
-    // d23's entire salted band join + kernel running TWICE (4 of its 6
-    // dominant stages were duplicate pairs). The pin halves contract-
-    // mode probe cost; Verify's per-query clearCache() releases it.
-    val pinned =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-      else df
-    val u = pinned.select(col("doc_a").as("doc"), col("doc_b").as("other"), col(simCol).as("s"))
-      .unionAll(pinned.select(col("doc_b").as("doc"), col("doc_a").as("other"), col(simCol).as("s")))
+    // ONE streaming pass over the pair set (round 13). History: a bare
+    // unionAll re-ran the whole upstream pair query twice (Spark does
+    // not CSE across union — r12's event log caught d23's salted band
+    // join running twice); r12's fix pinned the pair frame, which
+    // stopped the recompute but at sf10 wrote ~5·10^8 rows through the
+    // block store and then read them back twice — the r13 d15 event
+    // log showed the pin's read-back as an 83 s stage with 0.7 CPU-s
+    // (pure cache-IO wait) plus a doubled aggregation. explode mirrors
+    // each pair into both endpoints inside the SAME projection, so the
+    // symmetrized stream feeds the aggregate directly: no persist, no
+    // double read, and the aggregate's algebraic partials collapse the
+    // 10^8-row stream map-side before its only shuffle.
+    val u = df.select(explode(array(
+        struct(col("doc_a").as("doc"), col("doc_b").as("other"), col(simCol).as("s")),
+        struct(col("doc_b").as("doc"), col("doc_a").as("other"), col(simCol).as("s"))))
+        .as("p"))
+      .select(col("p.doc").as("doc"), col("p.other").as("other"), col("p.s").as("s"))
     // DECIMAL(38,0) sums, dumped as strings: BIGINT sums wrap silently
     // in Spark but raise in DuckDB's HUGEINT→BIGINT cast, so at the
     // 10⁸-pair scales this mode exists for an overflow would fail

@@ -1279,12 +1279,24 @@ object Pipeline {
       // them in the kernel-join-bound regime the sf10 probe named.
       // Identical output: survivors return the bit-exact merge value,
       // bailed pairs were about to be filtered anyway.
+      // The post-filter repartition is STAGE ISOLATION, not data
+      // movement for its own sake (round 13, event-log finding): past
+      // the dim broadcast gate the two wset joins are sort-merge, and
+      // any downstream aggregate otherwise runs in the SAME stage as
+      // those set-carrying sorts — at sf10 the sorts starved the
+      // consumer-side partial hash aggregate's memory so badly it
+      // emitted ~1 row per input (503 M rows through one exchange,
+      // 0% map-side combine; the clusters-contract probe's whole
+      // tail). One exchange of the SLIM qualifying pairs (3 columns,
+      // orders of magnitude fewer rows than the expanded pair set)
+      // gives every consumer a sort-free stage in exchange.
       val repPairs = candRep
         .join(dim.select(col("rep_id").as("r_a"), col("wset").as("set_a")), "r_a")
         .join(dim.select(col("rep_id").as("r_b"), col("wset").as("set_b")), "r_b")
         .select(col("r_a"), col("r_b"),
           round(expr("jaccard_sim_sorted_bail(set_a, set_b, 0.79995)"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
+        .repartition(col("r_a"))
       val mFrame = w.select(col("gid"), col("doc_id"))
         .join(reps.select(col("gid"), col("rep_id")), "gid")
         .select(col("doc_id"), col("rep_id"))
