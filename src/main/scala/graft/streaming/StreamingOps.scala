@@ -19,6 +19,22 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 object StreamingOps {
 
+  /** Staged-landing parquet write with 2 MB row groups (round 13, sf10
+    * probe): the default 128 MB parquet block puts a staged file's
+    * whole contents in ONE row group, and Spark assigns a row group to
+    * the single split holding its midpoint — so every micro-batch scan
+    * of a staged file ran as ONE task at sf10 no matter the split
+    * config (s17 measured 332 s with its per-batch shingle pass
+    * single-threaded; the identical gotcha ScaleData fixed for probe
+    * data in r12, recreated by the streaming entries' own staging).
+    * Every staged LANDING write goes through here; per-batch result
+    * sinks (read back once for a final metadata-sized aggregate) keep
+    * plain writes. */
+  private def stageLanding(df: org.apache.spark.sql.DataFrame, nFiles: Int,
+      path: String): Unit =
+    df.repartition(nFiles).write.option("parquet.block.size", 2L * 1024 * 1024)
+      .mode("overwrite").parquet(path)
+
   /** Streaming twin of Tables.load(_, _, "events"): file-source stream
     * with the same nanos→timestamp normalization. The file streaming
     * source requires a DIRECTORY (it tails it for new files), so the
@@ -40,7 +56,7 @@ object StreamingOps {
       try s.read.parquet(stageDir).count() == events.count()
       catch { case _: Throwable => false }
     if (!stagedOk)
-      events.repartition(1).write.mode("overwrite").parquet(stageDir)
+      stageLanding(events, 1, stageDir)
     val schema = s.read.parquet(stageDir).schema
     val raw = s.readStream.schema(schema).parquet(stageDir)
     graft.Tables.normalizeTs(raw)
@@ -104,7 +120,7 @@ object StreamingOps {
       val t0 = System.currentTimeMillis()
       def land(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = s"$base/tmp_$name"
-        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        stageLanding(df, 1, tmp)
         val part = fs.listStatus(new Path(tmp)).map(_.getPath)
           .find(_.getName.startsWith("part-"))
           .getOrElse(sys.error(s"no part file under $tmp"))
@@ -529,7 +545,7 @@ object StreamingOps {
       // or multi-part directory both become one part file — the raw
       // single-file copy this replaced broke on directory layouts)
       graft.Tables.load(s, dir, "documents")
-        .repartition(1).write.mode("overwrite").parquet(in.toString)
+        .transform { d => stageLanding(d, 1, in.toString); d }
       val admitted = s"$base/admitted"
       // The keep-MIN oracle below needs the whole corpus in ONE batch:
       // dedupIngestBatch admits the first-SEEN doc_id per hash, so a
@@ -577,7 +593,7 @@ object StreamingOps {
         d.inputFiles.length >= 3 && d.count() == events.count()
       } catch { case _: Throwable => false }
       if (!staged)
-        events.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+        stageLanding(events, 3, s"$base/in")
       val schema = s.read.parquet(s"$base/in").schema
       val agg = centsDailyWindowAgg(s, s"$base/in", schema)
       // state-store count = partitions × batches here; the aggregate
@@ -630,7 +646,7 @@ object StreamingOps {
         d.inputFiles.length == 2 && d.count() == events.count()
       } catch { case _: Throwable => false }
       if (!stagedOk)
-        events.repartition(2).write.mode("overwrite").parquet(allDir)
+        stageLanding(events, 2, allDir)
       val parts = fs.listStatus(new Path(allDir)).map(_.getPath)
         .filter(p => p.getName.startsWith("part-")).sortBy(_.getName)
       require(parts.length == 2, s"expected 2 staged files, got ${parts.length}")
@@ -789,7 +805,7 @@ object StreamingOps {
       graft.sources.GraftWriter.removeDirectory(s, base)
       val in = s"$base/in"
       graft.Tables.load(s, dir, "documents")
-        .repartition(1).write.mode("overwrite").parquet(in)
+        .transform { d => stageLanding(d, 1, in); d }
       val state = s"$base/manifest"
       val schema = s.read.parquet(in).schema
       val q = s.readStream.schema(schema).parquet(in)
@@ -824,7 +840,7 @@ object StreamingOps {
       graft.sources.GraftWriter.removeDirectory(s, base)
       val in = s"$base/in"
       graft.Tables.load(s, dir, "documents")
-        .repartition(4).write.mode("overwrite").parquet(in)
+        .transform { d => stageLanding(d, 4, in); d }
       val schema = s.read.parquet(in).schema
       val toks = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
@@ -907,7 +923,16 @@ object StreamingOps {
       val bench = graft.queries.Pipeline.withShingles(
           docs.filter(col("doc_id") % 97 === 0))
         .select(explode(col("shingles")).as("shingle")).distinct()
-      docs.repartition(2).write.mode("overwrite").parquet(in)
+      // 2 MB row groups on the staged landing files (round 13, sf10
+      // probe): the default 128 MB parquet block puts each staged
+      // file's whole contents in ONE row group, and Spark assigns a
+      // row group to the single split holding its midpoint — so every
+      // micro-batch's shingle explode ran as ONE task at sf10 (the r12
+      // probe-data gotcha, recreated by this entry's own staging).
+      // Small row groups let the per-batch scan split across cores
+      // while keeping the 2-file/2-trigger staging the r12 shed fix
+      // chose.
+      stageLanding(docs, 2, in)
       val schema = s.read.parquet(in).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
