@@ -473,10 +473,19 @@ object Pipeline {
     // and the salted chunking below remains the backstop.
     val pairBudget = s.conf.get("graft.lsh.pairBudget",
       sys.env.getOrElse("GRAFT_LSH_PAIR_BUDGET", "2000000000")).toLong
-    def pairMass(b: Int): Long = cachedCount(s, dir, s"lshPairMass:$b")(
+    // The occupancy table is registry-PERSISTED per width: the
+    // pre-gate's mass aggregate materializes it, and the salting
+    // broadcast below reads the SAME cached frame — so in the common
+    // under-budget case the gate's "extra" corpus pass is the
+    // bucket-count pass the join needed anyway, not a second scan.
+    // Bucket-count-sized (≤ 48·2^bits rows), cheap to pin.
+    def bktSizesFor(b: Int): DataFrame = cachedHelper(s, dir, s"lshBktSizes:$b") {
       emb.select(explode(expr(s"hyperplane_buckets(vec, 48, $b)")).as("bkt"))
-        .groupBy("bkt").agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+        .groupBy("bkt").agg(count(lit(1)).as("bkt_n"))
+    }
+    def pairMass(b: Int): Long = cachedCount(s, dir, s"lshPairMass:$b")(
+      bktSizesFor(b)
+        .agg(coalesce(sum(expr("bkt_n * (bkt_n - 1) div 2")), lit(0L)))
         .head().getLong(0))
     var bits = bits0
     while (bits < 16 && pairMass(bits) > pairBudget) bits += 1
@@ -502,7 +511,7 @@ object Pipeline {
     cachedHelper(s, dir, s"lshScoredPairs:$bits:$saltCap:${nVec <= vecCap}") {
       val banded = emb.select(col("vec_id"), col("vec"),
         explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
-      val bktSizes = banded.groupBy(col("bkt")).agg(count(lit(1)).as("bkt_n"))
+      val bktSizes = bktSizesFor(bits) // registry-cached by the pre-gate
       val sized = banded.join(broadcast(bktSizes), "bkt")
         .withColumn("nsalt", ceil(col("bkt_n") / lit(saltCap.toDouble)).cast("int"))
       if (nVec <= vecCap) {
