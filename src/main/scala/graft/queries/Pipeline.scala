@@ -443,6 +443,20 @@ object Pipeline {
     * equality is spec-verified (DedupSpec) via the graft.lsh.saltCap
     * session knob.
     */
+  /** Per-width sign-LSH bucket occupancy table `(bkt, bkt_n)`,
+    * registry-PERSISTED (round 13): ONE corpus×48 explode+count pass
+    * per (corpus, width) serves three consumers — the capacity
+    * pre-gate's pair-mass aggregate (which materializes it), the
+    * salted band join's occupancy broadcast, and d146's capacity
+    * audit. Bucket-count-sized (≤ 48·2^bits rows), cheap to pin. */
+  private def lshBktSizes(s: SparkSession, dir: String, bits: Int): DataFrame =
+    cachedHelper(s, dir, s"lshBktSizes:$bits") {
+      T(s, dir, "embeddings")
+        .withColumn("vec", col("embedding").cast("array<double>"))
+        .select(explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
+        .groupBy("bkt").agg(count(lit(1)).as("bkt_n"))
+    }
+
   private def lshScoredPairs(s: SparkSession, dir: String): DataFrame = {
     GraftExtensions.install(s)
     val emb = T(s, dir, "embeddings")
@@ -473,18 +487,8 @@ object Pipeline {
     // and the salted chunking below remains the backstop.
     val pairBudget = s.conf.get("graft.lsh.pairBudget",
       sys.env.getOrElse("GRAFT_LSH_PAIR_BUDGET", "2000000000")).toLong
-    // The occupancy table is registry-PERSISTED per width: the
-    // pre-gate's mass aggregate materializes it, and the salting
-    // broadcast below reads the SAME cached frame — so in the common
-    // under-budget case the gate's "extra" corpus pass is the
-    // bucket-count pass the join needed anyway, not a second scan.
-    // Bucket-count-sized (≤ 48·2^bits rows), cheap to pin.
-    def bktSizesFor(b: Int): DataFrame = cachedHelper(s, dir, s"lshBktSizes:$b") {
-      emb.select(explode(expr(s"hyperplane_buckets(vec, 48, $b)")).as("bkt"))
-        .groupBy("bkt").agg(count(lit(1)).as("bkt_n"))
-    }
     def pairMass(b: Int): Long = cachedCount(s, dir, s"lshPairMass:$b")(
-      bktSizesFor(b)
+      lshBktSizes(s, dir, b)
         .agg(coalesce(sum(expr("bkt_n * (bkt_n - 1) div 2")), lit(0L)))
         .head().getLong(0))
     var bits = bits0
@@ -511,7 +515,7 @@ object Pipeline {
     cachedHelper(s, dir, s"lshScoredPairs:$bits:$saltCap:${nVec <= vecCap}") {
       val banded = emb.select(col("vec_id"), col("vec"),
         explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
-      val bktSizes = bktSizesFor(bits) // registry-cached by the pre-gate
+      val bktSizes = lshBktSizes(s, dir, bits) // registry-cached by the pre-gate
       val sized = banded.join(broadcast(bktSizes), "bkt")
         .withColumn("nsalt", ceil(col("bkt_n") / lit(saltCap.toDouble)).cast("int"))
       if (nVec <= vecCap) {
@@ -7305,21 +7309,21 @@ object Pipeline {
     // no join anywhere; strictly cheaper than the job it plans.
     "d146_lsh_capacity" -> { (s, dir) =>
       GraftExtensions.install(s)
-      val emb = T(s, dir, "embeddings")
-        .withColumn("vec", col("embedding").cast("array<double>"))
       val bits = adaptiveBits(cachedCount(s, dir, "nEmbeddings")(
           T(s, dir, "embeddings").count()),
         s.conf.get("graft.lsh.occupancy",
           sys.env.getOrElse("GRAFT_LSH_OCCUPANCY", "80")).toLong)
-      val occ = emb.select(col("vec_id"),
-          explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
-        .groupBy("bkt").agg(count(lit(1)).as("c"))
-      occ.withColumn("occ_b", expr("cast(length(bin(c)) - 1 as int)"))
+      // the audit reads the SAME registry-persisted occupancy table
+      // the engine's pre-gate and salting broadcast consume (round 13)
+      // — the "measure what the job will actually see" contract, now
+      // literal, and near-free when a d13/d54/d55 run already seeded it
+      val occ = lshBktSizes(s, dir, bits)
+      occ.withColumn("occ_b", expr("cast(length(bin(bkt_n)) - 1 as int)"))
         .groupBy("occ_b").agg(
           count(lit(1)).as("n_buckets"),
-          sum("c").as("docs_mass"),
-          max("c").as("max_occ"),
-          sum(expr("c * (c - 1) div 2")).as("pair_rows"))
+          sum("bkt_n").as("docs_mass"),
+          max("bkt_n").as("max_occ"),
+          sum(expr("bkt_n * (bkt_n - 1) div 2")).as("pair_rows"))
         .withColumn("sig_bits", lit(bits))
         .select("occ_b", "sig_bits", "n_buckets", "docs_mass", "max_occ",
           "pair_rows")
