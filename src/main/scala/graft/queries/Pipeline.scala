@@ -1441,6 +1441,13 @@ object Pipeline {
           explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
           col("rep_id").as("r_b"), col("sig").as("sig_b"))
           .repartition(nPart, col("key2"), col("salt2"))
+        // Sort-merge, not shuffle_hash — MEASURED (round 13): a
+        // shuffle_hash hint here probed 252.2 s vs the SMJ's 188.0 s
+        // at sf10. Band keys are heavily duplicated by construction
+        // (that is what a collision bucket IS), and a hash relation
+        // over sig-carrying rows with long duplicate chains loses to
+        // the merge join's sequential streaming of the same groups,
+        // spill and all.
         a.join(b, col("key") === col("key2") && col("salt") === col("salt2") &&
             col("r_a") < col("r_b"))
           .select(col("r_a"), col("r_b"),
