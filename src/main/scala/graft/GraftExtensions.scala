@@ -115,12 +115,21 @@ object GraftExtensions {
     ("minhash_sig", info("minhash_sig",
       "minhash_sig(tokens) - raw 128-component MinHash signature for similarity estimation"),
       fixedArity("minhash_sig", 1)(e => MinHashSig(e.head))),
+    ("minhash_sig16", info("minhash_sig16",
+      "minhash_sig16(tokens) - 128 MinHash components truncated to 16 bits, packed 4 per " +
+        "long (quarter-width transport for in-band match-fraction estimation; compare with " +
+        "sig_match_frac16)"),
+      fixedArity("minhash_sig16", 1)(e => MinHashSig(e.head, pack16 = true))),
     ("cdc_ends", info("cdc_ends",
       "cdc_ends(text) - 1-based content-defined chunk end positions (32-char window hash, divisor 64)"),
       fixedArity("cdc_ends", 1)(e => CdcEnds(e.head))),
     ("sig_match_frac", info("sig_match_frac",
       "sig_match_frac(a, b) - fraction of agreeing signature components (MinHash jaccard estimate)"),
       fixedArity("sig_match_frac", 2)(e => SigMatchFrac(e(0), e(1)))),
+    ("sig_match_frac16", info("sig_match_frac16",
+      "sig_match_frac16(a, b) - agreeing-component fraction over minhash_sig16's packed " +
+        "4-per-long 16-bit layout (denominator 4*len)"),
+      fixedArity("sig_match_frac16", 2)(e => SigMatchFrac(e(0), e(1), packed16 = true))),
     ("simhash64", info("simhash64", "simhash64(words) - 64-bit SimHash signature"),
       fixedArity("simhash64", 1)(e => SimHash64(e.head))),
     ("heavy_hitters", info("heavy_hitters",

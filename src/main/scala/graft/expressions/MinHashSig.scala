@@ -14,12 +14,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Uses the SAME hash family and seed schedule as [[MinHashBands]]
   * (h_i(x) = mix(fnv1a(x) ^ mix(0x5eed5eed + i))), so estimates are
   * consistent with the band keys candidates were generated from.
+  *
+  * `pack16` (SQL: `minhash_sig16`, round 13): emit the low 16 bits of
+  * each minimum, four components packed per long (numHashes/4 longs —
+  * a quarter of the full signature's bytes on the wire). Component
+  * EQUALITY on the packed fields is equality of the low-16-bit
+  * truncations, so a match-fraction estimator over them reads J +
+  * (1−J)·2⁻¹⁶ in expectation — truncation noise two orders below the
+  * estimator's own √(J(1−J)/128) ≈ 0.03 std-err. Packing happens
+  * INSIDE the expression (one kernel eval per row): spelling it as a
+  * SQL transform over minhash_sig would re-evaluate the full signature
+  * per packed element once CollapseProject inlines it (the round-1
+  * higher-order-function lesson).
   */
-case class MinHashSig(child: Expression, numHashes: Int = 128)
+case class MinHashSig(child: Expression, numHashes: Int = 128,
+    pack16: Boolean = false)
   extends UnaryExpression with CodegenFallback {
 
+  require(!pack16 || numHashes % 4 == 0,
+    "minhash_sig16 requires numHashes divisible by 4")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig"
+  override def prettyName: String = if (pack16) "minhash_sig16" else "minhash_sig"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     TypeChecks.requireArrayOf(prettyName, org.apache.spark.sql.types.StringType, child)
@@ -44,7 +60,19 @@ case class MinHashSig(child: Expression, numHashes: Int = 128)
       }
       i += 1
     }
-    new GenericArrayData(minima)
+    if (!pack16) new GenericArrayData(minima)
+    else {
+      val packed = new Array[Long](numHashes / 4)
+      var g = 0
+      while (g < packed.length) {
+        packed(g) = ((minima(4 * g) & 0xffffL) << 48) |
+          ((minima(4 * g + 1) & 0xffffL) << 32) |
+          ((minima(4 * g + 2) & 0xffffL) << 16) |
+          (minima(4 * g + 3) & 0xffffL)
+        g += 1
+      }
+      new GenericArrayData(packed)
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

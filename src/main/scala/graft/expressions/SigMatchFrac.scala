@@ -13,18 +13,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * and dominated d23's runtime 10×).
   *
   * Accepts array<bigint> (full 64-bit components) or array<int>
-  * (32-bit-truncated components — round 13's d23 transport cut: the
-  * in-band estimate only needs component EQUALITY, and truncating to
-  * the low 32 bits halves the bytes the salted band join shuffles
-  * while changing the match fraction only on 2^-32-probability
-  * truncation collisions; the oracle replays the same truncation).
-  * Both arguments must be the same element type.
+  * (32-bit-truncated components). `packed16` (SQL:
+  * `sig_match_frac16`, round 13) reads [[MinHashSig]]'s pack16 layout
+  * instead — four 16-bit truncated components per long — and counts
+  * agreement per FIELD (matches / (4·len)): the quarter-width wire
+  * format for the in-band estimate path, where component equality is
+  * all the kernel tests and the oracle replays the same truncation.
+  * Both arguments must share one layout.
   */
-case class SigMatchFrac(left: Expression, right: Expression)
+case class SigMatchFrac(left: Expression, right: Expression,
+    packed16: Boolean = false)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def prettyName: String = "sig_match_frac"
+  override def prettyName: String =
+    if (packed16) "sig_match_frac16" else "sig_match_frac"
 
   private def elemType: DataType = left.dataType match {
     case ArrayType(et, _) => et
@@ -34,7 +37,8 @@ case class SigMatchFrac(left: Expression, right: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val types = Seq(left, right).map(_.dataType)
     val ok = types.forall {
-      case ArrayType(LongType, _) | ArrayType(IntegerType, _) => true
+      case ArrayType(LongType, _) => true
+      case ArrayType(IntegerType, _) => !packed16
       case _ => false
     } && (types.head match {
       case ArrayType(et1, _) => types(1) match {
@@ -45,24 +49,29 @@ case class SigMatchFrac(left: Expression, right: Expression)
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<bigint> or two array<int> arguments")
+      if (packed16) s"$prettyName requires two array<bigint> (packed) arguments"
+      else s"$prettyName requires two array<bigint> or two array<int> arguments")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = elemType match {
-    case IntegerType =>
-      SigMatchFrac.matchFracInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    case _ =>
-      SigMatchFrac.matchFrac(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = elemType match {
+  private def kernelName: String =
+    if (packed16) "matchFracPacked16"
+    else elemType match {
       case IntegerType => "matchFracInt"
       case _ => "matchFrac"
     }
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expressions.SigMatchFrac.$kernel($a, $b);")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    kernelName match {
+      case "matchFracPacked16" => SigMatchFrac.matchFracPacked16(x, y)
+      case "matchFracInt" => SigMatchFrac.matchFracInt(x, y)
+      case _ => SigMatchFrac.matchFrac(x, y)
+    }
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.SigMatchFrac.$kernelName($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SigMatchFrac =
@@ -102,5 +111,30 @@ object SigMatchFrac {
       i += 1
     }
     m.toDouble / n
+  }
+
+  /** Packed-16-bit variant: each long carries FOUR truncated
+    * components; agreement is counted per field, so the fraction's
+    * denominator is 4·len. A null slot contributes 4 non-matches
+    * (mirrors the scalar kernels' null-never-matches rule). */
+  def matchFracPacked16(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sig_match_frac16: signature length mismatch ($n vs ${y.numElements()})")
+    if (n == 0) return 0.0
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val d = x.getLong(i) ^ y.getLong(i)
+        if ((d & 0xffff000000000000L) == 0L) m += 1
+        if ((d & 0x0000ffff00000000L) == 0L) m += 1
+        if ((d & 0x00000000ffff0000L) == 0L) m += 1
+        if ((d & 0x000000000000ffffL) == 0L) m += 1
+      }
+      i += 1
+    }
+    m.toDouble / (4 * n)
   }
 }

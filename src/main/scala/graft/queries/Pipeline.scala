@@ -1354,23 +1354,23 @@ object Pipeline {
       val w = collapsedWordSets(s, dir) // registry-persisted token pass
       val reps = w.groupBy(col("gid"))
         .agg(min(col("doc_id")).as("rep_id"), first(col("wset")).as("wset"))
-      // Signature components TRUNCATED to their low 32 bits for the
-      // estimate path (round 13, verdict task 1): the kernel only tests
-      // component EQUALITY, so the match fraction over truncated
-      // components differs from the full-width one only on
-      // 2^-32-probability truncation collisions (≈ 10^-4 expected extra
-      // matches across the whole sf10 candidate set) — and the ORACLE
-      // replays the same truncation, so the gate compares like with
-      // like. The payoff is transport: the salted band join ships
-      // reps × 16 band rows each carrying the signature, and
-      // array<int> halves those bytes vs array<bigint> (the r12 probe
-      // named exactly this sort's volume as d23's scale tail).
-      // shiftleft/shiftright sign-extends the low word into int range —
-      // a plain cast of the masked value would overflow under ANSI.
+      // Signature components TRUNCATED to their low 16 bits and packed
+      // four per long for the estimate path (round 13, verdict task 1
+      // taken one step further after the 32-bit cut probed well): the
+      // kernel only tests component EQUALITY, so the match fraction
+      // over truncated components reads J + (1−J)·2⁻¹⁶ in expectation —
+      // two orders below the estimator's own √(J(1−J)/128) ≈ 0.03
+      // std-err — and the ORACLE replays the same truncation, so the
+      // gate compares like with like. The payoff is transport: the
+      // salted band join ships reps × 16 band rows each carrying the
+      // signature, and the packed layout is 256 B/row vs the original
+      // 1 KB (the r12 probe named exactly this sort's volume as d23's
+      // scale tail). Packing happens inside minhash_sig16 — a SQL
+      // transform over minhash_sig would re-evaluate the signature per
+      // packed element under CollapseProject (the round-1 lesson).
       val base = cachedHelper(s, dir, "d23Base") {
         reps.select(col("gid"), col("rep_id"),
-          expr("transform(minhash_sig(wset), x -> cast(shiftright(shiftleft(x, 32), 32) as int))")
-            .as("sig"),
+          expr("minhash_sig16(wset)").as("sig"),
           expr("minhash_bands(wset, 16)").as("keys"))
       }
       // Adaptive sig strategy, round-12 SECOND cut. First cut (the d15
@@ -1381,7 +1381,7 @@ object Pipeline {
       // for vectors; ~70 GB of sort spill filled the disk). The join
       // that is safe at every scale is the one whose shuffled bytes are
       // linear in REPS, not candidates: past the cap, signatures ride
-      // the BAND self-join (reps × 16 bands × 0.5 KB — at 100 TB that is
+      // the BAND self-join (reps × 16 bands × 0.25 KB — at 100 TB that is
       // cluster-aggregate shuffle volume, evenly hash-partitioned) and
       // sig_match_frac scores each collision in-join; collisions dedup
       // AFTER scoring on slim (r_a, r_b, est) rows. Mega band-buckets
@@ -1404,7 +1404,7 @@ object Pipeline {
           .join(dim.select(col("rep_id").as("r_a"), col("sig").as("sig_a")), "r_a")
           .join(dim.select(col("rep_id").as("r_b"), col("sig").as("sig_b")), "r_b")
           .select(col("r_a"), col("r_b"),
-            round(expr("sig_match_frac(sig_a, sig_b)"), 4).as("est_jaccard"))
+            round(expr("sig_match_frac16(sig_a, sig_b)"), 4).as("est_jaccard"))
       } else {
         val banded = base.select(col("rep_id"), col("sig"),
           explode(col("keys")).as("key"))
@@ -1423,8 +1423,8 @@ object Pipeline {
         // Size the join's partitioning from the data, not the session
         // default (the brief's "partitions fit in executor memory"
         // rule): each side sorts reps × 16 band rows carrying a
-        // ~0.5 KB truncated sig (128 ints + row overhead — half the
-        // r12 shape's 128 longs), and at sf10 the default 32
+        // ~0.25 KB truncated sig (32 packed longs + row overhead — a
+        // quarter of the r12 shape's 128 longs), and at sf10 the default 32
         // partitions put hundreds of MB of raw sort working set in
         // every concurrent task — uniform, so AQE's skew split never
         // fires, and the sort spilled ~10 GB (the probed tail).
@@ -1432,7 +1432,7 @@ object Pipeline {
         // of sig bytes per partition (bounded [32, 1024]); the SMJ
         // reuses it, so no extra exchange.
         val nPart = math.min(1024L, math.max(32L,
-          nRepsD23 * 16L * 600L / (64L << 20) + 1L)).toInt
+          nRepsD23 * 16L * 330L / (64L << 20) + 1L)).toInt
         val a = sized.select(col("key"),
           pmod(col("rep_id"), col("nsalt")).cast("int").as("salt"),
           col("rep_id").as("r_a"), col("sig").as("sig_a"))
@@ -1451,7 +1451,7 @@ object Pipeline {
         a.join(b, col("key") === col("key2") && col("salt") === col("salt2") &&
             col("r_a") < col("r_b"))
           .select(col("r_a"), col("r_b"),
-            round(expr("sig_match_frac(sig_a, sig_b)"), 4).as("est_jaccard"))
+            round(expr("sig_match_frac16(sig_a, sig_b)"), 4).as("est_jaccard"))
           .groupBy("r_a", "r_b").agg(first(col("est_jaccard")).as("est_jaccard"))
       }).filter(col("est_jaccard") >= 0.7)
       // membership is DOC-count-sized (one 16 B id pair per doc) — the

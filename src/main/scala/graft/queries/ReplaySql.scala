@@ -329,18 +329,18 @@ private[queries] object ReplaySql {
 
   /** d23: signature-estimated Jaccard — fraction of agreeing signature
     * components ≥ 0.7, expanded like d15. Round 13: the Spark side
-    * ships components TRUNCATED to their low 32 bits (halving the band
-    * join's transport), so the replay compares the same truncation —
-    * `(smin % 2^32 + 2^32) % 2^32` normalizes DuckDB's sign-following
-    * modulo onto the unsigned low word (two longs agree on their low
-    * 32 bits iff these normalized values are equal; Spark's
-    * sign-extended int spelling is a bijection of the same word, so
-    * equality coincides). */
+    * ships components TRUNCATED to their low 16 bits (packed 4 per
+    * long — a quarter of the band join's original transport), so the
+    * replay compares the same truncation — `(smin % 2^16 + 2^16) %
+    * 2^16` normalizes DuckDB's sign-following modulo onto the unsigned
+    * low 16-bit word (two minima agree on their low 16 bits iff these
+    * normalized values are equal; Spark's packed-field equality tests
+    * the same bits). */
   val d23: String =
     s"""$repsPrefix,
        |mm AS (SELECT c.r_a, c.r_b,
-       |              round(sum(CASE WHEN (a.smin % 4294967296 + 4294967296) % 4294967296
-       |                              = (b.smin % 4294967296 + 4294967296) % 4294967296
+       |              round(sum(CASE WHEN (a.smin % 65536 + 65536) % 65536
+       |                              = (b.smin % 65536 + 65536) % 65536
        |                         THEN 1 ELSE 0 END) / 128.0, 4) AS est_jaccard
        |       FROM candrep c JOIN mins a ON a.rep_id = c.r_a
        |                      JOIN mins b ON b.rep_id = c.r_b AND b.k = a.k

@@ -214,6 +214,34 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(bails > Rounds, s"bailout never exercised meaningfully ($bails bails)")
   }
 
+  test("minhash sig16: packed fields equal the low-16 truncation of the full signature") {
+    // d23's quarter-width transport contract: for random token lists,
+    // minhash_sig16's packed fields must be exactly the low 16 bits of
+    // minhash_sig's components (same family, same seeds), and
+    // sig_match_frac16 over the packed arrays must equal the
+    // match-fraction computed on the truncations directly.
+    import graft.expressions.{MinHashSig, SigMatchFrac}
+    val r = rng(11)
+    (1 to 80).foreach { _ =>
+      val ta = randTokens(r)
+      val tb = randTokens(r)
+      def full(t: Seq[String]): Array[Long] =
+        MinHashSig(lit(t)).eval(null).asInstanceOf[ArrayData].toLongArray()
+      def packed(t: Seq[String]): ArrayData =
+        MinHashSig(lit(t), pack16 = true).eval(null).asInstanceOf[ArrayData]
+      val (fa, fb) = (full(ta), full(tb))
+      val (pa, pb) = (packed(ta), packed(tb))
+      assert(pa.numElements() == 32)
+      val unpacked = pa.toLongArray().flatMap(l =>
+        Seq((l >>> 48) & 0xffffL, (l >>> 32) & 0xffffL, (l >>> 16) & 0xffffL, l & 0xffffL))
+      assert(unpacked.sameElements(fa.map(_ & 0xffffL)),
+        "packed fields must be the low-16 truncation in component order")
+      val ref = fa.zip(fb).count { case (x, y) => (x & 0xffffL) == (y & 0xffffL) } / 128.0
+      val got = SigMatchFrac.matchFracPacked16(pa, pb)
+      assert(got == ref, s"packed frac $got != truncated ref $ref")
+    }
+  }
+
   test("minhash bands: keys are order- and duplicate-invariant") {
     val r = rng(3)
     def keys(xs: Seq[String]): Seq[Long] =
