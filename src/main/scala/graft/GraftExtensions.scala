@@ -126,6 +126,11 @@ object GraftExtensions {
     ("sig_match_frac", info("sig_match_frac",
       "sig_match_frac(a, b) - fraction of agreeing signature components (MinHash jaccard estimate)"),
       fixedArity("sig_match_frac", 2)(e => SigMatchFrac(e(0), e(1)))),
+    ("first_shared_band", info("first_shared_band",
+      "first_shared_band(a, b) - smallest index where two band-key arrays agree, or -1; " +
+        "the emit-once primitive for banded LSH self-joins (keep only the collision at " +
+        "bpos = first_shared_band(keys_a, keys_b) and the post-join dedup disappears)"),
+      fixedArity("first_shared_band", 2)(e => FirstSharedBand(e(0), e(1)))),
     ("sig_match_frac16", info("sig_match_frac16",
       "sig_match_frac16(a, b) - agreeing-component fraction over minhash_sig16's packed " +
         "4-per-long 16-bit layout (denominator 4*len)"),

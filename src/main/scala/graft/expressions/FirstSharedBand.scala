@@ -1,0 +1,64 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** first_shared_band(a, b) → the smallest index i (0-based) with
+  * a[i] = b[i] over two equal-length array<bigint> band-key columns,
+  * or −1 when no position matches.
+  *
+  * The emit-once primitive for banded LSH self-joins (round 13, d23):
+  * a candidate pair that collides in k bands is met k times by the
+  * exploded band join, and a post-score dedup must then move every
+  * redundant collision through an exchange whose map-side partials are
+  * structurally unable to combine (a pair's collisions land in k
+  * different band partitions by construction — the r13 event log's
+  * 564 M-row residual). With both sides carrying their full key
+  * arrays, the join can instead keep ONLY the collision at the pair's
+  * first shared band — `bpos = first_shared_band(keys_a, keys_b)` —
+  * so each pair leaves the join exactly once and the dedup stage
+  * disappears. One fused ≤len-compare loop per collision (codegen);
+  * the interpreted zip_with/exists spelling would allocate per pair.
+  */
+case class FirstSharedBand(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_shared_band"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FirstSharedBand.firstShared(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.FirstSharedBand.firstShared($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstSharedBand =
+    copy(left = newLeft, right = newRight)
+}
+
+object FirstSharedBand {
+  def firstShared(x: ArrayData, y: ArrayData): Int = {
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      // null slots never match (mirrors the sig kernels' rule)
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+}

@@ -1406,8 +1406,20 @@ object Pipeline {
           .select(col("r_a"), col("r_b"),
             round(expr("sig_match_frac16(sig_a, sig_b)"), 4).as("est_jaccard"))
       } else {
-        val banded = base.select(col("rep_id"), col("sig"),
-          explode(col("keys")).as("key"))
+        // EMIT-ONCE banding (round 13, closing the collision-dedup
+        // residual): each side of the band self-join carries its FULL
+        // 16-key array (+~144 B/row), and the join keeps only the
+        // collision at the pair's first shared band —
+        // bpos = first_shared_band(keys_a, keys_b), one fused ≤16-
+        // compare codegen loop per collision — so every candidate
+        // pair leaves the join EXACTLY once and the post-score dedup
+        // stage (564 M slim rows through an exchange whose partials
+        // structurally cannot combine: a pair's collisions land in
+        // different band partitions by construction) disappears
+        // outright. Same candidate set, same kernel, same estimates —
+        // the dedup used to pick first() over identical values.
+        val banded = base.select(col("rep_id"), col("sig"), col("keys"),
+          posexplode(col("keys")).as(Seq("bpos", "key")))
         // keySizes cardinality is CORPUS-GROWING (band keys are hashes,
         // ~reps × 16 distinct rows — unlike lshScoredPairs' bktSizes,
         // which adaptiveBits bounds at 48 × 2^16): broadcast it only
@@ -1432,14 +1444,16 @@ object Pipeline {
         // of sig bytes per partition (bounded [32, 1024]); the SMJ
         // reuses it, so no extra exchange.
         val nPart = math.min(1024L, math.max(32L,
-          nRepsD23 * 16L * 330L / (64L << 20) + 1L)).toInt
+          nRepsD23 * 16L * 480L / (64L << 20) + 1L)).toInt
         val a = sized.select(col("key"),
           pmod(col("rep_id"), col("nsalt")).cast("int").as("salt"),
-          col("rep_id").as("r_a"), col("sig").as("sig_a"))
+          col("rep_id").as("r_a"), col("sig").as("sig_a"),
+          col("keys").as("keys_a"), col("bpos"))
           .repartition(nPart, col("key"), col("salt"))
         val b = sized.select(col("key").as("key2"),
           explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
-          col("rep_id").as("r_b"), col("sig").as("sig_b"))
+          col("rep_id").as("r_b"), col("sig").as("sig_b"),
+          col("keys").as("keys_b"))
           .repartition(nPart, col("key2"), col("salt2"))
         // Sort-merge, not shuffle_hash — MEASURED (round 13): a
         // shuffle_hash hint here probed 252.2 s vs the SMJ's 188.0 s
@@ -1447,12 +1461,14 @@ object Pipeline {
         // (that is what a collision bucket IS), and a hash relation
         // over sig-carrying rows with long duplicate chains loses to
         // the merge join's sequential streaming of the same groups,
-        // spill and all.
+        // spill and all. The emit-once conjunct is LAST so the cheap
+        // equi/ordering tests short-circuit ahead of the array walk
+        // (the d4 conjunct-order discipline).
         a.join(b, col("key") === col("key2") && col("salt") === col("salt2") &&
-            col("r_a") < col("r_b"))
+            col("r_a") < col("r_b") &&
+            col("bpos") === expr("first_shared_band(keys_a, keys_b)"))
           .select(col("r_a"), col("r_b"),
             round(expr("sig_match_frac16(sig_a, sig_b)"), 4).as("est_jaccard"))
-          .groupBy("r_a", "r_b").agg(first(col("est_jaccard")).as("est_jaccard"))
       }).filter(col("est_jaccard") >= 0.7)
       // membership is DOC-count-sized (one 16 B id pair per doc) — the
       // d15 gate verbatim
