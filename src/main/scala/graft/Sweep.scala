@@ -46,6 +46,14 @@ object Sweep {
     var failed = List.empty[(String, String)]
     order.zipWithIndex.foreach { case (name, i) =>
       val t0 = System.nanoTime()
+      // done latch, not fut.get-after-cancel: cancel(true) makes get()
+      // throw CancellationException immediately without waiting for the
+      // runnable, and job-group cancellation is async — without an
+      // explicit completion wait a timed-out entry can still be RUNNING
+      // (mutating session conf / the catalog) under the next entry,
+      // and the sweep then reports order-dependence failures caused by
+      // its own overlap (advisor r13).
+      val done = new java.util.concurrent.CountDownLatch(1)
       val fut = pool.submit(new Runnable {
         override def run(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
@@ -53,7 +61,10 @@ object Sweep {
             val n = SparkEntry.queries(name)(spark, sfDir).count()
             System.err.println(
               f"[sweep] ${i + 1}%3d/${order.size} $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-          } finally spark.sparkContext.clearJobGroup()
+          } finally {
+            spark.sparkContext.clearJobGroup()
+            done.countDown()
+          }
         }
       })
       try fut.get(PerQueryTimeoutSec, TimeUnit.SECONDS)
@@ -63,6 +74,15 @@ object Sweep {
           fut.cancel(true)
           failed ::= (name, s"timeout after ${PerQueryTimeoutSec}s")
           System.err.println(s"[sweep] $name TIMED OUT")
+          // bounded grace for the cancelled entry to actually die; an
+          // entry that refuses is flagged loudly — every subsequent
+          // result in this sweep may be polluted by the overlap
+          if (!done.await(30, TimeUnit.SECONDS)) {
+            failed ::= (name, "did not terminate 30s after cancel — " +
+              "subsequent entries may overlap with it")
+            System.err.println(s"[sweep] $name REFUSED TO DIE — " +
+              "subsequent results may be polluted by overlap")
+          }
         case e: Throwable =>
           val cause = Option(e.getCause).getOrElse(e)
           failed ::= (name, Option(cause.getMessage).getOrElse(cause.getClass.getName))

@@ -107,6 +107,12 @@ object Verify {
       .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Oracle-gated marker (advisor r13): if the LSH capacity pre-gate
+    // ever escalates signature width under this session (budget knob
+    // lowered, or a corpus past the 2e9 default), the engine throws a
+    // diagnosed error instead of dumping results the count(*)-derived
+    // replay oracle cannot match.
+    spark.conf.set("graft.lsh.oracleGated", "true")
     new java.io.File(outDir).mkdirs()
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

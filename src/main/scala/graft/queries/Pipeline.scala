@@ -487,12 +487,38 @@ object Pipeline {
     // and the salted chunking below remains the backstop.
     val pairBudget = s.conf.get("graft.lsh.pairBudget",
       sys.env.getOrElse("GRAFT_LSH_PAIR_BUDGET", "2000000000")).toLong
+    // Per-row product in decimal(38,0), clamped to Long.MaxValue on
+    // read-back (advisor r13): a mega-bucket with bkt_n ≳ 3e9 — the
+    // 100 TB pathology this gate exists for — would silently WRAP the
+    // BIGINT product and under-predict mass exactly when escalation
+    // matters most. bkt_n·(bkt_n−1) is always even, so /2 is exact.
     def pairMass(b: Int): Long = cachedCount(s, dir, s"lshPairMass:$b")(
       lshBktSizes(s, dir, b)
-        .agg(coalesce(sum(expr("bkt_n * (bkt_n - 1) div 2")), lit(0L)))
+        .agg(least(coalesce(
+            sum(expr("cast(bkt_n as decimal(38,0)) * (bkt_n - 1) / 2")),
+            lit(0).cast("decimal(38,0)")),
+          lit(Long.MaxValue).cast("decimal(38,0)")).cast("long"))
         .head().getLong(0))
     var bits = bits0
     while (bits < 16 && pairMass(bits) > pairBudget) bits += 1
+    // Escalation is a REAL result change (recall drops with width) that
+    // the replay oracle — deriving width from count(*) alone — cannot
+    // follow. In oracle-gated runs (Verify sets graft.lsh.oracleGated)
+    // a budget crossing must surface as a diagnosed divergence, not a
+    // bare hash mismatch (advisor r13); elsewhere it logs the chosen
+    // width so probes can record it. Default budget 2e9 is above every
+    // gated SF, so the gate never fires on the official path.
+    if (bits != bits0) {
+      val msg = s"lshScoredPairs capacity pre-gate escalated signature " +
+        s"width $bits0 -> $bits (predicted pair mass ${pairMass(bits0)} " +
+        s"> budget $pairBudget)"
+      if (s.conf.get("graft.lsh.oracleGated", "false").toBoolean)
+        throw new IllegalStateException(msg + "; the replay oracle derives " +
+          "width from count(*) alone and would hash-mismatch at the " +
+          "escalated width — raise graft.lsh.pairBudget or certify with a " +
+          "matching-width oracle (GRAFT_LSH_OCCUPANCY)")
+      else System.err.println(s"[graft] $msg")
+    }
     // The SLIM scored-pair stream goes through the registry (keyed by
     // bits — the spec occupancy knob changes the banding): d13/d54/d55
     // share ONE computed pair set per corpus instead of three. The
@@ -1453,7 +1479,7 @@ object Pipeline {
         val b = sized.select(col("key").as("key2"),
           explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
           col("rep_id").as("r_b"), col("sig").as("sig_b"),
-          col("keys").as("keys_b"))
+          col("keys").as("keys_b"), col("bpos").as("bpos2"))
           .repartition(nPart, col("key2"), col("salt2"))
         // Sort-merge, not shuffle_hash — MEASURED (round 13): a
         // shuffle_hash hint here probed 252.2 s vs the SMJ's 188.0 s
@@ -1463,9 +1489,17 @@ object Pipeline {
         // the merge join's sequential streaming of the same groups,
         // spill and all. The emit-once conjunct is LAST so the cheap
         // equi/ordering tests short-circuit ahead of the array walk
-        // (the d4 conjunct-order discipline).
+        // (the d4 conjunct-order discipline). bpos = bpos2 (advisor
+        // r13): minhash band keys fold the band index into a 64-BIT
+        // HASH, so two DIFFERENT bands' keys can theoretically
+        // equi-join (~1e-6 at 10^7 keys); the old groupBy dedup
+        // absorbed such a row, emit-once would duplicate the pair.
+        // Requiring the collision to be SAME-BAND (one int per b-row)
+        // makes first_shared_band's same-index walk authoritative
+        // regardless of cross-band hash collisions — structural, not
+        // probabilistic.
         a.join(b, col("key") === col("key2") && col("salt") === col("salt2") &&
-            col("r_a") < col("r_b") &&
+            col("r_a") < col("r_b") && col("bpos") === col("bpos2") &&
             col("bpos") === expr("first_shared_band(keys_a, keys_b)"))
           .select(col("r_a"), col("r_b"),
             round(expr("sig_match_frac16(sig_a, sig_b)"), 4).as("est_jaccard"))
@@ -7370,8 +7404,12 @@ object Pipeline {
       val base = T(s, dir, "documents")
       val wh = s.conf.get("spark.sql.warehouse.dir")
       // dir-hashed table names: parallel spec suites run on distinct
-      // scratch corpora and must not clobber each other's catalogs
-      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      // scratch corpora and must not clobber each other's catalogs.
+      // Full md5 hex, not dir.hashCode (advisor r13): a 32-bit tag
+      // collides across scratch dirs at birthday rates, and a collision
+      // DROPs the other suite's snapshot tables mid-query.
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val (tOld, tNew) = (s"graft_b_snap_old_$tag", s"graft_b_snap_new_$tag")
       Seq(tOld, tNew).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
@@ -7407,6 +7445,12 @@ object Pipeline {
           .select("doc_id", "old_h", "new_h", "status")
           .orderBy("doc_id")
         df.queryExecution.executedPlan // pin the sort-free plan now
+        // Caveat (advisor r13): the pin covers THIS Dataset's memoized
+        // executedPlan only — a DERIVED plan (df.count(), a Verify
+        // wrapper adding a projection) re-plans outside the flag window
+        // and falls back to sorted SMJ. Correctness is unaffected (the
+        // flag is purely an ordering-trust hint); callers that need the
+        // zero-sort shape must consume this frame as returned.
         df
       } finally prev match {
         case Some(v) => s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
