@@ -159,6 +159,42 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "hyperplane_buckets(vec[, tables, bits]) — tables/bits must be int literals")
       }),
+    ("topk_by", info("topk_by",
+      "topk_by(id, score, k) - per-group top-k aggregate under (score DESC, id ASC), " +
+        "returned rank-ordered as array<struct<id, score>>; the sort-free alternative " +
+        "to a row_number Window for small k"),
+      (e: Seq[Expression]) => e match {
+        case Seq(i, s, org.apache.spark.sql.catalyst.expressions.Literal(kk: Int, _)) =>
+          TopKByScore(i, s, kk)
+        case _ => throw new IllegalArgumentException(
+          "topk_by(id, score, k) — k must be an int literal")
+      }),
+    ("hyperplane_packed16",
+      info("hyperplane_packed16",
+        "hyperplane_packed16(vec[, tables, bits]) - per-table sign-LSH signatures packed " +
+          "four 16-bit lanes per long (quarter-width transport for the emit-once band join; " +
+          "unpack_keys16 reproduces hyperplane_buckets' keys from it bit-for-bit)"),
+      (e: Seq[Expression]) => e match {
+        case Seq(c) => HyperplanePacked16(c)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(t: Int, _),
+                    org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _)) =>
+          HyperplanePacked16(c, t, b)
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_packed16(vec[, tables, bits]) — tables/bits must be int literals")
+      }),
+    ("unpack_keys16", info("unpack_keys16",
+      "unpack_keys16(packed, tables) - table-prefixed bucket keys ((t<<48)|lane) from " +
+        "hyperplane_packed16's lanes; bit-identical to hyperplane_buckets for bits <= 16"),
+      (e: Seq[Expression]) => e match {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(t: Int, _)) =>
+          UnpackKeys16(c, t)
+        case _ => throw new IllegalArgumentException(
+          "unpack_keys16(packed, tables) — tables must be an int literal")
+      }),
+    ("first_shared_lane16", info("first_shared_lane16",
+      "first_shared_lane16(a, b) - smallest table index with equal 16-bit lanes in two " +
+        "hyperplane_packed16 arrays, or -1; the emit-once primitive over the packed layout"),
+      fixedArity("first_shared_lane16", 2)(e => FirstSharedLane16(e(0), e(1)))),
     ("asof_on", info("asof_on",
       "asof_on(lkey, rkey, ltime, rtime) - AS-OF join marker: use as the ENTIRE condition " +
         "of a left/inner join; the AsOfJoinRewrite rule replaces the join with the native " +

@@ -66,6 +66,28 @@ case class HyperplaneBuckets(
 
   override protected def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
+    val sigs = HyperplaneBuckets.tableSigs(vec, tables, bits, planes(vec.numElements()))
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      keys(t) = (t.toLong << 48) | sigs(t)
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+
+  /** The per-table `bits`-bit sign signatures (the kernel both
+    * [[HyperplaneBuckets]] and [[HyperplanePacked16]] consume):
+    * sigs(t) = Σ_b [⟨vec, r_{t,b}⟩ > 0] · 2^b over the nano-unit
+    * integer dot products. One O(tables × bits × dim) pass per row. */
+  def tableSigs(vec: ArrayData, tables: Int, bits: Int,
+      pl: Array[Byte]): Array[Long] = {
     val dim = vec.numElements()
     val v = new Array[Long](dim)
     var j = 0
@@ -73,8 +95,7 @@ case class HyperplaneBuckets(
       v(j) = math.floor(vec.getDouble(j) * 1e9 + 0.5).toLong
       j += 1
     }
-    val pl = planes(dim)
-    val keys = new Array[Long](tables)
+    val sigs = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var sig = 0L
@@ -90,17 +111,11 @@ case class HyperplaneBuckets(
         if (dot > 0) sig |= (1L << b)
         b += 1
       }
-      keys(t) = (t.toLong << 48) | sig
+      sigs(t) = sig
       t += 1
     }
-    new GenericArrayData(keys)
+    sigs
   }
-
-  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
-    copy(child = newChild)
-}
-
-object HyperplaneBuckets {
 
   /** The deterministic Rademacher plane matrix, sign at flat index
     * (t·bits + b)·dim + j. Shared by the runtime expression and the

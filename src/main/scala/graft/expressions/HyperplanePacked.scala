@@ -1,0 +1,167 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Packed-lane transport for the sign-LSH emit-once band join (round
+  * 14, verdict task 1 — the d23 minhash_sig16 precedent applied to
+  * [[HyperplaneBuckets]]'s family).
+  *
+  * hyperplane_packed16(vec, tables, bits) → array<bigint> of
+  * ⌈tables/4⌉ longs, each holding four 16-bit per-table signatures
+  * (lane t = bits 16·(t mod 4)… of word t div 4). Valid for any
+  * bits ≤ 16 — exactly the [[graft.queries.Pipeline.adaptiveBits]]
+  * range — and the lanes are the SAME signatures
+  * hyperplane_buckets packs under its table prefix, so
+  * unpack_keys16 reproduces hyperplane_buckets' keys bit-for-bit
+  * (spec-pinned). Emit-once needs each side's full table-key array
+  * ON the banded join rows; packed lanes carry it at 96 B (48
+  * tables) instead of the 384 B raw key array — the byte tax that
+  * made SURVEY §8.3 call the transplant a near-wash now shrinks 4×.
+  *
+  * Lane equality ⟺ table collision: a lane holds table t's signature
+  * alone (no hash folding), so lane_a(t) = lane_b(t) is EXACTLY
+  * "collision in table t" — unlike minhash band keys there is no
+  * cross-band 64-bit-collision caveat to guard.
+  */
+case class HyperplanePacked16(
+    child: Expression,
+    tables: Int = 48,
+    bits: Int = 6)
+  extends UnaryExpression with CodegenFallback {
+
+  require(bits <= 16 && tables * bits <= 4096,
+    "hyperplane_packed16: lanes are 16-bit, bits must be <= 16")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_packed16"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireArrayOf(prettyName, org.apache.spark.sql.types.DoubleType, child)
+
+  @transient private var planeCache: Array[Byte] = _
+  @transient private var planeDim: Int = -1
+
+  private def planes(dim: Int): Array[Byte] = {
+    if (planeCache == null || planeDim != dim) {
+      planeCache = HyperplaneBuckets.planeSigns(tables, bits, dim)
+      planeDim = dim
+    }
+    planeCache
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val sigs = HyperplaneBuckets.tableSigs(vec, tables, bits, planes(vec.numElements()))
+    val packed = new Array[Long]((tables + 3) / 4)
+    var t = 0
+    while (t < tables) {
+      packed(t >> 2) |= (sigs(t) & 0xffffL) << ((t & 3) << 4)
+      t += 1
+    }
+    new GenericArrayData(packed)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplanePacked16 =
+    copy(child = newChild)
+}
+
+/** unpack_keys16(packed, tables) → the array<bigint> of `tables`
+  * table-prefixed bucket keys ((t << 48) | lane t) — bit-identical to
+  * hyperplane_buckets(vec, tables, bits) for bits ≤ 16. The banded
+  * join explodes THIS (cheap bit ops, safe to re-evaluate under
+  * CollapseProject) while the row carries the packed array once, so
+  * the O(tables × bits × dim) plane pass runs exactly once per row
+  * per side.
+  */
+case class UnpackKeys16(child: Expression, tables: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(tables > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "unpack_keys16"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<bigint> argument")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val packed = input.asInstanceOf[ArrayData]
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val lane = (packed.getLong(t >> 2) >>> ((t & 3) << 4)) & 0xffffL
+      keys(t) = (t.toLong << 48) | lane
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnpackKeys16 =
+    copy(child = newChild)
+}
+
+/** first_shared_lane16(a, b) → the smallest table index t with equal
+  * 16-bit lanes in the two packed signature arrays, or −1 — the
+  * emit-once primitive over [[HyperplanePacked16]]'s layout (the
+  * packed counterpart of [[FirstSharedBand]]). Runs once per band-join
+  * COLLISION, so it codegens to a static ≤lanes-compare loop like its
+  * unpacked sibling. Pad lanes past `tables` (when tables % 4 ≠ 0)
+  * sit at the END of the walk, and every joined row already has a
+  * genuine earlier collision, so pads can never win.
+  */
+case class FirstSharedLane16(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_shared_lane16"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FirstSharedLane16.firstShared(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.FirstSharedLane16.firstShared($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstSharedLane16 =
+    copy(left = newLeft, right = newRight)
+}
+
+object FirstSharedLane16 {
+  def firstShared(x: ArrayData, y: ArrayData): Int = {
+    val n = math.min(x.numElements(), y.numElements())
+    var w = 0
+    while (w < n) {
+      // null words never match (mirrors FirstSharedBand's rule)
+      if (!x.isNullAt(w) && !y.isNullAt(w)) {
+        val xv = x.getLong(w)
+        val yv = y.getLong(w)
+        var l = 0
+        while (l < 4) {
+          val sh = l << 4
+          if (((xv >>> sh) & 0xffffL) == ((yv >>> sh) & 0xffffL))
+            return (w << 2) | l
+          l += 1
+        }
+      }
+      w += 1
+    }
+    -1
+  }
+}

@@ -1,0 +1,150 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+/** `topk_by(id, score, k)` — per-group top-k as a native distributive
+  * aggregate: keeps the k best (id, score) entries under the ordering
+  * (score DESC, id ASC) and returns them rank-ordered as
+  * array<struct<id bigint, score double>>.
+  *
+  * The scale story (SURVEY §8.4, round 14 verdict task 3): d54's
+  * per-node top-5 was a row_number Window, and a Window — even with
+  * Spark's partial WindowGroupLimit truncating to k before the
+  * exchange — must SORT every partition by (group, score, id) first.
+  * An aggregate needs no sort at all: map-side partials fold each
+  * input row into an O(k) buffer (linear pass, k tiny), the exchange
+  * moves ≤k entries per (group, partition), and the final merge is a
+  * k-way list merge. Same output, sort deleted — IF the probe agrees
+  * (ObjectHashAggregate falls back to sort-based past
+  * spark.sql.objectHashAggregate.sortBased.fallbackThreshold in-memory
+  * groups, where the fallback sorts by GROUP KEY only — still cheaper
+  * rows than the Window's full sort, but measured, not assumed).
+  *
+  * Tie semantics replicate row_number over (score desc, id asc)
+  * exactly: ties past position k are dropped deterministically by id.
+  */
+case class TopKByScore(
+    id: Expression,
+    score: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKByScore.Buf] {
+
+  require(k > 0 && k <= 1024, "topk_by: k must be in [1, 1024]")
+
+  override def children: Seq[Expression] = Seq(id, score)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "topk_by"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (id.dataType == LongType && score.dataType == DoubleType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topk_by requires (bigint id, double score), got " +
+          s"(${id.dataType.catalogString}, ${score.dataType.catalogString})")
+    }
+
+  override def createAggregationBuffer(): TopKByScore.Buf = new TopKByScore.Buf(k)
+
+  override def update(buf: TopKByScore.Buf, input: InternalRow): TopKByScore.Buf = {
+    val i = id.eval(input)
+    val s = score.eval(input)
+    if (i != null && s != null)
+      buf.insert(i.asInstanceOf[Long], s.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: TopKByScore.Buf, other: TopKByScore.Buf): TopKByScore.Buf = {
+    var j = 0
+    while (j < other.size) {
+      buf.insert(other.ids(j), other.scores(j))
+      j += 1
+    }
+    buf
+  }
+
+  override def eval(buf: TopKByScore.Buf): Any = {
+    val out = new Array[Any](buf.size)
+    var j = 0
+    while (j < buf.size) {
+      out(j) = new GenericInternalRow(Array[Any](buf.ids(j), buf.scores(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKByScore.Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    var j = 0
+    while (j < buf.size) {
+      out.writeLong(buf.ids(j))
+      out.writeDouble(buf.scores(j))
+      j += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKByScore.Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new TopKByScore.Buf(k)
+    var j = 0
+    while (j < n) {
+      buf.insert(in.readLong(), in.readDouble())
+      j += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(id = newChildren(0), score = newChildren(1))
+}
+
+object TopKByScore {
+  /** Sorted-insert buffer: entries held rank-ordered (score desc, id
+    * asc), capped at k. k is tiny (5 for d54), so the linear
+    * shift-insert beats any heap bookkeeping; a row worse than the
+    * current k-th exits after ONE comparison against the tail. */
+  final class Buf(k: Int) {
+    val ids = new Array[Long](k)
+    val scores = new Array[Double](k)
+    var size = 0
+
+    /** true iff (s1, i1) ranks strictly better than (s2, i2). */
+    @inline private def better(i1: Long, s1: Double, i2: Long, s2: Double): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+
+    def insert(i: Long, s: Double): Unit = {
+      if (size == k && !better(i, s, ids(size - 1), scores(size - 1))) return
+      var p = if (size == k) size - 1 else size
+      // shift worse entries right; duplicates of an existing (id,
+      // score) entry are kept (the Window counted duplicates too —
+      // callers feed distinct pair streams, so none arise in practice)
+      while (p > 0 && better(i, s, ids(p - 1), scores(p - 1))) {
+        if (p < k) { ids(p) = ids(p - 1); scores(p) = scores(p - 1) }
+        p -= 1
+      }
+      if (p < k) { ids(p) = i; scores(p) = s }
+      if (size < k) size += 1
+    }
+  }
+}

@@ -1,31 +1,59 @@
 package graft.functions
 
-/** Deterministic media kernels for the multimodal pipeline (SURVEY §2
-  * d11/d14). The container has no image/audio codecs, so decode /
-  * feature-extract / resize / frame-sample are STUBS with deterministic
-  * byte-level semantics — the Spark-side contracts they sit behind
-  * (binary columns, typed metadata, fixed-size per-partition batches,
-  * exploded frame rows) are the real, tested parts; a production build
-  * swaps these bodies for e.g. a JNI codec without touching any plan.
+/** The pluggable media-decode seam for the multimodal pipeline
+  * (SURVEY §2 d11/d14/d21/d76/d81/d131; round 14, verdict task 6).
+  *
+  * The Spark side of every multimodal operator — opaque binary
+  * columns, typed metadata, fixed-size per-partition batches via
+  * mapPartitions, exploded frame rows — is real and oracle-tested;
+  * only the four byte-level kernels below sit behind this interface.
+  * The container has no image/audio codecs, so the DEFAULT decoder is
+  * [[StubMediaDecoder]] with deterministic byte-level semantics (the
+  * DuckDB oracles replay exactly those); a production build drops in
+  * a real codec (JNI ffmpeg/libjpeg, a JVM decoder, …) by setting
+  * `-Dgraft.media.decoder=<class>` — NO plan, schema, or operator
+  * changes, because consumers call the [[Media]] facade, which binds
+  * a decoder once per JVM.
+  *
+  * CONTRACT every decoder must satisfy (spec-enforced for the stub
+  * AND an alternative toy decoder, MultimodalSpec):
+  *  - frameSample: covers the payload in order (all frames non-empty;
+  *    every frame but the last has length frameLen; empty input → no
+  *    frames); deterministic.
+  *  - features(bytes, dim): exactly dim floats, deterministic,
+  *    pure function of the bytes.
+  *  - resize(bytes, targetLen): exactly targetLen bytes (0 or empty
+  *    input → empty), deterministic.
+  *  - checksum: deterministic pure function of the bytes.
   */
-object Media {
+trait MediaDecoder extends Serializable {
+  def frameSample(bytes: Array[Byte], frameLen: Int): Seq[Array[Byte]]
+  def checksum(bytes: Array[Byte]): Long
+  def features(bytes: Array[Byte], dim: Int): Array[Float]
+  def resize(bytes: Array[Byte], targetLen: Int): Array[Byte]
+}
+
+/** The sandbox-honest default: deterministic byte-level stand-ins with
+  * the same shapes (frames, embeddings, thumbnails) a real codec
+  * produces — the documented seam, not a simulation of codec output. */
+object StubMediaDecoder extends MediaDecoder {
 
   /** Frame sampling: fixed-length slices of the payload (a real video
     * sampler returns one decoded frame per time step). Covers every byte;
     * last frame may be short. */
-  def frameSample(bytes: Array[Byte], frameLen: Int): Seq[Array[Byte]] = {
+  override def frameSample(bytes: Array[Byte], frameLen: Int): Seq[Array[Byte]] = {
     require(frameLen > 0)
     if (bytes.isEmpty) Seq.empty
     else bytes.grouped(frameLen).toSeq
   }
 
   /** Rolling checksum standing in for a perceptual hash. */
-  def checksum(bytes: Array[Byte]): Long =
+  override def checksum(bytes: Array[Byte]): Long =
     bytes.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L)
 
   /** Feature extraction stub: dim deterministic floats from strided
     * rolling hashes (a real extractor returns an embedding). */
-  def featureStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+  override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
     while (i < bytes.length) {
@@ -39,9 +67,79 @@ object Media {
   /** Resize stub: deterministic down/up-sample of the payload to
     * targetLen bytes (nearest-neighbor over byte positions — the byte
     * analogue of image nearest-neighbor resize). */
-  def resizeStub(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
+  override def resize(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
     require(targetLen >= 0)
     if (targetLen == 0 || bytes.isEmpty) Array.emptyByteArray
     else Array.tabulate(targetLen)(i => bytes(((i.toLong * bytes.length) / targetLen).toInt))
   }
+}
+
+/** A second, deliberately different decoder proving the seam is real:
+  * same contracts, different outputs (xor-whitened bytes, a different
+  * hash family). Ships ONLY as spec ballast — if a plan or oracle ever
+  * hard-wires stub byte values where it should consume the interface,
+  * the both-decoders contract spec catches it. */
+object ToyXorMediaDecoder extends MediaDecoder {
+  private def mix(b: Byte, i: Int): Int = ((b & 0xff) ^ (i * 0x9e) ^ 0x5a) & 0xff
+
+  override def frameSample(bytes: Array[Byte], frameLen: Int): Seq[Array[Byte]] = {
+    require(frameLen > 0)
+    if (bytes.isEmpty) Seq.empty
+    // same cover-every-byte slicing, whitened content — frame SHAPES
+    // are contract, frame BYTES are decoder-specific
+    else bytes.grouped(frameLen).toSeq.map(_.zipWithIndex.map {
+      case (b, i) => mix(b, i).toByte
+    })
+  }
+
+  override def checksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ (b & 0xff)) * 1099511628211L)
+
+  override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % dim) = (out(i % dim) * 17 + mix(bytes(i), i)) % 991
+      i += 1
+    }
+    out.map(_ / 991.0f)
+  }
+
+  override def resize(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
+    require(targetLen >= 0)
+    if (targetLen == 0 || bytes.isEmpty) Array.emptyByteArray
+    else Array.tabulate(targetLen) { i =>
+      val src = ((i.toLong * bytes.length) / targetLen).toInt
+      mix(bytes(src), i).toByte
+    }
+  }
+}
+
+/** The facade the pipeline calls (keeps the historical stub-suffixed
+  * names so call sites read honestly). Decoder binding: the
+  * `graft.media.decoder` SYSTEM property (object class name, e.g.
+  * `graft.functions.ToyXorMediaDecoder$`), resolved once per JVM —
+  * a -D flag reaches every executor uniformly, and per-row kernels
+  * inside mapPartitions must not consult session state. Default: the
+  * stub (what every shipped oracle replays). */
+object Media {
+
+  @transient lazy val decoder: MediaDecoder =
+    sys.props.get("graft.media.decoder") match {
+      case None | Some("") => StubMediaDecoder
+      case Some(cls) =>
+        val name = if (cls.endsWith("$")) cls else cls + "$"
+        Class.forName(name).getField("MODULE$").get(null).asInstanceOf[MediaDecoder]
+    }
+
+  def frameSample(bytes: Array[Byte], frameLen: Int): Seq[Array[Byte]] =
+    decoder.frameSample(bytes, frameLen)
+
+  def checksum(bytes: Array[Byte]): Long = decoder.checksum(bytes)
+
+  def featureStub(bytes: Array[Byte], dim: Int = 8): Array[Float] =
+    decoder.features(bytes, dim)
+
+  def resizeStub(bytes: Array[Byte], targetLen: Int): Array[Byte] =
+    decoder.resize(bytes, targetLen)
 }

@@ -407,26 +407,31 @@ object Pipeline {
     * rows — and the kernel runs INSIDE the bucket join's codegen, so
     * what leaves the join is (id_a, id_b, cos): the quadratic
     * candidate stream never carries arrays. Multi-table duplicate
-    * collisions dedup AFTER scoring via a map-combinable first-agg on
-    * the slim scored rows. The previous shape (ids-only distinct
-    * FIRST, vectors joined back per side) measured ~5× fewer kernel
-    * evals at sf0.1 — but its second vector join shuffled vec_a on
-    * every candidate row: at the sf10 probe (200k vectors, 351M
-    * candidate rows) that exchange alone was ~180 GB and spilled the
-    * host's disk dry. 5× redundant evals of a fused 64-mult loop is
-    * noise; a candidate-mass array shuffle is the cliff. Returns one
-    * row per unordered candidate pair: (id_a < id_b, cos_sim 4dp).
+    * collisions EMIT ONCE at the pair's first shared table (round 14:
+    * first_shared_lane16 over hyperplane_packed16's quarter-width
+    * signature transport — no post-score dedup exchange; history
+    * below). The r11 shape (ids-only distinct FIRST, vectors joined
+    * back per side) measured ~5× fewer kernel evals at sf0.1 — but
+    * its second vector join shuffled vec_a on every candidate row: at
+    * the sf10 probe (200k vectors, 351M candidate rows) that exchange
+    * alone was ~180 GB and spilled the host's disk dry. The r12-r13
+    * shape scored every collision and deduped after on slim rows —
+    * but a pair's collisions land in different table partitions by
+    * construction, so that exchange's partials could not combine (the
+    * d23 lesson); the emit-once transplant probed PAIRED at sf10
+    * {71.0, 135.1 s} vs {178.4, 257.8 s} same-day (~2×, BENCH_NOTES
+    * r14), output bit-identical, zero spill, one 32-task stage.
+    * Returns one row per unordered candidate pair: (id_a < id_b,
+    * cos_sim 4dp).
     * Hybrid kernel placement (round 12, the r11 verdict's optional
     * task 7): while the corpus is small (rows ≤
     * graft.lsh.vecBroadcastCap — see the measured-default note at the
     * knob), the self-join moves IDS ONLY, distincts the candidate
     * pairs, and joins both vectors back from ONE broadcast dim —
     * map-side, so the r11 cliff (a candidate-mass vector SHUFFLE)
-    * cannot reopen, and the kernel runs once per unique pair (~5×
-    * fewer evals at sf0.1: the d13/d54 latency the in-join shape
-    * paid). Past the cap — the probe and 100 TB regimes — vectors
-    * ride the banded join and collisions dedup after scoring, exactly
-    * the shape the sf10 probe certified. Both paths score identical
+    * cannot reopen, and the kernel runs once per unique pair. Past
+    * the cap — the probe and 100 TB regimes — vectors ride the banded
+    * join with the packed signatures. Both paths score identical
     * pairs with the identical kernel, so results are bit-equal
     * (spec-pinned both ways via the cap knob).
     * Degenerate-bucket guard (round 12, closing the r11 residual): a
@@ -511,7 +516,9 @@ object Pipeline {
     if (bits != bits0) {
       val msg = s"lshScoredPairs capacity pre-gate escalated signature " +
         s"width $bits0 -> $bits (predicted pair mass ${pairMass(bits0)} " +
-        s"> budget $pairBudget)"
+        s"at $bits0 -> ${pairMass(bits)} at $bits, budget $pairBudget; " +
+        s"the occupancy pass at the final width is the one the join " +
+        s"broadcast reuses)"
       if (s.conf.get("graft.lsh.oracleGated", "false").toBoolean)
         throw new IllegalStateException(msg + "; the replay oracle derives " +
           "width from count(*) alone and would hash-mismatch at the " +
@@ -539,14 +546,15 @@ object Pipeline {
     val vecCap = s.conf.get("graft.lsh.vecBroadcastCap",
       sys.env.getOrElse("GRAFT_VEC_BCAST_CAP", "10000")).toLong
     cachedHelper(s, dir, s"lshScoredPairs:$bits:$saltCap:${nVec <= vecCap}") {
-      val banded = emb.select(col("vec_id"), col("vec"),
-        explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))
       val bktSizes = lshBktSizes(s, dir, bits) // registry-cached by the pre-gate
-      val sized = banded.join(broadcast(bktSizes), "bkt")
-        .withColumn("nsalt", ceil(col("bkt_n") / lit(saltCap.toDouble)).cast("int"))
+      def withNsalt(banded: DataFrame): DataFrame =
+        banded.join(broadcast(bktSizes), "bkt")
+          .withColumn("nsalt", ceil(col("bkt_n") / lit(saltCap.toDouble)).cast("int"))
       if (nVec <= vecCap) {
         // broadcast-dim path: ids-only banded self-join → distinct
         // pairs → map-side vector lookups → one kernel eval per pair
+        val sized = withNsalt(emb.select(col("vec_id"), col("vec"),
+          explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt")))
         val a = sized.select(col("bkt"),
           pmod(col("vec_id"), col("nsalt")).cast("int").as("salt"),
           col("vec_id").as("id_a"))
@@ -563,23 +571,101 @@ object Pipeline {
           .select(col("id_a"), col("id_b"),
             round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
       } else {
-        // in-join path: vectors ride the banded join, kernel scores
-        // every collision, dedup after — no candidate-mass vector
-        // shuffle anywhere (the sf10-certified shape)
+        // in-join EMIT-ONCE path (round 14, verdict task 1 — the d23
+        // first-shared-band result transplanted): vectors ride the
+        // banded join (no candidate-mass vector shuffle anywhere — the
+        // sf10-certified rule), each side additionally carries its
+        // per-table signatures as hyperplane_packed16's four-16-bit-
+        // lanes-per-long array (96 B for 48 tables — a quarter of the
+        // raw key array that made SURVEY §8.3 call the byte math a
+        // near-wash), and the join keeps ONLY the collision at the
+        // pair's first shared table — bpos = first_shared_lane16 —
+        // so every pair leaves the join exactly once and the
+        // post-score dedup exchange (whose map-side partials
+        // structurally cannot combine: a pair's collisions land in
+        // different table partitions by construction) disappears.
+        // Bonus over the dedup shape: the cosine kernel now runs once
+        // per PAIR, not once per collision — the ≤48-lane-compare walk
+        // screens collisions ahead of the 64-dim kernel, and the walk
+        // itself runs only on rows that already passed the cheap
+        // equi/ordering conjuncts (the d4 conjunct-order discipline).
+        // Lane equality IS table collision (no hash folding), so the
+        // d23 cross-band-collision caveat has no analogue here.
+        // unpack_keys16 reproduces hyperplane_buckets' keys
+        // bit-for-bit (spec-pinned), keeping the exploded bkt column —
+        // and with it lshBktSizes' occupancy broadcast and the
+        // chunk-salting — unchanged; the plane pass runs once per row
+        // per side (the generator consumes the carried psig attribute,
+        // and re-collapsing into it would re-run only the cheap bit
+        // unpack, never the plane dots).
+        val sized = withNsalt(emb
+          .select(col("vec_id"), col("vec"),
+            expr(s"hyperplane_packed16(vec, 48, $bits)").as("psig"))
+          .select(col("vec_id"), col("vec"), col("psig"),
+            posexplode(expr("unpack_keys16(psig, 48)")).as(Seq("bpos", "bkt"))))
         val a = sized.select(col("bkt"),
           pmod(col("vec_id"), col("nsalt")).cast("int").as("salt"),
-          col("vec_id").as("id_a"), col("vec").as("vec_a"))
+          col("vec_id").as("id_a"), col("vec").as("vec_a"),
+          col("psig").as("psig_a"), col("bpos"))
         val b = sized.select(col("bkt").as("bkt2"),
           explode(expr("sequence(0, nsalt - 1)")).as("salt2"),
-          col("vec_id").as("id_b"), col("vec").as("vec_b"))
+          col("vec_id").as("id_b"), col("vec").as("vec_b"),
+          col("psig").as("psig_b"))
         a.join(b, col("bkt") === col("bkt2") && col("salt") === col("salt2") &&
-            col("id_a") < col("id_b"))
+            col("id_a") < col("id_b") &&
+            col("bpos") === expr("first_shared_lane16(psig_a, psig_b)"))
           .select(col("id_a"), col("id_b"),
             round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
-          .groupBy("id_a", "id_b").agg(first(col("cos_sim")).as("cos_sim"))
       }
     }
   }
+
+  /** Per-node top-5 neighbors (rank-ordered, ties by nid asc) over a
+    * symmetric (vec_id, nid, cos_sim) edge stream — the ONE spelling
+    * d54 and [[lshKnnEdges]] share, switchable between two plans with
+    * identical output (round 14, verdict task 3):
+    *  - topk_by aggregate (default): map-side partials fold each edge
+    *    into an O(5) buffer, the exchange moves ≤5 entries per
+    *    (node, partition), final merge is a 5-way list merge — NO sort
+    *    anywhere. This is SURVEY §8.4's fix for d54's cold-path
+    *    per-partition sort ahead of the partial WindowGroupLimit.
+    *  - row_number Window (graft.knn.topkAgg=false): the r13 shape,
+    *    kept for paired probing.
+    * Tie order (cos_sim desc, nid asc) is identical in both, so the
+    * emitted rows and ranks are bit-equal (spec-pinned). */
+  private def knnTop5(s: SparkSession, bi: DataFrame): DataFrame =
+    if (knnTopkAgg(s)) {
+      // CHILD session (the d147/d55 idiom): topk_by plans as
+      // ObjectHashAggregate, whose default sortBased.fallbackThreshold
+      // (128 in-memory groups!) silently degrades the whole point —
+      // the first interleaved sf10 probe measured the fallback at
+      // {117.5, 209.3 s} vs the Window's {81.8, 91.0}; with the
+      // threshold raised the agg wins {49.4, 52.7} (BENCH_NOTES r14).
+      // The raise is scoped to THIS plan's session: a global raise
+      // would let every collect_list-style agg grow 5M untracked
+      // object buffers, and a set/restore window on the shared session
+      // is the bleed task 5 just closed. The .rdd re-bind executes the
+      // upstream pair build under the CALLER's session/conf (and its
+      // registry cache) — only the top-k agg runs under s2. Buffers
+      // here are bounded: 5 (long, double) slots per group, ~10⁶
+      // groups ≈ tens of MB.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
+      GraftExtensions.install(s2)
+      s2.createDataFrame(bi.rdd, bi.schema)
+        .groupBy(col("vec_id"))
+        .agg(expr("topk_by(nid, cos_sim, 5)").as("top"))
+        .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("vec_id"), col("t.id").as("nid"),
+          col("t.score").as("cos_sim"), (col("pos") + 1).as("rn"))
+    } else {
+      val wk = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
+      bi.withColumn("rn", row_number().over(wk)).filter(col("rn") <= 5)
+    }
+
+  private def knnTopkAgg(s: SparkSession): Boolean =
+    s.conf.get("graft.knn.topkAgg",
+      sys.env.getOrElse("GRAFT_KNN_TOPK_AGG", "true")).toBoolean
 
   /** Corpus kNN edge list — top-5 by (cos desc, nid) per node over the
     * symmetric [[lshScoredPairs]] stream; d54's graph contract as a
@@ -590,15 +676,20 @@ object Pipeline {
     * spec suite's last CacheManager "already cached" warning (round
     * 12). Ids and one double only — vectors never enter the frame. */
   private def lshKnnEdges(s: SparkSession, dir: String): DataFrame =
-    cachedHelper(s, dir, "lshKnnEdges") {
+    cachedHelper(s, dir, s"lshKnnEdges:${knnTopkAgg(s)}") {
       val sc0 = lshScoredPairs(s, dir)
       val bi = sc0.select(col("id_a").as("vec_id"), col("id_b").as("nid"),
           col("cos_sim"))
         .union(sc0.select(col("id_b").as("vec_id"), col("id_a").as("nid"),
           col("cos_sim")))
-      val wk = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
-      bi.withColumn("rn", row_number().over(wk))
-        .filter(col("rn") <= 5).select("vec_id", "nid")
+      val top = knnTop5(s, bi).select("vec_id", "nid")
+      // re-bind to the caller's session: the agg path returns an
+      // s2-bound frame, and d97/d99 join this edge list with frames
+      // from s (frames of two sessions cannot combine). n×5 id rows —
+      // the conversion is noise, and the registry persists the
+      // re-bound frame.
+      if (top.sparkSession eq s) top
+      else s.createDataFrame(top.rdd, top.schema)
     }
 
   /** One alternating round of Kiveris et al.'s star-contraction
@@ -1616,10 +1707,9 @@ object Pipeline {
       val sc = lshScoredPairs(s, dir)
       val bi = sc.select(col("id_a").as("vec_id"), col("id_b").as("nid"), col("cos_sim"))
         .union(sc.select(col("id_b").as("vec_id"), col("id_a").as("nid"), col("cos_sim")))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
-      bi.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .orderBy("vec_id", "rn")
+      // top-5 via the sort-free topk_by aggregate (round 14 — see
+      // [[knnTop5]] for the plan trade and the probe numbers)
+      knnTop5(s, bi).orderBy("vec_id", "rn")
     },
 
     // ---- d55: globally-exact SEMANTIC-DEDUP COMPONENTS — connected
@@ -1647,10 +1737,9 @@ object Pipeline {
       val thr = 0.4 // d13's near-dup threshold: identical edge set
       // the contraction loop runs on the EDGE set — orders of magnitude
       // smaller than the corpus — so it gets the streaming entries'
-      // low-partition recipe (session default restored after): at 32
-      // partitions the ~1-job-per-round loop is pure task-launch floor.
-      // On a real cluster this stays at the session default.
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      // low-partition recipe: at 32 partitions the ~1-job-per-round
+      // loop is pure task-launch floor. On a real cluster this stays
+      // at the session default.
       // EAGER checkpoint: shuffle-partition count binds at EXECUTION,
       // not plan construction, so a lazy checkpoint here would defer
       // the corpus-scale edge BUILD (LSH candidate join + kernel +
@@ -1659,9 +1748,18 @@ object Pipeline {
       // host's disk dry. Materializing eagerly keeps the build at the
       // session default; only the contraction loop over the (orders-
       // of-magnitude smaller) materialized edge set runs low-partition.
-      var cur = lshScoredPairs(s, dir).filter(col("cos_sim") >= thr)
+      val cur0 = lshScoredPairs(s, dir).filter(col("cos_sim") >= thr)
         .select(col("id_b").as("u"), col("id_a").as("v")) // id_a < id_b
         .distinct().localCheckpoint(true)
+      // CHILD session for the low-partition loop (round 14, verdict
+      // task 5 — the a14/d147 precedent): the r13 set/restore window
+      // on the SHARED session could bleed 8 shuffle partitions into
+      // any query planning concurrently. The checkpointed edge RDD
+      // re-binds to s2 (shared context, isolated conf) at no
+      // recompute; each round's frames plan under s2's pinned 8.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      var cur = s2.createDataFrame(cur0.rdd, cur0.schema)
       var converged = false
       var rounds = 0
       // fixpoint via one-row edge-set signatures: (count, xor of
@@ -1679,23 +1777,23 @@ object Pipeline {
             coalesce(sum(col("h").cast("decimal(38,0)")), lit(0L)).cast("string")).head()
         (r.getLong(0), r.getLong(1), r.getString(2))
       }
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", 8)
-        var curSig = edgeSig(cur) // reads the eager checkpoint
-        while (!converged && rounds < 20) {
-          val next = smallStar(largeStar(cur)).localCheckpoint(false)
-          val nextSig = edgeSig(next)
-          converged = nextSig == curSig
-          cur = next
-          curSig = nextSig
-          rounds += 1
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      var curSig = edgeSig(cur) // reads the eager checkpoint
+      while (!converged && rounds < 20) {
+        val next = smallStar(largeStar(cur)).localCheckpoint(false)
+        val nextSig = edgeSig(next)
+        converged = nextSig == curSig
+        cur = next
+        curSig = nextSig
+        rounds += 1
+      }
       require(converged, s"star contraction did not converge in $rounds rounds")
+      // re-bind the (checkpointed, tiny) fixpoint forest to the caller's
+      // session: frames from two sessions cannot join
+      val forest = s.createDataFrame(cur.rdd, cur.schema)
       // at fixpoint the graph is a forest of stars: every non-root has
       // exactly one outgoing (node → root) edge, roots have none
       val lbl = T(s, dir, "embeddings").select(col("vec_id"))
-        .join(cur.select(col("u").as("vec_id"), col("v").as("rt")),
+        .join(forest.select(col("u").as("vec_id"), col("v").as("rt")),
           Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("rt"), col("vec_id")).as("root"))
       val sizes = lbl.groupBy("root").agg(count(lit(1)).as("cluster_size"))
@@ -7429,34 +7527,27 @@ object Pipeline {
         .mode("overwrite").saveAsTable(tNew)
       // Spark ≥ 3.0 ignores the buckets' sortBy order unless this flag
       // lists files at planning to prove one-file-per-bucket (which the
-      // pre-write repartition guarantees here). Scoped to THIS plan:
-      // planning is forced via executedPlan while the flag is set, then
-      // the session value is restored — the returned frame's physical
-      // plan is already fixed.
-      val prev = s.conf.getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
-      val out = try {
-        s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        val df = s.table(tOld).join(s.table(tNew), Seq("doc_id"), "full_outer")
-          .withColumn("status",
-            when(col("old_h").isNull, "added")
-              .when(col("new_h").isNull, "removed")
-              .when(col("old_h") === col("new_h"), "unchanged")
-              .otherwise("changed"))
-          .select("doc_id", "old_h", "new_h", "status")
-          .orderBy("doc_id")
-        df.queryExecution.executedPlan // pin the sort-free plan now
-        // Caveat (advisor r13): the pin covers THIS Dataset's memoized
-        // executedPlan only — a DERIVED plan (df.count(), a Verify
-        // wrapper adding a projection) re-plans outside the flag window
-        // and falls back to sorted SMJ. Correctness is unaffected (the
-        // flag is purely an ordering-trust hint); callers that need the
-        // zero-sort shape must consume this frame as returned.
-        df
-      } finally prev match {
-        case Some(v) => s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
-        case None => s.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
-      }
-      out
+      // pre-write repartition guarantees here). CHILD session (round
+      // 14, verdict task 5 — the a14 precedent): the flag lives on s2
+      // for the frame's whole life, so (a) nothing ever touches the
+      // shared session's conf, even for an instant — a concurrently
+      // planning query cannot observe it (the r13 set/restore window
+      // could bleed under concurrent use); and (b) DERIVED plans
+      // (df.count(), Verify's repartition(1) wrapper) re-plan under s2
+      // and KEEP the zero-sort shape, closing the advisor's
+      // derived-plan caveat. s2 shares the context, catalog, and cache;
+      // only conf and temp views are isolated — exactly the scope the
+      // flag needs.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      s2.table(tOld).join(s2.table(tNew), Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_h").isNull, "added")
+            .when(col("new_h").isNull, "removed")
+            .when(col("old_h") === col("new_h"), "unchanged")
+            .otherwise("changed"))
+        .select("doc_id", "old_h", "new_h", "status")
+        .orderBy("doc_id")
     }
   )
 

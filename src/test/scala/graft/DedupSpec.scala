@@ -495,6 +495,22 @@ class DedupSpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.lsh.saltCap")
     assert(salted.sameElements(plain),
       s"salting changed the pair set: ${salted.length} vs ${plain.length} rows")
+    // same planted mega-bucket through the EMIT-ONCE in-join path
+    // (round 14): chunk-salting splits a pair's collisions across
+    // (bkt, salt) partitions, and first_shared_lane16 must still emit
+    // each pair exactly once — a 220-clique colliding in all 48 tables
+    // is the worst case for both.
+    val inJoinSalted = try {
+      spark.conf.set("graft.lsh.saltCap", "50")
+      spark.conf.set("graft.lsh.vecBroadcastCap", "0")
+      run()
+    } finally {
+      spark.conf.unset("graft.lsh.saltCap")
+      spark.conf.unset("graft.lsh.vecBroadcastCap")
+    }
+    assert(inJoinSalted.sameElements(plain),
+      s"emit-once in-join + salting changed the pair set: " +
+        s"${inJoinSalted.length} vs ${plain.length} rows")
     // the identical clique must surface completely: C(220,2) pairs at 1.0
     val clique = plain.filter { case (a, b, _) => a < 220 && b < 220 }
     assert(clique.length == 220 * 219 / 2, s"clique pairs: ${clique.length}")
@@ -539,10 +555,49 @@ class DedupSpec extends SparkSpecBase {
       assert("BroadcastHashJoin \\[id_a".r.findFirstIn(pBig).isEmpty,
         s"past the cap the kernel must run inside the banded join:\n$pBig")
       assert(!pBig.contains("CartesianProduct"), pBig)
+      // emit-once pin (round 14): the post-score dedup exchange —
+      // HashAggregate(keys=[id_a, id_b]) whose map-side partials
+      // structurally cannot combine — must be GONE; the join itself
+      // carries the first_shared_lane16 conjunct instead
+      assert(pBig.contains("first_shared_lane16"),
+        s"in-join path must emit-once via first_shared_lane16:\n$pBig")
+      assert("HashAggregate\\(keys=\\[id_a".r.findFirstIn(pBig).isEmpty &&
+        "SortAggregate\\(key=\\[id_a".r.findFirstIn(pBig).isEmpty,
+        s"post-score pair dedup exchange must be deleted by emit-once:\n$pBig")
       run()
     } finally spark.conf.unset("graft.lsh.vecBroadcastCap")
     assert(small.nonEmpty && big.sameElements(small),
       s"hybrid paths diverged: ${big.length} vs ${small.length} rows")
+  }
+
+  test("d54: topk_by aggregate and row_number Window plans emit identical graphs") {
+    // round 14 (verdict task 3): the sort-free topk_by plan must be
+    // bit-equal to the Window shape — rows, ranks, and tie order
+    // (cos_sim desc, nid asc) — on a corpus with real ties (an
+    // identical-vector clique scores 1.0 against every member).
+    val dir = scratch("topk-agg-emb")
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val dup = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 12).map(i => (i.toLong, dup)) ++
+      (0 until 120).map(i => (1000L + i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    GraftWriter.write(rows.toDF("vec_id", "embedding").withColumn("label", lit(0)),
+      s"$dir/embeddings.parquet")
+    def run(): Array[(Long, Long, Double, Int)] =
+      Pipeline.queries("d54_knn_graph")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val viaAgg = run() // default: topk_by
+    val pAgg = Pipeline.queries("d54_knn_graph")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pAgg.contains("topk_by"), s"agg path must plan topk_by:\n$pAgg")
+    assert(!pAgg.contains("WindowGroupLimit"),
+      s"agg path must not fall back to the Window:\n$pAgg")
+    val viaWindow = try {
+      spark.conf.set("graft.knn.topkAgg", "false")
+      run()
+    } finally spark.conf.unset("graft.knn.topkAgg")
+    assert(viaAgg.nonEmpty && viaAgg.sameElements(viaWindow),
+      s"topk_by diverged from the Window: ${viaAgg.length} vs ${viaWindow.length} rows")
   }
 
   test("registry: nested helper builds run (d99 as the FIRST family query on a fresh corpus)") {

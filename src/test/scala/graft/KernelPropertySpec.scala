@@ -300,4 +300,84 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("topk_by: any partition split + merge order + serde roundtrip equals the sorted reference") {
+    // d54's aggregate top-k must replicate row_number over
+    // (score desc, id asc) exactly for ANY map-side partial layout —
+    // the distributivity the sort-free plan rests on.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.expressions.TopKByScore
+    val r = rng(31)
+    (1 to 200).foreach { _ =>
+      val k = 1 + r.nextInt(8)
+      val n = r.nextInt(60)
+      // coarse scores force ties; ids unique (the d54 contract)
+      val rows = r.shuffle((0 until n).map(i =>
+        (i.toLong, (r.nextInt(5) / 4.0))).toList)
+      val agg = TopKByScore(
+        BoundReference(0, LongType, nullable = true),
+        BoundReference(1, DoubleType, nullable = true), k)
+      val nParts = 1 + r.nextInt(5)
+      val partials = rows.groupBy(_ => r.nextInt(nParts)).values.map { part =>
+        val buf = agg.createAggregationBuffer()
+        part.foreach { case (i, s) => agg.update(buf, InternalRow(i, s)) }
+        agg.deserialize(agg.serialize(buf)) // the shuffle path
+      }.toSeq
+      val merged = r.shuffle(partials)
+        .foldLeft(agg.createAggregationBuffer())((a, b) => agg.merge(a, b))
+      val out = agg.eval(merged).asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map { j =>
+        val row = out.getStruct(j, 2); (row.getLong(0), row.getDouble(1))
+      }
+      val want = rows.sortBy { case (i, s) => (-s, i) }.take(k)
+      assert(got == want, s"k=$k parts=$nParts\n got=$got\nwant=$want")
+    }
+  }
+
+  test("hyperplane packed16: unpack_keys16 reproduces hyperplane_buckets bit-for-bit; " +
+      "first_shared_lane16 agrees with first_shared_band on the unpacked keys") {
+    // the emit-once transport contract (round 14): the in-join band
+    // path explodes unpack_keys16(psig) where the old shape exploded
+    // hyperplane_buckets(vec) — identical keys or the candidate set
+    // silently changes; and the packed lane walk must pick the SAME
+    // first shared table the unpacked array walk picks, for every
+    // bits in the adaptiveBits range.
+    import graft.expressions.{FirstSharedBand, FirstSharedLane16, HyperplaneBuckets, HyperplanePacked16, UnpackKeys16}
+    val r = rng(29)
+    def vec(r: scala.util.Random, jitterOf: Option[Array[Double]] = None): ArrayData =
+      new GenericArrayData(jitterOf match {
+        case Some(base) => base.map(x => x + r.nextGaussian() * 0.02)
+        case None => Array.fill(64)(r.nextGaussian())
+      })
+    Seq(6, 9, 13, 16).foreach { bits =>
+      (1 to 40).foreach { _ =>
+        val base = Array.fill(64)(r.nextGaussian())
+        val va = vec(r, Some(base)) // jittered near-dups: shared lanes exist
+        val vb = vec(r, Some(base))
+        val vc = vec(r) // independent: usually no shared lane at high bits
+        def keys(v: ArrayData): Array[Long] =
+          HyperplaneBuckets(Literal(v, ArrayType(org.apache.spark.sql.types.DoubleType)), 48, bits)
+            .eval(null).asInstanceOf[ArrayData].toLongArray()
+        def packed(v: ArrayData): ArrayData =
+          HyperplanePacked16(Literal(v, ArrayType(org.apache.spark.sql.types.DoubleType)), 48, bits)
+            .eval(null).asInstanceOf[ArrayData]
+        Seq(va, vb, vc).foreach { v =>
+          val unpacked = UnpackKeys16(
+            Literal(packed(v), ArrayType(org.apache.spark.sql.types.LongType)), 48)
+            .eval(null).asInstanceOf[ArrayData].toLongArray()
+          assert(unpacked.sameElements(keys(v)),
+            s"unpack_keys16 diverged from hyperplane_buckets at bits=$bits")
+        }
+        Seq((va, vb), (va, vc), (vb, vc)).foreach { case (x, y) =>
+          val viaPacked = FirstSharedLane16.firstShared(packed(x), packed(y))
+          val viaKeys = FirstSharedBand.firstShared(
+            new GenericArrayData(keys(x)), new GenericArrayData(keys(y)))
+          assert(viaPacked == viaKeys,
+            s"first shared table diverged at bits=$bits: packed=$viaPacked keys=$viaKeys")
+        }
+      }
+    }
+  }
 }

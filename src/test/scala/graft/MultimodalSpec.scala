@@ -30,6 +30,52 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Media.resizeStub(b, 64).toSeq == Media.resizeStub(b, 64).toSeq)
   }
 
+  test("decoder seam: stub AND toy decoder both satisfy the frame/byte contracts; outputs differ") {
+    // round 14 (verdict task 6): the multimodal kernels sit behind the
+    // MediaDecoder interface so a real codec drops in via
+    // -Dgraft.media.decoder without touching any plan. Every decoder
+    // must hold the SHAPE contracts the operators rely on; the two
+    // shipped decoders must also genuinely differ in content, or the
+    // seam proves nothing.
+    import graft.functions.{MediaDecoder, StubMediaDecoder, ToyXorMediaDecoder}
+    val rnd = new scala.util.Random(61)
+    val payloads = Seq(Array.emptyByteArray, Array[Byte](7),
+      Array.tabulate(257)(_.toByte),
+      Array.fill(1000)(rnd.nextInt(256).toByte))
+    def checkContracts(d: MediaDecoder): Unit = payloads.foreach { b =>
+      Seq(1, 50, 100).foreach { fl =>
+        val frames = d.frameSample(b, fl)
+        if (b.isEmpty) assert(frames.isEmpty, "empty input → no frames")
+        else {
+          assert(frames.map(_.length).sum == b.length, "frames must cover every byte")
+          assert(frames.init.forall(_.length == fl) && frames.last.length <= fl &&
+            frames.last.nonEmpty, "all but the last frame are full-length")
+        }
+        assert(d.frameSample(b, fl).map(_.toSeq) == frames.map(_.toSeq), "deterministic")
+      }
+      Seq(0, 8, 64, 2000).foreach { t =>
+        val r = d.resize(b, t)
+        assert(r.length == (if (b.isEmpty) 0 else t), s"resize($t) length")
+        assert(d.resize(b, t).toSeq == r.toSeq, "deterministic")
+      }
+      Seq(4, 8).foreach { dim =>
+        val f = d.features(b, dim)
+        assert(f.length == dim && d.features(b, dim).toSeq == f.toSeq)
+      }
+      assert(d.checksum(b) == d.checksum(b))
+    }
+    checkContracts(StubMediaDecoder)
+    checkContracts(ToyXorMediaDecoder)
+    // genuinely different content on a non-trivial payload
+    val big = payloads.last
+    assert(StubMediaDecoder.checksum(big) != ToyXorMediaDecoder.checksum(big))
+    assert(StubMediaDecoder.resize(big, 64).toSeq != ToyXorMediaDecoder.resize(big, 64).toSeq)
+    assert(StubMediaDecoder.features(big, 8).toSeq != ToyXorMediaDecoder.features(big, 8).toSeq)
+    // the facade default binds the stub (what every shipped oracle replays)
+    assert(Media.decoder eq StubMediaDecoder)
+    assert(Media.checksum(big) == StubMediaDecoder.checksum(big))
+  }
+
   test("d14 frame pipeline: per-doc byte accounting is exact") {
     val out = graft.queries.Pipeline.queries("d14_multimodal_frames")(spark, sfTiny)
     import org.apache.spark.sql.functions._
