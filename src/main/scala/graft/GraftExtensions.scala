@@ -192,9 +192,17 @@ object GraftExtensions {
           "unpack_keys16(packed, tables) — tables must be an int literal")
       }),
     ("first_shared_lane16", info("first_shared_lane16",
-      "first_shared_lane16(a, b) - smallest table index with equal 16-bit lanes in two " +
-        "hyperplane_packed16 arrays, or -1; the emit-once primitive over the packed layout"),
-      fixedArity("first_shared_lane16", 2)(e => FirstSharedLane16(e(0), e(1)))),
+      "first_shared_lane16(a, b[, tables]) - smallest table index with equal 16-bit lanes " +
+        "in two hyperplane_packed16 arrays, or -1; the emit-once primitive over the packed " +
+        "layout. Pass tables when tables % 4 != 0 so the zero pad lanes of the last word " +
+        "can never report a match"),
+      (e: Seq[Expression]) => e match {
+        case Seq(a, b) => FirstSharedLane16(a, b)
+        case Seq(a, b, org.apache.spark.sql.catalyst.expressions.Literal(t: Int, _)) =>
+          FirstSharedLane16(a, b, t)
+        case _ => throw new IllegalArgumentException(
+          "first_shared_lane16(a, b[, tables]) — tables must be an int literal")
+      }),
     ("asof_on", info("asof_on",
       "asof_on(lkey, rkey, ltime, rtime) - AS-OF join marker: use as the ENTIRE condition " +
         "of a left/inner join; the AsOfJoinRewrite rule replaces the join with the native " +

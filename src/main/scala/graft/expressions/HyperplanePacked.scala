@@ -111,13 +111,21 @@ case class UnpackKeys16(child: Expression, tables: Int)
   * emit-once primitive over [[HyperplanePacked16]]'s layout (the
   * packed counterpart of [[FirstSharedBand]]). Runs once per band-join
   * COLLISION, so it codegens to a static ≤lanes-compare loop like its
-  * unpacked sibling. Pad lanes past `tables` (when tables % 4 ≠ 0)
-  * sit at the END of the walk, and every joined row already has a
-  * genuine earlier collision, so pads can never win.
+  * unpacked sibling. The optional `tables` bound (third SQL argument,
+  * like unpack_keys16's) stops the walk BEFORE the zero-initialized
+  * pad lanes of the last packed word when tables % 4 ≠ 0 — without it
+  * a pad lane compares equal on both sides and the function returns
+  * an out-of-range index ≥ tables (r14 advisor finding; harmless at
+  * the band-join call site, which passes the bound anyway, but wrong
+  * for general-purpose SQL use).
   */
-case class FirstSharedLane16(left: Expression, right: Expression)
+case class FirstSharedLane16(
+    left: Expression,
+    right: Expression,
+    tables: Int = Int.MaxValue)
   extends BinaryExpression {
 
+  require(tables > 0, "first_shared_lane16: tables bound must be positive")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "first_shared_lane16"
 
@@ -132,11 +140,12 @@ case class FirstSharedLane16(left: Expression, right: Expression)
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    FirstSharedLane16.firstShared(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    FirstSharedLane16.firstShared(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tables)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expressions.FirstSharedLane16.firstShared($a, $b);")
+      s"${ev.value} = graft.expressions.FirstSharedLane16.firstShared($a, $b, $tables);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FirstSharedLane16 =
@@ -144,7 +153,7 @@ case class FirstSharedLane16(left: Expression, right: Expression)
 }
 
 object FirstSharedLane16 {
-  def firstShared(x: ArrayData, y: ArrayData): Int = {
+  def firstShared(x: ArrayData, y: ArrayData, tables: Int): Int = {
     val n = math.min(x.numElements(), y.numElements())
     var w = 0
     while (w < n) {
@@ -154,9 +163,11 @@ object FirstSharedLane16 {
         val yv = y.getLong(w)
         var l = 0
         while (l < 4) {
+          val t = (w << 2) | l
+          if (t >= tables) return -1 // pad lanes never win
           val sh = l << 4
           if (((xv >>> sh) & 0xffffL) == ((yv >>> sh) & 0xffffL))
-            return (w << 2) | l
+            return t
           l += 1
         }
       }

@@ -115,22 +115,115 @@ object ToyXorMediaDecoder extends MediaDecoder {
   }
 }
 
+/** A REAL pure-JVM codec behind the seam (round 15, verdict task 6):
+  * `javax.imageio` decodes PNG/BMP/GIF payloads to pixels, and the
+  * kernels operate on DECODED LUMINANCE, not payload bytes — so two
+  * different encodings of the same image (a PNG and a BMP) produce
+  * IDENTICAL checksums, features, and thumbnails, the content-
+  * addressed property no byte-level stub can have (spec-proved).
+  * Non-image payloads (this corpus's UTF-8 text) fall back to the
+  * stub's byte-level semantics deterministically — a real pipeline
+  * routes by media type; the fallback keeps the decoder total so the
+  * shape contracts hold on ANY payload. PNG/BMP decoding is lossless
+  * and ImageIO ships in every JRE, so outputs are deterministic with
+  * no native libs. frameSample keeps byte slicing (images are single-
+  * frame media; slicing is the transport contract, not codec work).
+  * Drop in via -Dgraft.media.decoder=graft.functions.ImageIoMediaDecoder$
+  * — zero plan, schema, or operator changes. */
+object ImageIoMediaDecoder extends MediaDecoder {
+  javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in tasks
+
+  /** Decoded row-major luminance (0-255 ints), or None if the payload
+    * is not a decodable image. */
+  private def luminance(bytes: Array[Byte]): Option[Array[Int]] =
+    if (bytes.length < 8) None
+    else scala.util.Try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Int](w * h)
+        var i = 0
+        while (i < out.length) {
+          val rgb = img.getRGB(i % w, i / w)
+          // integer Rec.601 luma — identical arithmetic on every JVM
+          out(i) = (((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000) & 0xff
+          i += 1
+        }
+        out
+      }
+    }.toOption.flatMap(Option(_))
+
+  override def frameSample(bytes: Array[Byte], frameLen: Int): Seq[Array[Byte]] =
+    StubMediaDecoder.frameSample(bytes, frameLen)
+
+  override def checksum(bytes: Array[Byte]): Long = luminance(bytes) match {
+    case Some(px) => px.foldLeft(7L)((a, p) => (a * 131 + p) % 1000000007L)
+    case None => StubMediaDecoder.checksum(bytes)
+  }
+
+  override def features(bytes: Array[Byte], dim: Int): Array[Float] =
+    luminance(bytes) match {
+      case Some(px) =>
+        // mean luminance over dim equal pixel-index buckets, in [0,1]
+        val sum = new Array[Long](dim)
+        val cnt = new Array[Long](dim)
+        var i = 0
+        while (i < px.length) {
+          val d = (i.toLong * dim / px.length).toInt
+          sum(d) += px(i); cnt(d) += 1
+          i += 1
+        }
+        Array.tabulate(dim)(d =>
+          if (cnt(d) == 0) 0f else (sum(d).toDouble / cnt(d) / 255.0).toFloat)
+      case None => StubMediaDecoder.features(bytes, dim)
+    }
+
+  override def resize(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
+    require(targetLen >= 0)
+    luminance(bytes) match {
+      case Some(px) =>
+        if (targetLen == 0) Array.emptyByteArray
+        // nearest-neighbor over row-major pixel positions — the true
+        // pixel analogue of the stub's byte resample
+        else Array.tabulate(targetLen)(i =>
+          px(((i.toLong * px.length) / targetLen).toInt).toByte)
+      case None => StubMediaDecoder.resize(bytes, targetLen)
+    }
+  }
+}
+
 /** The facade the pipeline calls (keeps the historical stub-suffixed
   * names so call sites read honestly). Decoder binding: the
   * `graft.media.decoder` SYSTEM property (object class name, e.g.
-  * `graft.functions.ToyXorMediaDecoder$`), resolved once per JVM —
-  * a -D flag reaches every executor uniformly, and per-row kernels
-  * inside mapPartitions must not consult session state. Default: the
-  * stub (what every shipped oracle replays). */
+  * `graft.functions.ToyXorMediaDecoder$`), resolved ON THE DRIVER at
+  * plan-build time — every mapPartitions site captures `Media.decoder`
+  * OUTSIDE its lambda, so the chosen instance (a serializable
+  * singleton) rides the task closure and executors decode with the
+  * driver's binding even when their own JVM lacks the -D flag. (r14
+  * advisor: the previous once-per-JVM lazy resolve meant a flag set
+  * only on the driver silently left executors on the stub — driver-
+  * side constant folding and executor kernels could use DIFFERENT
+  * decoders with no error. Serializing the instance makes the
+  * mismatch impossible: an executor missing the decoder CLASS now
+  * fails loudly at task deserialization instead.) Default: the stub
+  * (what every shipped oracle replays). */
 object Media {
 
-  @transient lazy val decoder: MediaDecoder =
-    sys.props.get("graft.media.decoder") match {
-      case None | Some("") => StubMediaDecoder
-      case Some(cls) =>
-        val name = if (cls.endsWith("$")) cls else cls + "$"
-        Class.forName(name).getField("MODULE$").get(null).asInstanceOf[MediaDecoder]
-    }
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, MediaDecoder]()
+
+  /** Instantiate (and cache) a decoder singleton by class name. */
+  def forName(cls: String): MediaDecoder =
+    if (cls == null || cls.isEmpty) StubMediaDecoder
+    else cache.computeIfAbsent(cls, c => {
+      val name = if (c.endsWith("$")) c else c + "$"
+      Class.forName(name).getField("MODULE$").get(null).asInstanceOf[MediaDecoder]
+    })
+
+  /** The CURRENT driver binding — re-read per call (not a lazy val),
+    * so a spec or session can rebind between plan builds. */
+  def decoder: MediaDecoder = forName(sys.props.getOrElse("graft.media.decoder", ""))
 
   def frameSample(bytes: Array[Byte], frameLen: Int): Seq[Array[Byte]] =
     decoder.frameSample(bytes, frameLen)

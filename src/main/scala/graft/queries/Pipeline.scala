@@ -613,7 +613,7 @@ object Pipeline {
           col("psig").as("psig_b"))
         a.join(b, col("bkt") === col("bkt2") && col("salt") === col("salt2") &&
             col("id_a") < col("id_b") &&
-            col("bpos") === expr("first_shared_lane16(psig_a, psig_b)"))
+            col("bpos") === expr("first_shared_lane16(psig_a, psig_b, 48)"))
           .select(col("id_a"), col("id_b"),
             round(expr("cosine_sim(vec_a, vec_b)"), 4).as("cos_sim"))
       }
@@ -650,14 +650,29 @@ object Pipeline {
       // here are bounded: 5 (long, double) slots per group, ~10⁶
       // groups ≈ tens of MB.
       val s2 = s.newSession()
+      // newSession() builds its state from the SparkConf, NOT the
+      // caller's runtime conf (r14 advisor) — carry the runtime knobs
+      // that shape THIS stage's plan (parallelism + AQE) across, so a
+      // Verify/Sweep `spark.conf.set` tune applies to the child stage
+      // the same as to the surrounding query.
+      Seq("spark.sql.shuffle.partitions",
+          "spark.sql.adaptive.enabled",
+          "spark.sql.adaptive.coalescePartitions.enabled")
+        .foreach(k => s2.conf.set(k, s.conf.get(k)))
       s2.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
       GraftExtensions.install(s2)
-      s2.createDataFrame(bi.rdd, bi.schema)
+      val top = s2.createDataFrame(bi.rdd, bi.schema)
         .groupBy(col("vec_id"))
         .agg(expr("topk_by(nid, cos_sim, 5)").as("top"))
         .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("vec_id"), col("t.id").as("nid"),
           col("t.score").as("cos_sim"), (col("pos") + 1).as("rn"))
+      // re-bind the n×5-row result to the CALLER's session (r14
+      // advisor: d54 handed callers an s2-bound frame, which cannot
+      // join caller-session frames and pinned the throwaway session
+      // alive) — every knnTop5 caller now gets s-bound frames, the
+      // lshKnnEdges treatment hoisted to the one shared spelling.
+      s.createDataFrame(top.rdd, top.schema)
     } else {
       val wk = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
       bi.withColumn("rn", row_number().over(wk)).filter(col("rn") <= 5)
@@ -682,14 +697,9 @@ object Pipeline {
           col("cos_sim"))
         .union(sc0.select(col("id_b").as("vec_id"), col("id_a").as("nid"),
           col("cos_sim")))
-      val top = knnTop5(s, bi).select("vec_id", "nid")
-      // re-bind to the caller's session: the agg path returns an
-      // s2-bound frame, and d97/d99 join this edge list with frames
-      // from s (frames of two sessions cannot combine). n×5 id rows —
-      // the conversion is noise, and the registry persists the
-      // re-bound frame.
-      if (top.sparkSession eq s) top
-      else s.createDataFrame(top.rdd, top.schema)
+      // knnTop5 returns caller-session frames on both paths (r15), so
+      // d97/d99 can join this edge list with s-bound frames directly.
+      knnTop5(s, bi).select("vec_id", "nid")
     }
 
   /** One alternating round of Kiveris et al.'s star-contraction
@@ -909,6 +919,13 @@ object Pipeline {
     * per call site while reusing the cache anyway. Skipping the
     * redundant call is behavior-identical and keeps spec-suite runs
     * warning-free, the same discipline bench earned in round 11. */
+  /** Slice fan-out for d33's decomposed vocabulary rank: tracks the
+   *  session's shuffle parallelism (32 here; a 1000-executor run widens
+   *  it via spark.sql.shuffle.partitions — the d58 shard-widening note),
+   *  so the per-slice sort stays ~vocab/parallelism at any scale. */
+  private def zipfSlices(s: SparkSession): Int =
+    math.max(8, s.sessionState.conf.numShufflePartitions)
+
   private def pinOnce(df: DataFrame): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
     df
@@ -2425,17 +2442,42 @@ object Pipeline {
     // computes per snapshot (natural text ~ -1; synthetic/templated
     // corpora deviate hard, as this one does). Scale shape: one
     // map-side-combined groupBy collapses the 100 TB token stream to
-    // the TYPE dictionary; the global row_number window then runs over
-    // vocabulary (≪ corpus, single partition is fine and deliberate),
-    // and the regression is one tiny aggregate. Rounded to 4dp — the
-    // regression sums are over the small ranked table, so accumulation-
-    // order ulps sit far below the rounding grain.
+    // the TYPE dictionary — which at web scale is itself 10⁸-10⁹ rows
+    // (URLs, typos, hashes are all types), so the exact global rank is
+    // DECOMPOSED, never a vocabulary-wide single-partition window (the
+    // d58/d71 discipline, generalized to the composite (n desc, word)
+    // sort key): repartitionByRange shards the dictionary into order-
+    // contiguous slices, row_number ranks WITHIN each slice in
+    // parallel, and the global rank is slice rank plus the prefix sum
+    // of earlier slices' counts (a shard-count table, metadata-sized
+    // at any SF, broadcast back — d58's offsets shape). The sampled
+    // range boundaries are pinned once so the rank and offset branches
+    // see the SAME slice assignment; the rank values themselves are
+    // boundary-independent (the (n, word) key is unique, slices are
+    // contiguous), so sampling nondeterminism cannot reach the output.
+    // The oracle keeps the plain vocabulary-wide window — equality IS
+    // the decomposition claim (the d64/d71/d86 precedent). Rounded to
+    // 4dp — the regression sums are over the small ranked table, so
+    // accumulation-order ulps sit far below the rounding grain.
     "d33_zipf" -> { (s, dir) =>
       val freq = withWords(T(s, dir, "documents"))
         .select(explode(col("words")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      val ranked = freq.withColumn("r",
-        row_number().over(Window.orderBy(desc("n"), asc("word"))))
+      val sliced = freq
+        .repartitionByRange(zipfSlices(s), desc("n"), asc("word"))
+        .withColumn("slice", spark_partition_id())
+        .transform(pinOnce)
+      val local = sliced.withColumn("lr", row_number().over(
+        Window.partitionBy("slice").orderBy(desc("n"), asc("word"))).cast("long"))
+      // ≤ zipfSlices rows: the one intentionally single-partition
+      // window here — it runs over the slice-COUNT table, never vocab
+      val offs = sliced.groupBy("slice").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(
+          Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("slice", "off")
+      val ranked = local.join(broadcast(offs), Seq("slice"))
+        .withColumn("r", col("off") + col("lr"))
       // GROUPED (constant-key) aggregate, not a global one: a global agg
       // returns one all-null row on an empty corpus; grouped returns
       // zero rows — the EmptyCorpusSpec contract every d-op upholds.
@@ -2470,15 +2512,15 @@ object Pipeline {
       val media = T(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
           struct(col("lang"), col("n_chars")).as("meta"))
+      val dec = graft.functions.Media.decoder // driver binding rides the closure
       val decoded = media.select("doc_id", "payload").as[(Long, Array[Byte])]
         .mapPartitions { it =>
           // batch shape: the decoder sees fixed-size batches, as a real
           // vectorized media decoder (or mapInPandas twin) would.
           it.grouped(64).flatMap { batch =>
             batch.map { case (id, bytes) =>
-              // STUB decode: deterministic fake features standing in for
-              // image/audio feature extraction (libs absent in container).
-              val checksum = bytes.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L)
+              // decode via the seam (default: the stub the oracle replays)
+              val checksum = dec.checksum(bytes)
               (id, bytes.length.toLong,
                 if (bytes.isEmpty) -1L else (bytes(0) & 0xff).toLong, checksum)
             }
@@ -2499,15 +2541,16 @@ object Pipeline {
     "d14_multimodal_frames" -> { (s, dir) =>
       import s.implicits._
       val frameLen = 100
+      val dec = graft.functions.Media.decoder // driver binding rides the closure
       val frames = T(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.grouped(32).flatMap { batch =>
             batch.flatMap { case (id, bytes) =>
-              graft.functions.Media.frameSample(bytes, frameLen).zipWithIndex.map {
+              dec.frameSample(bytes, frameLen).zipWithIndex.map {
                 case (fr, idx) =>
-                  val feat = graft.functions.Media.featureStub(fr)
+                  val feat = dec.features(fr, 8)
                   (id, idx, fr.length, feat.sum.toDouble)
               }
             }
@@ -2569,7 +2612,7 @@ object Pipeline {
     },
 
     // ---- d21: multimodal resize — nearest-neighbor byte resample of
-    // every payload to a fixed 64-byte thumbnail (Media.resizeStub, the
+    // every payload to a fixed 64-byte thumbnail (MediaDecoder.resize, the
     // byte analogue of image nearest-neighbor resize; a production build
     // swaps the stub for a codec without touching the plan). Same
     // batched mapPartitions contract as d11/d14. The oracle re-derives
@@ -2580,14 +2623,14 @@ object Pipeline {
     "d21_multimodal_resize" -> { (s, dir) =>
       import s.implicits._
       val target = 64
+      val dec = graft.functions.Media.decoder // driver binding rides the closure
       T(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.grouped(64).flatMap { batch =>
             batch.map { case (id, bytes) =>
-              val r = graft.functions.Media.resizeStub(
-                bytes, if (bytes.isEmpty) 0 else target)
+              val r = dec.resize(bytes, if (bytes.isEmpty) 0 else target)
               (id, bytes.length.toLong, r.length,
                 r.foldLeft(0L)((a, b) => a + (b & 0xff)))
             }
@@ -4130,13 +4173,14 @@ object Pipeline {
     "d76_vad_segments" -> { (s, dir) =>
       import s.implicits._
       val frameLen = 160
+      val dec = graft.functions.Media.decoder // driver binding rides the closure
       val frames = T(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.grouped(32).flatMap { batch =>
             batch.flatMap { case (id, bytes) =>
-              graft.functions.Media.frameSample(bytes, frameLen).zipWithIndex.map {
+              dec.frameSample(bytes, frameLen).zipWithIndex.map {
                 case (fr, idx) =>
                   val energy = fr.foldLeft(0L)((a, b) => a + (b & 0xff))
                   (id, idx, fr.length, energy, energy > 96L * fr.length)
@@ -4402,13 +4446,14 @@ object Pipeline {
     // in a real decoder without touching the plan.
     "d81_image_phash" -> { (s, dir) =>
       import s.implicits._
+      val dec = graft.functions.Media.decoder // driver binding rides the closure
       val hashes = T(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.grouped(32).flatMap { batch =>
             batch.map { case (id, bytes) =>
-              val g = graft.functions.Media.resizeStub(bytes, 72).map(_ & 0xff)
+              val g = dec.resize(bytes, 72).map(_ & 0xff)
               val bits = Array.tabulate(64) { t =>
                 val r = t / 8; val c = t % 8
                 if (g.nonEmpty && g(r * 9 + c + 1) > g(r * 9 + c)) 1 else 0
@@ -6709,13 +6754,14 @@ object Pipeline {
     "d131_audio_fingerprint" -> { (s, dir) =>
       import s.implicits._
       val frameLen = 32
+      val dec = graft.functions.Media.decoder // driver binding rides the closure
       val frames = T(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.grouped(32).flatMap { batch =>
             batch.flatMap { case (id, bytes) =>
-              graft.functions.Media.frameSample(bytes, frameLen).zipWithIndex.map {
+              dec.frameSample(bytes, frameLen).zipWithIndex.map {
                 case (fr, idx) =>
                   val energy = fr.foldLeft(0L)((a, b) => a + (b & 0xff))
                   (id, idx, (energy % 8).toInt)

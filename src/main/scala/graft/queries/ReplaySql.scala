@@ -220,8 +220,15 @@ private[queries] object ReplaySql {
   /** Shared d15/d23 prefix: exact-collapse to word-set group reps
     * (mirrors Pipeline.collapsedWordSets: sorted-distinct words, md5
     * gid), 128 signed minima per rep, 16 band keys (8-row fold),
-    * bucket self-join → candidate rep pairs, plus the gid→rep
-    * membership map. */
+    * SAME-band bucket self-join → candidate rep pairs, plus the
+    * gid→rep membership map. Candidacy is pinned to same-band
+    * collisions — the structural LSH definition and exactly the
+    * engine's `bpos = bpos2` conjunct (r14) — so a pair whose only
+    * key equality is a cross-band 64-bit hash collision (~1e-6) is a
+    * non-candidate in BOTH engines by construction, not a latent
+    * divergence (r14 advisor). d85's `keys` consumers keep their
+    * deliberate any-band semantics (its engine side measures the
+    * any-band shared-key rate; the band column is simply unused). */
   private val repsPrefix: String =
     s"""WITH $wordsCte,
        |ws AS (SELECT doc_id, list_sort(list_distinct(words)) AS wset FROM docs),
@@ -244,9 +251,10 @@ private[queries] object ReplaySql {
        |       FROM minsu GROUP BY rep_id, band),
        |binit AS (SELECT rep_id, band, ms, (${mixInitArr(16)})[band + 1] AS a0 FROM bm),
        |${bandFold(8)},
-       |keys AS (SELECT rep_id, a8 AS bkey FROM g76),
+       |keys AS (SELECT rep_id, band, a8 AS bkey FROM g76),
        |candrep AS (SELECT DISTINCT a.rep_id AS r_a, b.rep_id AS r_b
-       |            FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.rep_id < b.rep_id),
+       |            FROM keys a JOIN keys b ON a.band = b.band
+       |                                   AND a.bkey = b.bkey AND a.rep_id < b.rep_id),
        |m AS (SELECT g.doc_id, reps.rep_id FROM g JOIN reps USING (gid))""".stripMargin
 
   /** d15: exact Jaccard (d4's rounding contract) over candidate rep

@@ -371,7 +371,7 @@ class KernelPropertySpec extends AnyFunSuite {
             s"unpack_keys16 diverged from hyperplane_buckets at bits=$bits")
         }
         Seq((va, vb), (va, vc), (vb, vc)).foreach { case (x, y) =>
-          val viaPacked = FirstSharedLane16.firstShared(packed(x), packed(y))
+          val viaPacked = FirstSharedLane16.firstShared(packed(x), packed(y), 48)
           val viaKeys = FirstSharedBand.firstShared(
             new GenericArrayData(keys(x)), new GenericArrayData(keys(y)))
           assert(viaPacked == viaKeys,
@@ -379,5 +379,17 @@ class KernelPropertySpec extends AnyFunSuite {
         }
       }
     }
+    // pad-lane guard (r14 advisor finding): when tables % 4 != 0 the
+    // last word's zero-initialized pads compare equal on BOTH sides;
+    // the tables bound must stop the walk before them (returning -1
+    // when no genuine lane matches), never report a pad index >= tables
+    val px = new GenericArrayData(Array[Long](
+      1L | 2L << 16 | 3L << 32 | 4L << 48, 5L | 6L << 16))
+    val py = new GenericArrayData(Array[Long](
+      7L | 8L << 16 | 9L << 32 | 10L << 48, 11L | 12L << 16))
+    assert(FirstSharedLane16.firstShared(px, py, 6) == -1,
+      "bounded walk reported a zero pad lane as a shared table")
+    assert(FirstSharedLane16.firstShared(px, py, Int.MaxValue) == 6,
+      "sentinel check: without the bound the pad lane WOULD match (the guarded bug)")
   }
 }

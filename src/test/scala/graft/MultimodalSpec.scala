@@ -76,6 +76,77 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Media.checksum(big) == StubMediaDecoder.checksum(big))
   }
 
+  test("ImageIo decoder: a REAL pure-JVM codec satisfies the seam — pixel-level, " +
+      "encoding-invariant, zero plan changes") {
+    // round 15 (verdict task 6): prove the MediaDecoder seam with a
+    // non-toy codec. javax.imageio decodes PNG/BMP to pixels; the
+    // kernels then operate on decoded luminance, so two DIFFERENT
+    // encodings of the SAME image must agree bit-for-bit — the
+    // content-addressed property no byte-level stub can fake (the PNG
+    // and BMP byte streams share almost nothing).
+    import graft.functions.{ImageIoMediaDecoder, StubMediaDecoder}
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(9, 5, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 9; y <- 0 until 5)
+      img.setRGB(x, y, (x * 28 << 16) | (y * 51 << 8) | ((x + y) * 18))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = enc("png"); val bmp = enc("bmp")
+    assert(!png.sameElements(bmp), "distinct encodings by construction")
+    // pixel-level: encodings of the same image agree on every kernel
+    assert(ImageIoMediaDecoder.checksum(png) == ImageIoMediaDecoder.checksum(bmp))
+    assert(ImageIoMediaDecoder.features(png, 8).toSeq ==
+      ImageIoMediaDecoder.features(bmp, 8).toSeq)
+    assert(ImageIoMediaDecoder.resize(png, 72).toSeq ==
+      ImageIoMediaDecoder.resize(bmp, 72).toSeq)
+    // ...and genuinely decode pixels, not payload bytes
+    assert(ImageIoMediaDecoder.checksum(png) != StubMediaDecoder.checksum(png))
+    assert(ImageIoMediaDecoder.resize(png, 72).toSeq !=
+      StubMediaDecoder.resize(png, 72).toSeq)
+    // shape contracts hold on images AND non-image payloads (the
+    // deterministic fallback keeps the decoder total)
+    Seq(png, bmp, Array.emptyByteArray, "plain text payload".getBytes,
+        Array.tabulate(257)(_.toByte)).foreach { b =>
+      val frames = ImageIoMediaDecoder.frameSample(b, 100)
+      if (b.isEmpty) assert(frames.isEmpty)
+      else assert(frames.map(_.length).sum == b.length)
+      Seq(0, 64, 2000).foreach { t =>
+        assert(ImageIoMediaDecoder.resize(b, t).length == (if (b.isEmpty) 0 else t))
+      }
+      assert(ImageIoMediaDecoder.features(b, 8).length == 8)
+      assert(ImageIoMediaDecoder.checksum(b) == ImageIoMediaDecoder.checksum(b))
+    }
+    // the -D wiring resolves the class (what a production submit sets)
+    assert(Media.forName("graft.functions.ImageIoMediaDecoder$") eq ImageIoMediaDecoder)
+    // zero plan changes: rebind the seam, run d21's REAL query on the
+    // corpus, restore — the plan executes green under the real codec,
+    // and on this corpus's text payloads the deterministic fallback
+    // reproduces the stub bit-for-bit (the oracle's replay contract)
+    val stubRows = graft.queries.Pipeline.queries("d21_multimodal_resize")(spark, sfTiny)
+      .collect().map(_.toSeq)
+    sys.props("graft.media.decoder") = "graft.functions.ImageIoMediaDecoder$"
+    try {
+      val realRows = graft.queries.Pipeline.queries("d21_multimodal_resize")(spark, sfTiny)
+        .collect().map(_.toSeq)
+      assert(realRows.toSeq == stubRows.toSeq,
+        "text payloads must fall back to stub semantics bit-for-bit")
+    } finally sys.props.remove("graft.media.decoder")
+    // and through the d21 kernel SHAPE on real image payloads, the two
+    // encodings produce identical thumbnails end-to-end in a plan
+    val sess = spark
+    import sess.implicits._
+    val dec = Media.forName("graft.functions.ImageIoMediaDecoder$")
+    val thumbs = Seq((1L, png), (2L, bmp)).toDF("id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, dec.resize(bytes, 64).toSeq) })
+      .collect().toMap
+    assert(thumbs(1L) == thumbs(2L),
+      "PNG and BMP of the same image must yield the same thumbnail through the plan")
+  }
+
   test("d14 frame pipeline: per-doc byte accounting is exact") {
     val out = graft.queries.Pipeline.queries("d14_multimodal_frames")(spark, sfTiny)
     import org.apache.spark.sql.functions._

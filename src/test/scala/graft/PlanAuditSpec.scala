@@ -465,6 +465,25 @@ class PlanAuditSpec extends SparkSpecBase {
       s"bucket counts lost the map-side partial:\n$p")
   }
 
+  test("d33 zipf: vocab rank is slice-decomposed — no vocabulary-wide single-partition window") {
+    // the r14 verdict's last corpus-derived SinglePartition window,
+    // pinned dead: the type-dictionary rank must run as per-slice
+    // row_number over hash-partitioned range slices (d58's offsets
+    // shape on the composite (n desc, word) key); the only window
+    // allowed to collapse is the slice-COUNT offsets table (bounded by
+    // the slice fan-out, metadata-sized at any SF)
+    val p = plan("d33_zipf")
+    assert(p.contains("hashpartitioning(slice"),
+      s"d33 per-slice rank is not slice-partitioned:\n$p")
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single == 1,
+      s"want exactly 1 single-partition exchange (slice offsets), got $single:\n$p")
+    // and the offsets side must join back broadcast, never reshuffling
+    // the ranked dictionary on the slice key a second time
+    assert(p.contains("BroadcastHashJoin"),
+      s"d33 offsets join is not broadcast:\n$p")
+  }
+
   test("d58 train shuffle: corpus window is shard-partitioned; only the 256-row offsets collapse") {
     val p = plan("d58_train_shuffle")
     // exactly ONE single-partition exchange — the shard-count offsets
