@@ -635,6 +635,30 @@ object Pipeline {
     * emitted rows and ranks are bit-equal (spec-pinned). */
   private def knnTop5(s: SparkSession, bi: DataFrame): DataFrame =
     if (knnTopkAgg(s)) {
+      val top = knnTop5Child(s, bi)
+      // re-bind the n×5-row result to the CALLER's session (r14
+      // advisor: d54 handed callers an s2-bound frame, which cannot
+      // join caller-session frames and pinned the throwaway session
+      // alive) — every knnTop5 caller now gets s-bound frames, the
+      // lshKnnEdges treatment hoisted to the one shared spelling.
+      // This OUTPUT hop must stay an .rdd round-trip, NEVER a plan
+      // transplant: a lazy plan executes under whichever session the
+      // caller finally actions it on, so transplanting back to s would
+      // silently run the agg under s's DEFAULT fallbackThreshold — the
+      // exact degradation the child session exists to prevent. The
+      // .rdd boundary pins the agg's execution under s2, and only n×5
+      // id rows pay the conversion.
+      s.createDataFrame(top.rdd, top.schema)
+    } else {
+      val wk = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
+      bi.withColumn("rn", row_number().over(wk)).filter(col("rn") <= 5)
+    }
+
+  /** The CHILD-SESSION half of [[knnTop5]]'s agg path, returning the
+    * still-s2-bound top-k frame (package-visible so specs can audit
+    * the plan that actually executes — the caller-facing frame sits
+    * behind the .rdd re-bind's ExistingRDD boundary). */
+  private[graft] def knnTop5Child(s: SparkSession, bi: DataFrame): DataFrame = {
       // CHILD session (the d147/d55 idiom): topk_by plans as
       // ObjectHashAggregate, whose default sortBased.fallbackThreshold
       // (128 in-memory groups!) silently degrades the whole point —
@@ -644,11 +668,8 @@ object Pipeline {
       // The raise is scoped to THIS plan's session: a global raise
       // would let every collect_list-style agg grow 5M untracked
       // object buffers, and a set/restore window on the shared session
-      // is the bleed task 5 just closed. The .rdd re-bind executes the
-      // upstream pair build under the CALLER's session/conf (and its
-      // registry cache) — only the top-k agg runs under s2. Buffers
-      // here are bounded: 5 (long, double) slots per group, ~10⁶
-      // groups ≈ tens of MB.
+      // is the bleed task 5 just closed. Buffers here are bounded: 5
+      // (long, double) slots per group, ~10⁶ groups ≈ tens of MB.
       val s2 = s.newSession()
       // newSession() builds its state from the SparkConf, NOT the
       // caller's runtime conf (r14 advisor) — carry the runtime knobs
@@ -661,22 +682,28 @@ object Pipeline {
         .foreach(k => s2.conf.set(k, s.conf.get(k)))
       s2.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
       GraftExtensions.install(s2)
-      val top = s2.createDataFrame(bi.rdd, bi.schema)
+      // Cross-session carriage, probe-switchable (graft.knn.rebind):
+      //  - "transplant": SessionRebind moves the ANALYZED plan onto s2
+      //    keeping InternalRow — no row conversion at all. The
+      //    upstream pair build re-plans under s2, which is inert here:
+      //    it contains no object-hash aggregates (the only conf s2
+      //    changes beyond the carried-over runtime knobs), and its
+      //    registry-persisted helpers hit the context-wide
+      //    CacheManager by plan equality either way.
+      //  - "rdd": the r14 shape — bi.rdd round-trips every edge row
+      //    through external Row objects.
+      // Default decided by the r15 paired sf10 probe (BENCH_NOTES).
+      val transplant = s.conf.get("graft.knn.rebind", "transplant") == "transplant"
+      val in2 =
+        if (transplant) org.apache.spark.sql.graft.SessionRebind.transplant(s2, bi)
+        else s2.createDataFrame(bi.rdd, bi.schema)
+      in2
         .groupBy(col("vec_id"))
         .agg(expr("topk_by(nid, cos_sim, 5)").as("top"))
         .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("vec_id"), col("t.id").as("nid"),
           col("t.score").as("cos_sim"), (col("pos") + 1).as("rn"))
-      // re-bind the n×5-row result to the CALLER's session (r14
-      // advisor: d54 handed callers an s2-bound frame, which cannot
-      // join caller-session frames and pinned the throwaway session
-      // alive) — every knnTop5 caller now gets s-bound frames, the
-      // lshKnnEdges treatment hoisted to the one shared spelling.
-      s.createDataFrame(top.rdd, top.schema)
-    } else {
-      val wk = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
-      bi.withColumn("rn", row_number().over(wk)).filter(col("rn") <= 5)
-    }
+  }
 
   private def knnTopkAgg(s: SparkSession): Boolean =
     s.conf.get("graft.knn.topkAgg",
@@ -2463,21 +2490,29 @@ object Pipeline {
       val freq = withWords(T(s, dir, "documents"))
         .select(explode(col("words")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      val sliced = freq
-        .repartitionByRange(zipfSlices(s), desc("n"), asc("word"))
-        .withColumn("slice", spark_partition_id())
-        .transform(pinOnce)
-      val local = sliced.withColumn("lr", row_number().over(
-        Window.partitionBy("slice").orderBy(desc("n"), asc("word"))).cast("long"))
-      // ≤ zipfSlices rows: the one intentionally single-partition
-      // window here — it runs over the slice-COUNT table, never vocab
-      val offs = sliced.groupBy("slice").agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum("cnt").over(
-          Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select("slice", "off")
-      val ranked = local.join(broadcast(offs), Seq("slice"))
-        .withColumn("r", col("off") + col("lr"))
+      // graft.zipf.sliced=false: the pre-r15 vocabulary-wide single-
+      // partition window, kept for paired probing only (the
+      // graft.knn.topkAgg precedent).
+      val ranked = if (!s.conf.get("graft.zipf.sliced", "true").toBoolean) {
+        freq.withColumn("r",
+          row_number().over(Window.orderBy(desc("n"), asc("word"))).cast("long"))
+      } else {
+        val sliced = freq
+          .repartitionByRange(zipfSlices(s), desc("n"), asc("word"))
+          .withColumn("slice", spark_partition_id())
+          .transform(pinOnce)
+        val local = sliced.withColumn("lr", row_number().over(
+          Window.partitionBy("slice").orderBy(desc("n"), asc("word"))).cast("long"))
+        // ≤ zipfSlices rows: the one intentionally single-partition
+        // window here — it runs over the slice-COUNT table, never vocab
+        val offs = sliced.groupBy("slice").agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum("cnt").over(
+            Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select("slice", "off")
+        local.join(broadcast(offs), Seq("slice"))
+          .withColumn("r", col("off") + col("lr"))
+      }
       // GROUPED (constant-key) aggregate, not a global one: a global agg
       // returns one all-null row on an empty corpus; grouped returns
       // zero rows — the EmptyCorpusSpec contract every d-op upholds.

@@ -1,0 +1,35 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Re-bind a DataFrame's ANALYZED logical plan to another session of
+  * the SAME SparkContext, keeping InternalRow end to end — the
+  * zero-copy alternative to `target.createDataFrame(df.rdd, df.schema)`,
+  * which deserializes every row to external `Row` objects and re-encodes
+  * them (r14 verdict §wrong-4: a full round-trip of the d54 edge stream
+  * just to scope one child-session conf).
+  *
+  * Lives under `org.apache.spark.sql` only to reach the `private[sql]`
+  * classic `Dataset.ofRows` constructor — the standard extension-shim
+  * practice for Spark libraries (same access route Spark's own
+  * extensions take); nothing here touches non-public SEMANTICS, it is
+  * exactly what `SparkSession.internalCreateDataFrame` does for the
+  * session's own plans.
+  *
+  * Semantics note (why this is a deliberate CHOICE, not a drop-in):
+  * the transplanted plan is analyzed but UNEXECUTED — the whole
+  * upstream subtree re-plans and executes under `target`'s session
+  * conf, whereas the `.rdd` round-trip pins upstream execution under
+  * the SOURCE session and ships only rows. Callers that scope a
+  * child-session conf raise must confirm the upstream tree is inert to
+  * that conf (graft: knnTop5's pair build has no object-hash
+  * aggregates, so the fallbackThreshold raise cannot touch it;
+  * registry-persisted helpers still hit the context-wide CacheManager
+  * by plan equality).
+  */
+object SessionRebind {
+  def transplant(target: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      target.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
+}

@@ -587,17 +587,33 @@ class DedupSpec extends SparkSpecBase {
       Pipeline.queries("d54_knn_graph")(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     val viaAgg = run() // default: topk_by
-    val pAgg = Pipeline.queries("d54_knn_graph")(spark, dir)
+    // the caller-facing d54 frame sits behind the .rdd re-bind's
+    // ExistingRDD boundary (r15: knnTop5 re-binds to the caller's
+    // session on BOTH paths), so audit the child-session plan that
+    // actually executes via the package-visible half
+    import spark.implicits._
+    val biSmall = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (2L, 1L, 0.9))
+      .toDF("vec_id", "nid", "cos_sim")
+    val pChild = Pipeline.knnTop5Child(spark, biSmall)
       .queryExecution.executedPlan.toString
-    assert(pAgg.contains("topk_by"), s"agg path must plan topk_by:\n$pAgg")
-    assert(!pAgg.contains("WindowGroupLimit"),
-      s"agg path must not fall back to the Window:\n$pAgg")
+    assert(pChild.contains("topk_by"), s"agg path must plan topk_by:\n$pChild")
+    assert(!pChild.contains("WindowGroupLimit"),
+      s"agg path must not fall back to the Window:\n$pChild")
     val viaWindow = try {
       spark.conf.set("graft.knn.topkAgg", "false")
       run()
     } finally spark.conf.unset("graft.knn.topkAgg")
     assert(viaAgg.nonEmpty && viaAgg.sameElements(viaWindow),
       s"topk_by diverged from the Window: ${viaAgg.length} vs ${viaWindow.length} rows")
+    // round 15 (verdict task 8): the two cross-session carriages —
+    // analyzed-plan transplant (InternalRow end to end) and the r14
+    // .rdd row round-trip — must emit the identical graph too
+    val viaRdd = try {
+      spark.conf.set("graft.knn.rebind", "rdd")
+      run()
+    } finally spark.conf.unset("graft.knn.rebind")
+    assert(viaAgg.sameElements(viaRdd),
+      s"transplant diverged from rdd re-bind: ${viaAgg.length} vs ${viaRdd.length} rows")
   }
 
   test("registry: nested helper builds run (d99 as the FIRST family query on a fresh corpus)") {

@@ -482,6 +482,19 @@ class PlanAuditSpec extends SparkSpecBase {
     // the ranked dictionary on the slice key a second time
     assert(p.contains("BroadcastHashJoin"),
       s"d33 offsets join is not broadcast:\n$p")
+    // bit-parity: the decomposition must reproduce the plain-window
+    // rank EXACTLY (the oracle states the single-window semantics —
+    // equality IS the decomposition claim); ranks feed ln(r) sums, so
+    // compare the full output rows of both shapes
+    val qs = SparkEntry.queries
+    val sliced = qs("d33_zipf")(spark, sfTiny).collect().map(_.toSeq)
+    val plain = try {
+      spark.conf.set("graft.zipf.sliced", "false")
+      qs("d33_zipf")(spark, sfTiny).collect().map(_.toSeq)
+    } finally spark.conf.unset("graft.zipf.sliced")
+    assert(sliced.toSeq == plain.toSeq,
+      s"slice-decomposed rank diverged from the plain window:\n" +
+        s"sliced=${sliced.toSeq}\nplain=${plain.toSeq}")
   }
 
   test("d58 train shuffle: corpus window is shard-partitioned; only the 256-row offsets collapse") {
