@@ -229,13 +229,22 @@ private[queries] object ReplaySql {
     * divergence (r14 advisor). d85's `keys` consumers keep their
     * deliberate any-band semantics (its engine side measures the
     * any-band shared-key rate; the band column is simply unused). */
-  private val repsPrefix: String =
-    s"""WITH $wordsCte,
+  // The prefix is assembled from LEVEL segments so the CTE cache
+  // (check.py GRAFT_CTE_CACHE=1, r15 verdict task 3) can materialize
+  // each level ONCE per sweep and chain the next level off the staged
+  // parquet — the assembled text below is byte-identical to the
+  // pre-split spelling.
+  private val mhG: String =
+    s"""$wordsCte,
        |ws AS (SELECT doc_id, list_sort(list_distinct(words)) AS wset FROM docs),
-       |g AS (SELECT doc_id, wset, md5(array_to_string(wset, ' ')) AS gid FROM ws),
-       |reps AS (SELECT gid, min(doc_id) AS rep_id, arg_min(wset, doc_id) AS wset
-       |         FROM g GROUP BY gid),
-       |rt AS (SELECT rep_id, unnest(wset) AS tok FROM reps),
+       |g AS (SELECT doc_id, wset, md5(array_to_string(wset, ' ')) AS gid FROM ws)""".stripMargin
+
+  private val mhReps: String =
+    s"""reps AS (SELECT gid, min(doc_id) AS rep_id, arg_min(wset, doc_id) AS wset
+       |         FROM g GROUP BY gid)""".stripMargin
+
+  private val mhMins: String =
+    s"""rt AS (SELECT rep_id, unnest(wset) AS tok FROM reps),
        |toks AS (SELECT DISTINCT tok FROM rt),
        |fb AS (SELECT tok, $fnvExpr AS fbase FROM toks),
        |sk AS (SELECT tok, CAST(s.k AS INTEGER) AS k,
@@ -244,18 +253,65 @@ private[queries] object ReplaySql {
        |${mixChain("sk", "x0", "hv", "h")},
        |hs AS (SELECT tok, k, $toSigned AS sm FROM h6),
        |mins AS (SELECT rt.rep_id, hs.k, min(hs.sm) AS smin
-       |         FROM rt JOIN hs USING (tok) GROUP BY rt.rep_id, hs.k),
-       |minsu AS (SELECT rep_id, k, CASE WHEN smin < 0 THEN smin + $M64 ELSE smin END AS mu
+       |         FROM rt JOIN hs USING (tok) GROUP BY rt.rep_id, hs.k)""".stripMargin
+
+  private val mhKeys: String =
+    s"""minsu AS (SELECT rep_id, k, CASE WHEN smin < 0 THEN smin + $M64 ELSE smin END AS mu
        |          FROM mins),
        |bm AS (SELECT rep_id, CAST(k // 8 AS INTEGER) AS band, list(mu ORDER BY k) AS ms
        |       FROM minsu GROUP BY rep_id, band),
        |binit AS (SELECT rep_id, band, ms, (${mixInitArr(16)})[band + 1] AS a0 FROM bm),
        |${bandFold(8)},
-       |keys AS (SELECT rep_id, band, a8 AS bkey FROM g76),
-       |candrep AS (SELECT DISTINCT a.rep_id AS r_a, b.rep_id AS r_b
+       |keys AS (SELECT rep_id, band, a8 AS bkey FROM g76)""".stripMargin
+
+  private val mhCandrep: String =
+    s"""candrep AS (SELECT DISTINCT a.rep_id AS r_a, b.rep_id AS r_b
        |            FROM keys a JOIN keys b ON a.band = b.band
-       |                                   AND a.bkey = b.bkey AND a.rep_id < b.rep_id),
-       |m AS (SELECT g.doc_id, reps.rep_id FROM g JOIN reps USING (gid))""".stripMargin
+       |                                   AND a.bkey = b.bkey AND a.rep_id < b.rep_id)""".stripMargin
+
+  private val mhM: String =
+    "m AS (SELECT g.doc_id, reps.rep_id FROM g JOIN reps USING (gid))"
+
+  private val repsPrefix: String =
+    s"""WITH $mhG,
+       |$mhReps,
+       |$mhMins,
+       |$mhKeys,
+       |$mhCandrep,
+       |$mhM""".stripMargin
+
+  /** CTE-cache staging chain for the 128-hash MinHash family (r15
+    * verdict task 3 — the sf1 certification of d15/d23 previously
+    * re-derived every signature inside ONE monolithic query and blew
+    * the oracle-side budget): each level materializes once per sweep
+    * and the next level reads the staged parquet. `smin` stages as
+    * BIGINT (toSigned maps every minimum into int64; HUGEINT has no
+    * parquet lane — downstream `smin + 2^64` re-promotes, value-equal).
+    * `bkey` stays HUGEINT → parquet DECIMAL(38,0); it is only ever
+    * compared for equality, never folded further. */
+  val mhPrep: Seq[(String, String)] = Seq(
+    "graft_cte_mh_g" -> s"WITH $mhG SELECT * FROM g",
+    "graft_cte_mh_reps" ->
+      s"WITH g AS (SELECT * FROM graft_cte_mh_g),\n$mhReps SELECT * FROM reps",
+    "graft_cte_mh_mins" ->
+      (s"WITH reps AS (SELECT * FROM graft_cte_mh_reps),\n$mhMins " +
+        "SELECT rep_id, k, CAST(smin AS BIGINT) AS smin FROM mins"),
+    "graft_cte_mh_keys" ->
+      s"WITH mins AS (SELECT * FROM graft_cte_mh_mins),\n$mhKeys SELECT * FROM keys",
+    "graft_cte_mh_candrep" ->
+      s"WITH keys AS (SELECT * FROM graft_cte_mh_keys),\n$mhCandrep SELECT * FROM candrep")
+
+  /** The cached re-spelling of [[repsPrefix]]: every CTE name the
+    * downstream d15/d23/d85 text references (g, reps, mins, keys,
+    * candrep, m) reads its staged table; m re-derives from the staged
+    * g ⋈ reps (metadata-cheap). */
+  val mhCachedSwap: (String, String) = repsPrefix ->
+    """WITH g AS (SELECT * FROM graft_cte_mh_g),
+      |reps AS (SELECT * FROM graft_cte_mh_reps),
+      |mins AS (SELECT * FROM graft_cte_mh_mins),
+      |keys AS (SELECT * FROM graft_cte_mh_keys),
+      |candrep AS (SELECT * FROM graft_cte_mh_candrep),
+      |m AS (SELECT g.doc_id, reps.rep_id FROM g JOIN reps USING (gid))""".stripMargin
 
   /** d15: exact Jaccard (d4's rounding contract) over candidate rep
     * pairs ≥ 0.8, expanded through group membership, plus within-group

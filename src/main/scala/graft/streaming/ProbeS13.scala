@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** r15 verdict task 5 — the s13 state-store matrix on a LONG-LIVED
+  * replay. The shipped bounded replay delivers the whole corpus in ONE
+  * micro-batch (+2 sentinels), so per-batch store open/commit dominates
+  * and the fixed 8 partitions beat 32 (r13 probe, 46.4 vs 70.8 s). A
+  * real deployment sees MANY batches against long-lived stores; this
+  * probe stages the events table as N time-ordered landing chunks
+  * (+2 sentinel files, mirroring sentinelClosedEventsDir's closure)
+  * and times the exact s13 join under a chosen partitions × provider
+  * cell. The emitted matched/unmatched row counts are batching-
+  * invariant (the sentinels close every pending match), so each cell
+  * also cross-checks its result row count — a wrong-watermark staging
+  * bug fails loudly rather than timing garbage.
+  *
+  * Probe-only tooling (the ScaleData/Explain precedent): no SparkEntry
+  * surface, no oracle.
+  *
+  * Usage:
+  *   jrun graft.streaming.ProbeS13 <sfDir> <nChunks> <partitions> <rocksdb|hdfs> [expectRows]
+  */
+object ProbeS13 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val nChunks = args(1).toInt
+    val parts = args(2).toInt
+    val provider = args(3)
+    val expect = if (args.length > 4) Some(args(4).toLong) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+
+    val inDir = stageChunked(s, sfDir, nChunks)
+    if (provider == "rocksdb")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // (hdfs = HDFSBackedStateStoreProvider, the session default)
+
+    val schema = s.read.parquet(inDir).schema
+    val src = graft.Tables.normalizeTs(s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir))
+    // the s13 join body, verbatim
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"),
+      "left_outer")
+
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    val t0 = System.nanoTime()
+    val sunk = StreamingOps.runToTable(s, joined, "probe_s13", OutputMode.Append())
+    val n = sunk.filter(col("p_user") >= 0).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[probe-s13] chunks=$nChunks parts=$parts provider=$provider " +
+      f"rows=$n wall=$wall%.1fs")
+    expect.foreach { e =>
+      require(n == e, s"row count $n != expected $e — staging/watermark bug")
+    }
+    s.stop()
+  }
+
+  /** Stage events as nChunks time-ordered landing files + 2 sentinel
+    * files (the sentinelClosedEventsDir closure, chunked): range-
+    * partition by ts so file k holds the k-th time slice, name/mtime
+    * both ascending so the file source replays them in time order and
+    * the watermark advances progressively across the run. */
+  private def stageChunked(s: SparkSession, dir: String, nChunks: Int): String = {
+    import org.apache.hadoop.fs.Path
+    val base = s"${graft.queries.Sources.scratchDir}/probe_s13_" +
+      s"${Integer.toHexString(dir.hashCode)}_$nChunks"
+    val inDir = s"$base/in"
+    val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val events = graft.Tables.load(s, dir, "events")
+    val stagedOk = try {
+      val d = s.read.parquet(inDir)
+      d.inputFiles.length == nChunks + 2 && d.count() == events.count() + 10
+    } catch { case _: Throwable => false }
+    if (!stagedOk) {
+      graft.sources.GraftWriter.removeDirectory(s, inDir)
+      fs.mkdirs(new Path(inDir))
+      val t0 = System.currentTimeMillis()
+      // one write: range partitions ascend in ts, part-file names ascend
+      // with the partition index, so a rename pass pins order + mtimes
+      val tmp = s"$base/tmp"
+      events.repartitionByRange(nChunks, col("ts"))
+        .write.option("parquet.block.size", 2L * 1024 * 1024)
+        .mode("overwrite").parquet(tmp)
+      val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dest = new Path(inDir, f"$i%05d-data.parquet")
+        fs.rename(p, dest)
+        fs.setTimes(dest, t0 + i * 1000L, -1)
+      }
+      fs.delete(new Path(tmp), true)
+      val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+      def sentinel(days: Int): DataFrame = {
+        import s.implicits._
+        Seq("view", "purchase", "click", "signup", "error").map(t => (-1L,
+            new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
+            -1L, t, 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      }
+      def land(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp2 = s"$base/tmp_$name"
+        df.repartition(1).write.option("parquet.block.size", 2L * 1024 * 1024)
+          .mode("overwrite").parquet(tmp2)
+        val part = fs.listStatus(new Path(tmp2)).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file under $tmp2"))
+        val dest = new Path(inDir, name)
+        fs.rename(part, dest)
+        fs.setTimes(dest, mtime, -1)
+        fs.delete(new Path(tmp2), true)
+      }
+      land(sentinel(30), "99990-close.parquet", t0 + nChunks * 1000L + 60000)
+      land(sentinel(32), "99991-flush.parquet", t0 + nChunks * 1000L + 120000)
+    }
+    inDir
+  }
+}
