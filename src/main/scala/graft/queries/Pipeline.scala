@@ -8219,7 +8219,7 @@ object Pipeline {
     lshScoredSql -> s"""$lshNbSql,
       keys AS (SELECT * FROM graft_cte_lsh_keys),
       sc AS (SELECT * FROM graft_cte_lsh_sc)""",
-    ReplaySql.mhCachedSwap)
+    ReplaySql.mhCachedSwap, ReplaySql.mhMmSwap)
 
   val oracles: Map[String, String] = Map(
     // Full hash-family replay oracles (ReplaySql): DuckDB re-derives

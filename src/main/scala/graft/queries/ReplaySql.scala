@@ -299,7 +299,17 @@ private[queries] object ReplaySql {
     "graft_cte_mh_keys" ->
       s"WITH mins AS (SELECT * FROM graft_cte_mh_mins),\n$mhKeys SELECT * FROM keys",
     "graft_cte_mh_candrep" ->
-      s"WITH keys AS (SELECT * FROM graft_cte_mh_keys),\n$mhCandrep SELECT * FROM candrep")
+      s"WITH keys AS (SELECT * FROM graft_cte_mh_keys),\n$mhCandrep SELECT * FROM candrep",
+    // Per-rep 16-bit-folded signature LISTS (k-ordered) for d23's
+    // cached tail: the self-contained mm joins mins to BOTH pair sides
+    // per k — |candrep| × 128 intermediate rows, which at sf1's 24.9M
+    // pairs is a ~3.2B-row join that spilled DuckDB past the disk. The
+    // list form makes the pair pass two small-table hash lookups plus a
+    // 128-lane compare per pair, no blowup.
+    "graft_cte_mh_sigl" ->
+      ("WITH mins AS (SELECT * FROM graft_cte_mh_mins) " +
+        "SELECT rep_id, list((smin % 65536 + 65536) % 65536 ORDER BY k) AS sig " +
+        "FROM mins GROUP BY rep_id"))
 
   /** The cached re-spelling of [[repsPrefix]]: every CTE name the
     * downstream d15/d23/d85 text references (g, reps, mins, keys,
@@ -312,6 +322,22 @@ private[queries] object ReplaySql {
       |keys AS (SELECT * FROM graft_cte_mh_keys),
       |candrep AS (SELECT * FROM graft_cte_mh_candrep),
       |m AS (SELECT g.doc_id, reps.rep_id FROM g JOIN reps USING (gid))""".stripMargin
+
+  /** The cached re-spelling of d23's per-k match count: value-identical
+    * arithmetic (count over k of low-16-bit equality, /128, 4dp) read
+    * from the staged signature lists — two hash lookups into the
+    * rep-count-sized sigl table and one 128-lane compare per pair,
+    * replacing the per-k double join whose |candrep|×128 intermediate
+    * blew DuckDB's spill at sf1. */
+  val mhMmSwap: (String, String) = mhMm ->
+    """mm AS (SELECT c.r_a, c.r_b,
+      |              round(CAST(length(list_filter(range(1, 129),
+      |                       i -> sa.sig[CAST(i AS INTEGER)]
+      |                          = sb.sig[CAST(i AS INTEGER)])) AS DOUBLE)
+      |                    / 128.0, 4) AS est_jaccard
+      |       FROM candrep c
+      |       JOIN (SELECT * FROM graft_cte_mh_sigl) sa ON sa.rep_id = c.r_a
+      |       JOIN (SELECT * FROM graft_cte_mh_sigl) sb ON sb.rep_id = c.r_b)""".stripMargin
 
   /** d15: exact Jaccard (d4's rounding contract) over candidate rep
     * pairs ≥ 0.8, expanded through group membership, plus within-group
@@ -400,15 +426,19 @@ private[queries] object ReplaySql {
     * low 16-bit word (two minima agree on their low 16 bits iff these
     * normalized values are equal; Spark's packed-field equality tests
     * the same bits). */
-  val d23: String =
-    s"""$repsPrefix,
-       |mm AS (SELECT c.r_a, c.r_b,
+  // lazy: referenced by mhMmSwap, which is declared earlier in the file
+  private lazy val mhMm: String =
+    s"""mm AS (SELECT c.r_a, c.r_b,
        |              round(sum(CASE WHEN (a.smin % 65536 + 65536) % 65536
        |                              = (b.smin % 65536 + 65536) % 65536
        |                         THEN 1 ELSE 0 END) / 128.0, 4) AS est_jaccard
        |       FROM candrep c JOIN mins a ON a.rep_id = c.r_a
        |                      JOIN mins b ON b.rep_id = c.r_b AND b.k = a.k
-       |       GROUP BY c.r_a, c.r_b),
+       |       GROUP BY c.r_a, c.r_b)""".stripMargin
+
+  val d23: String =
+    s"""$repsPrefix,
+       |$mhMm,
        |mmf AS (SELECT * FROM mm WHERE est_jaccard >= 0.7),
        |crosspairs AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
        |                      greatest(ma.doc_id, mb.doc_id) AS doc_b, mmf.est_jaccard
