@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** r15 verdict task 7 — the words/shingles family sharing probe.
+  * Verify/Bench clearCache() between queries, so a registry-shared
+  * tokenization can only pay inside one session's continuous query
+  * stream (the library-user shape: many pipeline stages, one session).
+  * This harness runs a words-heavy entry family SEQUENTIALLY in ONE
+  * session with NO cache clearing, under `graft.words.shared`
+  * true/false, and prints per-entry + total walls. Output parquet
+  * matches Verify's dump contract (repartition(1) to scratch) so the
+  * walls are comparable with solo Verify runs.
+  *
+  * Probe-only tooling (ScaleData/ProbeS13 precedent): no SparkEntry
+  * surface, no oracle.
+  *
+  * Usage: jrun graft.ProbeWordsFam <sfDir> <shared:true|false> [entries]
+  */
+object ProbeWordsFam {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val shared = args(1)
+    val entries = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
+      "d2_minhash_lsh", "d25_contamination", "d26_window_dedup",
+      "d31_chunk_dedup", "d83_novelty_rate", "d119_eval_exposure"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s.conf.set("graft.words.shared", shared)
+    val t00 = System.nanoTime()
+    entries.foreach { e =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(e)(s, sfDir)
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"${queries.Sources.scratchDir}/probe_words_fam/$e")
+      println(f"[probe-words] $e shared=$shared " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    println(f"[probe-words] TOTAL shared=$shared " +
+      f"${(System.nanoTime() - t00) / 1e9}%.1fs")
+    s.stop()
+  }
+}

@@ -113,6 +113,13 @@ object Verify {
     // diagnosed error instead of dumping results the count(*)-derived
     // replay oracle cannot match.
     spark.conf.set("graft.lsh.oracleGated", "true")
+    // Probe passthrough (r15): -Dgraft.* JVM flags land in the session
+    // conf so paired probes can flip query-shape toggles
+    // (graft.zipf.sliced, graft.knn.rebind) from jrun without code
+    // edits. The driver passes no such flags, so the official gate is
+    // unaffected; a probe that overrides oracleGated does so knowingly.
+    sys.props.toSeq.filter(_._1.startsWith("graft."))
+      .foreach { case (k, v) => spark.conf.set(k, v) }
     new java.io.File(outDir).mkdirs()
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

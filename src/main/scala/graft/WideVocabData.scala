@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Wide-vocabulary probe corpus (round 15, d33 decomposition
+  * evidence): the driver's synthetic corpus has a 31-token
+  * vocabulary, so the type dictionary d33 ranks is ~31 rows at EVERY
+  * scale factor and a corpus-size probe can never exercise the
+  * vocabulary-wide rank the r14 verdict flagged (at 100 TB of real
+  * web text the type dictionary is 10⁸-10⁹ rows — URLs, typos,
+  * hashes are all types). This tool plants that shape directly: a
+  * documents table whose token space is `vocabSize` distinct types
+  * (deterministic per-position linear hashing, mildly skewed by a
+  * squared-uniform draw so counts are non-constant and the Zipf
+  * regression is non-degenerate). Schema matches the driver corpus
+  * (doc_id, text, lang, source, n_chars); 2 MB row groups (the
+  * standing probe-data rule, BENCH_NOTES r12).
+  *
+  * Usage: runMain graft.WideVocabData <outDir> <nDocs> <tokensPerDoc> <vocabSize>
+  */
+object WideVocabData {
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val nDocs = args(1).toLong
+    val perDoc = args(2).toInt
+    val vocab = args(3).toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // token id: squaring a uniform residue concentrates mass toward
+    // smaller ids (a crude power-law stand-in) — enough skew for
+    // distinct counts, deterministic, no RNG state.
+    val df = s.range(0, nDocs, 1, cpus.toInt * 4)
+      .select(col("id").as("doc_id"),
+        expr(
+          s"""concat_ws(' ', transform(sequence(0, ${perDoc - 1}),
+             |  i -> concat('t', pmod(pmod(id * 1315423911 + i * 2654435761, $vocab)
+             |                        * pmod(id * 97 + i * 31 + 7, 1021), $vocab))))
+             |""".stripMargin).as("text"),
+        concat(lit("l"), pmod(col("id"), lit(20))).as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(5))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+    df.write.option("parquet.block.size", 2L * 1024 * 1024)
+      .mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[widevocab] wrote $nDocs docs x $perDoc tokens, vocab<=$vocab -> $out")
+    s.stop()
+  }
+}

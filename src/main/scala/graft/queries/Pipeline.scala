@@ -25,6 +25,24 @@ object Pipeline {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("words", split(trim(col("text")), "\\s+"))
 
+  /** The documents-with-words frame every text operator starts from.
+    * `graft.words.shared=true` (probe toggle, r15 verdict task 7)
+    * routes it through the session helper registry so a multi-query
+    * session tokenizes the corpus ONCE (persisted) instead of once per
+    * query; default false = byte-identical plans to the historical
+    * per-query derivation, because Verify/Bench clearCache() between
+    * queries makes a persisted frame recompute-on-read there anyway —
+    * the sharing only pays inside one session's query stream.
+    * Ship-or-reject decided by the ProbeWordsFam paired probe. */
+  private def wordsOf(s: SparkSession, dir: String): DataFrame =
+    if (s.conf.get("graft.words.shared", "false").toBoolean)
+      cachedHelper(s, dir, "docWords")(withWords(T(s, dir, "documents")))
+    else withWords(T(s, dir, "documents"))
+
+  /** [[withShingles]] over the (possibly session-shared) words frame. */
+  private def shinglesOf(s: SparkSession, dir: String): DataFrame =
+    withShinglesFromWords(wordsOf(s, dir))
+
   /** d79: the 32 fixed 32-bit window-hash coefficients — first 8 md5
     * hex digits of "graft-cdc-k" for k = 0..31, computed once here and
     * rendered as LITERALS into both the Spark plan and the DuckDB
@@ -379,7 +397,7 @@ object Pipeline {
     */
   private def collapsedWordSets(s: SparkSession, dir: String): DataFrame =
     cachedHelper(s, dir, "collapsedWordSets") {
-      withWords(T(s, dir, "documents"))
+      wordsOf(s, dir)
         .select(col("doc_id"), array_sort(array_distinct(col("words"))).as("wset"))
         .withColumn("gid", md5(concat_ws(" ", col("wset"))))
     }
@@ -1026,7 +1044,7 @@ object Pipeline {
     * comment): md5-keyed counts, binary-key threshold pass, gram-text
     * recovery for the qualified candidates only. */
   private def d112Adaptive(s: SparkSession, dir: String): DataFrame = {
-    val wd = withWords(T(s, dir, "documents"))
+    val wd = wordsOf(s, dir)
       .filter(expr("size(words) >= 8"))
       .select(col("doc_id"), col("source"), expr(
         """transform(sequence(0, size(words) - 8),
@@ -1086,7 +1104,7 @@ object Pipeline {
     // sorted+distinct sets → the merge-kernel jaccard variant (no
     // per-pair hash-set allocation); the one-time per-doc sort is
     // O(n log n) on 1/1000th the rows the kernel touches
-    val w = withWords(T(s, dir, "documents"))
+    val w = wordsOf(s, dir)
       .select(col("doc_id"), col("lang"), lenBucket.as("len_bucket"),
         array_sort(array_distinct(col("words"))).as("wset"))
       .withColumn("wn", size(col("wset")))
@@ -1143,7 +1161,7 @@ object Pipeline {
       val lst = markers(lang).map(w => s"'$w'").mkString(", ")
       s"cast(size(filter(words, x -> array_contains(array($lst), x))) as int)"
     }
-    withWords(T(s, dir, "documents"))
+    wordsOf(s, dir)
       .withColumn("en_n", expr(score("en")))
       .withColumn("de_n", expr(score("de")))
       .withColumn("fr_n", expr(score("fr")))
@@ -1262,7 +1280,10 @@ object Pipeline {
 
   /** 3-word shingles for MinHash (short docs fall back to one shingle). */
   private[graft] def withShingles(df: DataFrame): DataFrame =
-    withWords(df).withColumn("shingles", expr(
+    withShinglesFromWords(withWords(df))
+
+  private def withShinglesFromWords(df: DataFrame): DataFrame =
+    df.withColumn("shingles", expr(
       """CASE WHEN size(words) >= 3
            THEN array_distinct(transform(sequence(0, size(words) - 3),
                   i -> concat_ws(' ', slice(words, i + 1, 3))))
@@ -1291,7 +1312,7 @@ object Pipeline {
       // persist: both self-join sides read the banded signatures, so the
       // shingle+minhash pass runs once, not twice (at 100 TB this is a
       // checkpoint of the signature table — the standard LSH build step)
-      val banded = withShingles(T(s, dir, "documents"))
+      val banded = shinglesOf(s, dir)
         .select(col("doc_id"),
           posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "band_key")))
         .transform(pinOnce)
@@ -1310,7 +1331,7 @@ object Pipeline {
     // exact hamming (bit_count(xor)) ≤ 3 filter.
     "d3_simhash" -> { (s, dir) =>
       GraftExtensions.install(s)
-      val chunks = withWords(T(s, dir, "documents"))
+      val chunks = wordsOf(s, dir)
         .select(col("doc_id"), expr("simhash64(words)").as("simhash"))
         .select(col("doc_id"), col("simhash"),
           posexplode(expr(
@@ -1897,7 +1918,7 @@ object Pipeline {
     // No single-partition exchange anywhere (PlanAuditSpec pins this).
     "d56_sequence_pack" -> { (s, dir) =>
       val L = 512
-      val toks = equiDepthShard(s, withWords(T(s, dir, "documents"))
+      val toks = equiDepthShard(s, wordsOf(s, dir)
         .select(col("doc_id"), col("source"),
           size(col("words")).cast("long").as("n_tokens")))
       val w1 = Window.partitionBy("source", "shard").orderBy("doc_id")
@@ -1940,7 +1961,7 @@ object Pipeline {
     // shard derivation are replayed exactly by a recursive-CTE oracle.
     "d59_doc_pack" -> { (s, dir) =>
       val L = 512
-      val toks = equiDepthShard(s, withWords(T(s, dir, "documents"))
+      val toks = equiDepthShard(s, wordsOf(s, dir)
         .select(col("doc_id"), col("source"),
           size(col("words")).cast("int").as("n_tokens"))
         .withColumn("n", least(col("n_tokens"), lit(L))))
@@ -1996,7 +2017,7 @@ object Pipeline {
     // argmax contract is hash-checked end to end.
     "d57_cluster_rep" -> { (s, dir) =>
       GraftExtensions.install(s)
-      val scored = withQuality(withWords(T(s, dir, "documents")))
+      val scored = withQuality(wordsOf(s, dir))
         .withColumn("sig", expr("simhash64(words)"))
       scored.groupBy("sig")
         .agg(count(lit(1)).as("cluster_size"),
@@ -2063,14 +2084,14 @@ object Pipeline {
 
     // ---- d8: document quality scoring (length/punct/uniqueness ratios).
     "d8_quality" -> { (s, dir) =>
-      withQuality(withWords(T(s, dir, "documents")))
+      withQuality(wordsOf(s, dir))
         .select("doc_id", "n_chars_m", "n_tokens", "punct_ratio", "uniq_ratio", "quality_score")
         .orderBy("doc_id")
     },
 
     // ---- d9: token counting — whitespace tokens + BPE-ish regex pieces.
     "d9_token_count" -> { (s, dir) =>
-      withWords(T(s, dir, "documents"))
+      wordsOf(s, dir)
         .withColumn("ws_tokens", size(col("words")).cast("int"))
         .withColumn("bpe_tokens", expr(
           "cast(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\\\s]', 0)) as int)"))
@@ -2137,7 +2158,7 @@ object Pipeline {
     // frequency agg → join back on word → per-doc mean. The corpus
     // token total joins as a broadcast 1-row aggregate.
     "d22_unigram_logprob" -> { (s, dir) =>
-      val words = withWords(T(s, dir, "documents"))
+      val words = wordsOf(s, dir)
         .select(col("doc_id"), explode(col("words")).as("word"))
       // one explode; frequencies and the instance-weighted mean both
       // come from the (doc, word, cnt) aggregate, so the word join moves
@@ -2164,7 +2185,7 @@ object Pipeline {
     // (n−d)·1000 is exact in double and IEEE division makes floor
     // identical on both sides.
     "d24_repetition" -> { (s, dir) =>
-      withWords(T(s, dir, "documents"))
+      wordsOf(s, dir)
         .withColumn("grams", expr(
           """CASE WHEN size(words) >= 2
                THEN transform(sequence(0, size(words) - 2),
@@ -2192,7 +2213,7 @@ object Pipeline {
     // matched shingle hits do. ALL-INTEGER output (counts + per-mille +
     // an integer-derived flag), so the oracle is exact.
     "d25_contamination" -> { (s, dir) =>
-      val sh = withShingles(T(s, dir, "documents"))
+      val sh = shinglesOf(s, dir)
         .select(col("doc_id"), col("shingles"))
         .transform(pinOnce) // benchmark side + training side + totals: one pass
       val bench = sh.filter(col("doc_id") % 97 === 0)
@@ -2224,7 +2245,7 @@ object Pipeline {
     // 100 TB. (A real pipeline would follow with a per-doc window-drop
     // join, which is d26's output joined back on window_hash.)
     "d26_window_dedup" -> { (s, dir) =>
-      val wins = withWords(T(s, dir, "documents"))
+      val wins = wordsOf(s, dir)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(0, cast(ceil(size(words) / 20.0) as int) - 1),
                i -> concat_ws(' ', slice(words, i * 20 + 1, 20)))""")).as("win"))
@@ -2247,7 +2268,7 @@ object Pipeline {
     // ALL-INTEGER output → exact oracle.
     "d27_shard_pack" -> { (s, dir) =>
       val budget = 2000L // tokens per shard
-      val toks = withWords(T(s, dir, "documents"))
+      val toks = wordsOf(s, dir)
         .select(col("doc_id"), col("source"), size(col("words")).cast("long").as("n_tok"))
       val packed = toks.withColumn("cum_before",
           coalesce(sum(col("n_tok")).over(
@@ -2321,7 +2342,7 @@ object Pipeline {
     // the standard scalable answer and the rerank bound is documented.
     "d28_heavy_hitters" -> { (s, dir) =>
       GraftExtensions.install(s)
-      val words = withWords(T(s, dir, "documents"))
+      val words = wordsOf(s, dir)
         .select(explode(col("words")).as("word"))
       val cands = words.agg(expr("heavy_hitters(word, 64)").as("cands"))
         .select(explode(col("cands")).as("word"))
@@ -2344,7 +2365,7 @@ object Pipeline {
     // quadratic, nothing driver-side, the same plan at 100 TB.
     "d30_corpus_curation" -> { (s, dir) =>
       val budget = 2000L
-      val docs = withWords(T(s, dir, "documents"))
+      val docs = wordsOf(s, dir)
         .withColumn("n_tok", size(col("words")).cast("long"))
         .withColumn("grams", expr(
           """CASE WHEN size(words) >= 2
@@ -2409,7 +2430,7 @@ object Pipeline {
     // DESCENDING when stop < start), not an empty array.
     "d31_chunk_dedup" -> { (s, dir) =>
       val K = 10
-      val base = withWords(T(s, dir, "documents"))
+      val base = wordsOf(s, dir)
         .select(col("doc_id"), size(col("words")).cast("long").as("n_tok"),
           expr(
             s"""CASE WHEN size(words) >= $K
@@ -2445,7 +2466,7 @@ object Pipeline {
     // one column scan, not a re-shuffle of its text.
     "d32_incremental_dedup" -> { (s, dir) =>
       val W = 20
-      val docs = withWords(T(s, dir, "documents"))
+      val docs = wordsOf(s, dir)
         .withColumn("n_tok", size(col("words")).cast("long"))
         .withColumn("whashes", expr(
           s"""CASE WHEN size(words) >= $W
@@ -2498,7 +2519,7 @@ object Pipeline {
     // 4dp — the regression sums are over the small ranked table, so
     // accumulation-order ulps sit far below the rounding grain.
     "d33_zipf" -> { (s, dir) =>
-      val freq = withWords(T(s, dir, "documents"))
+      val freq = wordsOf(s, dir)
         .select(explode(col("words")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
       // graft.zipf.sliced=false: the pre-r15 vocabulary-wide single-
@@ -2537,7 +2558,7 @@ object Pipeline {
     // ---- d10: rolling polynomial hash fingerprint (order-sensitive,
     // modulo-bounded so Spark and the oracle agree on arithmetic).
     "d10_fingerprint" -> { (s, dir) =>
-      withWords(T(s, dir, "documents"))
+      wordsOf(s, dir)
         .withColumn("codes", expr(
           "transform(words, w -> cast(ascii(w) * 7 + length(w) as bigint))"))
         .select(col("doc_id"), expr(
@@ -2712,7 +2733,7 @@ object Pipeline {
     // the token stream to one row per language; the global totals join
     // back as a broadcast 1-row aggregate — nothing else moves.
     "d34_mixture_weights" -> { (s, dir) =>
-      val perLang = withWords(T(s, dir, "documents"))
+      val perLang = wordsOf(s, dir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(col("words")).cast("long")).as("n_tok"))
@@ -2738,7 +2759,7 @@ object Pipeline {
     // aggregates plus ONE per-lang window over doc-level rows — the
     // window input is one row per doc, never per token.
     "d35_ccnet_buckets" -> { (s, dir) =>
-      val words = withWords(T(s, dir, "documents"))
+      val words = wordsOf(s, dir)
         .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
       val tf = words.groupBy("doc_id", "lang", "word")
         .agg(count(lit(1)).as("cnt")).transform(pinOnce)
@@ -2810,7 +2831,7 @@ object Pipeline {
     // math rounds at 4dp over a <=4-term sum — far below the grain.
     "d37_bm25" -> { (s, dir) =>
       val qterms = Seq("table", "query", "window", "join")
-      val docs = withWords(T(s, dir, "documents"))
+      val docs = wordsOf(s, dir)
         .select(col("doc_id"), col("words"),
           size(col("words")).cast("double").as("dl"))
         .transform(pinOnce) // corpus stats + hit scan read one tokenize pass
@@ -2982,7 +3003,7 @@ object Pipeline {
       GraftExtensions.install(s)
       val saltCap = 2000
       val snippetCap = 12
-      val w = withWords(T(s, dir, "documents"))
+      val w = wordsOf(s, dir)
         .select(col("doc_id"), col("lang"),
           array_sort(array_distinct(col("words"))).as("wset"))
         .withColumn("wn", size(col("wset")))
@@ -3026,7 +3047,7 @@ object Pipeline {
     // aggregate; the corpus pair/prefix dictionaries derive from it
     // (never from a second corpus scan) and join back keyed on words.
     "d38_bigram_surprisal" -> { (s, dir) =>
-      val bg = withWords(T(s, dir, "documents"))
+      val bg = wordsOf(s, dir)
         .filter(size(col("words")) >= 2)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(0, size(words) - 2),
@@ -3322,7 +3343,7 @@ object Pipeline {
     // micro-nats BEFORE the order-free per-doc integer sum (d43's
     // rule), and the output is integer ten-thousandths.
     "d49_kneser_ney" -> { (s, dir) =>
-      val bg = withWords(T(s, dir, "documents"))
+      val bg = wordsOf(s, dir)
         .filter(size(col("words")) >= 2)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(0, size(words) - 2),
@@ -3361,7 +3382,7 @@ object Pipeline {
     // request table); at 100 TB the plan is identical: broadcast the
     // registry, scan the corpus once, aggregate the audit.
     "d50_takedown" -> { (s, dir) =>
-      val docs = withWords(T(s, dir, "documents"))
+      val docs = wordsOf(s, dir)
         .select(col("doc_id"), col("source"), size(col("words")).as("n_tok"))
       val requests = docs.filter(pmod(col("doc_id"), lit(97)) === 13)
         .select(col("doc_id").as("td_id"))
@@ -3392,7 +3413,7 @@ object Pipeline {
     // one deterministic double expression over the six integer counts
     // (also emitted), rounded once to integer ten-thousandths.
     "d51_bleu_pairs" -> { (s, dir) =>
-      val docs = withWords(T(s, dir, "documents"))
+      val docs = wordsOf(s, dir)
       val uni = docs.select(col("doc_id"), explode(col("words")).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       val bi = docs.filter(size(col("words")) >= 2)
@@ -3498,7 +3519,7 @@ object Pipeline {
     // algebra with lag() and both engines land on the same integers.
     "d53_substring_dedup" -> { (s, dir) =>
       val W = 8
-      val w = withWords(T(s, dir, "documents"))
+      val w = wordsOf(s, dir)
         .select(col("doc_id"), col("words"), size(col("words")).as("n_tokens"))
       val grams = w.filter(col("n_tokens") >= W)
         .select(col("doc_id"), posexplode(expr(
@@ -3580,7 +3601,7 @@ object Pipeline {
     // replays the selection bit-for-bit.
     "d61_winnowing" -> { (s, dir) =>
       val k = 3; val w = 4
-      val docs = withWords(T(s, dir, "documents"))
+      val docs = wordsOf(s, dir)
         .select(col("doc_id"), col("words"))
       // per-doc selected set: distinct window minima of the packed keys
       val sel = docs
@@ -3640,7 +3661,7 @@ object Pipeline {
     // beyond that the same arithmetic runs in DECIMAL(38,0) on both
     // engines (a spelling change, not a shape change).
     "d62_temperature_mix" -> { (s, dir) =>
-      val byLang = withWords(T(s, dir, "documents"))
+      val byLang = wordsOf(s, dir)
         .select(col("lang"), size(col("words")).cast("long").as("n_tok"))
         .groupBy("lang").agg(sum("n_tok").as("lang_tokens"))
         .withColumn("weight", expr(
@@ -3758,7 +3779,7 @@ object Pipeline {
     // doc-level tie-break). The corpus is scanned once (persisted
     // score frame) and never reshuffled.
     "d65_admit_calibration" -> { (s, dir) =>
-      val q = withQuality(withWords(T(s, dir, "documents")))
+      val q = withQuality(wordsOf(s, dir))
         .select(col("doc_id"),
           expr("cast(round(quality_score * 10000) as bigint)").as("score_m"))
         .transform(pinOnce) // histogram + count + final flagging: one quality pass
@@ -3836,7 +3857,7 @@ object Pipeline {
     // by construction, the d58-offsets precedent for its single
     // partition). All-integer output.
     "d67_bpe_pair_stats" -> { (s, dir) =>
-      val wf = withWords(T(s, dir, "documents"))
+      val wf = wordsOf(s, dir)
         .select(explode(col("words")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("wf"))
       val pairs = wf
@@ -3936,7 +3957,7 @@ object Pipeline {
     // travel as md5). ALL-INTEGER output, exact oracle.
     "d70_decontam_spans" -> { (s, dir) =>
       val W = 5
-      val w = withWords(T(s, dir, "documents"))
+      val w = wordsOf(s, dir)
         .select(col("doc_id"), col("words"), size(col("words")).as("n_tokens"))
       def grams(d: DataFrame): DataFrame = d.filter(col("n_tokens") >= W)
         .select(col("doc_id"), posexplode(expr(
@@ -3993,7 +4014,7 @@ object Pipeline {
     // the decomposition claim (the d64 precedent). All-integer output.
     "d71_length_batches" -> { (s, dir) =>
       val B = 32L
-      val toks = withWords(T(s, dir, "documents"))
+      val toks = wordsOf(s, dir)
         .select(col("doc_id"), size(col("words")).cast("long").as("n_tok"))
         .transform(pinOnce) // class histogram + bucket counts + cell ranks: one pass
       val offL = toks.groupBy("n_tok").agg(count(lit(1)).as("c"))
@@ -4093,7 +4114,7 @@ object Pipeline {
     "d73_postings" -> { (s, dir) =>
       val K = 5
       val TOP = 50
-      val tf = withWords(T(s, dir, "documents"))
+      val tf = wordsOf(s, dir)
         .select(col("doc_id"), explode(col("words")).as("term"))
         .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
         .transform(pinOnce) // term stats + winner postings read one (term,doc) pass
@@ -4180,7 +4201,7 @@ object Pipeline {
     // symbol top-15 runs the d73 two-stage rank (no vocab-sized
     // single partition).
     "d75_bpe_merges" -> { (s, dir) =>
-      val (recs, wf) = bpeTrain(withWords(T(s, dir, "documents"))
+      val (recs, wf) = bpeTrain(wordsOf(s, dir)
         .select(explode(col("words")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("wf")), 3)
       val syTop = wf.select(col("wf"), explode(col("syms")).as("piece"))
@@ -4281,7 +4302,7 @@ object Pipeline {
     // PAIR count, never with doc length.
     "d77_lcs_rouge" -> { (s, dir) =>
       val W = 32
-      val d = withWords(T(s, dir, "documents"))
+      val d = wordsOf(s, dir)
         .select(col("doc_id"), col("lang"),
           size(col("words")).cast("long").as("n_tok"),
           expr(s"slice(words, 1, $W)").as("wcap"))
@@ -4600,7 +4621,7 @@ object Pipeline {
     // (d63's keeper idiom at gram granularity); the flagging join is
     // equi on the hash. Text never shuffles.
     "d83_novelty_rate" -> { (s, dir) =>
-      val ga = withWords(T(s, dir, "documents"))
+      val ga = wordsOf(s, dir)
         .select(col("doc_id"), expr(
           """CASE WHEN size(words) >= 3
                THEN array_distinct(transform(sequence(0, size(words) - 3),
@@ -4735,7 +4756,7 @@ object Pipeline {
     // query whose terms touch the whole corpus never serializes
     // through one partition.
     "d86_bm25_topk" -> { (s, dir) =>
-      val docs = withWords(T(s, dir, "documents"))
+      val docs = wordsOf(s, dir)
         .select(col("doc_id"), col("words"),
           size(col("words")).cast("double").as("dl"))
         .transform(pinOnce) // stats + postings + query side read one tokenize pass
@@ -4800,7 +4821,7 @@ object Pipeline {
     // rows-only check. One quality pass persisted; everything else
     // is aggregates of it.
     "d87_dataset_card" -> { (s, dir) =>
-      val q = withQuality(withWords(T(s, dir, "documents")))
+      val q = withQuality(wordsOf(s, dir))
         .select(col("source"), col("lang"),
           col("n_tokens").cast("long").as("nt"),
           expr("cast(round(quality_score * 10000) as bigint)").as("score_m"))
@@ -4901,7 +4922,7 @@ object Pipeline {
     // rule as a PER-ROW array fold — zero shuffle beyond the scan and
     // the output sort, whole-stage friendly, all-integer output.
     "d89_span_corruption" -> { (s, dir) =>
-      withWords(T(s, dir, "documents"))
+      wordsOf(s, dir)
         .withColumn("n_tok", size(col("words")).cast("long"))
         .withColumn("mask", expr(
           """CASE WHEN size(words) >= 1 THEN
@@ -4944,7 +4965,7 @@ object Pipeline {
     // table. Pairs with zero shared grams are absent by construction
     // (identically in both engines).
     "d90_source_overlap" -> { (s, dir) =>
-      val sg = withWords(T(s, dir, "documents"))
+      val sg = wordsOf(s, dir)
         .select(col("source"), expr(
           """CASE WHEN size(words) >= 5
                THEN array_distinct(transform(sequence(0, size(words) - 5),
@@ -5073,7 +5094,7 @@ object Pipeline {
     // d67/d73 two-stage bucketed rank — no vocab²-sized single
     // partition.
     "d93_collocations" -> { (s, dir) =>
-      val w = withWords(T(s, dir, "documents"))
+      val w = wordsOf(s, dir)
         .select(col("words"), expr(
           """CASE WHEN size(words) >= 2
                THEN transform(sequence(0, size(words) - 2),
@@ -5208,7 +5229,7 @@ object Pipeline {
     // kilobytes of mergeable state; probes join the broadcast cell
     // table; top-20 runs the d67/d73 two-stage bucketed rank.
     "d96_countmin" -> { (s, dir) =>
-      val hashed = withWords(T(s, dir, "documents"))
+      val hashed = wordsOf(s, dir)
         .select(explode(col("words")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .select(col("tok") +: col("n") +: (0 until 4).map(r => expr(
@@ -5417,7 +5438,7 @@ object Pipeline {
     // the corpus), which is why a single Window is the right plan
     // here and not a scale hazard.
     "d100_epoch_plan" -> { (s, dir) =>
-      val bySrc = withWords(T(s, dir, "documents"))
+      val bySrc = wordsOf(s, dir)
         .select(col("source"), size(col("words")).cast("long").as("n_tok"))
         .groupBy("source").agg(sum("n_tok").as("src_tokens"))
         .withColumn("weight", expr(
@@ -5502,7 +5523,7 @@ object Pipeline {
     // per-type min), then everything downstream — spine, cumulative
     // window, fit — runs on a TEN-row frame.
     "d102_vocab_growth" -> { (s, dir) =>
-      val toks = withWords(T(s, dir, "documents"))
+      val toks = wordsOf(s, dir)
         .select(col("doc_id"), col("words"))
         .transform(pinOnce) // decile mass + first-occurrence share one tokenize
       val bounds = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
@@ -5570,7 +5591,7 @@ object Pipeline {
     // groupBy(source, band) with exact int64 sums; mean re-derived from
     // the sums as the only output double, 4-dp round.
     "d103_readability" -> { (s, dir) =>
-      val scored = withWords(T(s, dir, "documents"))
+      val scored = wordsOf(s, dir)
         .filter(length(trim(col("text"))) > 0)
         .withColumn("w", expr("cast(size(words) as bigint)"))
         .withColumn("sents", expr(
@@ -5750,7 +5771,7 @@ object Pipeline {
     "d107_quota_fill" -> { (s, dir) =>
       val quota = broadcast(queries("d62_temperature_mix")(s, dir)
         .select(col("lang"), col("sampled_tokens").as("quota")))
-      val toks = withWords(T(s, dir, "documents"))
+      val toks = wordsOf(s, dir)
         .select(col("doc_id"), col("lang"),
           expr("cast(size(words) as bigint)").as("n_tok"))
         .withColumn("bucket", expr("doc_id div 64"))
@@ -5832,7 +5853,7 @@ object Pipeline {
     // two aggregates runs on that naturally tiny frame; the N_{r+1}
     // lookup is a self-join of an ≤11-row spine against it.
     "d109_good_turing" -> { (s, dir) =>
-      val tf = withWords(T(s, dir, "documents"))
+      val tf = wordsOf(s, dir)
         .select(explode(col("words")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("r0"))
       val nr = tf.groupBy(col("r0").as("r"))
@@ -5876,7 +5897,7 @@ object Pipeline {
     "d110_split_balance" -> { (s, dir) =>
       val splits = queries("d69_holdout_split")(s, dir)
         .select("doc_id", "split")
-      val toks = withWords(T(s, dir, "documents"))
+      val toks = wordsOf(s, dir)
         .select(col("doc_id"), col("lang"),
           expr("cast(size(words) as bigint)").as("n_tok"))
       val cell = splits.join(toks, Seq("doc_id"))
@@ -5919,7 +5940,7 @@ object Pipeline {
     // classify pass collapses into the bounded histogram (map-
     // combinable), everything after runs on ≤11×10001 rows.
     "d111_threshold_sweep" -> { (s, dir) =>
-      val q = withQuality(withWords(T(s, dir, "documents")))
+      val q = withQuality(wordsOf(s, dir))
         .select(expr("cast(round(quality_score * 10000) as bigint)")
           .as("score_i"), expr("cast(n_tokens as bigint)").as("n_tok"))
       val g = q.groupBy("score_i")
@@ -5987,7 +6008,7 @@ object Pipeline {
         T(s, dir, "documents").count())
       val smallCap = s.conf.get("graft.d112.smallCap", "20000").toLong
       if (nDocs <= smallCap) {
-        val st = withWords(T(s, dir, "documents"))
+        val st = wordsOf(s, dir)
           .filter(expr("size(words) >= 8"))
           .select(col("doc_id"), col("source"), explode(expr(
             """transform(sequence(0, size(words) - 8),
@@ -6056,7 +6077,7 @@ object Pipeline {
       def halfUp(x: String, n: String) =
         s"""CASE WHEN ($x) >= 0 THEN (2 * ($x) + $n) div (2 * $n)
                  ELSE -((2 * (-($x)) + $n) div (2 * $n)) END"""
-      val sc = withWords(T(s, dir, "documents"))
+      val sc = wordsOf(s, dir)
         .select(col("source"), explode(col("words")).as("word"))
         .groupBy("source", "word").agg(count(lit(1)).as("c"))
         .transform(pinOnce) // frequencies, source totals and the pair pass share it
@@ -6103,7 +6124,7 @@ object Pipeline {
       def halfUp(x: String, n: String) =
         s"""CASE WHEN ($x) >= 0 THEN (2 * ($x) + $n) div (2 * $n)
                  ELSE -((2 * (-($x)) + $n) div (2 * $n)) END"""
-      val folds = withQuality(withWords(T(s, dir, "documents")))
+      val folds = withQuality(wordsOf(s, dir))
         .select(col("source"),
           expr("doc_id % 64").as("fold"),
           expr("cast(round(quality_score * 10000) as bigint)").as("q_i"))
@@ -6287,7 +6308,7 @@ object Pipeline {
     // (shingle, train_doc) rows for MATCHED shingles only; both
     // rollups are map-combinable.
     "d119_eval_exposure" -> { (s, dir) =>
-      val sh = withShingles(T(s, dir, "documents"))
+      val sh = shinglesOf(s, dir)
         .select(col("doc_id"), col("shingles"))
         .transform(pinOnce) // bench side + train side share one shingle pass
       val bench = sh.filter(col("doc_id") % 97 === 0)
@@ -6456,7 +6477,7 @@ object Pipeline {
       def halfUp(x: String, n: String) =
         s"""CASE WHEN ($x) >= 0 THEN (2 * ($x) + $n) div (2 * $n)
                  ELSE -((2 * (-($x)) + $n) div (2 * $n)) END"""
-      val grp = withWords(T(s, dir, "documents"))
+      val grp = wordsOf(s, dir)
         .select(col("source"), posexplode(expr("slice(words, 1, 8)"))
           .as(Seq("pos0", "tok")))
         .select(col("source"), (col("pos0") + 1).cast("long").as("pos"),
@@ -6534,7 +6555,7 @@ object Pipeline {
       val phraseSum = phrases.map(p =>
         s"(length(lt) - length(replace(lt, '$p', ''))) div ${p.length}")
         .mkString(" + ")
-      val perDoc = withWords(T(s, dir, "documents"))
+      val perDoc = wordsOf(s, dir)
         .withColumn("lt", lower(col("text")))
         .withColumn("n_bad_words", expr(
           s"cast(size(filter(words, x -> array_contains(array($wordList), lower(x)))) as bigint)"))
@@ -6570,7 +6591,7 @@ object Pipeline {
     // (map-combinable); the registry is domain-sized; the total is a
     // broadcast one-row frame.
     "d126_optout_compliance" -> { (s, dir) =>
-      val dom = withCanonDomain(withWords(T(s, dir, "documents")))
+      val dom = withCanonDomain(wordsOf(s, dir))
         .select(col("domain"), size(col("words")).cast("long").as("n_tok"))
         .groupBy("domain").agg(
           count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
@@ -7059,7 +7080,7 @@ object Pipeline {
     // the scan; the pairing is ONE equi shuffle on pair_id; the bias
     // rate is a one-row aggregate.
     "d136_preference_pairs" -> { (s, dir) =>
-      val side = withQuality(withWords(T(s, dir, "documents")))
+      val side = withQuality(wordsOf(s, dir))
         .withColumn("pair_id", expr("doc_id div 2"))
         .withColumn("par", expr("cast(doc_id % 2 as int)"))
         .select(col("pair_id"), col("par"), col("doc_id"),
@@ -7533,7 +7554,7 @@ object Pipeline {
     // read it), one hash-keyed keeper aggregate, two map-combinable
     // source rollups — text never shuffles (the hash rides instead).
     "d145_dedup_quality_shift" -> { (s, dir) =>
-      val base = withQuality(withWords(T(s, dir, "documents")))
+      val base = withQuality(wordsOf(s, dir))
         .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
           expr("cast(round(quality_score * 10000) as bigint)").as("q_i"))
         .transform(pinOnce) // entry rollup + keeper join read one scored pass
