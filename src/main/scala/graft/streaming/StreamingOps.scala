@@ -867,10 +867,16 @@ object StreamingOps {
       val cand = sunk.groupBy("bucket")
         .agg(expr("max_by(toks, seq)").as("toks"))
         .select(explode(col("toks")).as("tok")).distinct()
-      val exact = graft.Tables.load(s, dir, "documents")
+      // one persisted vocabulary aggregate serves BOTH the exact rerank
+      // and the precondition's bucket totals (round 15): the old shape
+      // re-exploded the whole corpus a third time just to count tokens
+      // per bucket, but Σ n over the (tok, n) aggregate is the same
+      // number — vocabulary-sized input instead of corpus-sized.
+      val tokCounts = graft.Tables.load(s, dir, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
-        .join(cand, Seq("tok"), "left_semi")
+        .persist()
+      val exact = tokCounts.join(cand, Seq("tok"), "left_semi")
       val wb = Window.partitionBy("bk").orderBy(desc("n"), asc("tok"))
       val wg = Window.orderBy(desc("n"), asc("tok"))
       val top = exact
@@ -889,10 +895,10 @@ object StreamingOps {
       // rerank could silently miss it (arrival-order dependent), so
       // fail LOUDLY here instead. One 32-row aggregate + a broadcast
       // join against 20 rows — negligible at any scale.
-      val bucketTotals = graft.Tables.load(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
-        .select(pmod(crc32(col("tok")), lit(32)).cast("int").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("nb"))
+      val bucketTotals = tokCounts
+        .select(pmod(crc32(col("tok")), lit(32)).cast("int").as("bucket"),
+          col("n"))
+        .groupBy("bucket").agg(sum(col("n")).as("nb"))
       val violations = top
         .withColumn("bucket", pmod(crc32(col("tok")), lit(32)).cast("int"))
         .join(broadcast(bucketTotals), Seq("bucket"))
@@ -902,6 +908,9 @@ object StreamingOps {
         s"s16 precondition violated: $violations top-20 token(s) fall at/below " +
           "their bucket's Misra-Gries survival bound N_bucket/65 — the sketch " +
           "cannot guarantee they were candidates; raise k or reduce buckets")
+      // the violations count materialized `top`, so the vocab aggregate
+      // backing it can release its blocks before the caller's action
+      tokCounts.unpersist(blocking = false)
       top.orderBy("rank")
     },
 
@@ -928,9 +937,14 @@ object StreamingOps {
       val in = s"$base/in"
       val gate = s"$base/gate"
       val docs = graft.Tables.load(s, dir, "documents")
+      // persisted: each micro-batch broadcasts this frame, and without
+      // the pin every batch would re-run the eval-set shingle pass
+      // (round 15 — the per-batch plan rebuilds its broadcast, so the
+      // only sharing available is at the cached-data layer)
       val bench = graft.queries.Pipeline.withShingles(
           docs.filter(col("doc_id") % 97 === 0))
         .select(explode(col("shingles")).as("shingle")).distinct()
+        .withColumn("bhit", lit(1L)).persist()
       // 2 MB row groups on the staged landing files (round 13, sf10
       // probe): the default 128 MB parquet block puts each staged
       // file's whole contents in ONE row group, and Spark assigns a
@@ -946,24 +960,34 @@ object StreamingOps {
         .option("maxFilesPerTrigger", "1").parquet(in)
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val sh = graft.queries.Pipeline.withShingles(
+          // ONE shingle pass per batch (round 15): the old shape read
+          // `sh` from two plan branches (the exploded hit count and the
+          // per-doc size spine), re-running the whole tokenize+shingle
+          // computation per branch because nothing below an explode can
+          // be exchange-reused. Carrying size(shingles) through the
+          // explode and counting broadcast hits with a marker column
+          // folds both branches into one scan → explode → broadcast
+          // left join → one aggregate. shingles is always a non-null
+          // array of ≥1 distinct elements (withShingles contract), so
+          // explode keeps every doc and count(bhit) = the old left_semi
+          // row count; values and the gate schema are unchanged.
+          graft.queries.Pipeline.withShingles(
               batch.filter(col("doc_id") % 97 =!= 0))
-            .select(col("doc_id"), col("source"), col("shingles"))
-          val hits = sh
-            .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-            .join(broadcast(bench), Seq("shingle"), "left_semi")
-            .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
-          sh.select(col("doc_id"), col("source"),
-              size(col("shingles")).cast("long").as("n_shingles"))
-            .join(hits, Seq("doc_id"), "left")
-            .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
-            .withColumn("contaminated",
-              col("n_contam") * 10 >= col("n_shingles"))
+            .select(col("doc_id"), col("source"),
+              size(col("shingles")).cast("long").as("n_shingles"),
+              explode(col("shingles")).as("shingle"))
+            .join(broadcast(bench), Seq("shingle"), "left")
+            .groupBy("doc_id", "source", "n_shingles")
+            .agg(coalesce(sum(col("bhit")), lit(0L)).as("n_contam"))
+            .select(col("doc_id"), col("source"), col("n_shingles"),
+              col("n_contam"),
+              (col("n_contam") * 10 >= col("n_shingles")).as("contaminated"))
             .write.mode("overwrite").parquet(s"$gate/batch=$batchId")
           ()
         }
         .outputMode(OutputMode.Append()).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable()
+      finally { q.stop(); bench.unpersist(blocking = false) }
       s.read.parquet(gate)
         .groupBy("source").agg(
           count(lit(1)).as("n_train"),
