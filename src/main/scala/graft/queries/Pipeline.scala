@@ -3203,10 +3203,15 @@ object Pipeline {
       // expanded rows per subspace (VERDICT r5 #1)
       def subArray(cw: DataFrame): DataFrame = broadcast(cw.groupBy("sub")
         .agg(expr("array_sort(collect_list(struct(cid, cvec)))").as("cents")))
+      // the seed assignment CARRIES svec through to the mean update
+      // (round 15): the old shape re-joined assign0 back to subs on
+      // (vec_id, sub) to recover the sub-vector it had just projected
+      // away — a corpus×M-row sort-merge join (both sides shuffled)
+      // deleted by keeping the column in the broadcast-join output.
       val assign0 = subs.join(subArray(seeds), Seq("sub"))
         .withColumn("best", argBest(sqdToCent, asc = true, scType = "bigint"))
-        .select(col("vec_id"), col("sub"), col("best.cid").as("cid"))
-      val cb = assign0.join(subs, Seq("vec_id", "sub"))
+        .select(col("vec_id"), col("sub"), col("best.cid").as("cid"), col("svec"))
+      val cb = assign0
         .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
         .groupBy("sub", "cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
         .groupBy("sub", "cid").agg(expr(
