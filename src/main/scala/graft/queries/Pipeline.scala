@@ -581,9 +581,16 @@ object Pipeline {
           .withColumn("nsalt", ceil(col("bkt_n") / lit(saltCap.toDouble)).cast("int"))
       if (nVec <= vecCap) {
         // broadcast-dim path: ids-only banded self-join → distinct
-        // pairs → map-side vector lookups → one kernel eval per pair
-        val sized = withNsalt(emb.select(col("vec_id"), col("vec"),
-          explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt")))
+        // pairs → map-side vector lookups → one kernel eval per pair.
+        // The keyed frame is SLIM (ids + bucket + salt width — vec is
+        // only the hyperplane input, never carried) and PINNED (round
+        // 15): both self-join sides read it, and unpinned the 48-plane
+        // pass ran once per side. Bounded by the vecCap guard
+        // (≤ 48·vecCap rows), so the pin is dimension-sized by
+        // construction — the in-join path below keeps its deliberate
+        // no-pin trade (r13 review: corpus×48×vec rows is too heavy).
+        val sized = pinOnce(withNsalt(emb.select(col("vec_id"),
+          explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))))
         val a = sized.select(col("bkt"),
           pmod(col("vec_id"), col("nsalt")).cast("int").as("salt"),
           col("vec_id").as("id_a"))
