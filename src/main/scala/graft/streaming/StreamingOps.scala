@@ -90,6 +90,30 @@ object StreamingOps {
     try body finally s.conf.set(key, prev)
   }
 
+  /** State-store chooser for the stateful entries (round 15): the
+    * ProbeS13 long-lived-replay matrix (BENCH_NOTES r15 — partitions x
+    * {HDFSBacked, RocksDB} at sf1 and sf10, 26 micro-batches) REFUTED
+    * the r9 assumption that RocksDB is the right default here: with
+    * watermark-BOUNDED state (every stateful entry in this block
+    * guarantees eviction structurally) the per-batch per-store fixed
+    * cost dominates and RocksDB is strictly slower at every probed
+    * scale (s13 family sf10: 63.3 s vs 36.6 s; official-entry family
+    * at sf0.1: RocksDB {36.5, 47.3} vs heap {28.9, 25.3} s). The
+    * results are provider-independent byte-for-byte (StreamingSpec
+    * pins parity on the join and GroupState shapes), so the provider
+    * is pure configuration: default = the session's provider (heap-
+    * backed HDFSBackedStateStoreProvider), and `graft.stream.rocksdb
+    * = true` pins RocksDB for deployments whose per-partition state
+    * approaches executor heap — the regime (state >> 1 GB/partition)
+    * where disk-resident stores earn their fixed cost, which bounded
+    * interval joins and session windows structurally never reach.
+    */
+  def withBoundedStateStore[T](s: SparkSession)(body: => T): T =
+    if (s.conf.get("graft.stream.rocksdb",
+        sys.env.getOrElse("GRAFT_STREAM_ROCKSDB", "false")).toBoolean)
+      withRocksDb(s)(body)
+    else body
+
   /** Shared by s13/s14: the events table staged as a SENTINEL-CLOSED
     * landing zone — the data file plus two far-future sentinel files
     * (user_id −1, one row per event type so every side's watermark
@@ -447,7 +471,7 @@ object StreamingOps {
       // restore the session default
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
-      val sunk = try withRocksDb(s) {
+      val sunk = try withBoundedStateStore(s) {
           runToTable(s, joined, "graft_s5", OutputMode.Append())
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       sunk
@@ -735,7 +759,7 @@ object StreamingOps {
       // decision, not this entry's.
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
-      val sunk = try withRocksDb(s) {
+      val sunk = try withBoundedStateStore(s) {
           runToTable(s, joined, "graft_s13", OutputMode.Append())
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       sunk.filter(col("p_user") >= 0)
@@ -771,7 +795,7 @@ object StreamingOps {
           GroupStateTimeout.EventTimeTimeout())(timeoutSessionize)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
-      val sunk = try withRocksDb(s) {
+      val sunk = try withBoundedStateStore(s) {
           runToTable(s, sessions.toDF(), "graft_s14", OutputMode.Append())
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       sunk.filter(col("user_id") >= 0)
@@ -789,7 +813,7 @@ object StreamingOps {
         .as[Ev]
       val sessions = evs.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
-      withRocksDb(s) {
+      withBoundedStateStore(s) {
         runToTable(s, sessions.toDF(), "graft_s3", OutputMode.Append())
       }.orderBy("user_id", "session_id")
     },
@@ -861,7 +885,7 @@ object StreamingOps {
           GroupStateTimeout.NoTimeout())(mgFold)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
-      val sunk = try withRocksDb(s) {
+      val sunk = try withBoundedStateStore(s) {
           runToTable(s, summaries.toDF(), "graft_s16", OutputMode.Append())
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       val cand = sunk.groupBy("bucket")
