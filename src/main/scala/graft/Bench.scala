@@ -210,6 +210,10 @@ object Bench {
           }
         if (sec >= 0) System.err.println(f"[bench] $name%-24s $sec%8.2fs")
         spark.catalog.clearCache() // release any per-query persist()s
+        // round 16 (verdict #7): drop memoized adaptive-path scalars too,
+        // so no cross-query state survives — every query pays its own
+        // count() actions inside its timed window
+        graft.queries.Pipeline.resetScalarCaches()
         // A timed-out query may have died inside a set/restore of a
         // session conf (s5/d20 lower shuffle partitions around tiny
         // stateful stages) — re-pin the critical confs every iteration

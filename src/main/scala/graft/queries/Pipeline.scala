@@ -25,6 +25,31 @@ object Pipeline {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("words", split(trim(col("text")), "\\s+"))
 
+  /** Unsplittable-input fix (round 16, guide §2.5 "one huge
+    * unsplittable file … repartition immediately after the read"): the
+    * driver's corpus tables are SINGLE-ROW-GROUP parquet files, and
+    * Spark assigns a row group to the one byte-range split holding its
+    * midpoint — so a corpus scan, and with it the whole map side of the
+    * first exchange (tokenize, shingle, signature, array-sort kernels:
+    * the CPU-dense half of most pipeline entries), ran as ONE task no
+    * matter the core count (event-log evidence: s17's per-batch shingle
+    * pass = one 8.5 s-CPU task on local[32]; every 8c↔32c scaling ratio
+    * ≈ 1.0 in PERF_r15). A round-robin repartition right after the read
+    * spreads that work across the session's parallelism for the cost of
+    * shuffling the raw rows once (sub-MB here; the kernels above cost
+    * seconds). SCALE-ADAPTIVE, not a local[32] constant: the guard
+    * skips the exchange whenever the scan already splits into >=
+    * defaultParallelism partitions — at 100 TB inputs arrive as
+    * thousands of row groups and this is a no-op by construction. Row
+    * order is not part of any declared result (every consumer
+    * aggregates or joins), and sort-before-repartition (default on)
+    * keeps the assignment retry-deterministic.
+    */
+  private[graft] def parallelScan(s: SparkSession, df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
+
   /** The documents-with-words frame every text operator starts from.
     * `graft.words.shared=true` (probe toggle, r15 verdict task 7)
     * routes it through the session helper registry so a multi-query
@@ -38,6 +63,21 @@ object Pipeline {
     if (s.conf.get("graft.words.shared", "false").toBoolean)
       cachedHelper(s, dir, "docWords")(withWords(T(s, dir, "documents")))
     else withWords(T(s, dir, "documents"))
+
+  /** [[wordsOf]] with the unsplittable-scan fix ([[parallelScan]])
+    * under the tokenize projection. NOT the default: the blanket wrap
+    * was measured per-entry (round 16) and the extra exchange only pays
+    * where the per-row kernel work above it is heavy — the d4Pairs
+    * sort/merge-kernel family won −0.7..−1.5 s each, while light
+    * aggregate consumers lost +0.2..+0.9 s each. Heavy call sites opt
+    * in here; everything else keeps the exchange-free scan (also the
+    * scale-right default — at 100 TB scans split naturally and
+    * parallelScan is a no-op anyway). */
+  private def wideWordsOf(s: SparkSession, dir: String): DataFrame =
+    if (s.conf.get("graft.words.shared", "false").toBoolean)
+      cachedHelper(s, dir, "docWordsWide")(
+        withWords(parallelScan(s, T(s, dir, "documents"))))
+    else withWords(parallelScan(s, T(s, dir, "documents")))
 
   /** [[withShingles]] over the (possibly session-shared) words frame. */
   private def shinglesOf(s: SparkSession, dir: String): DataFrame =
@@ -589,7 +629,7 @@ object Pipeline {
         // (≤ 48·vecCap rows), so the pin is dimension-sized by
         // construction — the in-join path below keeps its deliberate
         // no-pin trade (r13 review: corpus×48×vec rows is too heavy).
-        val sized = pinOnce(withNsalt(emb.select(col("vec_id"),
+        val sized = pinInner(withNsalt(emb.select(col("vec_id"),
           explode(expr(s"hyperplane_buckets(vec, 48, $bits)")).as("bkt"))))
         val a = sized.select(col("bkt"),
           pmod(col("vec_id"), col("nsalt")).cast("int").as("salt"),
@@ -885,7 +925,33 @@ object Pipeline {
     * once per corpus, not once per consuming query.
     */
   private final case class HelperEntry(df: DataFrame,
-      touched: java.util.concurrent.atomic.AtomicLong)
+      touched: java.util.concurrent.atomic.AtomicLong,
+      innerPins: Seq[DataFrame] = Nil)
+
+  /** Stack of per-build collectors for [[pinInner]] — one frame pushed
+    * per in-flight cachedHelper build on this thread (builds NEST:
+    * lshKnnEdges builds by calling lshScoredPairs). */
+  private val innerPinStack =
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[DataFrame]]] {
+      override def initialValue: List[scala.collection.mutable.ArrayBuffer[DataFrame]] = Nil
+    }
+
+  /** pinOnce for frames persisted INSIDE a cachedHelper build (advisor
+    * r15): the pin is registered with the enclosing helper entry so
+    * eviction unpersists it together with the entry frame — an
+    * untracked inner pin strands its blocks in the CacheManager for the
+    * JVM lifetime on every evict/rebuild cycle. A racing double-build
+    * pins the identical plan, which the CacheManager dedupes to one
+    * cache entry, so the winner's eviction releases the loser's pin
+    * too. Outside a build this degrades to plain pinOnce. */
+  private def pinInner(df: DataFrame): DataFrame = {
+    val pinned = pinOnce(df)
+    innerPinStack.get() match {
+      case head :: _ => head += pinned
+      case Nil => ()
+    }
+    pinned
+  }
   private val helperCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), HelperEntry]()
   private val helperClock = new java.util.concurrent.atomic.AtomicLong()
@@ -912,10 +978,13 @@ object Pipeline {
         .sortBy(_.getValue.touched.get()).take(helperCache.size / 2)
       oldestHalf.foreach { e =>
         // remove(k, v) — never unpersist an entry another thread just
-        // replaced or re-touched past our snapshot's eviction line
+        // replaced or re-touched past our snapshot's eviction line.
+        // Inner pins (advisor r15) release with their entry.
         if (helperCache.remove(e.getKey, e.getValue)) {
-          try e.getValue.df.unpersist(blocking = false)
-          catch { case _: Throwable => () }
+          (e.getValue.df +: e.getValue.innerPins).foreach { f =>
+            try f.unpersist(blocking = false)
+            catch { case _: Throwable => () }
+          }
         }
       }
     }
@@ -936,8 +1005,15 @@ object Pipeline {
       val cur = helperCache.get(key)
       if (cur != null) cur
       else {
-        val fresh = HelperEntry(build,
-          new java.util.concurrent.atomic.AtomicLong(helperClock.incrementAndGet()))
+        // run the build under a fresh inner-pin collector so pinInner
+        // calls inside it register with THIS entry (and only this one —
+        // nested builds push their own frame)
+        val collector = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        innerPinStack.set(collector :: innerPinStack.get())
+        val built = try build finally innerPinStack.set(innerPinStack.get().tail)
+        val fresh = HelperEntry(built,
+          new java.util.concurrent.atomic.AtomicLong(helperClock.incrementAndGet()),
+          collector.toSeq)
         Option(helperCache.putIfAbsent(key, fresh)).getOrElse(fresh)
       }
     }
@@ -961,6 +1037,14 @@ object Pipeline {
     */
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+
+  /** Bench purity hook (round 16, verdict #7): Bench's per-query
+    * cleanup calls this next to clearCache() so NO memoized scalar
+    * survives the per-query boundary — the first family query and every
+    * later one pay the same count() actions inside their timed window.
+    * (clearCache() already drops the data blocks; this drops the longs.)
+    */
+  def resetScalarCaches(): Unit = countCache.clear()
   private[graft] def cachedCount(s: SparkSession, dir: String, key: String)(
       compute: => Long): Long = {
     if (countCache.size > 512) countCache.clear()
@@ -1111,7 +1195,11 @@ object Pipeline {
     // sorted+distinct sets → the merge-kernel jaccard variant (no
     // per-pair hash-set allocation); the one-time per-doc sort is
     // O(n log n) on 1/1000th the rows the kernel touches
-    val w = wordsOf(s, dir)
+    // wideWordsOf (round 16): the per-doc tokenize + array_sort
+    // (array_distinct) prep — the map side of the block join — ran as
+    // one task on the single-row-group corpus; measured winner for the
+    // whole d4/d20/d104/d117/d124/d142 family (−0.7..−1.5 s each)
+    val w = wideWordsOf(s, dir)
       .select(col("doc_id"), col("lang"), lenBucket.as("len_bucket"),
         array_sort(array_distinct(col("words"))).as("wset"))
       .withColumn("wn", size(col("wset")))
@@ -1471,9 +1559,19 @@ object Pipeline {
       // bit-identical (387,532 contract rows, hash-equal) — and the
       // deleted exchange carried every redundant band collision, the
       // bytes that matter most on a 1000-executor network.
-      val banded = reps.select(col("rep_id"), size(col("wset")).as("wn"),
+      // ONE minhash pass (round 16 — the d13 broadcast-path lesson
+      // applied to the MinHash band side): both self-join sides below
+      // re-derived minhash_bands(wset, 16) from the pinned reps, so the
+      // 128-hash signature pass ran once PER SIDE. Register the SLIM
+      // keyed frame — (rep_id, wn, keys): 16 longs + an int per rep, no
+      // wset payload — and posexplode per side from the pin. Rep-count-
+      // sized (≈ collapsed docs), orders lighter than the reps pin that
+      // carries the full word sets.
+      val sig = cachedHelper(s, dir, "d15BandKeys") {
+        reps.select(col("rep_id"), size(col("wset")).as("wn"),
           expr("minhash_bands(wset, 16)").as("keys"))
-        .select(col("rep_id"), col("wn"), col("keys"),
+      }
+      val banded = sig.select(col("rep_id"), col("wn"), col("keys"),
           posexplode(col("keys")).as(Seq("bpos", "key")))
       val a = banded.select(col("key"), col("rep_id").as("r_a"), col("wn").as("wn_a"),
         col("keys").as("keys_a"), col("bpos"))
@@ -3187,7 +3285,7 @@ object Pipeline {
         s"""aggregate(zip_with($a, $b, (x, y) ->
               cast(round((x - y) * (x - y) * 1e12) as bigint)),
             cast(0 as bigint), (acc, e) -> acc + e)""")
-      val subs = T(s, dir, "embeddings")
+      val subs = parallelScan(s, T(s, dir, "embeddings"))
         .withColumn("vec", col("embedding").cast("array<double>"))
         .select(col("vec_id"), explode(expr(
           s"""transform(sequence(0, ${M - 1}), m ->
@@ -3903,7 +4001,7 @@ object Pipeline {
       // [1, 0] on empty text, minting two phantom empty-string "chars"
       // the DuckDB range(0) side never produces (r8 advisor finding) —
       // empty docs are in-contract throughout the pipeline block.
-      val cf = T(s, dir, "documents")
+      val cf = parallelScan(s, T(s, dir, "documents"))
         .select(explode(expr(
           """CASE WHEN length(text) >= 1
                THEN transform(sequence(1, length(text)),

@@ -1815,4 +1815,23 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"d145's keeper and source joins must stay equi:\n$p")
   }
+
+  test("bench purity: resetScalarCaches makes consecutive bench-style invocations both pay the count") {
+    // round 16, verdict #7: Bench's per-query cleanup (clearCache +
+    // resetScalarCaches) must leave NO memoized scalar behind — the
+    // count() a family's first query pays must be re-paid by the next
+    // query's timed window, not skipped via a JVM-lifetime long.
+    var computePaid = 0
+    def benchStyleInvocation(): Long =
+      Pipeline.cachedCount(spark, sfTiny, "planaudit-purity-probe") {
+        computePaid += 1; 42L
+      }
+    Pipeline.resetScalarCaches()
+    assert(benchStyleInvocation() == 42L && computePaid == 1)
+    assert(benchStyleInvocation() == 42L && computePaid == 1,
+      "within one query the scalar memoizes (that part is fine)")
+    Pipeline.resetScalarCaches() // what Bench now runs between queries
+    assert(benchStyleInvocation() == 42L && computePaid == 2,
+      "after the per-query reset the next invocation must re-pay the count")
+  }
 }
