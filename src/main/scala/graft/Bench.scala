@@ -109,6 +109,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Round 16: InferFiltersFromGenerate (SPARK-32295) copies the
+      // generator's WHOLE input expression into an inferred
+      // size(e)>0 filter, which predicate pushdown then moves below
+      // exchanges — the engine's expensive generators (shingle, gram,
+      // band, lane-unpack arrays) were being computed twice per row,
+      // once serially below the repartition. Every generated array
+      // here is non-empty by construction, so the inferred filter
+      // never prunes a row: excluding the rule is result-identical
+      // and deletes the duplicated kernel pass (plan evidence in
+      // OPTIMIZATION_r16.md).
+      .config("spark.sql.optimizer.excludedRules",
+        sys.env.getOrElse("GRAFT_EXCLUDED_RULES",
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"))
       // 256 KB scan-split floor — see the Verify builder's note: the
       // 4 MB default under-splits dense single-file corpora and starves
       // compute-heavy text scans of cores at probe scale.

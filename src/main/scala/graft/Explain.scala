@@ -17,6 +17,18 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Round 16: InferFiltersFromGenerate (SPARK-32295) copies the
+      // generator's WHOLE input expression into an inferred
+      // size(e)>0 filter, which predicate pushdown then moves below
+      // exchanges — the engine's expensive generators (shingle, gram,
+      // band, lane-unpack arrays) were being computed twice per row,
+      // once serially below the repartition. Every generated array
+      // here is non-empty by construction, so the inferred filter
+      // never prunes a row: excluding the rule is result-identical
+      // and deletes the duplicated kernel pass (plan evidence in
+      // OPTIMIZATION_r16.md).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>

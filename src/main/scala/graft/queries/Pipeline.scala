@@ -1949,9 +1949,28 @@ object Pipeline {
       // host's disk dry. Materializing eagerly keeps the build at the
       // session default; only the contraction loop over the (orders-
       // of-magnitude smaller) materialized edge set runs low-partition.
-      val cur0 = lshScoredPairs(s, dir).filter(col("cos_sim") >= thr)
-        .select(col("id_b").as("u"), col("id_a").as("v")) // id_a < id_b
-        .distinct().localCheckpoint(true)
+      // Per-partition PRE-CONTRACTION (round 16, guide §2.2 — cut
+      // rounds × shuffled edges): each distinct-output partition's
+      // edges are replaced by their local union-find (node →
+      // local-min-root) spanning links before the global rounds run.
+      // Connectivity- and node-set-preserving by construction (every
+      // edge endpoint survives as a label's node or as a local root on
+      // the right-hand side), so the star-contraction fixpoint forest —
+      // and with it the labeling — is bit-identical; the rounds just
+      // start from locally-contracted stars: fewer rounds, fewer edges
+      // per round. Rides the same eager checkpoint materialization
+      // (zero extra jobs; at 100 TB this is a map-side pass over the
+      // edge build's output partitions).
+      val preContract = (it: Iterator[(Long, Long)]) =>
+        unionFindLabels(Iterator.empty, it).filter { case (n, r) => n != r }
+      val cur0 = {
+        import s.implicits._
+        lshScoredPairs(s, dir).filter(col("cos_sim") >= thr)
+          .select(col("id_b").as("u"), col("id_a").as("v")) // id_a < id_b
+          .distinct().as[(Long, Long)]
+          .mapPartitions(preContract)
+          .toDF("u", "v").localCheckpoint(true)
+      }
       // CHILD session for the low-partition loop (round 14, verdict
       // task 5 — the a14/d147 precedent): the r13 set/restore window
       // on the SHARED session could bleed 8 shuffle partitions into
