@@ -133,6 +133,27 @@ object Bench {
     // query doesn't absorb ~5 s of session startup in its timing.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // Round 16: the first measured query (d13) was still absorbing the
+    // FIRST-USE compilation of the shuffle/aggregate/join/window
+    // machinery (interpreter + codegen infrastructure JIT), ~1-2 s no
+    // other query pays. Exercise those paths once on SYNTHETIC rows —
+    // no benched table is touched, and the per-query cleanup below
+    // (clearCache + resetScalarCaches) runs before timing starts, so
+    // nothing data-dependent survives into any measured window.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(2000).selectExpr("id",
+        "concat('w', cast(id % 97 as string), ' x y z') as text")
+      val toks = w.selectExpr("id", "explode(split(text, ' ')) tok")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      toks.join(broadcast(toks.limit(50)), Seq("tok"), "left_semi")
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("tok")).orderBy(col("n"))))
+        .filter(col("r") === 1).count()
+      spark.catalog.clearCache()
+      graft.queries.Pipeline.resetScalarCaches()
+    }
 
     val pool = Executors.newCachedThreadPool()
     val start = System.nanoTime()

@@ -574,7 +574,18 @@ object Pipeline {
           lit(Long.MaxValue).cast("decimal(38,0)")).cast("long"))
         .head().getLong(0))
     var bits = bits0
-    while (bits < 16 && pairMass(bits) > pairBudget) bits += 1
+    // Gate short-circuit (round 16): Σ_b c_b(c_b−1)/2 ≤ n(n−1)/2 for
+    // ANY bucketing, so when the WHOLE-corpus pair count already fits
+    // the budget the gate provably cannot fire at any width — skip the
+    // occupancy pass (and its per-query job + pin rebuild under the
+    // bench's purity-cleared registry) entirely. Exact same escalation
+    // decisions: the skip triggers only where escalation is impossible,
+    // and at 100 TB (n ≳ 64 k for the default budget) the gate still
+    // runs. Overflow-safe: n ≥ 3e9 runs the gate unconditionally.
+    val gateCanFire = nVec >= 3000000000L ||
+      (nVec > 1 && nVec * (nVec - 1) / 2 > pairBudget)
+    if (gateCanFire)
+      while (bits < 16 && pairMass(bits) > pairBudget) bits += 1
     // Escalation is a REAL result change (recall drops with width) that
     // the replay oracle — deriving width from count(*) alone — cannot
     // follow. In oracle-gated runs (Verify sets graft.lsh.oracleGated)
@@ -1631,8 +1642,16 @@ object Pipeline {
       val mFrame = w.select(col("gid"), col("doc_id"))
         .join(reps.select(col("gid"), col("rep_id")), "gid")
         .select(col("doc_id"), col("rep_id"))
-      // membership is DOC-count-sized (one 16 B id pair per doc)
-      val m = if (cachedCount(s, dir, "nDocsCollapsed")(w.count()) <= 10000000L)
+      // membership is DOC-count-sized (one 16 B id pair per doc).
+      // Gate short-circuit (round 16): collapsed rows ≤ raw documents
+      // rows, so when the RAW count (a plain parquet count, no
+      // tokenize/collapse pass) already fits the broadcast cap the
+      // collapsed count provably does too — same branch decision at
+      // every scale, one fewer per-query aggregate job at bench grain.
+      val nDocsRaw = cachedCount(s, dir, "nDocsRaw")(
+        T(s, dir, "documents").count())
+      val m = if (nDocsRaw <= 10000000L ||
+          cachedCount(s, dir, "nDocsCollapsed")(w.count()) <= 10000000L)
         broadcast(mFrame) else mFrame
       val cross = repPairs
         .join(m.select(col("rep_id").as("r_a"), col("doc_id").as("da")), "r_a")
